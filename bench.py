@@ -1,0 +1,71 @@
+"""Benchmark harness — times headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver records this per-round as
+BENCH_r{N}.json and compares against BASELINE.md (within 2x of DuckDB
+wall-clock on the same query set at the same sf).
+
+Methodology: one warm-up execution per query (to exclude one-off JVM/codegen
+and parquet footer reads — the reference's `took` field likewise measures
+per-request execution, not process startup, http/service.go:241), then the
+median of 3 timed runs, each fully materializing the result via a count+collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df):
+    # collect() on the final (small) result mirrors what the service layer
+    # does before JSON serialization; all heavy work happens distributed.
+    return df.collect()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from duckdb_service_spark.plans import BENCH, QUERIES, load_all
+    from duckdb_service_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in BENCH if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        _materialize(fn(spark, sf_dir))  # warm-up
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall-clock (median of 3, warm)",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads), but
+every setting here is chosen to also hold on a 1000-executor cluster:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting).
+- Arrow on (vectorized Python<->JVM transfer for the few pandas-UDF paths).
+- shuffle partitions sized by env so the same code scales from local[32]
+  (32 partitions) to a cluster (thousands).
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (naive/UTC parquet timestamps) regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The correctness driver constructs its own SparkSession and passes it to
+    ``queries()`` callables, so anything semantics-critical must be a runtime
+    conf applied here (not only a builder conf).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Match DuckDB's ANSI-ish cast/overflow behaviour is NOT desired here:
+    # the oracle comparison needs permissive casts (try_cast semantics are
+    # exercised explicitly), so keep ANSI off.
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # may be non-modifiable if set at startup; fine either way
+    return spark
+
+
+def get_spark(app_name: str = "duckdb-service-spark") -> SparkSession:
+    cpus = default_parallelism()
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+    )
+    return tune(builder.getOrCreate())
