@@ -1,1 +1,454 @@
-"""Placeholder — populated incrementally this round."""
+"""Aggregation operators — SURVEY §2.2d.
+
+Float-valued aggregates use the decimal-stable conventions from
+functions.stable; second-moment statistics are computed from exact decimal
+sums so both engines execute identical IEEE ops on identical inputs
+(see agg_stats_exact) — the native implementations (Welford et al.) are
+exercised separately as a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import davg, dec, dsum
+from ..sources import load_tables
+from .registry import query
+
+
+@query(
+    "agg_core",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(*)                                          AS n,
+      COUNT(l_quantity)                                 AS n_qty,
+      SUM(CAST(l_quantity AS DECIMAL(38,6)))            AS sum_qty,
+      MIN(l_quantity)                                   AS min_qty,
+      MAX(l_quantity)                                   AS max_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      MIN(l_shipdate)                                   AS first_ship,
+      MAX(l_shipdate)                                   AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    bench=True,
+)
+def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("l_quantity").alias("n_qty"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_suppkey)                       AS n_supp,
+      COUNT(DISTINCT l_partkey)                       AS n_part,
+      SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS sum_dist_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.sum_distinct(dec("l_quantity")).alias("sum_dist_qty"),
+        )
+    )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+      SELECT
+        c_nationkey,
+        COUNT(c_acctbal) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT
+      c_nationkey,
+      n,
+      CASE WHEN n > 1 THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 3) END AS stddev_bal,
+      CASE WHEN n > 0 THEN round((sxx - sx * sx / n) / n, 3) END             AS varpop_bal
+    FROM s
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance from exact decimal moments: both engines derive the
+    same doubles from the same exact sums → bit-identical results (the
+    native one-pass implementations differ in accumulation order)."""
+    t = load_tables(spark, sf_dir)
+    bal = F.col("c_acctbal")
+    s = (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(bal).alias("n"),
+            F.sum(dec(bal)).cast("double").alias("sx"),
+            F.sum(dec(bal * bal, 10)).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return s.select(
+        "c_nationkey",
+        "n",
+        F.when(n > 1, F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 3)).alias("stddev_bal"),
+        F.when(n > 0, F.round((sxx - sx * sx / n) / n, 3)).alias("varpop_bal"),
+    )
+
+
+@query("agg_stats_native")  # rows-only: native one-pass stats accumulate in
+# engine-specific order; values agree only to ~1e-12 relative, so no exact oracle.
+def agg_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.stddev_samp("c_acctbal").alias("stddev_bal"),
+            F.stddev_pop("c_acctbal").alias("stddevp_bal"),
+            F.var_samp("c_acctbal").alias("var_bal"),
+            F.var_pop("c_acctbal").alias("varp_bal"),
+            F.corr("c_acctbal", "c_custkey").alias("corr_bal_key"),
+            F.covar_samp("c_acctbal", "c_custkey").alias("covar_bal_key"),
+            F.skewness("c_acctbal").alias("skew_bal"),
+            F.kurtosis("c_acctbal").alias("kurt_bal"),
+        )
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+      SELECT
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)                  AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)             AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE)    AS sxx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)      AS sxy
+      FROM lineitem
+    )
+    SELECT
+      n,
+      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+      round((n * sxy - sx * sy) / (n * (n - 1)), 3)                                       AS covar_qty_price
+    FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(q * q, 10)).cast("double").alias("sxx"),
+        F.sum(dec(p * p, 10)).cast("double").alias("syy"),
+        F.sum(dec(q * p, 10)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "n",
+        F.round((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 3).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT
+      c_nationkey,
+      max_by(c_name, c_custkey) AS newest_customer,
+      min_by(c_name, c_custkey) AS oldest_customer,
+      max_by(c_custkey, c_acctbal) AS richest_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max (min_by/max_by). Ordering keys are unique per group
+    (custkey; acctbal ties broken never observed — acctbal is continuous)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("newest_customer"),
+            F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+            F.max_by("c_custkey", "c_acctbal").alias("richest_key"),
+        )
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg/listagg with deterministic ORDER BY → sorted collect_list
+    + concat_ws."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+    )
+
+
+@query(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT
+      s_nationkey,
+      list_sort(list(s_name))                   AS names,
+      list_sort(list(DISTINCT s_nationkey + 0)) AS key_list
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg/list + distinct variant, order pinned via sort."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .groupBy("s_nationkey")
+        .agg(
+            F.array_sort(F.collect_list("s_name")).alias("names"),
+            F.array_sort(F.collect_set(F.col("s_nationkey") + 0)).alias("key_list"),
+        )
+    )
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+    SELECT
+      l_returnflag,
+      bool_and(l_quantity > 1.0)   AS all_multi,
+      bool_or(l_discount > 0.09)   AS any_big_disc,
+      bit_and(l_linenumber)        AS band,
+      bit_or(l_linenumber)         AS bor,
+      bit_xor(l_linenumber)        AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 1.0).alias("all_multi"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+            F.bit_xor("l_linenumber").alias("bxor"),
+        )
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT
+      l_linestatus,
+      COUNT(*) FILTER (WHERE l_quantity > 25)                              AS n_large,
+      SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS rev_no_disc,
+      COUNT(*)                                                             AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) clause — Spark SQL supports it natively; exercised
+    through the SQL surface."""
+    t = load_tables(spark, sf_dir)
+    t.view("lineitem")
+    return spark.sql(
+        """
+        SELECT
+          l_linestatus,
+          COUNT(*) FILTER (WHERE l_quantity > 25)                              AS n_large,
+          SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS rev_no_disc,
+          COUNT(*)                                                             AS n
+        FROM lineitem
+        GROUP BY l_linestatus
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100 AND SUM(CAST(l_quantity AS DECIMAL(38,6))) > 100
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("__sq"))
+        .filter((F.col("n") > 100) & (F.col("__sq") > 100))
+        .drop("__sq")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.view("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (DuckDB dialect; Spark SQL 3.4+ supports it too)."""
+    t = load_tables(spark, sf_dir)
+    t.view("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem GROUP BY ALL"
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketches differ by engine
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT
+      l_returnflag,
+      median(l_quantity)                                     AS med_qty,
+      quantile_disc(l_quantity, 0.9)                         AS p90_qty_disc,
+      round(quantile_cont(l_extendedprice, 0.5), 4)          AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median / quantile_cont / quantile_disc. Continuous quantiles involve
+    one interpolation (rounded at 4); discrete quantiles are exact set
+    members. DuckDB median(double) == continuous interpolation, same as
+    Spark's median."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "p90_qty_disc"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
+        )
+    )

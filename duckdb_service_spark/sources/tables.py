@@ -78,9 +78,12 @@ class Tables:
         return self._tables[name]
 
     def view(self, *names: str) -> None:
-        """Force-register views (for spark.sql-based plans)."""
+        """Force-register views (for spark.sql-based plans). Always re-points
+        the temp view at THIS sf_dir's DataFrame: views are session-global,
+        so another sf_dir's Tables may have registered the name since we
+        cached ours."""
         for n in names:
-            self[n]
+            self[n].createOrReplaceTempView(n)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
