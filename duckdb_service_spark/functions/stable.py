@@ -41,3 +41,33 @@ def davg(c, scale: int = 6) -> Column:
 
 def round_dbl(col: Column, digits: int = 4) -> Column:
     return F.round(col.cast("double"), digits)
+
+
+def fsum(c, scale: int = 6) -> Column:
+    """Fast exact sum of a double column, emitted as DOUBLE.
+
+    Rounds each value to `scale` decimals as an UNSCALED BIGINT
+    (round(x*10^s) — primitive codegen, ~2.5x faster than the decimal
+    path), sums longs exactly, divides back in double. Deterministic and
+    engine-identical like dsum.
+
+    Overflow bound: |sum| * 10^scale must stay < 2^63 (~9.2e18) — safe for
+    |sum| < ~9e12 at scale 6. For unbounded-scale aggregations (full 100 TB
+    fact tables) use dsum (decimal never overflows at (38,6)); fsum is the
+    hot-path variant for bounded domains.
+
+    Oracle twin: CAST(SUM(CAST(ROUND(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+    (DuckDB sums BIGINT into HUGEINT, so the oracle side cannot overflow.)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    m = float(10**scale)
+    return F.sum(F.round(col * m).cast("bigint")).cast("double") / m
+
+
+def favg(c, scale: int = 6) -> Column:
+    """avg via fsum/count, emitted as DOUBLE (same IEEE ops both engines).
+
+    Oracle twin: CAST(SUM(CAST(ROUND(x*1e6) AS BIGINT)) AS DOUBLE)/1e6/COUNT(x)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return fsum(col, scale) / F.count(col)

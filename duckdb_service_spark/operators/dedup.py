@@ -1,0 +1,183 @@
+"""Deduplication operator family (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine) — the training-data-pipeline extensions that the
+reference (a SQL passthrough service) lacks, built Spark-first.
+
+Scale design notes (the part that matters at 100 TB):
+- Everything is expression-level (no Python UDFs): hashing is md5 (portable,
+  functions.portable), shingling is split/transform/slice, signatures are 64
+  aggregate columns over one explode — per-doc cost is linear, the only
+  shuffles are groupBy(doc) and the band self-join.
+- LSH candidate generation joins on (band_id, band_hash): with b bands the
+  join key space is huge, so the shuffle is uniform unless many true
+  near-dups share a band — exactly the rows we want colocated anyway.
+- The exact-Jaccard verification join runs only on LSH candidates, never on
+  all pairs (candidate count ≈ O(dups), not O(n²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash64
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h+b inside int64
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic permutation coefficients, identical formula in the
+    DuckDB oracle SQL (plans/dedup.py) — LCG-style, never 0 mod p."""
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_PRIME
+    b = (69069 * (i + 1) + 362437) % MINHASH_PRIME
+    return (a or 1, b)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def tokens_expr(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure expressions —
+    whole-stage codegen, no UDF)."""
+    toks = tokens_expr(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per content
+    hash. One shuffle on the 128-bit content hash; at 100 TB this is the
+    cheapest possible dedup (hash-groupBy, map-side partial min)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return df.select(h, F.col(id_col)).groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def explode_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
+    """(id, s): one row per distinct shingle per doc. Compute ONCE and share
+    (localCheckpoint) across signature + verification stages — the shingle
+    relation is the expensive subtree of every near-dup pipeline."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("s")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 64,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}): k-permutation MinHash signature per document.
+
+    One explode of distinct shingles, then k min-aggregates in a single
+    groupBy — NOT k passes and NOT a k× row blow-up. h is the portable
+    md5-based 64-bit hash reduced mod 2^31-1. Pass a pre-computed
+    ``shingles`` (from explode_shingles) to share the scan.
+    """
+    sh0 = shingles if shingles is not None else explode_shingles(df, id_col, text_col, shingle_n)
+    h31 = (hash64(F.col("s")) % MINHASH_PRIME).alias("h")
+    sh = sh0.select(id_col, h31)
+    aggs = []
+    for i in range(num_perms):
+        a, b = perm_coeffs(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, num_perms: int = 64, bands: int = 16) -> DataFrame:
+    """(id, band_id, band_hash): hash each r-row band of the signature.
+    Equal band_hash within a band_id ⇒ candidate pair."""
+    rows_per_band = num_perms // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *cols)).alias("band_hash"))
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only."""
+    sh0 = shingles if shingles is not None else explode_shingles(docs, id_col, text_col, shingle_n)
+    sh = sh0.select(F.col(id_col).alias("__id"), "s")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("s"))
+    sh_b = sh.select(F.col("__id").alias("id_b"), F.col("s"))
+    inter = (
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): classic sign-of-weighted-bit-sums fingerprint over
+    token hashes. Expressed as `bits` conditional-sum aggregates over one
+    token explode — map-side combinable, no UDF. 32 bits keeps the result an
+    exact int in both engines (the oracle mirrors the formula)."""
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    h = hash64(F.col("tok"))
+    toks = toks.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(
+            f"b{j}"
+        )
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return agg.select(id_col, out.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) column support.
+
+Design: media lives as opaque ``binary`` payload columns + typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators via ``mapInPandas`` — the only operator
+family in this engine that leaves the JVM, because media codecs are native
+libraries. The Spark-side contract (schema, batching, partitioning) is real
+and tested; the decoder itself is a deterministic stand-in because no media
+libraries exist in this container (SURVEY: stub the decode step, keep the
+plumbing real).
+
+At 100 TB: payloads stay columnar in parquet, mapInPandas streams
+Arrow batches (no per-row pickling), partition sizing is governed by
+spark.sql.files.maxPartitionBytes so a partition of payloads fits executor
+memory, and feature extraction is embarrassingly parallel (no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def decode_batch(payloads: "list[bytes]", n_features: int) -> "list[list[float]]":
+    """Deterministic fake decoder: byte-histogram features.
+
+    REAL IMPLEMENTATION POINT: swap this for PIL/librosa/ffmpeg decoding —
+    signature (batch of bytes) -> (batch of feature vectors) is unchanged.
+    """
+    out = []
+    for p in payloads:
+        if p is None:
+            out.append(None)
+            continue
+        buckets = [0] * n_features
+        for b in p:
+            buckets[b % n_features] += 1
+        total = max(len(p), 1)
+        out.append([round(c / total, 6) for c in buckets])
+    return out
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str, n_features: int = 8
+) -> DataFrame:
+    """binary payload → ``features array<float>`` via mapInPandas
+    (Arrow-batched; one Python roundtrip per batch, not per row)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = list(pdf[payload_col])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "features": decode_batch(payloads, n_features),
+                }
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, payload_col: str, every_n_bytes: int = 64
+) -> DataFrame:
+    """'Frame sampling' on the stand-in codec: emit one row per sampled
+    offset (models video → frames explosion; output is a new row-per-frame
+    relation, the shape downstream vision models consume)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_no", LongType()),
+            StructField("offset", LongType()),
+            StructField("frame_byte", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, frames, offsets, vals = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                for f, off in enumerate(range(0, len(p), every_n_bytes)):
+                    ids.append(i)
+                    frames.append(f)
+                    offsets.append(off)
+                    vals.append(p[off])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": frames, "offset": offsets, "frame_byte": vals}
+            )
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (SURVEY §7.1 M6).
+
+Two tiers, mirroring what a 100 TB pipeline needs:
+- brute-force cosine top-k: broadcast the (small) query set, score map-side
+  with a pure-expression dot product (zip_with + aggregate fold — JVM
+  codegen, no Python), then per-query top-k via window. Cost O(n·q·d) with
+  zero shuffle of the corpus.
+- random-hyperplane LSH: 16 signed projections → 16-bit bucket id. Bucket
+  assignment is map-side; candidate search touches only same-bucket rows
+  (expected n/2^16 of the corpus per probe). Hyperplane weights are
+  deterministic integers derived from md5 (functions.portable) so results
+  are reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 16          # single-table bucketing (histogram query)
+N_TABLES = 8           # multi-table search: 8 tables x 4 planes
+PLANES_PER_TABLE = 4
+DIM = 64
+
+
+def _w(plane: int, i: int) -> int:
+    """Deterministic hyperplane weight in [-1000, 1000]: the md5-derived
+    portable hash of 'plane_i' (same formula emitted into oracle SQL)."""
+    h = int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+PLANES = [[_w(j, i) for i in range(DIM)] for j in range(max(N_PLANES, N_TABLES * PLANES_PER_TABLE))]
+
+
+def dot(a, b) -> Column:
+    """Exact-order fold dot product in double (IEEE-identical across
+    engines for identical inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(c) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_bucket(vec_col: str, n_planes: int = N_PLANES) -> Column:
+    """n-bit bucket id: bit j = sign of <plane_j, v>. Fewer planes → bigger
+    buckets (recall/cost dial)."""
+    out = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(w)) for w in PLANES[j]])
+        out = out + F.when(dot(plane, F.col(vec_col)) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            0
+        )
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k cosine neighbours per query vector. Ties broken by corpus id;
+    cosine rounded at 4 BEFORE ranking so rank order is reproducible."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_table_buckets(vec_col: str) -> "Column":
+    """Multi-table LSH: N_TABLES independent (table_id, bucket) assignments
+    per vector (4 planes each). Candidates = union over tables of same-bucket
+    rows — the standard recall fix for cosine LSH; probe cost stays
+    ~N_TABLES * corpus/2^planes_per_table per query."""
+    entries = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0).cast("bigint")
+        for j in range(PLANES_PER_TABLE):
+            plane_idx = t * PLANES_PER_TABLE + j
+            plane = F.array(*[F.lit(float(w)) for w in PLANES[plane_idx]])
+            bucket = bucket + F.when(
+                dot(plane, F.col(vec_col)) > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(0)
+        entries.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def _np_queries(queries_rows, dim: int):
+    import numpy as np
+
+    qids = np.array([r[0] for r in queries_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in queries_rows], dtype=np.float64).reshape(len(qids), dim)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    return qids, Qn
+
+
+def brute_force_topk_np(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k: the query set (small by
+    definition) is collected and broadcast inside a mapInPandas closure; each
+    Arrow batch of the corpus is scored as ONE BLAS matmul (n×d @ d×q). This
+    is the numpy fast path the expression-based `brute_force_topk` trades
+    against: ~20x less per-row overhead, same results (cosine rounded at 4
+    before ranking, so BLAS vs fold summation order cannot reorder ranks)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    q_rows = [(r[0], r[1]) for r in queries.select(id_col, vec_col).collect()]
+    dim = len(q_rows[0][1])
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        qids, Qn = _np_queries(q_rows, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ Qn.T, 4)  # n×q
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "cos_sim": S.T.ravel(),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket_np(df: DataFrame, id_col: str, vec_col: str, n_planes: int = N_PLANES) -> DataFrame:
+    """(id, bucket) via one matmul per Arrow batch against the hyperplane
+    matrix — numerically equivalent to the expression fold (only the SIGN of
+    each projection matters)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    W = [PLANES[j] for j in range(n_planes)]
+    schema = StructType([StructField(id_col, LongType()), StructField("bucket", LongType())])
+
+    def assign(batches):
+        import pandas as pd
+
+        Wm = np.array(W, dtype=np.float64)  # p×d
+        weights = (1 << np.arange(len(W), dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (V @ Wm.T) > 0  # n×p
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bucket": (bits @ weights).astype(np.int64)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import davg, dec, dsum
+from ..functions.stable import davg, dec, dsum, favg, fsum
 from ..sources import load_tables
 from .registry import query
 
@@ -24,10 +24,10 @@ from .registry import query
       l_returnflag,
       COUNT(*)                                          AS n,
       COUNT(l_quantity)                                 AS n_qty,
-      SUM(CAST(l_quantity AS DECIMAL(38,6)))            AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_qty,
       MIN(l_quantity)                                   AS min_qty,
       MAX(l_quantity)                                   AS max_qty,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(l_quantity) AS avg_qty,
       MIN(l_shipdate)                                   AS first_ship,
       MAX(l_shipdate)                                   AS last_ship
     FROM lineitem
@@ -43,10 +43,10 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("l_quantity").alias("n_qty"),
-            dsum("l_quantity").alias("sum_qty"),
+            fsum("l_quantity").alias("sum_qty"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            davg("l_quantity").alias("avg_qty"),
+            favg("l_quantity").alias("avg_qty"),
             F.min("l_shipdate").alias("first_ship"),
             F.max("l_shipdate").alias("last_ship"),
         )

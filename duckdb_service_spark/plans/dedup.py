@@ -1,1 +1,270 @@
-"""Placeholder — populated incrementally this round."""
+"""Deduplication queries over the documents table — exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine (SURVEY §7.1 M6 extensions).
+
+The fixture has no natural duplicates, so each query deterministically
+synthesizes near-duplicates: every doc is unioned with a twin
+(doc_id + 100000, text || ' zq yq xq') — both engines build the identical
+corpus, making the whole pipeline oracle-checkable end to end (a rarity for
+LSH implementations; enabled by the portable md5 hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup,
+    explode_shingles,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    perm_coeffs,
+    shingles_expr,
+    simhash,
+)
+from ..sources import load_tables
+from .registry import query
+
+TWIN_OFFSET = 100000
+TWIN_SUFFIX = " zq yq xq"
+
+# Shared oracle CTE: the same twinned corpus + shingle sets in DuckDB SQL.
+_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {TWIN_OFFSET} AS doc_id, text || '{TWIN_SUFFIX}' AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks, UNNEST(list_transform(
+         generate_series(1, greatest(len(tok) - 2, 0)),
+         i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS u(s)
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text")
+    twin = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(TWIN_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(twin)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents   -- exact copies this time
+    ),
+    hashed AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+             doc_id
+      FROM corpus
+    )
+    SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM hashed
+    GROUP BY content_hash
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy, keep-min-id) over a corpus where every doc
+    has one exact copy → every group has n_copies=2."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), "text")
+    )
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+      FROM shingles
+    ),
+    perms AS (SELECT unnest(generate_series(0, 63)) AS pi),
+    mh AS (
+      SELECT doc_id, pi,
+             MIN(((1103515245 * (pi + 1) + 12345) % {MINHASH_PRIME} * h
+                  + (69069 * (pi + 1) + 362437) % {MINHASH_PRIME}) % {MINHASH_PRIME}) AS v
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, pi
+    ),
+    bands AS (
+      SELECT doc_id, pi // 4 AS band_id,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi)) AS band_hash
+      FROM mh GROUP BY doc_id, pi // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.3
+    """,
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → 64-perm signature →
+    16 bands → candidate pairs → exact-Jaccard verify ≥ 0.3. Finds each
+    doc's mutated twin. Oracle runs the byte-identical algorithm in SQL."""
+    from ..session import default_parallelism
+
+    # Repartition the (small) doc corpus BEFORE shingling: the source scans
+    # are 1-row-group files (serial), and shingling is the CPU-heavy step —
+    # shuffling raw docs is cheap. Hash by doc_id so the signature groupBy
+    # and per-doc verify joins are already co-partitioned. Then materialize
+    # the shingle relation once (localCheckpoint): it feeds the signature
+    # aggregate AND both verification joins — 3 consumers that would
+    # otherwise each recompute the explode.
+    corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
+    sh = explode_shingles(corpus, "doc_id", "text").localCheckpoint(eager=True)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_perms=64, shingles=sh)
+    bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    verified = jaccard_verify(corpus, pairs, "doc_id", "text", shingles=sh)
+    return (
+        verified.filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    recompose = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH {_CORPUS_SQL},
+    tokh AS (
+      SELECT doc_id, CAST('0x' || SUBSTR(MD5(u.tok1), 1, 15) AS BIGINT) AS h
+      FROM toks, UNNEST(tok) AS u(tok1)
+    ),
+    bitsums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM tokh GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bitsums)
+    SELECT o.doc_id, o.simhash,
+           bit_count(xor(o.simhash, tw.simhash)) AS twin_hamming
+    FROM sh o JOIN sh tw ON tw.doc_id = o.doc_id + {TWIN_OFFSET}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, sign-of-bit-sums) + Hamming distance to
+    each doc's near-dup twin — twins land within a few bits while unrelated
+    docs are ~16 bits apart."""
+    from ..session import default_parallelism
+
+    corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
+    sh = simhash(corpus, "doc_id", "text", bits=32)
+    orig = sh.filter(F.col("doc_id") < TWIN_OFFSET)
+    twin = sh.filter(F.col("doc_id") >= TWIN_OFFSET).select(
+        (F.col("doc_id") - TWIN_OFFSET).alias("doc_id"), F.col("simhash").alias("twin_sim")
+    )
+    return orig.join(twin, "doc_id").select(
+        "doc_id",
+        "simhash",
+        F.bit_count(F.col("simhash").bitwiseXOR(F.col("twin_sim"))).alias("twin_hamming"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id, COUNT(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON b.doc_id = a.doc_id + {TWIN_OFFSET} AND b.s = a.s
+      GROUP BY a.doc_id
+    )
+    SELECT i.doc_id,
+           round(CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter), 6) AS twin_jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_id
+    JOIN sizes nb ON nb.doc_id = i.doc_id + {TWIN_OFFSET}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between each doc and its twin (the verification
+    primitive used standalone)."""
+    from ..session import default_parallelism
+
+    corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
+    pairs = corpus.filter(F.col("doc_id") < TWIN_OFFSET).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + TWIN_OFFSET).alias("id_b")
+    )
+    out = jaccard_verify(corpus, pairs, "doc_id", "text")
+    return out.select(F.col("id_a").alias("doc_id"), F.round("jaccard", 6).alias("twin_jaccard"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.5 within label blocks (blocking keeps
+    the pair space O(block²) instead of O(n²); at scale the block key would
+    be an LSH bucket — see similarity plans)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (norm("va") * norm("vb")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+    )

@@ -1,1 +1,444 @@
-"""Placeholder — populated incrementally this round."""
+"""Scalar function families — SURVEY §2.2h.
+
+One query per family, each exercising the representative DuckDB functions and
+their Spark equivalents (name differences are part of the dialect shim table,
+service/dialect.py). Per-row scalar results are deterministic across engines
+except transcendental libm calls, which are rounded at 6 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import hash64, hash64_sql
+from ..sources import load_tables
+from .registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT
+      p_partkey,
+      lower(p_name)                         AS lo,
+      upper(p_brand)                        AS up,
+      trim('  ' || p_type || ' ')           AS trimmed,
+      length(p_name)                        AS len,
+      substr(p_name, 3, 5)                  AS sub,
+      replace(p_name, ' ', '_')             AS repl,
+      left(p_name, 4)                       AS l4,
+      right(p_name, 4)                      AS r4,
+      lpad(p_brand, 12, '*')                AS padded,
+      rpad(p_brand, 12, '.')                AS rpadded,
+      repeat('ab', 3)                       AS rep,
+      reverse(p_brand)                      AS rev,
+      split_part(p_type, ' ', 1)            AS first_word,
+      starts_with(p_name, 'a')              AS sw,
+      contains(p_name, 'or')                AS has_or,
+      strpos(p_name, 'a')                   AS pos_a,
+      concat(p_brand, ':', p_type)          AS joined
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 3, 5).alias("sub"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.expr("left(p_name, 4)").alias("l4"),
+        F.expr("right(p_name, 4)").alias("r4"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.rpad("p_brand", 12, ".").alias("rpadded"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("p_brand").alias("rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("sw"),
+        F.contains(F.col("p_name"), F.lit("or")).alias("has_or"),
+        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("joined"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_matches(text, 'table|join')                    AS mentions_sql,
+      regexp_extract(text, '([a-z]+) (join|scan)', 1)       AS word_before,
+      regexp_replace(text, '[0-9]+', '#')                   AS no_digits,
+      len(regexp_split_to_array(text, '\\s+'))              AS n_tokens
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family. Patterns restricted to the RE2∩Java common subset
+    (SURVEY §2.2h notes the dialect divergence on exotic patterns)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 100)
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("table|join").alias("mentions_sql"),
+        F.regexp_extract(F.col("text"), r"([a-z]+) (join|scan)", 1).alias("word_before"),
+        F.regexp_replace(F.col("text"), r"[0-9]+", "#").alias("no_digits"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT
+      c_custkey,
+      abs(c_acctbal - 5000)                   AS centered,
+      CAST(ceil(c_acctbal) AS BIGINT)         AS c,
+      CAST(floor(c_acctbal) AS BIGINT)        AS f,
+      round(c_acctbal, 1)                     AS r1,
+      CAST(sign(c_acctbal - 5000.0) AS INTEGER) AS sgn,
+      CAST(c_custkey AS INTEGER) % 7          AS m7,
+      round(sqrt(abs(c_acctbal)), 6)          AS sq,
+      round(exp(c_acctbal / 10000.0), 6)      AS ex,
+      round(ln(abs(c_acctbal) + 1), 6)        AS lnv,
+      round(log10(abs(c_acctbal) + 1), 6)     AS lg,
+      round(pow(c_acctbal / 1000.0, 2), 6)    AS p2,
+      round(sin(c_acctbal / 1000.0), 6)       AS sn,
+      round(atan2(c_acctbal, 1000.0), 6)      AS at2,
+      round(pi(), 6)                          AS pi_v,
+      round(degrees(1.0), 6)                  AS deg,
+      round(radians(180.0), 6)                AS rad,
+      greatest(c_acctbal, 5000.0)             AS gr,
+      least(c_acctbal, 5000.0)                AS le
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family; transcendentals rounded at 6 (libm vs java.lang.Math can
+    differ in the last ulp)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 200)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal - 5000).alias("centered"),
+        F.ceil(bal).alias("c"),
+        F.floor(bal).alias("f"),
+        F.round(bal, 1).alias("r1"),
+        F.signum(bal - 5000.0).cast("int").alias("sgn"),
+        (F.col("c_custkey").cast("int") % 7).alias("m7"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sq"),
+        F.round(F.exp(bal / 10000.0), 6).alias("ex"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("lnv"),
+        F.round(F.log10(F.abs(bal) + 1), 6).alias("lg"),
+        F.round(F.pow(bal / 1000.0, 2), 6).alias("p2"),
+        F.round(F.sin(bal / 1000.0), 6).alias("sn"),
+        F.round(F.atan2(bal, F.lit(1000.0)), 6).alias("at2"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_v"),
+        F.round(F.degrees(F.lit(1.0)), 6).alias("deg"),
+        F.round(F.radians(F.lit(180.0)), 6).alias("rad"),
+        F.greatest(bal, F.lit(5000.0)).alias("gr"),
+        F.least(bal, F.lit(5000.0)).alias("le"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(date_trunc('month', o_orderdate) AS DATE)       AS month_start,
+      CAST(date_trunc('week', o_orderdate) AS DATE)        AS week_start,
+      extract(year FROM o_orderdate)                       AS y,
+      extract(month FROM o_orderdate)                      AS m,
+      extract(day FROM o_orderdate)                        AS d,
+      extract(quarter FROM o_orderdate)                    AS q,
+      dayname(o_orderdate)                                 AS dname,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)    AS month_end,
+      CAST(o_orderdate + INTERVAL 45 DAY AS DATE)          AS plus45,
+      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+      strftime(o_orderdate, '%Y-%m-%d')                    AS iso,
+      CAST(epoch(o_orderdate) AS BIGINT)                   AS epoch_s,
+      make_date(2024, CAST(extract(month FROM o_orderdate) AS INTEGER), 1) AS made
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, extract, interval arithmetic, formatting,
+    epoch. dayname→date_format EEEE; date_diff argument order pinned."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 500)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.date_trunc("week", od).cast("date").alias("week_start"),
+        F.year(od).cast("long").alias("y"),
+        F.month(od).cast("long").alias("m"),
+        F.dayofmonth(od).cast("long").alias("d"),
+        F.quarter(od).cast("long").alias("q"),
+        F.date_format(od, "EEEE").alias("dname"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        (od + F.expr("INTERVAL 45 DAY")).cast("date").alias("plus45"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_95"
+        ),
+        F.date_format(od, "yyyy-MM-dd").alias("iso"),
+        F.unix_timestamp(od.cast("timestamp")).alias("epoch_s"),
+        F.make_date(F.lit(2024), F.month(od), F.lit(1)).alias("made"),
+    )
+
+
+@query(
+    "fn_timestamp_parts",
+    oracle="""
+    SELECT
+      event_id,
+      extract(hour FROM ts)                          AS h,
+      extract(minute FROM ts)                        AS mi,
+      extract(second FROM ts)                        AS s,
+      CAST(date_trunc('hour', ts) AS TIMESTAMP)      AS hour_bucket,
+      CAST(ts AS DATE)                               AS day,
+      strptime('2024-06-01 12:30:00', '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM events
+    WHERE event_id <= 300
+    """,
+)
+def fn_timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") <= 300)
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_bucket"),
+        F.col("ts").cast("date").alias("day"),
+        F.to_timestamp(F.lit("2024-06-01 12:30:00"), "yyyy-MM-dd HH:mm:ss")
+        .cast("timestamp_ntz")
+        .alias("parsed"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding)                                        AS dim,
+      embedding[1]                                          AS first_v,
+      embedding[64]                                         AS last_v,
+      list_slice(embedding, 1, 4)                           AS head4,
+      list_contains([1, 2, 3], label)                       AS label_small,
+      list_position([0, 1, 2, 3, 4], label)                 AS label_pos,
+      list_sort(list_slice(embedding, 1, 4))                AS sorted4,
+      list_sort(list_distinct([label, label, 0]))           AS dl_len,
+      flatten([[label], [label + 1]])                       AS flat,
+      list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE) * 2, 4)) AS doubled,
+      list_filter([CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)], x -> x > 0) AS pos_only,
+      [label, label * 2]                                    AS built
+    FROM embeddings
+    WHERE vec_id <= 100
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/array family incl. higher-order lambdas (same lambda syntax in
+    both SQL dialects)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") <= 100)
+    lbl = F.col("label")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_v"),
+        F.element_at("embedding", 64).alias("last_v"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), lbl).alias("label_small"),
+        F.array_position(F.array(*[F.lit(i) for i in range(5)]), lbl).alias("label_pos"),
+        F.array_sort(F.slice("embedding", 1, 4)).alias("sorted4"),
+        F.array_sort(F.array_distinct(F.array(lbl, lbl, F.lit(0)))).alias("dl_len"),
+        F.flatten(F.array(F.array(lbl), F.array(lbl + 1))).alias("flat"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double") * 2, 4)
+        ).alias("doubled"),
+        F.filter(
+            F.array(F.lit(1.0), F.lit(-1.0), F.lit(2.0), F.lit(-2.0)), lambda x: x > 0
+        ).alias("pos_only"),
+        F.array(lbl, lbl * 2).alias("built"),
+    )
+
+
+@query(
+    "fn_array_agg_lambda",
+    oracle="""
+    SELECT
+      vec_id,
+      round(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                                          x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head8_sum,
+      len(list_filter(embedding, x -> x > 0))                                 AS n_pos
+    FROM embeddings
+    WHERE vec_id <= 100
+    """,
+)
+def fn_array_agg_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_aggregate / fold → F.aggregate. Both engines fold left-to-right
+    over array order; doubles cast first so accumulation is IEEE-identical
+    (rounded at 4 against summation-order edge cases)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") <= 100)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            4,
+        ).alias("head8_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "fn_struct_map",
+    oracle="""
+    SELECT
+      n_nationkey,
+      struct_pack(k := n_nationkey, nm := n_name).nm          AS s_name,
+      struct_pack(k := n_nationkey, nm := n_name).k           AS s_key,
+      map_keys(MAP {'a': n_nationkey, 'b': n_regionkey})      AS mkeys,
+      map_values(MAP {'a': n_nationkey, 'b': n_regionkey})    AS mvals,
+      cardinality(MAP {'a': n_nationkey, 'b': n_regionkey})   AS msize
+    FROM nation
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/extract + map construction/inspection (scalar outputs so
+    the comparison stays type-simple)."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"]
+    s = F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
+    m = F.create_map(F.lit("a"), F.col("n_nationkey"), F.lit("b"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        s.getField("nm").alias("s_name"),
+        s.getField("k").alias("s_key"),
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.size(m).cast("long").alias("msize"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER)  AS k_val,
+      json_extract_string(props, '$.missing') IS NULL     AS no_missing,
+      props->>'$.k'                                       AS k_str
+    FROM events
+    WHERE event_id <= 300
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props (the fixture's JSON vehicle):
+    json_extract_string / ->> → get_json_object."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") <= 300)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_missing"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@query(
+    "fn_json_struct",
+    oracle="""
+    SELECT
+      event_type,
+      SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS total_k,
+      COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, then aggregate on the parsed field —
+    the scalable pattern for JSON columns (parse once, stay columnar)."""
+    t = load_tables(spark, sf_dir)
+    parsed = t["events"].withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).alias("total_k"),
+            F.count(F.when(F.col("p.k") > 50, 1)).alias("n_big"),
+        )
+    )
+
+
+@query(
+    "fn_hash",
+    oracle=f"""
+    SELECT
+      doc_id,
+      md5(text)                                   AS h_md5,
+      sha256(text)                                AS h_sha,
+      {hash64_sql('text')}                        AS h64
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5/sha256 + the engine's portable 64-bit hash (functions.portable),
+    the basis of every hash-dependent operator (minhash, sampling)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha"),
+        hash64("text").alias("h64"),
+    )
+
+
+@query(
+    "fn_bit",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber & 3                    AS b_and,
+      l_linenumber | 8                    AS b_or,
+      xor(l_linenumber, 5)                AS b_xor,
+      l_linenumber << 2                   AS b_shl,
+      l_linenumber >> 1                   AS b_shr,
+      bit_count(CAST(l_linenumber AS BIGINT)) AS b_cnt
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def fn_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") <= 100)
+    ln = F.col("l_linenumber")
+    return l.select(
+        "l_orderkey",
+        ln.bitwiseAND(3).alias("b_and"),
+        ln.bitwiseOR(8).alias("b_or"),
+        ln.bitwiseXOR(5).alias("b_xor"),
+        F.shiftleft(ln, 2).alias("b_shl"),
+        F.shiftright(ln, 1).alias("b_shr"),
+        F.bit_count(ln.cast("bigint")).alias("b_cnt"),
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import dsum
+from ..functions.stable import dsum, fsum
 from ..operators.asof import asof_join, positional_join
 from ..sources import load_tables
 from .registry import query
@@ -18,7 +18,7 @@ from .registry import query
     oracle="""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS n,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY priority
@@ -33,7 +33,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n"), fsum("l_extendedprice").alias("revenue"))
         .orderBy("priority")
     )
 

@@ -59,6 +59,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        streams_batch,
         textops,
         tpch,
         windows,

@@ -1,1 +1,192 @@
-"""Placeholder — populated incrementally this round."""
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import (
+    DIM,
+    N_PLANES,
+    PLANES,
+    brute_force_topk,
+    brute_force_topk_np,
+    cosine,
+    lsh_bucket,
+    lsh_bucket_np,
+)
+from ..sources import load_tables
+from .registry import query
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: brute-force cosine top-10 for 5 query vectors.
+    Uses the numpy/Arrow scorer (operators.similarity.brute_force_topk_np):
+    one BLAS matmul per corpus batch — the vectorized-UDF fast path for
+    linear algebra; the pure-expression twin (brute_force_topk) remains for
+    UDF-free deployments."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return brute_force_topk_np(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+def _lsh_oracle() -> str:
+    # literal weight arrays, generated from the same PLANES constants
+    planes_sql = ", ".join(
+        "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in PLANES[j]) + "]" for j in range(N_PLANES)
+    )
+    dots = " + ".join(
+        f"(CASE WHEN list_dot_product(planes[{j + 1}], CAST(embedding AS DOUBLE[])) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH p AS (SELECT [{planes_sql}] AS planes),
+    bucketed AS (
+      SELECT vec_id, CAST({dots} AS BIGINT) AS bucket
+      FROM embeddings, p
+    )
+    SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
+    FROM bucketed GROUP BY bucket
+    """
+
+
+@query("sim_lsh_buckets", oracle=_lsh_oracle())
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the scale path for ANN): 16 signed
+    projections → bucket id; output the bucket histogram. Deterministic
+    integer hyperplanes make this oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return (
+        lsh_bucket_np(e, "vec_id", "embedding")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec"))
+    )
+
+
+@query("sim_lsh_topk")  # rows-only: recall-vs-brute-force is checked in pytest
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search through multi-table LSH (8 tables × 4 hyperplanes):
+    candidates = union of same-bucket rows across tables, then exact cosine
+    top-10. At 100 TB the bucket join replaces the full cross join;
+    candidates ≈ 8·n/16 per query, tunable via tables/planes."""
+    from ..operators.similarity import lsh_table_buckets
+
+    t = load_tables(spark, sf_dir)
+    base = t["embeddings"].select(
+        "vec_id", "embedding", F.explode(lsh_table_buckets("embedding")).alias("tb")
+    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "table_id", "bucket"
+    )
+    cand = (
+        base.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    expanded AS (
+      SELECT e.label, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    cent AS (
+      SELECT label, i,
+             round(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM expanded GROUP BY label, i
+    )
+    SELECT label, list(c ORDER BY i) AS centroid
+    FROM cent GROUP BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (the IVF coarse-quantizer build step): posexplode
+    embeddings → decimal-exact mean per (label, dim) → re-assemble ordered
+    array. One shuffle by (label, dim); at scale this is how IVF cells are
+    trained without ever collecting vectors."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    exploded = e.select("label", F.posexplode("embedding").alias("i0", "v")).select(
+        "label", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    cent = exploded.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda s: s.getField("c")).alias("centroid"))
+    )
+
+
+@query("sim_ivf_search")  # rows-only: composition of centroid + bucket search
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest label-centroid, then
+    search only that cell. Demonstrates the two-stage (coarse quantize →
+    fine search) pattern; recall is asserted against brute force in tests."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    cent = sim_centroid_per_label(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # nearest centroid per query (tiny cross join: queries × labels)
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("label"))
+    assign = qc.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1).select(
+        "query_id", "qv", "label"
+    )
+    cand = e.join(F.broadcast(assign), "label").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

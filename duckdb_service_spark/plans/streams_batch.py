@@ -1,0 +1,145 @@
+"""Event-time window aggregations (batch semantics of the streaming ops —
+SURVEY §2.2i extension). Each is the exact batch twin of the Structured
+Streaming pipeline in streaming/pipeline.py; the streaming execution itself
+is exercised in tests/test_streaming.py (availableNow drain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.stable import dsum
+from ..sources import load_tables
+from ..streaming.pipeline import tumbling_counts
+from .registry import query
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (streaming.pipeline.tumbling_counts on
+    the batch frame — same code object as the stream)."""
+    t = load_tables(spark, sf_dir)
+    out = tumbling_counts(t["events"])
+    return out.withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+
+
+@query(
+    "stream_sliding_2h",
+    oracle="""
+    WITH starts AS (
+      SELECT e.*, CAST(s AS TIMESTAMP) AS window_start
+      FROM events e,
+           UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS u(s)
+    )
+    SELECT window_start, COUNT(*) AS n
+    FROM starts
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide): each event lands in two
+    windows. F.window handles assignment; oracle enumerates the starts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n")
+    )
+
+
+@query(
+    "stream_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via gaps-and-islands — the batch twin of
+    session_window()/applyInPandasWithState. One shuffle by user_id; state
+    per user is bounded by the gap in streaming mode."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = t["events"].select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # NTZ has no direct long cast; go via LTZ (session tz pinned UTC)
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select("user_id", "ts", F.sum("new_sess").over(w2).alias("sess_id"))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "stream_user_activity_windows",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           COUNT(DISTINCT event_type) AS n_types,
+           SUM(CAST(value AS DECIMAL(38,6))) AS day_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user rollup — the hypertable-style continuous-aggregate
+    shape (time-bucketed groupBy that a streaming job maintains
+    incrementally)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum("value").alias("day_value"),
+        )
+    )

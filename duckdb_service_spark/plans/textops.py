@@ -1,1 +1,193 @@
-"""Placeholder — populated incrementally this round."""
+"""Text-analysis queries over documents (SURVEY §7.1 M6: langid, quality,
+token counting, fingerprinting) + multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens_expr
+from ..operators.text import (
+    STOPWORDS,
+    fingerprint,
+    predict_lang,
+    quality_features,
+    quality_score,
+    token_counts,
+)
+from ..sources import load_tables
+from .registry import query
+
+
+def _sw_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{lst}], t))) AS DOUBLE)"
+        f" / greatest(len(toks), 1)"
+    )
+
+
+def _langid_oracle() -> str:
+    scores = {lang: _sw_sql(lang) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        chain = f"CASE WHEN ({scores[lang]}) = best THEN '{lang}' ELSE {chain} END"
+    return f"""
+    WITH toksed AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, toks, {best} AS best FROM toksed
+    )
+    SELECT doc_id, lang, CASE WHEN best > 0 THEN {chain} ELSE 'und' END AS pred_lang,
+           round(best, 6) AS best_score
+    FROM scored
+    """
+
+
+@query("text_langid", oracle=_langid_oracle(), bench=True)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-overlap argmax (operators.text.predict_lang);
+    identical arithmetic in the oracle."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    toks = tokens_expr(F.col("text"))
+    from ..operators.text import stopword_ratio
+
+    best = F.greatest(*[stopword_ratio(toks, lang) for lang in STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        predict_lang(toks).alias("pred_lang"),
+        F.round(best, 6).alias("best_score"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1), 6) AS digit_ratio,
+        round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1), 6) AS punct_ratio,
+        round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1), 6) AS space_ratio,
+        round(CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','and','of','to','in','is','with','for','on'], t))) AS DOUBLE)
+              / greatest(len(toks), 1), 6) AS en_stopword_ratio
+      FROM base
+    )
+    SELECT *,
+      round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+             + (1.0 - least((digit_ratio + punct_ratio) * 5, 1.0))
+             + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 1.0 ELSE 0.3 END)
+            ) / 3, 6) AS quality
+    FROM feats
+    """,
+    bench=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score (operators.text.quality_*)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    feats = quality_features(F.col("text"))
+    out = d.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+    feats_cols = {k: F.col(k) for k in feats}
+    return out.withColumn("quality", quality_score(feats_cols))
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)  AS word_tokens,
+      CAST(list_aggregate(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    counts = token_counts(F.col("text"))
+    return t["documents"].select("doc_id", *[c.alias(k) for k, c in counts.items()])
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_sort(list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0)),
+                 i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\\s+'), i, i + 2), ' '))),
+               s -> substr(md5(s), 1, 8))) AS hs
+      FROM documents
+    )
+    SELECT doc_id, array_to_string(list_slice(hs, 1, 5), ',') AS fp
+    FROM sh
+    """,
+    bench=True,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-5 shingle-hash fingerprint (operators.text.fingerprint)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))            AS n_bytes,
+           md5(text)                             AS payload_md5,  -- duckdb 1.0 md5 takes VARCHAR; bytes identical to the utf-8 payload
+           substr(hex(encode(substr(text, 1, 8))), 1, 16) AS head_hex
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata. The
+    fixture has no media files, so payloads are utf-8 encodings of text —
+    the schema/expression path (BinaryType, length, hashing, hex slicing)
+    is exactly what image/audio columns use."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 100)
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "utf-8")), 1, 16).alias(
+            "head_hex"
+        ),
+    )
+
+
+@query("mm_decode_features")  # rows-only: decode stage is a pandas-UDF path
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline via mapInPandas
+    (operators.multimodal): binary payload → deterministic fake 'decoder' →
+    fixed-length feature vector. Arrow-batched; the real image/audio decoder
+    drops into decode_batch without touching the Spark plumbing."""
+    from ..operators.multimodal import extract_features
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 200).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(d, id_col="doc_id", payload_col="payload", n_features=8)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import davg, dec, dsum
+from ..functions.stable import davg, dec, dsum, favg, fsum
 from ..sources import load_tables
 from .registry import query
 
@@ -22,13 +22,13 @@ from .registry import query
     SELECT
       l_returnflag,
       l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(38,6)))                               AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(38,6)))                          AS sum_base_price,
-      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))       AS sum_disc_price,
-      SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)        AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount)        AS avg_disc,
+      CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6      AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_base_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+      CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
+      CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(l_quantity)        AS avg_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(ROUND(l_discount * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(l_discount)        AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -49,13 +49,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec(disc_price)).alias("sum_disc_price"),
-            F.sum(dec(charge)).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            fsum("l_quantity").alias("sum_qty"),
+            fsum("l_extendedprice").alias("sum_base_price"),
+            fsum(disc_price).alias("sum_disc_price"),
+            fsum(charge).alias("sum_charge"),
+            favg("l_quantity").alias("avg_qty"),
+            favg("l_extendedprice").alias("avg_price"),
+            favg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -67,7 +67,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l.l_orderkey,
-      SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
       CAST(o.o_orderdate AS DATE) AS orderdate,
       o.o_orderpriority AS orderpriority
     FROM customer c
@@ -96,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -113,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name AS nation,
-      SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+      CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -151,7 +151,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")
         .orderBy(F.col("revenue").desc(), F.col("nation"))
     )

@@ -1,0 +1,239 @@
+"""Engine catalog: one warehouse directory, one parquet directory per table,
+one JSON schema sidecar carrying declared constraints.
+
+Mirrors the reference's data model (§1.1): DuckDB file per node
+(db/db.go:17) → warehouse dir per engine; EXPORT/IMPORT DATABASE
+(store/store.go:263,314) → per-table parquet snapshot/restore, which is
+trivial here because tables already ARE parquet.
+
+Constraint metadata (NOT NULL / PRIMARY KEY from CREATE TABLE, the exact DDL
+the reference smoke client uses, cmd/cli/client.go:101-103) is recorded here
+and enforced by dml.py — Spark/Parquet doesn't enforce either (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_DUCK_TO_SPARK = {
+    "BOOLEAN": T.BooleanType(),
+    "BOOL": T.BooleanType(),
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INTEGER": T.IntegerType(),
+    "INT": T.IntegerType(),
+    "INT4": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "INT8": T.LongType(),
+    "HUGEINT": T.DecimalType(38, 0),
+    "FLOAT": T.FloatType(),
+    "REAL": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "VARCHAR": T.StringType(),
+    "TEXT": T.StringType(),
+    "STRING": T.StringType(),
+    "BLOB": T.BinaryType(),
+    "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampNTZType(),
+    "UUID": T.StringType(),
+}
+
+
+def parse_type(name: str) -> T.DataType:
+    up = name.strip().upper()
+    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", up)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.match(r"(\w+)\s*\[\]", up)
+    if m and m.group(1) in _DUCK_TO_SPARK:
+        return T.ArrayType(_DUCK_TO_SPARK[m.group(1)])
+    if up in _DUCK_TO_SPARK:
+        return _DUCK_TO_SPARK[up]
+    raise ValueError(f"unsupported column type: {name}")
+
+
+@dataclass
+class TableMeta:
+    name: str
+    columns: list[dict]  # {name, type, not_null, primary_key}
+    path: str
+    created_at: float = field(default_factory=time.time)
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c["name"], parse_type(c["type"]), not c["not_null"])
+                for c in self.columns
+            ]
+        )
+
+    @property
+    def pk_cols(self) -> list[str]:
+        return [c["name"] for c in self.columns if c["primary_key"]]
+
+    @property
+    def not_null_cols(self) -> list[str]:
+        return [c["name"] for c in self.columns if c["not_null"] or c["primary_key"]]
+
+
+class Catalog:
+    """Warehouse of parquet tables + sidecar metadata + temp views."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+        self.tables: dict[str, TableMeta] = {}
+        self.views: dict[str, str] = {}
+        self.sequences: dict[str, int] = {}
+        self._load_existing()
+
+    # -- persistence -------------------------------------------------------
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.dir, f"{name}.meta.json")
+
+    def _save_meta(self, meta: TableMeta) -> None:
+        with open(self._meta_path(meta.name), "w") as f:
+            json.dump(
+                {"name": meta.name, "columns": meta.columns, "created_at": meta.created_at}, f
+            )
+
+    def _load_existing(self) -> None:
+        for fn in os.listdir(self.dir):
+            if fn.endswith(".meta.json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    d = json.load(f)
+                meta = TableMeta(
+                    name=d["name"],
+                    columns=d["columns"],
+                    path=os.path.join(self.dir, d["name"]),
+                    created_at=d.get("created_at", 0),
+                )
+                self.tables[meta.name] = meta
+                if os.path.exists(meta.path):
+                    self._register(meta)
+
+    def _register(self, meta: TableMeta) -> None:
+        self.read(meta.name).createOrReplaceTempView(meta.name)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_table(self, name: str, columns: list[dict], if_not_exists: bool = False) -> None:
+        if name in self.tables:
+            if if_not_exists:
+                return
+            raise ValueError(f"table {name} already exists")
+        meta = TableMeta(name=name, columns=columns, path=os.path.join(self.dir, name))
+        os.makedirs(meta.path, exist_ok=True)
+        # materialize an empty parquet so reads of a fresh table work
+        self.spark.createDataFrame([], meta.spark_schema()).write.mode("overwrite").parquet(
+            meta.path
+        )
+        self.tables[name] = meta
+        self._save_meta(meta)
+        self._register(meta)
+
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.tables:
+            if if_exists or name in self.views:
+                self.views.pop(name, None)
+                self.spark.catalog.dropTempView(name)
+                return
+            raise ValueError(f"table {name} does not exist")
+        meta = self.tables.pop(name)
+        shutil.rmtree(meta.path, ignore_errors=True)
+        try:
+            os.remove(self._meta_path(name))
+        except FileNotFoundError:
+            pass
+        self.spark.catalog.dropTempView(name)
+
+    def create_view(self, name: str, select_sql: str) -> None:
+        self.spark.sql(select_sql).createOrReplaceTempView(name)
+        self.views[name] = select_sql
+
+    def create_sequence(self, name: str, start: int = 1) -> None:
+        self.sequences[name] = start - 1
+
+    def nextval(self, name: str) -> int:
+        if name not in self.sequences:
+            raise ValueError(f"sequence {name} does not exist")
+        self.sequences[name] += 1
+        return self.sequences[name]
+
+    # -- IO ----------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        meta = self.tables[name]
+        return self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomic-ish copy-on-write: write to temp dir, swap, re-register.
+        (On a real deployment this is a commit-log/rename on object storage;
+        single-writer discipline is assumed, SURVEY §1.4.)"""
+        meta = self.tables[name]
+        tmp = meta.path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = meta.path + ".old"
+        os.rename(meta.path, old)
+        os.rename(tmp, meta.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._register(meta)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        meta = self.tables[name]
+        df.write.mode("append").parquet(meta.path)
+        self._register(meta)
+
+    # -- snapshot / restore (EXPORT/IMPORT DATABASE) ----------------------
+
+    def export_database(self, target_dir: str) -> int:
+        """EXPORT DATABASE '<dir>' (FORMAT PARQUET) ≅ store/store.go:263."""
+        os.makedirs(target_dir, exist_ok=True)
+        for name in self.tables:
+            self.read(name).write.mode("overwrite").parquet(os.path.join(target_dir, name))
+            shutil.copy(self._meta_path(name), os.path.join(target_dir, f"{name}.meta.json"))
+        return len(self.tables)
+
+    def import_database(self, source_dir: str) -> int:
+        """IMPORT DATABASE '<dir>' ≅ store/store.go:314."""
+        n = 0
+        for fn in os.listdir(source_dir):
+            if not fn.endswith(".meta.json"):
+                continue
+            with open(os.path.join(source_dir, fn)) as f:
+                d = json.load(f)
+            name = d["name"]
+            if name in self.tables:
+                self.drop_table(name)
+            self.create_table(name, d["columns"])
+            df = self.spark.read.schema(self.tables[name].spark_schema()).parquet(
+                os.path.join(source_dir, name)
+            )
+            self.overwrite(name, df)
+            n += 1
+        return n
+
+    # -- introspection -----------------------------------------------------
+
+    def status(self) -> dict:
+        size = 0
+        for root, _, files in os.walk(self.dir):
+            size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return {
+            "warehouse_dir": self.dir,
+            "warehouse_bytes": size,
+            "tables": sorted(self.tables),
+            "views": sorted(self.views),
+            "spark_app_id": self.spark.sparkContext.applicationId,
+            "spark_version": self.spark.version,
+        }

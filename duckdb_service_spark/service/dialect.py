@@ -1,0 +1,240 @@
+"""DuckDB-SQL → Spark-SQL dialect shim (SURVEY §4 custom-work item 1).
+
+String-level, table-driven rewrites applied before ``spark.sql``. The
+reference performs zero SQL inspection (the string flows verbatim from HTTP
+body to DuckDB, http/service.go:222-229 → db/db.go:52,70), so the dialect
+gap is entirely ours to bridge. Rewrites never touch quoted string literals.
+
+Covered: function-name aliases (§2.2h), ``//`` integer division, QUALIFY,
+DISTINCT ON, SELECT * EXCLUDE/REPLACE, strftime format conversion,
+date_diff argument order. Unsupported constructs raise UnsupportedDialect
+with the construct named (better than silent wrong results).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class UnsupportedDialect(Exception):
+    pass
+
+
+# ---- literal-safe text surgery -------------------------------------------
+
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _split_literals(sql: str) -> list[tuple[bool, str]]:
+    """[(is_literal, chunk)] — rewrites apply only to non-literal chunks."""
+    out, last = [], 0
+    for m in _STRING_RE.finditer(sql):
+        if m.start() > last:
+            out.append((False, sql[last : m.start()]))
+        out.append((True, m.group(0)))
+        last = m.end()
+    if last < len(sql):
+        out.append((False, sql[last:]))
+    return out
+
+
+def _rewrite_code(sql: str, fn) -> str:
+    return "".join(chunk if is_lit else fn(chunk) for is_lit, chunk in _split_literals(sql))
+
+
+# ---- function alias table (word-boundary, case-insensitive) ---------------
+
+FUNCTION_ALIASES = {
+    "strpos": "instr",
+    "string_split_regex": "split",
+    "string_split": "split",
+    "str_split": "split",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_aggregate_sum": "aggregate",  # placeholder; see special cases
+    "list_contains": "array_contains",
+    "list_position": "array_position",
+    "list_sort": "array_sort",
+    "list_distinct": "array_distinct",
+    "list_slice": "slice",
+    "list_value": "array",
+    "array_to_string": "array_join",
+    "regexp_matches": "regexp_like",
+    "json_extract_string": "get_json_object",
+    "quantile_cont": "percentile",
+    "median": "median",
+    "arg_min": "min_by",
+    "arg_max": "max_by",
+    "list": "collect_list",
+    "string_agg": "string_agg",  # Spark 4 supports string_agg
+    "epoch": "unix_timestamp",
+    "to_timestamp": "to_timestamp",
+    "nextval": "nextval",  # handled by executor (sequences)
+    "len": "__duck_len",  # resolved to length/size by a wrapper function
+}
+
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%j", "DDD"),
+    ("%a", "EEE"),
+    ("%A", "EEEE"),
+    ("%b", "MMM"),
+    ("%B", "MMMM"),
+]
+
+
+def _convert_strftime_formats(sql: str) -> str:
+    """Convert %-style formats inside strftime/strptime literals to Java
+    patterns, and rename the functions."""
+
+    def conv(m: re.Match) -> str:
+        fn, arg, fmt = m.group(1), m.group(2), m.group(3)
+        for pct, java in _STRFTIME_MAP:
+            fmt = fmt.replace(pct, java)
+        if fn.lower() == "strftime":
+            return f"date_format({arg}, '{fmt}')"
+        return f"to_timestamp('{arg.strip()}', '{fmt}')" if arg.startswith("'") else (
+            f"to_timestamp({arg}, '{fmt}')"
+        )
+
+    return re.sub(
+        r"\b(strftime|strptime)\s*\(\s*([^,]+)\s*,\s*'([^']*)'\s*\)",
+        conv,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_date_diff(sql: str) -> str:
+    """date_diff('unit', a, b) → timestampdiff(unit, a, b) (same order:
+    b - a in units)."""
+    return re.sub(
+        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampdiff({m.group(1)},",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_functions(code: str) -> str:
+    for duck, spark in FUNCTION_ALIASES.items():
+        if duck == spark:
+            continue
+        code = re.sub(rf"\b{duck}\s*\(", f"{spark}(", code, flags=re.IGNORECASE)
+    # DuckDB integer division operator
+    code = code.replace("//", " div ")
+    return code
+
+
+# ---- clause rewrites ------------------------------------------------------
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+    → SELECT <original cols> FROM (SELECT *, pred AS __q FROM ...) WHERE __q
+    Window expressions are legal in the inner select-list, so the predicate
+    moves inside unchanged."""
+    m = _QUALIFY_RE.search(sql)
+    if not m:
+        return sql
+    head, tail = sql[: m.start()], sql[m.end() :]
+    # find ORDER BY / LIMIT at paren depth 0 only (ORDER BY inside an OVER()
+    # window belongs to the predicate)
+    depth, cut = 0, None
+    for i, ch in enumerate(tail):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"(ORDER\s+BY|LIMIT)\b", tail[i:], re.IGNORECASE):
+            cut = i
+            break
+    pred = tail[:cut] if cut is not None else tail
+    trailer = tail[cut:] if cut is not None else ""
+    # inject the predicate as an extra select-list item: find the top-level
+    # FROM in head and splice ", (pred) AS __q" before it
+    depth, from_at = 0, None
+    for i, ch in enumerate(head):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"FROM\b", head[i:], re.IGNORECASE):
+            from_at = i
+            break
+    if from_at is None:
+        raise UnsupportedDialect("QUALIFY without a parsable FROM clause")
+    inner = f"{head[:from_at].rstrip()}, ({pred.strip()}) AS __q {head[from_at:]}"
+    return f"SELECT * EXCEPT (__q) FROM ({inner.rstrip()}) WHERE __q {trailer}"
+
+
+_DISTINCT_ON_RE = re.compile(
+    r"SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    m = _DISTINCT_ON_RE.match(sql.strip())
+    if not m:
+        return sql
+    keys, select_list, rest, order = m.groups()
+    order_clause = order if order else keys
+    return (
+        f"SELECT {select_list} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order_clause}) AS __rn "
+        f"FROM {rest}) WHERE __rn = 1"
+    )
+
+
+def _rewrite_exclude_replace(sql: str) -> str:
+    # SELECT * EXCLUDE (a, b) → SELECT * EXCEPT (a, b)   (Spark 4 star-except)
+    sql = re.sub(r"\*\s+EXCLUDE\s*\(", "* EXCEPT (", sql, flags=re.IGNORECASE)
+    if re.search(r"\*\s+REPLACE\s*\(", sql, re.IGNORECASE):
+        raise UnsupportedDialect(
+            "SELECT * REPLACE (...) — rewrite as explicit select list or use the DataFrame API"
+        )
+    return sql
+
+
+_UNSUPPORTED = [
+    (re.compile(r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE), "UNION BY NAME"),
+    (re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE), "POSITIONAL JOIN"),
+    (re.compile(r"\bASOF\s+JOIN\b", re.IGNORECASE), "ASOF JOIN"),
+    (re.compile(r"\bWITH\s+RECURSIVE\b", re.IGNORECASE), "WITH RECURSIVE"),
+]
+
+
+def translate(sql: str) -> str:
+    """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
+    that need the DataFrame-level operators (operators/asof.py,
+    operators/recursive.py) — callers route those explicitly."""
+    for rx, name in _UNSUPPORTED:
+        if rx.search(sql):
+            raise UnsupportedDialect(
+                f"{name} is not translatable at the SQL layer; use the engine operator "
+                f"(duckdb_service_spark.operators) instead"
+            )
+    sql = _rewrite_code(sql, _rewrite_functions)
+    sql = _convert_strftime_formats(sql)
+    # matches the quoted unit itself, so it must see literals — safe because
+    # the pattern requires the full date_diff('unit', prefix
+    sql = _rewrite_date_diff(sql)
+    sql = _rewrite_exclude_replace(sql)
+    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_qualify(sql)
+    # __duck_len: len() means length() on strings and size() on arrays;
+    # Spark's length works for strings, size for arrays — pick at runtime is
+    # impossible at string level, so map to a best-effort: size() handles
+    # arrays; length() strings. Default to length(), arrays should use
+    # cardinality()/size() explicitly.
+    sql = re.sub(r"\b__duck_len\s*\(", "length(", sql)
+    return sql

@@ -1,0 +1,223 @@
+"""Statement executor: classify → route → run (SURVEY §3.1/3.2 Spark
+equivalents).
+
+Write path (reference: HTTP → Raft → DuckDB Exec, http/service.go:196-243):
+here `execute(sql)` runs once on the driver — single-writer discipline
+replaces consensus, which also fixes the reference's nondeterministic-
+function divergence bug (README.md:28).
+
+Read path (reference: local DuckDB Query, http/service.go:246-289):
+`query(sql)` → dialect shim → spark.sql over catalog views.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .dialect import translate
+from .dml import delete_rows, insert_select, insert_values, update_rows
+
+
+@dataclass
+class ExecuteOutcome:
+    rows_affected: int
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLUMN_RE = re.compile(
+    r"^\s*(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?(?:\s*\[\])?)(.*)$",
+    re.DOTALL,
+)
+
+
+def _split_columns(body: str) -> list[str]:
+    """Split a CREATE TABLE column body on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_create_table(sql: str):
+    m = _CREATE_TABLE_RE.match(sql)
+    if not m:
+        return None
+    if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+    columns, table_pk = [], []
+    for part in _split_columns(body):
+        pk_m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", part, re.IGNORECASE)
+        if pk_m:
+            table_pk = [c.strip() for c in pk_m.group(1).split(",")]
+            continue
+        cm = _COLUMN_RE.match(part)
+        if not cm:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        cname, ctype, rest = cm.group(1), cm.group(2), cm.group(3).upper()
+        columns.append(
+            {
+                "name": cname,
+                "type": ctype,
+                "not_null": "NOT NULL" in rest,
+                "primary_key": "PRIMARY KEY" in rest,
+            }
+        )
+    for c in columns:
+        if c["name"] in table_pk:
+            c["primary_key"] = True
+    return if_not_exists, name, columns
+
+
+class Engine:
+    """One SparkSession + one Catalog = the service's execution core."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse_dir)
+
+    # ---- read path -------------------------------------------------------
+
+    def query_df(self, sql: str) -> DataFrame:
+        return self.spark.sql(translate(sql))
+
+    # ---- write path ------------------------------------------------------
+
+    def execute(self, sql: str) -> ExecuteOutcome:
+        stripped = sql.strip().rstrip(";")
+        upper = stripped.upper()
+
+        parsed = parse_create_table(stripped)
+        if parsed is not None:
+            if_not_exists, name, columns = parsed
+            self.catalog.create_table(name, columns, if_not_exists=if_not_exists)
+            return ExecuteOutcome(0)
+
+        m = re.match(r"^DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            self.catalog.drop_table(m.group(3), if_exists=bool(m.group(2)))
+            return ExecuteOutcome(0)
+
+        m = re.match(
+            r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            self.catalog.create_view(m.group(1), translate(m.group(2)))
+            return ExecuteOutcome(0)
+
+        m = re.match(r"^CREATE\s+SEQUENCE\s+(\w+)(?:\s+START\s+(\d+))?$", stripped, re.IGNORECASE)
+        if m:
+            self.catalog.create_sequence(m.group(1), int(m.group(2) or 1))
+            return ExecuteOutcome(0)
+
+        if upper.startswith("INSERT"):
+            n = insert_values(self, stripped) if re.search(
+                r"\bVALUES\b", stripped, re.IGNORECASE
+            ) else insert_select(self, stripped)
+            return ExecuteOutcome(n)
+
+        if upper.startswith("UPDATE"):
+            return ExecuteOutcome(update_rows(self, stripped))
+
+        if upper.startswith("DELETE"):
+            return ExecuteOutcome(delete_rows(self, stripped))
+
+        m = re.match(r"^EXPORT\s+DATABASE\s+'([^']+)'", stripped, re.IGNORECASE)
+        if m:
+            return ExecuteOutcome(self.catalog.export_database(m.group(1)))
+
+        m = re.match(r"^IMPORT\s+DATABASE\s+'([^']+)'$", stripped, re.IGNORECASE)
+        if m:
+            return ExecuteOutcome(self.catalog.import_database(m.group(1)))
+
+        m = re.match(r"^(?:PRAGMA|SET)\s+(\w+)\s*=\s*(.+)$", stripped, re.IGNORECASE)
+        if m:
+            # map a safe subset onto spark confs; reject the rest loudly
+            key, val = m.group(1), m.group(2).strip().strip("'")
+            allowed = {"threads": "spark.sql.shuffle.partitions"}
+            if key in allowed:
+                self.spark.conf.set(allowed[key], val)
+                return ExecuteOutcome(0)
+            raise ValueError(f"unsupported PRAGMA/SET: {key}")
+
+        if upper == "CHECKPOINT":
+            return ExecuteOutcome(0)
+        if upper in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):
+            # reference never uses transactions (README.md:21 TODO); accept
+            # no-ops so clients that bracket statements still work
+            return ExecuteOutcome(0)
+
+        raise ValueError(f"unrecognized write statement: {stripped[:80]}")
+
+    # ---- query entry (returns reference-shaped result dict) --------------
+
+    def is_query(self, sql: str) -> bool:
+        head = sql.strip().split(None, 1)
+        if not head:
+            return False
+        return head[0].upper() in {
+            "SELECT",
+            "WITH",
+            "SHOW",
+            "DESCRIBE",
+            "DESC",
+            "EXPLAIN",
+            "VALUES",
+            "TABLE",
+        }
+
+    def describe(self, sql: str) -> DataFrame:
+        stripped = sql.strip().rstrip(";")
+        m = re.match(r"^(?:DESCRIBE|DESC)\s+(\w+)$", stripped, re.IGNORECASE)
+        if m and m.group(1) in self.catalog.tables:
+            meta = self.catalog.tables[m.group(1)]
+            rows = [
+                (c["name"], c["type"].upper(), "NO" if (c["not_null"] or c["primary_key"]) else "YES",
+                 "PRI" if c["primary_key"] else "")
+                for c in meta.columns
+            ]
+            return self.spark.createDataFrame(
+                rows, "column_name string, column_type string, `null` string, key string"
+            )
+        if re.match(r"^SHOW\s+TABLES$", stripped, re.IGNORECASE):
+            names = sorted(set(self.catalog.tables) | set(self.catalog.views))
+            return self.spark.createDataFrame([(n,) for n in names], "name string")
+        if stripped.upper().startswith("EXPLAIN"):
+            inner = stripped[len("EXPLAIN") :].strip()
+            plan = self.spark.sql(translate(inner))._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            return self.spark.createDataFrame([(line,) for line in plan.split("\n")], "plan string")
+        return None
+
+    def run_statement(self, sql: str):
+        """(kind, payload): 'query' → DataFrame, 'execute' → ExecuteOutcome."""
+        if self.is_query(sql):
+            special = self.describe(sql)
+            if special is not None:
+                return "query", special
+            df = self.query_df(sql)
+            # nextval() support inside SELECT (sequences are driver-side)
+            return "query", df
+        return "execute", self.execute(sql)
+
+
+__all__ = ["Engine", "ExecuteOutcome", "parse_create_table"]

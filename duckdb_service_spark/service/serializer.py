@@ -1,0 +1,97 @@
+"""Result serialization — mirrors the reference's row-major JSON contract.
+
+Reference shape (db/db.go:43-47 + http/service.go:20-24):
+  query  → {"result": {"columns": [...], "types": [...], "values": [[...]]},
+            "took": seconds}
+  execute→ {"result": {"rows_affected": n}, "took": seconds}
+
+`types` carries DuckDB-style type NAMES surfaced verbatim from the driver
+(db/db.go:89-93), so Spark types are mapped back through the SURVEY §1.3
+table. Byte values are coerced to strings like db/db.go:107-111.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Spark type -> DuckDB DatabaseTypeName (SURVEY §1.3, reversed)
+_SIMPLE = {
+    T.BooleanType: "BOOLEAN",
+    T.ByteType: "TINYINT",
+    T.ShortType: "SMALLINT",
+    T.IntegerType: "INTEGER",
+    T.LongType: "BIGINT",
+    T.FloatType: "FLOAT",
+    T.DoubleType: "DOUBLE",
+    T.StringType: "VARCHAR",
+    T.BinaryType: "BLOB",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMP",
+    T.TimestampNTZType: "TIMESTAMP",
+    T.NullType: '"NULL"',
+}
+
+
+def duckdb_type_name(dt: T.DataType) -> str:
+    for cls, name in _SIMPLE.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"{duckdb_type_name(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return f"MAP({duckdb_type_name(dt.keyType)}, {duckdb_type_name(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {duckdb_type_name(f.dataType)}" for f in dt.fields)
+        return f"STRUCT({inner})"
+    if isinstance(dt, T.DayTimeIntervalType) or isinstance(dt, T.YearMonthIntervalType):
+        return "INTERVAL"
+    return dt.simpleString().upper()
+
+
+def _json_value(v: Any) -> Any:
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return str(v)
+        return v
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        # reference coerces []byte to string, db/db.go:107-111
+        return bytes(v).decode("utf-8", errors="replace")
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # Row
+        return {k: _json_value(x) for k, x in v.asDict().items()}
+    return str(v)
+
+
+def query_result(df: DataFrame, limit: int | None = None) -> dict:
+    """{"columns", "types", "values"} — row-major like QueryResult."""
+    if limit is not None:
+        df = df.limit(limit)
+    rows = df.collect()
+    return {
+        "columns": df.columns,
+        "types": [duckdb_type_name(f.dataType) for f in df.schema.fields],
+        "values": [[_json_value(v) for v in row] for row in rows],
+    }
+
+
+def execute_result(rows_affected: int) -> dict:
+    return {"rows_affected": rows_affected}

@@ -1,0 +1,67 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.2i: DuckDB has no streaming surface),
+so this is a post-parity extension: the same windowed aggregations the batch
+plans declare, run incrementally with watermarks. The batch/streaming parity
+is the point — identical logical transformations, swapped source/sink.
+
+Scale notes: watermark bounds state; tumbling/sliding aggs shuffle by
+(window, key) like any groupBy; availableNow trigger gives reproducible
+batch-backfill semantics for tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. pathGlobFilter pins the
+    stream to events.parquet inside the fixture dir; maxFilesPerTrigger
+    simulates micro-batches."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
+        # values align with the batch NTZ frames
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Per-(window, event_type) counts+sums with late-data watermark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 1e6).cast("bigint")).cast("double") / 1e6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with the availableNow trigger into a memory sink and
+    return the materialized result (test/backfill harness)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

@@ -1,0 +1,192 @@
+"""Service-layer tests: HTTP contract (mirrors cmd/cli/client.go:100-110
+smoke), DDL/DML + constraints (SURVEY §7.5), snapshot/restore, dialect shim,
+serializer."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_"))
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    from duckdb_service_spark.service.http_server import EngineHTTPServer
+
+    srv = EngineHTTPServer(engine).start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, path: str, sql: str) -> dict:
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps({"sql": sql}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def _get(server, path: str) -> dict:
+    with urllib.request.urlopen(f"http://{server.host}:{server.port}{path}") as resp:
+        return json.loads(resp.read())
+
+
+def test_reference_smoke_client(server):
+    """The reference's end-to-end demo, asserted (client.go prints only):
+    CREATE abc/def/ghi → INSERT → SELECT, envelope shape from db/db.go:43-47."""
+    for name in ("abc", "def", "ghi"):
+        r = _post(server, "/db/execute",
+                  f"CREATE TABLE {name} (id integer not null primary key, name text)")
+        assert r["result"]["rows_affected"] == 0, r
+        r = _post(server, "/db/execute", f"INSERT INTO {name}(id, name) VALUES(1, '{name}')")
+        assert r["result"]["rows_affected"] == 1, r
+        r = _post(server, "/db/query", f"SELECT * FROM {name}")
+        assert r["result"]["columns"] == ["id", "name"]
+        assert r["result"]["types"] == ["INTEGER", "VARCHAR"]
+        assert r["result"]["values"] == [[1, name]]
+        assert r["took"] >= 0
+
+
+def test_pk_and_not_null_enforced(server):
+    r = _post(server, "/db/execute", "INSERT INTO abc(id, name) VALUES(1, 'dup')")
+    assert "PRIMARY KEY" in r["error"]
+    r = _post(server, "/db/execute", "INSERT INTO abc(id, name) VALUES(NULL, 'x')")
+    assert "NOT NULL" in r["error"]
+    r = _post(server, "/db/query", "SELECT count(*) AS n FROM abc")
+    assert r["result"]["values"] == [[1]]  # failed inserts appended nothing
+
+
+def test_update_delete_rows_affected(server):
+    _post(server, "/db/execute", "CREATE TABLE t_mut (id integer primary key, v double)")
+    _post(server, "/db/execute", "INSERT INTO t_mut VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    r = _post(server, "/db/execute", "UPDATE t_mut SET v = v * 2 WHERE id >= 2")
+    assert r["result"]["rows_affected"] == 2
+    r = _post(server, "/db/query", "SELECT v FROM t_mut ORDER BY id")
+    assert [row[0] for row in r["result"]["values"]] == [1.5, 5.0, 7.0]
+    r = _post(server, "/db/execute", "DELETE FROM t_mut WHERE v > 4")
+    assert r["result"]["rows_affected"] == 2
+    r = _post(server, "/db/query", "SELECT count(*) AS n FROM t_mut")
+    assert r["result"]["values"] == [[1]]
+
+
+def test_insert_select_and_views(server):
+    _post(server, "/db/execute", "CREATE TABLE t_src (id integer, tag text)")
+    _post(server, "/db/execute", "INSERT INTO t_src VALUES (1,'a'), (2,'b'), (3,'a')")
+    _post(server, "/db/execute", "CREATE TABLE t_dst (id integer, tag text)")
+    r = _post(server, "/db/execute", "INSERT INTO t_dst SELECT id, tag FROM t_src WHERE tag = 'a'")
+    assert r["result"]["rows_affected"] == 2
+    r = _post(server, "/db/execute", "CREATE VIEW v_a AS SELECT id FROM t_dst")
+    assert "error" not in r
+    r = _post(server, "/db/query", "SELECT count(*) AS n FROM v_a")
+    assert r["result"]["values"] == [[2]]
+
+
+def test_query_routing_and_errors(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:  # empty SQL → 400 (service.go:223-227)
+        _post(server, "/db/query", "")
+    assert e.value.code == 400
+    assert json.loads(e.value.read()) == {"error": "no sql statement"}
+    r = _post(server, "/db/query", "SELECT broken syntax FROM FROM")
+    assert "error" in r
+    r = _post(server, "/db/query", "SHOW TABLES")
+    names = {v[0] for v in r["result"]["values"]}
+    assert {"abc", "def", "ghi"} <= names
+    r = _post(server, "/db/query", "DESCRIBE abc")
+    assert r["result"]["columns"] == ["column_name", "column_type", "null", "key"]
+    r = _post(server, "/db/query", "EXPLAIN SELECT 1")
+    assert any("Project" in v[0] or "Scan" in v[0] or "Result" in v[0]
+               for v in r["result"]["values"])
+
+
+def test_status_endpoint(server):
+    s = _get(server, "/status")
+    assert "abc" in s["engine"]["tables"]
+    assert s["uptime_s"] >= 0
+    assert s["engine"]["spark_version"]
+
+
+def test_join_returns_501(server):
+    import urllib.error
+
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}/join", data=b"{}", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 501
+
+
+def test_snapshot_restore(engine):
+    import tempfile as tf
+
+    snap = tf.mkdtemp(prefix="snap_")
+    n = engine.catalog.export_database(snap)
+    assert n >= 4
+    engine.execute("DELETE FROM t_src")
+    assert engine.catalog.read("t_src").count() == 0
+    engine.execute(f"IMPORT DATABASE '{snap}'")
+    assert engine.catalog.read("t_src").count() == 3
+
+
+def test_dialect_shim():
+    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+    assert translate("SELECT strpos(a, 'x') FROM t") == "SELECT instr(a, 'x') FROM t"
+    assert "get_json_object" in translate("SELECT json_extract_string(p, '$.k') FROM t")
+    assert " div " in translate("SELECT pi // 4 FROM t")
+    assert "'//'" in translate("SELECT '//' FROM t")  # literals untouched
+    assert "date_format(ts, 'yyyy-MM-dd')" in translate("SELECT strftime(ts, '%Y-%m-%d') FROM t")
+    assert "timestampdiff(day," in translate("SELECT date_diff('day', a, b) FROM t")
+    out = translate("SELECT o_custkey FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) = 1")
+    assert "WHERE __q" in out and "QUALIFY" not in out.upper()
+    out = translate("SELECT DISTINCT ON (k) k, v FROM t ORDER BY v DESC")
+    assert "row_number()" in out and "__rn = 1" in out
+    assert "EXCEPT (" in translate("SELECT * EXCLUDE (a) FROM t")
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+
+
+def test_dialect_shim_executes(spark, engine):
+    """Shimmed SQL must actually run on Spark with correct results."""
+    spark.sql("SELECT 1 AS k, 10 AS v UNION ALL SELECT 1, 20 UNION ALL SELECT 2, 5").createOrReplaceTempView("t_shim")
+    from duckdb_service_spark.service.dialect import translate
+
+    rows = spark.sql(
+        translate("SELECT DISTINCT ON (k) k, v FROM t_shim ORDER BY v DESC")
+    ).collect()
+    assert {(r.k, r.v) for r in rows} == {(1, 20), (2, 5)}
+    rows = spark.sql(
+        translate("SELECT k, v FROM t_shim QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1")
+    ).collect()
+    assert {(r.k, r.v) for r in rows} == {(1, 10), (2, 5)}
+    rows = spark.sql(translate("SELECT 7 // 2 AS d")).collect()
+    assert rows[0].d == 3
+
+
+def test_serializer_types(spark):
+    from duckdb_service_spark.service.serializer import duckdb_type_name, query_result
+
+    df = spark.sql(
+        "SELECT 1 AS i, CAST(1 AS BIGINT) AS l, 1.5D AS d, 'x' AS s, "
+        "CAST(1.5 AS DECIMAL(10,2)) AS dec, DATE '2024-01-01' AS dt, "
+        "ARRAY(1, 2) AS arr, CAST('b' AS BINARY) AS bin, true AS b"
+    )
+    out = query_result(df)
+    assert out["types"] == [
+        "INTEGER", "BIGINT", "DOUBLE", "VARCHAR", "DECIMAL(10,2)", "DATE",
+        "INTEGER[]", "BLOB", "BOOLEAN",
+    ]
+    assert out["values"][0] == [1, 1, 1.5, "x", 1.5, "2024-01-01", [1, 2], "b", True]
