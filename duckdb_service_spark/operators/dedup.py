@@ -2,6 +2,13 @@
 Jaccard, embedding-cosine) — the training-data-pipeline extensions that the
 reference (a SQL passthrough service) lacks, built Spark-first.
 
+Algorithms are the published classics: MinHash resemblance sketching
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002) as deployed for web near-dup detection
+(Manku/Jain/Sarma, WWW 2007).
+
 Scale design notes (the part that matters at 100 TB):
 - Everything is expression-level (no Python UDFs): hashing is md5 (portable,
   functions.portable), shingling is split/transform/slice, signatures are 64

@@ -1,5 +1,10 @@
 """Similarity search over embedding columns (SURVEY §7.1 M6).
 
+Random-hyperplane LSH follows Charikar (STOC 2002); the IVF coarse-quantize
+→ fine-search split follows the inverted-file ANN literature (Jégou et al.,
+"Product quantization for nearest neighbor search", TPAMI 2011 — the
+coarse-quantizer half; no PQ compression here).
+
 Two tiers, mirroring what a 100 TB pipeline needs:
 - brute-force cosine top-k: broadcast the (small) query set, score map-side
   with a pure-expression dot product (zip_with + aggregate fold — JVM

@@ -59,6 +59,7 @@ def load_all() -> None:
         relational,
         setops,
         similarity,
+        sources_io,
         streams_batch,
         textops,
         tpch,

@@ -324,3 +324,93 @@ def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
         .limit(25)
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+    FROM customer c
+    WHERE c_custkey <= 200
+    """,
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates into outer
+    joins automatically (SURVEY §4: RewriteCorrelatedScalarSubquery);
+    exercised through the SQL surface to prove the rewrite path."""
+    t = load_tables(spark, sf_dir)
+    t.view("customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM customer c
+        WHERE c_custkey <= 200
+        """
+    )
+
+
+@query(
+    "window_named_sql",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) OVER w AS run_unscaled
+    FROM orders
+    WHERE o_custkey <= 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the SQL surface (both dialects support
+    it; the DataFrame twin is a shared Window object, plans/windows.py)."""
+    t = load_tables(spark, sf_dir)
+    t.view("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) OVER w AS run_unscaled
+        FROM orders
+        WHERE o_custkey <= 30
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "fn_type_fidelity",
+    oracle="""
+    SELECT
+      n_nationkey,
+      CAST(n_nationkey AS TINYINT)                          AS t8,
+      CAST(n_nationkey AS SMALLINT)                         AS t16,
+      CAST(n_nationkey AS DECIMAL(38,0)) * 1000000000000    AS huge,
+      CAST(CAST(n_nationkey AS DECIMAL(10,3)) AS VARCHAR)   AS dec_str,
+      CAST(n_name AS BLOB)                                  AS as_blob,
+      CAST(CAST('2024-06-01' AS DATE) AS VARCHAR)           AS date_str,
+      CAST(n_nationkey = 0 AS INTEGER)                      AS bool_int
+    FROM nation
+    """,
+)
+def fn_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-lattice edges (SURVEY §1.3): TINYINT/SMALLINT, HUGEINT-scale
+    DECIMAL(38,0) arithmetic, decimal→string, string→BLOB, date→string,
+    bool→int."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("n_nationkey")
+    return t["nation"].select(
+        "n_nationkey",
+        k.cast("tinyint").alias("t8"),
+        k.cast("smallint").alias("t16"),
+        (k.cast("decimal(38,0)") * F.lit(1000000000000)).alias("huge"),
+        k.cast("decimal(10,3)").cast("string").alias("dec_str"),
+        F.encode(F.col("n_name"), "utf-8").alias("as_blob"),
+        F.lit("2024-06-01").cast("date").cast("string").alias("date_str"),
+        (k == 0).cast("int").alias("bool_int"),
+    )

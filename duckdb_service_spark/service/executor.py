@@ -92,10 +92,25 @@ class Engine:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse_dir)
 
+    # ---- sequences -------------------------------------------------------
+
+    def _substitute_sequences(self, sql: str) -> str:
+        """Replace each nextval('seq') occurrence with its next value.
+
+        Driver-side by design (sequences are inherently serial); each
+        TEXTUAL occurrence gets one value — multi-row VALUES lists should
+        call nextval once per row literal, matching how the reference's
+        write path would behave under per-statement execution."""
+
+        def sub(m: re.Match) -> str:
+            return str(self.catalog.nextval(m.group(1)))
+
+        return re.sub(r"\bnextval\s*\(\s*'(\w+)'\s*\)", sub, sql, flags=re.IGNORECASE)
+
     # ---- read path -------------------------------------------------------
 
     def query_df(self, sql: str) -> DataFrame:
-        return self.spark.sql(translate(sql))
+        return self.spark.sql(translate(self._substitute_sequences(sql)))
 
     # ---- write path ------------------------------------------------------
 
@@ -129,6 +144,7 @@ class Engine:
             return ExecuteOutcome(0)
 
         if upper.startswith("INSERT"):
+            stripped = self._substitute_sequences(stripped)
             n = insert_values(self, stripped) if re.search(
                 r"\bVALUES\b", stripped, re.IGNORECASE
             ) else insert_select(self, stripped)

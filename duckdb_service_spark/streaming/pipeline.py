@@ -22,6 +22,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. pathGlobFilter pins the
     stream to events.parquet inside the fixture dir; maxFilesPerTrigger
     simulates micro-batches."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ts is TIMESTAMP(NANOS)
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     return (
         spark.readStream.schema(batch_schema)

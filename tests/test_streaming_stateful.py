@@ -1,0 +1,56 @@
+"""applyInPandasWithState sessionization: closed sessions from the stream
+must match the batch gaps-and-islands sessionization for every session the
+watermark has passed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    from duckdb_service_spark.plans import QUERIES, load_all
+    from duckdb_service_spark.streaming.pipeline import read_events_stream
+    from duckdb_service_spark.streaming.stateful import sessionize_stream
+
+    load_all()
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_sessions").collect()
+    assert got, "no sessions emitted"
+
+    batch = QUERIES["stream_sessionization"](spark, sf_dir).collect()
+    batch_keys = {
+        (r.user_id, r.sess_start.replace(tzinfo=None), r.n_events) for r in batch
+    }
+    matched = sum(
+        1
+        for r in got
+        if (r.user_id, r.sess_start.replace(tzinfo=None), r.n_events) in batch_keys
+    )
+    # the final (unclosed) session per user stays in state at end-of-stream;
+    # every EMITTED session must be a real batch session
+    assert matched == len(got), f"{len(got)-matched}/{len(got)} emitted sessions not in batch"
+    assert len(got) >= 0.5 * len(batch_keys)
+
+
+def test_sequences_via_service(spark):
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_seq_"))
+    eng.execute("CREATE SEQUENCE s1 START 10")
+    eng.execute("CREATE TABLE seq_t (id integer, tag text)")
+    eng.execute("INSERT INTO seq_t VALUES (nextval('s1'), 'a'), (nextval('s1'), 'b')")
+    rows = eng.query_df("SELECT id, tag FROM seq_t").collect()
+    assert {(r.id, r.tag) for r in rows} == {(10, "a"), (11, "b")}
+    val = eng.query_df("SELECT nextval('s1') AS v").collect()[0].v
+    assert val == 12
