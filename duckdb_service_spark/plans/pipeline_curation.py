@@ -1,0 +1,154 @@
+"""End-to-end corpus-curation pipeline — the composed training-data
+preprocessing flow every large-scale pipeline runs, as ONE oracle-checked
+query: quality-filter → exact dedup → near-dup (MinHash-LSH) removal →
+per-language token accounting of the surviving corpus.
+
+This is the integration showcase: each stage is an operator already proven
+individually (text_quality, dedup_exact, dedup_minhash_lsh); here they
+compose into a single declarative plan that Catalyst pipelines end to end —
+no intermediate materialization except the shared shingle checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    explode_shingles,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalize_text,
+    tokens_expr,
+)
+from ..session import default_parallelism
+from ..sources import load_tables
+from .registry import query
+
+# Stage thresholds (shared with the oracle below).
+MIN_TOKENS = 30
+JACCARD_CUT = 0.5
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, lang, text || ' zq yq xq' AS text FROM documents
+    ),
+    quality AS (  -- stage 1: drop short docs
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM corpus
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= {MIN_TOKENS}
+    ),
+    exact_kept AS (  -- stage 2: exact dedup, keep min doc_id per content hash
+      SELECT doc_id, lang, text, n_tokens FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM exact_kept
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(
+             generate_series(1, greatest(len(tok) - 2, 0)),
+             i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS u(s)
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+      FROM shingles
+    ),
+    perms AS (SELECT unnest(generate_series(0, 63)) AS pi),
+    mh AS (
+      SELECT doc_id, pi,
+             MIN(((1103515245 * (pi + 1) + 12345) % {MINHASH_PRIME} * h
+                  + (69069 * (pi + 1) + 362437) % {MINHASH_PRIME}) % {MINHASH_PRIME}) AS v
+      FROM hashed CROSS JOIN perms GROUP BY doc_id, pi
+    ),
+    bands AS (
+      SELECT doc_id, pi // 4 AS band_id,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi)) AS band_hash
+      FROM mh GROUP BY doc_id, pi // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    neardup AS (  -- stage 3: drop the HIGHER doc_id of each verified pair
+      SELECT DISTINCT c.id_b AS drop_id
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      JOIN sizes na ON na.doc_id = c.id_a
+      JOIN sizes nb ON nb.doc_id = c.id_b
+      GROUP BY c.id_a, c.id_b, na.n_sh, nb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (na.n_sh + nb.n_sh - COUNT(*)) >= {JACCARD_CUT}
+    )
+    SELECT lang,                   -- stage 4: surviving-corpus accounting
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT drop_id FROM neardup)
+    GROUP BY lang
+    """,
+    bench=True,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality filter → exact dedup → MinHash-LSH near-dup removal →
+    per-language accounting, one declarative plan."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(" zq yq xq")).alias("text"),
+        )
+    ).repartition(default_parallelism(), F.col("doc_id"))
+
+    # stage 1: quality filter
+    quality = corpus.withColumn("n_tokens", F.size(tokens_expr(F.col("text")))).filter(
+        F.col("n_tokens") >= MIN_TOKENS
+    )
+
+    # stage 2: exact dedup (keep min doc_id per normalized-content hash)
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    exact_kept = (
+        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+    # stage 3: near-dup removal (drop higher id of each verified pair)
+    sh = explode_shingles(exact_kept, "doc_id", "text").localCheckpoint(eager=True)
+    sig = minhash_signatures(exact_kept, "doc_id", "text", num_perms=64, shingles=sh)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    dup_ids = (
+        jaccard_verify(exact_kept, pairs, "doc_id", "text", shingles=sh)
+        .filter(F.col("jaccard") >= JACCARD_CUT)
+        .select(F.col("id_b").alias("drop_id"))
+        .distinct()
+    )
+    survivors = exact_kept.join(
+        dup_ids, exact_kept.doc_id == dup_ids.drop_id, "left_anti"
+    )
+
+    # stage 4: accounting
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )

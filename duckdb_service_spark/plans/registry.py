@@ -56,6 +56,7 @@ def load_all() -> None:
         dedup,
         functions_scalar,
         joins,
+        pipeline_curation,
         relational,
         setops,
         similarity,

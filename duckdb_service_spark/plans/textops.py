@@ -15,8 +15,16 @@ from ..operators.text import (
     quality_score,
     token_counts,
 )
+from ..session import default_parallelism
 from ..sources import load_tables
 from .registry import query
+
+
+def _docs_parallel(t):
+    """The documents file is a single parquet row group (serial scan); the
+    text operators are CPU-bound per row, so spread the (small) table across
+    the cores before the heavy map work."""
+    return t["documents"].repartition(default_parallelism())
 
 
 def _sw_sql(lang: str) -> str:
@@ -52,7 +60,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-overlap argmax (operators.text.predict_lang);
     identical arithmetic in the oracle."""
     t = load_tables(spark, sf_dir)
-    d = t["documents"]
+    d = _docs_parallel(t)
     toks = tokens_expr(F.col("text"))
     from ..operators.text import stopword_ratio
 
@@ -102,7 +110,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + composite score (operators.text.quality_*)."""
     t = load_tables(spark, sf_dir)
-    d = t["documents"]
+    d = _docs_parallel(t)
     feats = quality_features(F.col("text"))
     out = d.select("doc_id", *[c.alias(k) for k, c in feats.items()])
     feats_cols = {k: F.col(k) for k in feats}
@@ -123,7 +131,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     counts = token_counts(F.col("text"))
-    return t["documents"].select("doc_id", *[c.alias(k) for k, c in counts.items()])
+    return _docs_parallel(t).select("doc_id", *[c.alias(k) for k, c in counts.items()])
 
 
 @query(
@@ -146,7 +154,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-5 shingle-hash fingerprint (operators.text.fingerprint)."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return _docs_parallel(t).select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 @query(

@@ -108,6 +108,9 @@ class Catalog:
             )
 
     def _load_existing(self) -> None:
+        if os.path.exists(self._seq_path()):
+            with open(self._seq_path()) as f:
+                self.sequences.update(json.load(f))
         for fn in os.listdir(self.dir):
             if fn.endswith(".meta.json"):
                 with open(os.path.join(self.dir, fn)) as f:
@@ -161,13 +164,25 @@ class Catalog:
         self.spark.sql(select_sql).createOrReplaceTempView(name)
         self.views[name] = select_sql
 
+    def _seq_path(self) -> str:
+        return os.path.join(self.dir, "_sequences.json")
+
+    def _save_sequences(self) -> None:
+        with open(self._seq_path(), "w") as f:
+            json.dump(self.sequences, f)
+
     def create_sequence(self, name: str, start: int = 1) -> None:
         self.sequences[name] = start - 1
+        self._save_sequences()
 
     def nextval(self, name: str) -> int:
         if name not in self.sequences:
             raise ValueError(f"sequence {name} does not exist")
         self.sequences[name] += 1
+        # persisted per call: sequences survive engine restarts (the
+        # reference gets this from Raft-log replay; we get it from the
+        # warehouse sidecar under single-writer discipline)
+        self._save_sequences()
         return self.sequences[name]
 
     # -- IO ----------------------------------------------------------------

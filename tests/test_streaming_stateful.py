@@ -54,3 +54,17 @@ def test_sequences_via_service(spark):
     assert {(r.id, r.tag) for r in rows} == {(10, "a"), (11, "b")}
     val = eng.query_df("SELECT nextval('s1') AS v").collect()[0].v
     assert val == 12
+
+
+def test_sequences_survive_restart(spark):
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    wh = tempfile.mkdtemp(prefix="wh_seq2_")
+    eng = Engine(spark, wh)
+    eng.execute("CREATE SEQUENCE s2 START 5")
+    assert eng.query_df("SELECT nextval('s2') AS v").collect()[0].v == 5
+    # new Engine over the same warehouse = restart
+    eng2 = Engine(spark, wh)
+    assert eng2.query_df("SELECT nextval('s2') AS v").collect()[0].v == 6
