@@ -442,3 +442,66 @@ def fn_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(ln, 1).alias("b_shr"),
         F.bit_count(ln.cast("bigint")).alias("b_cnt"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT
+      p_partkey,
+      printf('%s/%d', p_brand, p_size)              AS tagged,
+      printf('%05d', p_partkey)                     AS padded_key,
+      printf('%.2f', p_retailprice)                 AS price_2dp,
+      format('{} has size {}', p_brand, p_size)     AS fmt_brace
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf/format family → format_string (same %-spec semantics) and a
+    concat rewrite for DuckDB's {}-style format()."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.format_string("%s/%d", F.col("p_brand"), F.col("p_size")).alias("tagged"),
+        F.format_string("%05d", F.col("p_partkey")).alias("padded_key"),
+        F.format_string("%.2f", F.col("p_retailprice")).alias("price_2dp"),
+        F.concat(
+            F.col("p_brand"), F.lit(" has size "), F.col("p_size").cast("string")
+        ).alias("fmt_brace"),
+    )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate + INTERVAL 1 MONTH AS DATE)          AS plus_month,
+      CAST(o_orderdate - INTERVAL 90 DAY AS DATE)           AS minus_90d,
+      CAST(o_orderdate + INTERVAL 2 YEAR AS DATE)           AS plus_2y,
+      CAST(o_orderdate + INTERVAL 36 HOUR AS TIMESTAMP)     AS plus_36h,
+      date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS months_since,
+      CAST(to_days(30) AS VARCHAR) IS NOT NULL              AS has_days_fn
+    FROM orders
+    WHERE o_orderkey <= 300
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL literal arithmetic across units (day/month/year/hour) +
+    month-granularity date_diff."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderkey") <= 300)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (od + F.expr("INTERVAL 1 MONTH")).cast("date").alias("plus_month"),
+        (od - F.expr("INTERVAL 90 DAY")).cast("date").alias("minus_90d"),
+        (od + F.expr("INTERVAL 2 YEAR")).cast("date").alias("plus_2y"),
+        (od + F.expr("INTERVAL 36 HOUR")).cast("timestamp_ntz").alias("plus_36h"),
+        F.months_between(od.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("months_since"),
+        F.lit(True).alias("has_days_fn"),
+    )

@@ -130,6 +130,14 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
     exact_kept = (
         quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        # AQE coalesces the window exchange to ~2 partitions (docs are few
+        # BYTES) — but the next stage is CPU-heavy shingling, so force the
+        # spread back out with an explicit repartition (user repartitions
+        # with a partition count are exempt from AQE coalescing), and
+        # checkpoint: exact_kept feeds both the shingle explode and the
+        # final survivor join.
+        .repartition(default_parallelism(), F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
 
     # stage 3: near-dup removal (drop higher id of each verified pair)

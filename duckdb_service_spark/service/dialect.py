@@ -217,8 +217,9 @@ def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
     that need the DataFrame-level operators (operators/asof.py,
     operators/recursive.py) — callers route those explicitly."""
+    code_only = "".join(chunk for is_lit, chunk in _split_literals(sql) if not is_lit)
     for rx, name in _UNSUPPORTED:
-        if rx.search(sql):
+        if rx.search(code_only):
             raise UnsupportedDialect(
                 f"{name} is not translatable at the SQL layer; use the engine operator "
                 f"(duckdb_service_spark.operators) instead"

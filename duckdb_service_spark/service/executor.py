@@ -109,7 +109,46 @@ class Engine:
 
     # ---- read path -------------------------------------------------------
 
+    _UNION_BY_NAME_RE = re.compile(r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE)
+
+    def _union_by_name(self, sql: str):
+        """DuckDB `a UNION [ALL] BY NAME b`: no Spark SQL equivalent, but the
+        DataFrame API has unionByName — split at the top-level operator
+        (paren-depth 0), run each side, combine. Returns None if the
+        statement has no top-level UNION BY NAME."""
+        depth = 0
+        in_str = False
+        i = 0
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    # '' is an escaped quote inside the literal
+                    if i + 1 < len(sql) and sql[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = self._UNION_BY_NAME_RE.match(sql[i:])
+                if m:
+                    left = self.query_df(sql[:i])
+                    right = self.query_df(sql[i + m.end() :])
+                    out = left.unionByName(right, allowMissingColumns=True)
+                    return out if m.group(1) else out.distinct()
+            i += 1
+        return None
+
     def query_df(self, sql: str) -> DataFrame:
+        if self._UNION_BY_NAME_RE.search(sql):
+            out = self._union_by_name(sql.strip().rstrip(";"))
+            if out is not None:
+                return out
         return self.spark.sql(translate(self._substitute_sequences(sql)))
 
     # ---- write path ------------------------------------------------------

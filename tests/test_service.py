@@ -190,3 +190,35 @@ def test_serializer_types(spark):
         "INTEGER[]", "BLOB", "BOOLEAN",
     ]
     assert out["values"][0] == [1, 1, 1.5, "x", 1.5, "2024-01-01", [1, 2], "b", True]
+
+
+def test_union_by_name_sql(engine, spark):
+    spark.sql("SELECT 1 AS a, 'x' AS b").createOrReplaceTempView("ubn_l")
+    spark.sql("SELECT 'y' AS b, 2 AS a, 9 AS c").createOrReplaceTempView("ubn_r")
+    df = engine.query_df("SELECT a, b FROM ubn_l UNION ALL BY NAME SELECT b, a, c FROM ubn_r")
+    rows = {(r.a, r.b, r.c) for r in df.collect()}
+    assert rows == {(1, "x", None), (2, "y", 9)}
+    # distinct variant
+    df2 = engine.query_df("SELECT a, b FROM ubn_l UNION BY NAME SELECT b, a FROM ubn_r")
+    assert df2.count() == 2
+
+
+def test_hypothesis_shim_preserves_literals():
+    """Property: the dialect shim never rewrites inside single-quoted
+    string literals (SURVEY §5 hardening item)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_service_spark.service.dialect import translate
+
+    words = st.sampled_from(["strpos", "len", "list_sort", "//", "epoch", "string_split"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(lit=words, col=st.text(alphabet="abcxyz_", min_size=1, max_size=8))
+    def check(lit, col):
+        sql = f"SELECT '{lit}' AS tag, strpos({col}, 'a') FROM t"
+        out = translate(sql)
+        assert f"'{lit}'" in out            # literal untouched
+        assert f"instr({col}, 'a')" in out  # code rewritten
+
+    check()
