@@ -316,3 +316,26 @@ def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(top2, c.c_custkey == top2.o_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "join_asof_left",
+    oracle="""
+    SELECT c.user_id, c.ts, c.event_id, v.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'signup') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF LEFT JOIN: signups keep a row even when the user has no prior
+    purchase (asof_ts NULL) — the 'left' mode of operators.asof.asof_join."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        signups, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=[], how="left",
+    )
+    return out.select("user_id", "ts", "event_id", "asof_ts")

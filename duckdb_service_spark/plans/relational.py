@@ -414,3 +414,17 @@ def fn_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").cast("date").cast("string").alias("date_str"),
         (k == 0).cast("int").alias("bool_int"),
     )
+
+
+@query("sample_native")  # rows-only: rand()-based sampling is seeded per-task,
+# not reproducible across engines — the oracle-checked stand-in is
+# sample_deterministic (md5 hash-bucket)
+def sample_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native USING SAMPLE equivalent: df.sample(fraction, seed) — Bernoulli
+    row sampling pushed into the scan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .sample(fraction=0.1, seed=42)
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
+    )

@@ -121,3 +121,22 @@ def test_asof_join_semantics(spark):
         left, right, on=["k"], left_ts="t", right_ts="t", right_payload=["v"], how="left"
     )
     assert out_left.count() == 3  # keeps the unmatched (2, 5) row
+
+
+def test_bruteforce_expr_and_numpy_paths_agree(spark, sf_dir):
+    """The pure-expression and the numpy/Arrow top-k scorers are alternate
+    implementations of the same operator — results must be identical."""
+    from duckdb_service_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_np,
+    )
+    from duckdb_service_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < 3)
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+         for r in brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+         for r in brute_force_topk_np(e, q, "vec_id", "embedding", k=5).collect()}
+    assert a == b
