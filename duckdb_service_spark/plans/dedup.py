@@ -268,3 +268,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(dot / (norm("va") * norm("vb")), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.5)
     )
+
+
+@query(
+    "dedup_exact_keep_longest",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra tail tokens appended here' FROM documents
+    ),
+    keyed AS (
+      -- near-identical pairs share the fingerprint of their first 40 chars;
+      -- the keep policy selects the LONGEST member (training-data curation
+      -- usually keeps the most complete copy)
+      SELECT md5(substr(text, 1, 40)) AS fp, doc_id, text, length(text) AS n FROM corpus
+    )
+    SELECT fp,
+           max_by(doc_id, n + doc_id * 1e-9) AS keep_id,   -- unique tie-break
+           MAX(n) AS kept_len,
+           COUNT(*) AS n_members
+    FROM keyed
+    GROUP BY fp
+    """,
+)
+def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-policy variant: groups keyed by a prefix fingerprint keep
+    their LONGEST member (max_by with a unique tie-break) — every group here
+    keeps the extended twin, exercising policy-parameterized dedup."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(" extra tail tokens appended here")).alias("text"),
+        )
+    )
+    keyed = corpus.select(
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+        "doc_id",
+        F.length("text").alias("n"),
+    )
+    return keyed.groupBy("fp").agg(
+        F.max_by("doc_id", F.col("n") + F.col("doc_id") * 1e-9).alias("keep_id"),
+        F.max("n").alias("kept_len"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

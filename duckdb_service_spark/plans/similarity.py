@@ -190,3 +190,59 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH amax AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS v,
+             greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) AS a
+      FROM embeddings WHERE vec_id < 200
+    ),
+    quant AS (
+      SELECT vec_id, label, a,
+             list_transform(v, x -> CAST(round(x / a * 127) AS BIGINT)) AS q,
+             v
+      FROM amax
+    )
+    SELECT vec_id, label,
+           round(a, 6) AS scale_factor,
+           q[1] AS q_first,
+           q[{DIM}] AS q_last,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'max') AS BIGINT) AS q_amax,
+           round(list_aggregate(list_transform(
+             generate_series(1, {DIM}),
+             i -> abs(v[i] - q[i] * a / 127)), 'max'), 6) AS max_abs_err
+    FROM quant
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (the compression half of an
+    IVF/PQ index): per-vector absmax scale, q_i = round(v_i/a*127), plus the
+    reconstruction-error bound. Pure expressions (quantize at scan time,
+    8x memory cut for the ANN candidate store); deterministic arithmetic
+    keeps it oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", v.alias("v"))
+    a = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    quant = base.withColumn("a", a).withColumn(
+        "q", F.transform("v", lambda x: F.round(x / F.col("a") * 127).cast("bigint"))
+    )
+    recon_err = F.array_max(
+        F.zip_with("v", "q", lambda x, qi: F.abs(x - qi * F.col("a") / 127))
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        F.round("a", 6).alias("scale_factor"),
+        F.element_at("q", 1).alias("q_first"),
+        F.element_at("q", DIM).alias("q_last"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("q_amax"),
+        F.round(recon_err, 6).alias("max_abs_err"),
+    )
