@@ -160,6 +160,45 @@ class Catalog:
             pass
         self.spark.catalog.dropTempView(name)
 
+    def alter_table(self, name: str, action: str, **kw) -> None:
+        """Schema evolution. ADD/RENAME are metadata-only: parquet is
+        schema-on-read, so reading old files with the widened schema
+        null-fills the new column (no rewrite — the property that makes
+        ALTER free at 100 TB). DROP is metadata-only too (projection hides
+        the column; bytes are reclaimed at the next copy-on-write rewrite)."""
+        if name not in self.tables:
+            raise ValueError(f"table {name} does not exist")
+        meta = self.tables[name]
+        if action == "add":
+            if any(c["name"] == kw["column"] for c in meta.columns):
+                raise ValueError(f"column {kw['column']} already exists")
+            parse_type(kw["type"])  # validate
+            meta.columns.append(
+                {"name": kw["column"], "type": kw["type"], "not_null": False, "primary_key": False}
+            )
+        elif action == "drop":
+            if all(c["name"] != kw["column"] for c in meta.columns):
+                raise ValueError(f"column {kw['column']} does not exist")
+            if kw["column"] in meta.pk_cols:
+                raise ValueError(f"cannot drop PRIMARY KEY column {kw['column']}")
+            # materialize the narrowed schema so stale bytes don't resurface
+            df = self.read(name).drop(kw["column"])
+            meta.columns = [c for c in meta.columns if c["name"] != kw["column"]]
+            self.overwrite(name, df)
+        elif action == "rename":
+            for c in meta.columns:
+                if c["name"] == kw["column"]:
+                    df = self.read(name).withColumnRenamed(kw["column"], kw["to"])
+                    c["name"] = kw["to"]
+                    self.overwrite(name, df)
+                    break
+            else:
+                raise ValueError(f"column {kw['column']} does not exist")
+        else:
+            raise ValueError(f"unsupported ALTER TABLE action: {action}")
+        self._save_meta(meta)
+        self._register(meta)
+
     def create_view(self, name: str, select_sql: str) -> None:
         self.spark.sql(select_sql).createOrReplaceTempView(name)
         self.views[name] = select_sql

@@ -163,6 +163,29 @@ class Engine:
             self.catalog.create_table(name, columns, if_not_exists=if_not_exists)
             return ExecuteOutcome(0)
 
+        m = re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            self.catalog.alter_table(m.group(1), "add", column=m.group(2), type=m.group(3))
+            return ExecuteOutcome(0)
+        m = re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)$", stripped, re.IGNORECASE
+        )
+        if m:
+            self.catalog.alter_table(m.group(1), "drop", column=m.group(2))
+            return ExecuteOutcome(0)
+        m = re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            self.catalog.alter_table(m.group(1), "rename", column=m.group(2), to=m.group(3))
+            return ExecuteOutcome(0)
+
         m = re.match(r"^DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE)
         if m:
             self.catalog.drop_table(m.group(3), if_exists=bool(m.group(2)))

@@ -222,3 +222,27 @@ def test_hypothesis_shim_preserves_literals():
         assert f"instr({col}, 'a')" in out  # code rewritten
 
     check()
+
+
+def test_alter_table_schema_evolution(server):
+    _post(server, "/db/execute", "CREATE TABLE t_alter (id integer primary key, a text)")
+    _post(server, "/db/execute", "INSERT INTO t_alter VALUES (1, 'x'), (2, 'y')")
+    r = _post(server, "/db/execute", "ALTER TABLE t_alter ADD COLUMN score double")
+    assert "error" not in r, r
+    # old rows read back with NULL in the new column (schema-on-read)
+    r = _post(server, "/db/query", "SELECT id, a, score FROM t_alter ORDER BY id")
+    assert r["result"]["values"] == [[1, "x", None], [2, "y", None]]
+    _post(server, "/db/execute", "INSERT INTO t_alter VALUES (3, 'z', 9.5)")
+    r = _post(server, "/db/execute", "ALTER TABLE t_alter RENAME COLUMN a TO label")
+    assert "error" not in r, r
+    r = _post(server, "/db/query", "SELECT label, score FROM t_alter WHERE id = 3")
+    assert r["result"]["values"] == [["z", 9.5]]
+    r = _post(server, "/db/execute", "ALTER TABLE t_alter DROP COLUMN score")
+    assert "error" not in r, r
+    r = _post(server, "/db/query", "SELECT * FROM t_alter ORDER BY id")
+    assert r["result"]["columns"] == ["id", "label"]
+    # guard rails
+    r = _post(server, "/db/execute", "ALTER TABLE t_alter DROP COLUMN id")
+    assert "PRIMARY KEY" in r["error"]
+    r = _post(server, "/db/execute", "ALTER TABLE t_alter ADD COLUMN label text")
+    assert "already exists" in r["error"]
