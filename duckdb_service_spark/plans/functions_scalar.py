@@ -505,3 +505,28 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("months_since"),
         F.lit(True).alias("has_days_fn"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT
+      c_custkey,
+      CASE WHEN (c_custkey % 5) = 0 THEN NULL
+           ELSE c_acctbal / (c_custkey % 5) END    AS safe_div,
+      CASE WHEN c_custkey = 0 THEN NULL
+           ELSE CAST(c_acctbal AS DOUBLE) / c_custkey END AS div_by_key
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide (NULL on division by zero — Spark's safe-arithmetic
+    family; the oracle expresses the identical CASE semantics)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 5).alias("safe_div"),
+        F.try_divide(F.col("c_acctbal").cast("double"), F.col("c_custkey")).alias("div_by_key"),
+    )

@@ -111,6 +111,25 @@ def _convert_strftime_formats(sql: str) -> str:
     )
 
 
+def _rewrite_printf_decimals(sql: str) -> str:
+    """Spark's printf rejects %f on DECIMAL inputs (DuckDB accepts); bare
+    decimal literals inside printf(...) become DOUBLE casts so the common
+    printf('%.2f', 1.25) shape works identically."""
+
+    def fix_args(m: re.Match) -> str:
+        # rewrite decimal literals in CODE chunks only — a quoted string
+        # argument may legitimately contain "3.14"
+        args = "".join(
+            chunk
+            if is_lit
+            else re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.])", r"CAST(\1 AS DOUBLE)", chunk)
+            for is_lit, chunk in _split_literals(m.group(2))
+        )
+        return f"{m.group(1)}({args})"
+
+    return re.sub(r"\b(printf|format_string)\s*\(([^()]*)\)", fix_args, sql, flags=re.IGNORECASE)
+
+
 def _rewrite_date_diff(sql: str) -> str:
     """date_diff('unit', a, b) → timestampdiff(unit, a, b) (same order:
     b - a in units)."""
@@ -229,6 +248,7 @@ def translate(sql: str) -> str:
     # matches the quoted unit itself, so it must see literals — safe because
     # the pattern requires the full date_diff('unit', prefix
     sql = _rewrite_date_diff(sql)
+    sql = _rewrite_printf_decimals(sql)
     sql = _rewrite_exclude_replace(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
