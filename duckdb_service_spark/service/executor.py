@@ -157,6 +157,36 @@ class Engine:
         stripped = sql.strip().rstrip(";")
         upper = stripped.upper()
 
+        m = re.match(
+            r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\s+.+|WITH\s+.+|VALUES\s*.+)$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # CTAS: infer column defs from the query's Spark schema
+            # (serializer's reverse type map), create, then append
+            from .serializer import duckdb_type_name
+
+            if_not_exists, name, select_sql = bool(m.group(1)), m.group(2), m.group(3)
+            if name in self.catalog.tables:
+                if if_not_exists:
+                    return ExecuteOutcome(0)
+                raise ValueError(f"table {name} already exists")
+            df = self.query_df(select_sql)
+            columns = [
+                {
+                    "name": f.name,
+                    "type": duckdb_type_name(f.dataType),
+                    "not_null": False,
+                    "primary_key": False,
+                }
+                for f in df.schema.fields
+            ]
+            self.catalog.create_table(name, columns)
+            n = df.count()
+            self.catalog.append(name, df)
+            return ExecuteOutcome(n)
+
         parsed = parse_create_table(stripped)
         if parsed is not None:
             if_not_exists, name, columns = parsed

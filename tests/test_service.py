@@ -246,3 +246,24 @@ def test_alter_table_schema_evolution(server):
     assert "PRIMARY KEY" in r["error"]
     r = _post(server, "/db/execute", "ALTER TABLE t_alter ADD COLUMN label text")
     assert "already exists" in r["error"]
+
+
+def test_create_table_as_select(server):
+    _post(server, "/db/execute", "CREATE TABLE ctas_src (id integer, v double, tag text)")
+    _post(server, "/db/execute",
+          "INSERT INTO ctas_src VALUES (1, 1.5, 'a'), (2, 2.5, 'b'), (3, 3.5, 'a')")
+    r = _post(server, "/db/execute",
+              "CREATE TABLE ctas_dst AS SELECT tag, count(*) AS n, sum(v) AS total FROM ctas_src GROUP BY tag")
+    assert r["result"]["rows_affected"] == 2, r
+    r = _post(server, "/db/query", "SELECT * FROM ctas_dst ORDER BY tag")
+    assert r["result"]["columns"] == ["tag", "n", "total"]
+    assert r["result"]["values"] == [["a", 2, 5.0], ["b", 1, 2.5]]
+    # schema persisted with inferred types
+    r = _post(server, "/db/query", "DESCRIBE ctas_dst")
+    types = {v[0]: v[1] for v in r["result"]["values"]}
+    assert types["n"] == "BIGINT" and types["total"] == "DOUBLE"
+    # duplicate CTAS rejected; IF NOT EXISTS tolerated
+    r = _post(server, "/db/execute", "CREATE TABLE ctas_dst AS SELECT 1 AS x")
+    assert "already exists" in r["error"]
+    r = _post(server, "/db/execute", "CREATE TABLE IF NOT EXISTS ctas_dst AS SELECT 1 AS x")
+    assert r["result"]["rows_affected"] == 0
