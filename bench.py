@@ -49,22 +49,65 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
 
+    # DuckDB wall-clock on the same queries' oracle SQL at the same sf, so
+    # the spark/duck ratio is tracked automatically per round.
+    oracle_timings = _oracle_timings(sf_dir, names)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(timings.values()), 4)
+    oracle_total = round(sum(oracle_timings.values()), 4) if oracle_timings else None
     print(
         json.dumps(
             {
                 "metric": "headline-query wall-clock (median of 3, warm)",
-                "value": round(sum(timings.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "oracle_duckdb_sec": oracle_total,
+                "oracle_queries": oracle_timings,
+                "spark_over_duckdb": (
+                    round(total / oracle_total, 3) if oracle_total else None
+                ),
             }
         )
     )
+
+
+def _oracle_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Median-of-3 warm DuckDB timings for each bench query's oracle SQL."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    from duckdb_service_spark.plans import ORACLES
+    from duckdb_service_spark.sources import TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warm-up
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(runs), 4)
+        except Exception:  # noqa: BLE001 — oracle timing is informational
+            continue
+    return out
 
 
 if __name__ == "__main__":

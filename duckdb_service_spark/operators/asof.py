@@ -36,21 +36,28 @@ def asof_join(
     timestamp is exposed as ``asof_ts``. ``how='left'`` keeps unmatched left
     rows with NULL payload; ``'inner'`` drops them (DuckDB ASOF JOIN default).
     """
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     rpay = [right_ts] + [c for c in right_payload if c != right_ts]
 
+    # The whole right payload rides in ONE struct carried by a single
+    # last(ignorenulls): carrying columns independently would back-fill a
+    # legitimately-NULL payload field from an OLDER right row, mixing two
+    # right rows in one output row — DuckDB ASOF JOIN never does that.
+    rpay_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in rpay])
     tagged_r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in rpay],
+        F.struct(*[F.col(c).alias(c) for c in rpay]).alias("__rpay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
     )
     tagged_l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rpay],
+        F.lit(None).cast(rpay_type).alias("__rpay"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
 
@@ -66,7 +73,7 @@ def asof_join(
         *on,
         "__ts",
         "__side",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in rpay],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__m"),
         *[F.col(f"__l_{c}") for c in lcols],
     )
 
@@ -74,12 +81,44 @@ def asof_join(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        F.col(f"__m_{right_ts}").alias("asof_ts"),
-        *[F.col(f"__m_{c}").alias(c) for c in rpay if c != right_ts],
+        F.col("__m").getField(right_ts).alias("asof_ts"),
+        *[F.col("__m").getField(c).alias(c) for c in rpay if c != right_ts],
     )
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out
+
+
+def _with_global_pos(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Attach a 1-based global position under `order` WITHOUT a
+    single-partition window: range-repartition by the order keys (global
+    order across partitions), number rows within each partition, then add
+    per-partition offsets — the zipWithIndex pattern, DataFrame-side. The
+    only driver-side data is one (partition_id, count) row per partition."""
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the partitioning: the offset-count job and the final job must
+        # see identical range boundaries (repartitionByRange samples)
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = part.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        part.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn("__pos", F.col("__rn") + F.col("__off"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def positional_join(
@@ -87,9 +126,9 @@ def positional_join(
 ) -> DataFrame:
     """DuckDB POSITIONAL JOIN: align two relations row-by-row. Position is
     only well-defined under an explicit total order, so this takes one per
-    side (SURVEY §2.2c documents the non-determinism caveat)."""
-    lw = Window.orderBy(*left_order)
-    rw = Window.orderBy(*right_order)
-    ln = left.withColumn("__pos", F.row_number().over(lw))
-    rn = right.withColumn("__pos", F.row_number().over(rw))
+    side (SURVEY §2.2c documents the non-determinism caveat). Positions come
+    from range-partitioned per-partition numbering (no global single-task
+    sort), and the row-alignment join shuffles both sides by __pos."""
+    ln = _with_global_pos(left, left_order)
+    rn = _with_global_pos(right, right_order)
     return ln.join(rn, "__pos", "full").drop("__pos")

@@ -60,7 +60,7 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       COUNT(DISTINCT l_suppkey)                       AS n_supp,
       COUNT(DISTINCT l_partkey)                       AS n_part,
-      SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS sum_dist_qty
+      CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_dist_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -73,7 +73,10 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_suppkey").alias("n_supp"),
             F.countDistinct("l_partkey").alias("n_part"),
-            F.sum_distinct(dec("l_quantity")).alias("sum_dist_qty"),
+            # exact decimal sum, emitted as DOUBLE: DECIMAL outputs reach
+            # pandas as Decimal objects on Spark but float64 on DuckDB,
+            # which breaks the driver's hash even when values are equal
+            F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_dist_qty"),
         )
     )
 
@@ -235,21 +238,25 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       s_nationkey,
-      list_sort(list(s_name))                   AS names,
-      list_sort(list(DISTINCT s_nationkey + 0)) AS key_list
+      array_to_string(list_sort(list(s_name)), '|')                   AS names,
+      array_to_string(list_sort(list(DISTINCT s_nationkey + 0)), '|') AS key_list
     FROM supplier
     GROUP BY s_nationkey
     """,
 )
 def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array_agg/list + distinct variant, order pinned via sort."""
+    """array_agg/list + distinct variant, order pinned via sort. Emitted as
+    joined strings: array cells are unhashable in the driver's pandas
+    canonicalizer, so list-typed outputs can never be value-checked."""
     t = load_tables(spark, sf_dir)
     return (
         t["supplier"]
         .groupBy("s_nationkey")
         .agg(
-            F.array_sort(F.collect_list("s_name")).alias("names"),
-            F.array_sort(F.collect_set(F.col("s_nationkey") + 0)).alias("key_list"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("names"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("s_nationkey") + 0)), "|"
+            ).alias("key_list"),
         )
     )
 
@@ -289,7 +296,7 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_linestatus,
       COUNT(*) FILTER (WHERE l_quantity > 25)                              AS n_large,
-      SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS rev_no_disc,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS DOUBLE) AS rev_no_disc,
       COUNT(*)                                                             AS n
     FROM lineitem
     GROUP BY l_linestatus
@@ -297,7 +304,8 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER (WHERE ...) clause — Spark SQL supports it natively; exercised
-    through the SQL surface."""
+    through the SQL surface. Decimal sum emitted as DOUBLE (pandas-dtype
+    parity with the DuckDB oracle)."""
     t = load_tables(spark, sf_dir)
     t.view("lineitem")
     return spark.sql(
@@ -305,7 +313,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           l_linestatus,
           COUNT(*) FILTER (WHERE l_quantity > 25)                              AS n_large,
-          SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS rev_no_disc,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) FILTER (WHERE l_discount = 0.0) AS DOUBLE) AS rev_no_disc,
           COUNT(*)                                                             AS n
         FROM lineitem
         GROUP BY l_linestatus
@@ -358,7 +366,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+    SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -370,9 +378,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
+            dsum("l_quantity").cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
         )
     )
 

@@ -237,43 +237,59 @@ def fn_timestamp_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       len(embedding)                                        AS dim,
       embedding[1]                                          AS first_v,
       embedding[64]                                         AS last_v,
-      list_slice(embedding, 1, 4)                           AS head4,
+      array_to_string(list_transform(list_slice(embedding, 1, 4),
+        x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), '|') AS head4,
       list_contains([1, 2, 3], label)                       AS label_small,
       list_position([0, 1, 2, 3, 4], label)                 AS label_pos,
-      list_sort(list_slice(embedding, 1, 4))                AS sorted4,
-      list_sort(list_distinct([label, label, 0]))           AS dl_len,
-      flatten([[label], [label + 1]])                       AS flat,
-      list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE) * 2, 4)) AS doubled,
-      list_filter([CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(-2.0 AS DOUBLE)], x -> x > 0) AS pos_only,
-      [label, label * 2]                                    AS built
+      array_to_string(list_transform(list_sort(list_slice(embedding, 1, 4)),
+        x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)), '|') AS sorted4,
+      array_to_string(list_sort(list_distinct([label, label, 0])), '|') AS dl_len,
+      array_to_string(flatten([[label], [label + 1]]), '|') AS flat,
+      array_to_string(list_transform(list_slice(embedding, 1, 3),
+        x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 20000) AS BIGINT) AS VARCHAR)), '|') AS doubled,
+      array_to_string(list_filter([1, -1, 2, -2], x -> x > 0), '|') AS pos_only,
+      array_to_string([label, label * 2], '|')              AS built
     FROM embeddings
     WHERE vec_id <= 100
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/array family incl. higher-order lambdas (same lambda syntax in
-    both SQL dialects)."""
+    both SQL dialects). Array outputs are serialized to '|'-joined strings
+    of scaled integers — list cells are unhashable in the driver's pandas
+    canonicalizer, and integer strings sidestep float-formatting skew."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].filter(F.col("vec_id") <= 100)
     lbl = F.col("label")
+
+    def scaled(arr, factor):
+        return F.array_join(
+            F.transform(
+                arr,
+                lambda x: F.round(x.cast("double") * factor).cast("long").cast("string"),
+            ),
+            "|",
+        )
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
+
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_v"),
         F.element_at("embedding", 64).alias("last_v"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        scaled(F.slice("embedding", 1, 4), 10000).alias("head4"),
         F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), lbl).alias("label_small"),
         F.array_position(F.array(*[F.lit(i) for i in range(5)]), lbl).alias("label_pos"),
-        F.array_sort(F.slice("embedding", 1, 4)).alias("sorted4"),
-        F.array_sort(F.array_distinct(F.array(lbl, lbl, F.lit(0)))).alias("dl_len"),
-        F.flatten(F.array(F.array(lbl), F.array(lbl + 1))).alias("flat"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double") * 2, 4)
-        ).alias("doubled"),
-        F.filter(
-            F.array(F.lit(1.0), F.lit(-1.0), F.lit(2.0), F.lit(-2.0)), lambda x: x > 0
+        scaled(F.array_sort(F.slice("embedding", 1, 4)), 10000).alias("sorted4"),
+        joined(F.array_sort(F.array_distinct(F.array(lbl, lbl, F.lit(0))))).alias("dl_len"),
+        joined(F.flatten(F.array(F.array(lbl), F.array(lbl + 1)))).alias("flat"),
+        scaled(F.slice("embedding", 1, 3), 20000).alias("doubled"),
+        joined(
+            F.filter(F.array(F.lit(1), F.lit(-1), F.lit(2), F.lit(-2)), lambda x: x > 0)
         ).alias("pos_only"),
-        F.array(lbl, lbl * 2).alias("built"),
+        joined(F.array(lbl, lbl * 2)).alias("built"),
     )
 
 
@@ -316,15 +332,15 @@ def fn_array_agg_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_nationkey,
       struct_pack(k := n_nationkey, nm := n_name).nm          AS s_name,
       struct_pack(k := n_nationkey, nm := n_name).k           AS s_key,
-      map_keys(MAP {'a': n_nationkey, 'b': n_regionkey})      AS mkeys,
-      map_values(MAP {'a': n_nationkey, 'b': n_regionkey})    AS mvals,
+      array_to_string(map_keys(MAP {'a': n_nationkey, 'b': n_regionkey}), '|')   AS mkeys,
+      array_to_string(map_values(MAP {'a': n_nationkey, 'b': n_regionkey}), '|') AS mvals,
       cardinality(MAP {'a': n_nationkey, 'b': n_regionkey})   AS msize
     FROM nation
     """,
 )
 def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct pack/extract + map construction/inspection (scalar outputs so
-    the comparison stays type-simple)."""
+    """Struct pack/extract + map construction/inspection. Keys/values lists
+    are '|'-joined (list cells crash the driver's pandas canonicalizer)."""
     t = load_tables(spark, sf_dir)
     n = t["nation"]
     s = F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
@@ -333,8 +349,8 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         s.getField("nm").alias("s_name"),
         s.getField("k").alias("s_key"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), "|").alias("mkeys"),
+        F.array_join(F.transform(F.map_values(m), lambda x: x.cast("string")), "|").alias("mvals"),
         F.size(m).cast("long").alias("msize"),
     )
 
@@ -369,7 +385,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       event_type,
-      SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS total_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS total_k,
       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_big
     FROM events
     GROUP BY event_type

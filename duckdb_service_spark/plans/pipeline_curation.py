@@ -98,7 +98,7 @@ JACCARD_CUT = 0.5
     )
     SELECT lang,                   -- stage 4: surviving-corpus accounting
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc
     FROM exact_kept
     WHERE doc_id NOT IN (SELECT drop_id FROM neardup)

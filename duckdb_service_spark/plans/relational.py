@@ -111,7 +111,7 @@ def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 'large' END                             AS bucket,
       COUNT(*)                                          AS n,
       COUNT(NULLIF(o_orderstatus, 'O'))                 AS n_not_open,
-      SUM(CAST(COALESCE(NULLIF(o_totalprice, 0.0), -1.0) AS DECIMAL(38,6))) AS sum_price
+      CAST(SUM(CAST(COALESCE(NULLIF(o_totalprice, 0.0), -1.0) AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY 1
     ORDER BY bucket
@@ -130,9 +130,9 @@ def case_coalesce_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("n_not_open"),
-            dsum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(-1.0))).alias(
-                "sum_price"
-            ),
+            dsum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(-1.0)))
+            .cast("double")
+            .alias("sum_price"),
         )
         .orderBy("bucket")
     )
@@ -228,7 +228,7 @@ def values_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_series",
     oracle="""
-    SELECT COUNT(*) AS n, SUM(r) AS total, MIN(r) AS lo, MAX(r) AS hi
+    SELECT COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS total, MIN(r) AS lo, MAX(r) AS hi
     FROM (SELECT unnest(range(1, 1001)) AS r)
     """,
 )
@@ -263,7 +263,7 @@ def generate_series_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_deterministic",
     oracle="""
-    SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+    SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM orders
     WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
@@ -277,7 +277,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").cast("double").alias("total"))
     )
 
 
@@ -358,7 +358,7 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS rn,
-           SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) OVER w AS run_unscaled
+           CAST(SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) OVER w AS BIGINT) AS run_unscaled
     FROM orders
     WHERE o_custkey <= 30
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -390,9 +390,9 @@ def window_named_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_nationkey,
       CAST(n_nationkey AS TINYINT)                          AS t8,
       CAST(n_nationkey AS SMALLINT)                         AS t16,
-      CAST(n_nationkey AS DECIMAL(38,0)) * 1000000000000    AS huge,
+      CAST(CAST(n_nationkey AS DECIMAL(38,0)) * 1000000000000 AS VARCHAR) AS huge,
       CAST(CAST(n_nationkey AS DECIMAL(10,3)) AS VARCHAR)   AS dec_str,
-      CAST(n_name AS BLOB)                                  AS as_blob,
+      hex(CAST(n_name AS BLOB))                             AS as_blob,
       CAST(CAST('2024-06-01' AS DATE) AS VARCHAR)           AS date_str,
       CAST(n_nationkey = 0 AS INTEGER)                      AS bool_int
     FROM nation
@@ -408,9 +408,9 @@ def fn_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         k.cast("tinyint").alias("t8"),
         k.cast("smallint").alias("t16"),
-        (k.cast("decimal(38,0)") * F.lit(1000000000000)).alias("huge"),
+        (k.cast("decimal(38,0)") * F.lit(1000000000000)).cast("string").alias("huge"),
         k.cast("decimal(10,3)").cast("string").alias("dec_str"),
-        F.encode(F.col("n_name"), "utf-8").alias("as_blob"),
+        F.hex(F.encode(F.col("n_name"), "utf-8")).alias("as_blob"),
         F.lit("2024-06-01").cast("date").cast("string").alias("date_str"),
         (k == 0).cast("int").alias("bool_int"),
     )

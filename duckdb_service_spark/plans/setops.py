@@ -135,7 +135,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
       FROM big_orders GROUP BY o_custkey
     )
-    SELECT c.c_nationkey, COUNT(*) AS n_cust, SUM(p.total) AS nation_total
+    SELECT c.c_nationkey, COUNT(*) AS n_cust, CAST(SUM(p.total) AS DOUBLE) AS nation_total
     FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
     """,
@@ -150,7 +150,7 @@ def cte_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.join(t["customer"], per_cust.o_custkey == F.col("c_custkey"))
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("total").alias("nation_total"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("total").cast("double").alias("nation_total"))
     )
 
 

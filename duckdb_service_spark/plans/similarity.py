@@ -132,15 +132,34 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
       FROM expanded GROUP BY label, i
     )
-    SELECT label, list(c ORDER BY i) AS centroid
+    SELECT label,
+           array_to_string(list_transform(list(c ORDER BY i),
+             x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)), '|') AS centroid
     FROM cent GROUP BY label
     """,
 )
 def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (the IVF coarse-quantizer build step): posexplode
-    embeddings → decimal-exact mean per (label, dim) → re-assemble ordered
-    array. One shuffle by (label, dim); at scale this is how IVF cells are
-    trained without ever collecting vectors."""
+    """Per-label centroid (the IVF coarse-quantizer build step) — driver-
+    checkable form: the centroid array is serialized to a '|'-joined string
+    of 1e6-scaled integers (array cells are unhashable in the driver's
+    pandas canonicalizer). The array-valued internal twin is
+    ``centroids_per_label`` (used by sim_ivf_search)."""
+    return centroids_per_label(spark, sf_dir).select(
+        "label",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda c: F.round(c * 1000000).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("centroid"),
+    )
+
+
+def centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode embeddings → decimal-exact mean per (label, dim) →
+    re-assemble ordered array. One shuffle by (label, dim); at scale this is
+    how IVF cells are trained without ever collecting vectors."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     exploded = e.select("label", F.posexplode("embedding").alias("i0", "v")).select(
@@ -165,7 +184,7 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine search) pattern; recall is asserted against brute force in tests."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    cent = sim_centroid_per_label(spark, sf_dir)
+    cent = centroids_per_label(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

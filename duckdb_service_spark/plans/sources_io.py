@@ -24,7 +24,7 @@ def _tmp(name: str) -> str:
 @query(
     "io_csv_roundtrip",
     oracle="""
-    SELECT o_orderstatus AS status, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+    SELECT o_orderstatus AS status, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -47,7 +47,7 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "io_json_roundtrip",
     oracle="""
-    SELECT event_type, COUNT(*) AS n, SUM(user_id) AS user_sum
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS user_sum
     FROM events GROUP BY event_type
     """,
 )

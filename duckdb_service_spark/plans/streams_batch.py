@@ -77,7 +77,8 @@ def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       FROM marked
     )
-    SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end, COUNT(*) AS n_events
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end, COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, sess_id
     """,
@@ -124,7 +125,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('day', ts) AS DATE) AS day,
            COUNT(*) AS n,
            COUNT(DISTINCT event_type) AS n_types,
-           SUM(CAST(value AS DECIMAL(38,6))) AS day_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -140,6 +141,6 @@ def stream_user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("event_type").alias("n_types"),
-            dsum("value").alias("day_value"),
+            dsum("value").cast("double").alias("day_value"),
         )
     )

@@ -83,18 +83,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter broadcast into the fact join, then
-    top-k (Catalyst TakeOrderedAndProject — no full sort at scale).
-    customer and the filtered orders side are broadcast-sized; lineitem never
-    shuffles for the join."""
+    """TPC-H Q3: filters pushed to the scans, then top-k (Catalyst
+    TakeOrderedAndProject — no full sort at scale).
+
+    No broadcast hints: the date filter keeps an sf-proportional fraction of
+    orders and the segment filter ~1/5 of customer, so both sides grow with
+    the data — forcing a broadcast would OOM executors at 100 TB. Unhinted,
+    lineitem⋈orders shuffles on the natural key and AQE may still elect a
+    broadcast at small sf from real size stats."""
     t = load_tables(spark, sf_dir)
     cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].filter(F.col("o_orderdate") < cutoff)
     l = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -129,10 +133,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: five-way join. All dims (region→nation→supplier→customer)
-    are broadcast; the only big tables are orders/lineitem which join on
-    their natural key. At cluster scale this is one shuffle of lineitem by
-    l_orderkey against orders — every other join is map-side."""
+    """TPC-H Q5: five-way join. Truly-small dims (region 5 rows, nation 25)
+    are broadcast; supplier is region-filtered (~1/5 of an sf-proportional
+    table) and kept broadcast as the borderline case documented in
+    SCALING.md. customer is sf-proportional and unfiltered, so it joins
+    orders by shuffle on custkey — broadcasting it would be multi-GB at
+    sf100. Net: two big-table shuffles (lineitem⋈orders on orderkey,
+    +customer on custkey), everything else map-side."""
     t = load_tables(spark, sf_dir)
     r = t["region"].filter(F.col("r_name") == "ASIA")
     n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -145,7 +152,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"]
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
@@ -154,4 +161,68 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")
         .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 200
+    )
+    SELECT
+      c.c_name,
+      c.c_custkey,
+      o.o_orderkey,
+      CAST(o.o_orderdate AS DATE) AS orderdate,
+      o.o_totalprice,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    bench=True,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): full-fact aggregation feeding a
+    semi-join back into the fact, then agg-then-join and top-k.
+
+    Scale shape: the HAVING aggregation and the semi-join both hash on
+    l_orderkey, so Spark reuses one shuffle of lineitem for the two; the
+    surviving order set is tiny (sub-percent) and AQE can broadcast it at
+    runtime. customer joins by shuffle on custkey (sf-proportional — never
+    hint-broadcast). Top-k via TakeOrderedAndProject, no global sort.
+    (Threshold 200 rather than TPC-H's 300: the synthetic fixture's
+    quantity-per-order tops out lower; the plan shape is identical.)"""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    o = t["orders"].join(big, t["orders"].o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(t["customer"], o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )

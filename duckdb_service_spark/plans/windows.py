@@ -92,9 +92,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       event_id,
-      SUM(CAST(value AS DECIMAL(38,6))) OVER (
+      CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)   AS running_value,
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)   AS running_value,
       COUNT(*) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)           AS nearby_n
@@ -115,7 +115,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.sum(dec("value")).over(running).alias("running_value"),
+            F.sum(dec("value")).over(running).cast("double").alias("running_value"),
             F.count(F.lit(1)).over(sliding).alias("nearby_n"),
         )
     )
@@ -184,10 +184,11 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT DISTINCT
       l_suppkey,
-      SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (PARTITION BY l_suppkey) AS supp_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS supp_qty,
       COUNT(*) OVER (PARTITION BY l_suppkey) AS supp_n
     FROM lineitem
     """,
+    bench=True,  # the window-over-fact headline: one shuffle by l_suppkey
 )
 def win_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-partition aggregate window (no ORDER BY → full-frame)."""
@@ -197,7 +198,7 @@ def win_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .select(
             "l_suppkey",
-            F.sum(dec("l_quantity")).over(w).alias("supp_qty"),
+            F.sum(dec("l_quantity")).over(w).cast("double").alias("supp_qty"),
             F.count(F.lit(1)).over(w).alias("supp_n"),
         )
         .distinct()

@@ -99,9 +99,9 @@ def _convert_strftime_formats(sql: str) -> str:
             fmt = fmt.replace(pct, java)
         if fn.lower() == "strftime":
             return f"date_format({arg}, '{fmt}')"
-        return f"to_timestamp('{arg.strip()}', '{fmt}')" if arg.startswith("'") else (
-            f"to_timestamp({arg}, '{fmt}')"
-        )
+        # arg carries its own quotes when it is a string literal — never
+        # re-wrap (strptime('2024-01-01', ...) is the most common shape)
+        return f"to_timestamp({arg.strip()}, '{fmt}')"
 
     return re.sub(
         r"\b(strftime|strptime)\s*\(\s*([^,]+)\s*,\s*'([^']*)'\s*\)",

@@ -30,6 +30,38 @@ class ConstraintViolation(Exception):
     pass
 
 
+def split_top_level(body: str) -> list[str]:
+    """Split a comma-separated SQL fragment list (CREATE TABLE columns,
+    UPDATE SET assignments) on top-level commas — paren-depth and
+    string-literal aware so `greatest(b, c)` and `'a,b'` stay intact."""
+    parts, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0 and not in_str:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _check_constraints(engine: "Engine", table: str, incoming: DataFrame) -> None:
     meta = engine.catalog.tables[table]
     for col in meta.not_null_cols:
@@ -121,7 +153,9 @@ def update_rows(engine: "Engine", sql: str) -> int:
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
     assignments = {}
-    for part in set_clause.split(","):
+    for part in split_top_level(set_clause):
+        if "=" not in part:
+            raise ValueError(f"cannot parse UPDATE assignment (missing '='): {part!r}")
         col, expr = part.split("=", 1)
         assignments[col.strip()] = F.expr(translate(expr.strip()))
     out = df
@@ -156,5 +190,8 @@ def delete_rows(engine: "Engine", sql: str) -> int:
     df = engine.catalog.read(table)
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
-    engine.catalog.overwrite(table, df.filter(~pred))
+    # SQL three-valued logic: DELETE removes only rows where the predicate is
+    # TRUE; rows where it evaluates NULL are retained (filter(~pred) would
+    # silently drop them).
+    engine.catalog.overwrite(table, df.filter(~F.coalesce(pred, F.lit(False))))
     return n

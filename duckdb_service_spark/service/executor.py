@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .dialect import translate
-from .dml import delete_rows, insert_select, insert_values, update_rows
+from .dml import delete_rows, insert_select, insert_values, split_top_level, update_rows
 
 
 @dataclass
@@ -38,22 +38,7 @@ _COLUMN_RE = re.compile(
 )
 
 
-def _split_columns(body: str) -> list[str]:
-    """Split a CREATE TABLE column body on top-level commas."""
-    parts, depth, cur = [], 0, []
-    for ch in body:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return [p.strip() for p in parts if p.strip()]
+_split_columns = split_top_level  # top-level comma split, shared with DML
 
 
 def parse_create_table(sql: str):
@@ -173,18 +158,39 @@ class Engine:
                     return ExecuteOutcome(0)
                 raise ValueError(f"table {name} already exists")
             df = self.query_df(select_sql)
-            columns = [
-                {
-                    "name": f.name,
-                    "type": duckdb_type_name(f.dataType),
-                    "not_null": False,
-                    "primary_key": False,
-                }
-                for f in df.schema.fields
-            ]
+            # TZ-aware timestamps are stored NTZ (the engine-wide convention,
+            # sources/tables.py) so the written data matches the declared type
+            from pyspark.sql import types as T
+
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.TimestampType):
+                    df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+            # validate EVERY inferred type round-trips through the catalog's
+            # type system BEFORE creating any state — a complex result type
+            # must fail cleanly, not leave an orphan warehouse directory
+            from .catalog import parse_type
+
+            columns = []
+            for f in df.schema.fields:
+                tname = duckdb_type_name(f.dataType)
+                try:
+                    parse_type(tname)
+                except ValueError as ex:
+                    raise ValueError(
+                        f"CTAS: unsupported result column type {f.name} {tname}"
+                    ) from ex
+                columns.append(
+                    {"name": f.name, "type": tname, "not_null": False, "primary_key": False}
+                )
             self.catalog.create_table(name, columns)
-            n = df.count()
-            self.catalog.append(name, df)
+            try:
+                self.catalog.append(name, df)
+                # single execution: rows_affected comes from the written
+                # files, so a nondeterministic source can't disagree
+                n = self.catalog.read(name).count()
+            except Exception:
+                self.catalog.drop_table(name, if_exists=True)
+                raise
             return ExecuteOutcome(n)
 
         parsed = parse_create_table(stripped)

@@ -35,14 +35,48 @@ def test_column_pruning(spark, sf_dir):
     assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
-def test_q3_broadcasts_dimensions(spark, sf_dir):
+def _plan_no_auto_broadcast(spark, sf_dir, name):
+    """Plan with size-based broadcast disabled, so any BroadcastHashJoin
+    left is hint-driven — the thing that must never target an
+    sf-proportional side (it would OOM executors at 100 TB)."""
     from duckdb_service_spark.plans import QUERIES, load_all
 
     load_all()
-    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _plan(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q3_no_hinted_broadcast_of_big_sides(spark, sf_dir):
+    # q3's filtered orders and segment-filtered customer are both
+    # sf-proportional: no broadcast hint is allowed anywhere in the query
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_q5_broadcasts_only_small_dims(spark, sf_dir):
+    # region/nation/supplier chain is hint-broadcast (bounded); the
+    # customer⋈orders join must stay a shuffle join
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q5_local_supplier_volume")
+    assert "SortMergeJoin" in plan
+    # broadcasts present (the supplier-chain hints)…
     assert "BroadcastHashJoin" in plan
-    # the fact table must NOT be broadcast: no broadcast exchange on lineitem
-    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+    # …but lineitem/orders/customer never sit under a BroadcastExchange
+    for section in plan.split("BroadcastExchange")[1:]:
+        subtree_head = section.split("\n\n")[0]
+        assert "lineitem" not in subtree_head
+        assert "orders" not in subtree_head
+        assert "customer.parquet" not in subtree_head
+
+
+def test_q18_no_hinted_broadcast(spark, sf_dir):
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q18_large_volume_customer")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_q1_single_shuffle(spark, sf_dir):

@@ -74,6 +74,40 @@ def _rows_close(ra, rb):
     return len(ra) == len(rb) and all(_close(a, b) for a, b in zip(ra, rb))
 
 
+def _pandas_canon(pdf):
+    """Model of the driver's canonicalizer: sort columns by name, sort rows
+    by every column (pandas lexsort — crashes on unhashable cells exactly
+    like the driver's), then hash the CSV text. ``to_csv`` stringifies
+    per-cell, so dtype-only differences that print identically (date objects
+    vs midnight datetime64) pass, while Decimal-vs-float (``45.000000`` vs
+    ``45.0``) and HUGEINT-as-float (``123.0`` vs ``123``) fail — matching the
+    observed r01 verdicts."""
+    import hashlib
+
+    pdf = pdf[sorted(pdf.columns)]
+    try:
+        pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    except TypeError as ex:
+        return None, f"CANON-CRASH {ex}"
+    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest(), None
+
+
+def canon_compare(name, sdf, con, sql):
+    """Driver-model comparison: spark.toPandas() vs duckdb .df()."""
+    spdf = sdf.toPandas()
+    opdf = con.execute(sql).df()
+    sh, serr = _pandas_canon(spdf)
+    oh, oerr = _pandas_canon(opdf)
+    if serr or oerr:
+        return f"spark:{serr or 'ok'} oracle:{oerr or 'ok'}"
+    if sh != oh:
+        sd = {c: str(spdf[c].dtype) for c in sorted(spdf.columns)}
+        od = {c: str(opdf[c].dtype) for c in sorted(opdf.columns)}
+        dd = {c: (sd[c], od.get(c)) for c in sd if sd[c] != od.get(c)}
+        return f"HASH-MISMATCH dtype-deltas={dd or 'none (value-level)'}"
+    return "OK"
+
+
 def compare(name, sdf, con, sql):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -99,8 +133,10 @@ def compare(name, sdf, con, sql):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--canon"]
+    canon = "--canon" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -127,7 +163,11 @@ def main():
                 n = sdf.count()
                 print(f"{name:40s} ROWS-ONLY rows={n} ({time.time()-t0:.1f}s)")
                 continue
-            verdict = compare(name, sdf, con, oracles[name])
+            verdict = (
+                canon_compare(name, sdf, con, oracles[name])
+                if canon
+                else compare(name, sdf, con, oracles[name])
+            )
         except Exception as ex:  # noqa: BLE001
             verdict = f"ERROR {type(ex).__name__}: {ex}"
         ok = verdict == "OK"
