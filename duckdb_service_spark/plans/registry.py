@@ -74,6 +74,9 @@ PRIORITY: list[str] = [
     "stream_user_activity_windows",
     "win_running_sum",
     "win_partition_agg",
+    # new this round: SQL-surface routing of ASOF JOIN / WITH RECURSIVE
+    "sql_asof_routing",
+    "sql_recursive_routing",
     # family representatives with no driver evidence yet
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -143,6 +146,7 @@ def load_all() -> None:
         setops,
         similarity,
         sources_io,
+        sql_surface,
         streams_batch,
         textops,
         tpch,

@@ -224,6 +224,18 @@ class Catalog:
         self._save_sequences()
         return self.sequences[name]
 
+    def reserve(self, name: str, n: int) -> int:
+        """Reserve a contiguous block of n sequence values; returns the first.
+        One driver-side reservation per statement — the distributed tasks
+        then assign start..start+n-1 without coordination (how INSERT…SELECT
+        gets per-row nextval at scale)."""
+        if name not in self.sequences:
+            raise ValueError(f"sequence {name} does not exist")
+        start = self.sequences[name] + 1
+        self.sequences[name] += n
+        self._save_sequences()
+        return start
+
     # -- IO ----------------------------------------------------------------
 
     def read(self, name: str) -> DataFrame:

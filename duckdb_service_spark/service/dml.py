@@ -126,12 +126,83 @@ def insert_values(engine: "Engine", sql: str) -> int:
     return n
 
 
+_NEXTVAL_RE = re.compile(r"\bnextval\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE)
+_NEXTVAL_ITEM_RE = re.compile(
+    r"^nextval\s*\(\s*'(\w+)'\s*\)(?:\s+AS\s+(\w+))?$", re.IGNORECASE
+)
+
+
+def _select_with_sequences(engine: "Engine", select_sql: str) -> DataFrame:
+    """INSERT…SELECT with nextval('s'): DuckDB increments per ROW, not per
+    textual occurrence. One driver-side block reservation sized by the row
+    count, then distributed assignment via a global row position (range-
+    partitioned numbering, operators.asof._with_global_pos — no single-task
+    sort). Supported shape: nextval as a bare select-list item; embedded
+    expressions raise rather than silently stamping one value everywhere.
+    Row→value order follows the engine's partition order (the SELECT's row
+    order is unspecified anyway); values are contiguous and unique."""
+    from ..operators.asof import _with_global_pos
+
+    head = re.match(r"^SELECT\s+", select_sql.strip(), re.IGNORECASE)
+    if not head:
+        raise ValueError("per-row nextval is only supported in plain SELECT form")
+    body = select_sql.strip()[head.end() :]
+    # select list ends at the top-level FROM (or the end for FROM-less)
+    depth, from_at, in_str = 0, None, False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"FROM\b", body[i:], re.IGNORECASE):
+            from_at = i
+            break
+        i += 1
+    select_list = body[:from_at] if from_at is not None else body
+    rest = body[from_at:] if from_at is not None else ""
+
+    items = split_top_level(select_list)
+    seq_items: dict[int, tuple[str, str]] = {}  # position -> (seq, colname)
+    inner_items = []
+    for idx, item in enumerate(items):
+        im = _NEXTVAL_ITEM_RE.match(item.strip())
+        if im:
+            name = im.group(2) or f"__seq_{idx}"
+            seq_items[idx] = (im.group(1), name)
+            inner_items.append(f"CAST(0 AS BIGINT) AS {name}")
+        else:
+            if _NEXTVAL_RE.search(item):
+                raise ValueError(
+                    "per-row nextval inside a larger expression is not supported; "
+                    "use it as a bare select-list item"
+                )
+            inner_items.append(item)
+    inner_sql = f"SELECT {', '.join(inner_items)} {rest}"
+    src = engine.spark.sql(translate(inner_sql))
+    pos = _with_global_pos(src, [F.monotonically_increasing_id()])
+    n = pos.count()
+    for idx, (seq, colname) in seq_items.items():
+        start = engine.catalog.reserve(seq, n)
+        pos = pos.withColumn(colname, (F.lit(start - 1) + F.col("__pos")).cast("long"))
+    return pos.select(*[c for c in src.columns])
+
+
 def insert_select(engine: "Engine", sql: str) -> int:
     m = _INSERT_SELECT_RE.match(sql.strip())
     if not m:
         raise ValueError(f"cannot parse INSERT ... SELECT: {sql[:80]}")
     table, cols_spec, select_sql = m.groups()
-    src = engine.spark.sql(translate(select_sql))
+    if _NEXTVAL_RE.search(select_sql):
+        src = _select_with_sequences(engine, select_sql)
+    else:
+        src = engine.spark.sql(translate(select_sql))
     aligned = _aligned(engine, table, cols_spec, src)
     _check_constraints(engine, table, aligned)
     n = aligned.count()

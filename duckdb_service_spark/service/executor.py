@@ -134,6 +134,18 @@ class Engine:
             out = self._union_by_name(sql.strip().rstrip(";"))
             if out is not None:
                 return out
+        # constructs with no Spark-SQL equivalent route to DataFrame
+        # operators before the dialect shim (which raises on them)
+        from .sql_routing import route_asof_join, route_star_replace, route_with_recursive
+
+        stripped = sql.strip().rstrip(";")
+        routed = route_star_replace(self.spark, stripped, translate)
+        if routed is None:
+            routed = route_asof_join(self.spark, stripped, self.spark.table, translate)
+        if routed is None:
+            routed = route_with_recursive(self.spark, stripped, translate)
+        if routed is not None:
+            return routed
         return self.spark.sql(translate(self._substitute_sequences(sql)))
 
     # ---- write path ------------------------------------------------------
@@ -242,10 +254,14 @@ class Engine:
             return ExecuteOutcome(0)
 
         if upper.startswith("INSERT"):
-            stripped = self._substitute_sequences(stripped)
-            n = insert_values(self, stripped) if re.search(
-                r"\bVALUES\b", stripped, re.IGNORECASE
-            ) else insert_select(self, stripped)
+            if re.search(r"\bVALUES\b", stripped, re.IGNORECASE):
+                # VALUES rows: one value per textual occurrence (each row
+                # literal calls nextval itself) — driver-side substitution
+                n = insert_values(self, self._substitute_sequences(stripped))
+            else:
+                # SELECT form: nextval must increment PER ROW — handled by
+                # insert_select via a reserved contiguous block
+                n = insert_select(self, stripped)
             return ExecuteOutcome(n)
 
         if upper.startswith("UPDATE"):
@@ -253,6 +269,23 @@ class Engine:
 
         if upper.startswith("DELETE"):
             return ExecuteOutcome(delete_rows(self, stripped))
+
+        m = re.match(
+            r"^COPY\s+(?:(\w+)|\((.+)\))\s+TO\s+'([^']+)'\s*(?:\(\s*([^)]*)\))?$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table, select_sql, path, opts = m.groups()
+            return ExecuteOutcome(self._copy_to(table, select_sql, path, opts))
+
+        m = re.match(
+            r"^COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*([^)]*)\))?$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return ExecuteOutcome(self._copy_from(m.group(1), m.group(2), m.group(3)))
 
         m = re.match(r"^EXPORT\s+DATABASE\s+'([^']+)'", stripped, re.IGNORECASE)
         if m:
@@ -280,6 +313,76 @@ class Engine:
             return ExecuteOutcome(0)
 
         raise ValueError(f"unrecognized write statement: {stripped[:80]}")
+
+    # ---- COPY TO/FROM ----------------------------------------------------
+    #
+    # Reference reach: the passthrough accepts DuckDB's full COPY statement
+    # (db/db.go:52). Spark-side semantics: COPY TO writes a directory of
+    # part-files (the scalable layout — a single file would funnel 100 TB
+    # through one task); COPY FROM accepts both directories and single files.
+
+    @staticmethod
+    def _copy_options(opts: str | None, path: str) -> dict:
+        out = {"format": None, "header": True, "delimiter": ","}
+        for part in split_top_level(opts or ""):
+            om = re.match(r"^(\w+)\s*(.*)$", part.strip())
+            if not om:
+                raise ValueError(f"cannot parse COPY option: {part!r}")
+            key, val = om.group(1).upper(), om.group(2).strip().strip("'").lower()
+            if key == "FORMAT":
+                out["format"] = val
+            elif key == "HEADER":
+                out["header"] = val not in ("false", "0")
+            elif key in ("DELIMITER", "DELIM", "SEP"):
+                out["delimiter"] = om.group(2).strip().strip("'")
+            else:
+                raise ValueError(f"unsupported COPY option: {key}")
+        if out["format"] is None:
+            ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+            out["format"] = {"csv": "csv", "parquet": "parquet", "json": "json", "ndjson": "json"}.get(
+                ext, "csv"
+            )
+        if out["format"] not in ("csv", "parquet", "json"):
+            raise ValueError(f"unsupported COPY format: {out['format']}")
+        return out
+
+    def _copy_to(self, table: str | None, select_sql: str | None, path: str, opts: str | None) -> int:
+        o = self._copy_options(opts, path)
+        df = self.catalog.read(table) if table else self.query_df(select_sql)
+        n = df.count()
+        w = df.write.mode("overwrite")
+        if o["format"] == "csv":
+            w.option("header", str(o["header"]).lower()).option("sep", o["delimiter"]).csv(path)
+        elif o["format"] == "json":
+            w.json(path)
+        else:
+            w.parquet(path)
+        return n
+
+    def _copy_from(self, table: str, path: str, opts: str | None) -> int:
+        from .dml import _check_constraints
+
+        if table not in self.catalog.tables:
+            raise ValueError(f"table {table} does not exist")
+        o = self._copy_options(opts, path)
+        schema = self.catalog.tables[table].spark_schema()
+        if o["format"] == "csv":
+            src = (
+                self.spark.read.schema(schema)
+                .option("header", str(o["header"]).lower())
+                .option("sep", o["delimiter"])
+                .csv(path)
+            )
+        elif o["format"] == "json":
+            src = self.spark.read.schema(schema).json(path)
+        else:
+            src = self.spark.read.parquet(path).select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+        _check_constraints(self, table, src)
+        n = src.count()
+        self.catalog.append(table, src)
+        return n
 
     # ---- query entry (returns reference-shaped result dict) --------------
 

@@ -1,0 +1,288 @@
+"""SQL-surface routing for DuckDB constructs Spark SQL lacks.
+
+The reference accepts these verbatim (full passthrough to the linked DuckDB,
+db/db.go:70); Spark SQL has no ASOF JOIN / WITH RECURSIVE / ``* REPLACE``,
+so the common statement shapes are parsed here and routed to the engine's
+DataFrame operators (operators/asof.py, operators/recursive.py) or resolved
+against the actual relation schema. Shapes outside the supported grammar
+still raise UnsupportedDialect with the construct named — never a silent
+wrong answer.
+
+Each ``route_*`` function returns a DataFrame when it handled the statement
+and None when the statement does not contain its construct.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import UnsupportedDialect, _split_literals
+
+Resolver = Callable[[str], DataFrame]
+Translate = Callable[[str], str]
+
+
+def _code_only(sql: str) -> str:
+    return "".join(chunk for is_lit, chunk in _split_literals(sql) if not is_lit)
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a boolean expression on top-level ANDs."""
+    parts, depth, cur, i = [], 0, [], 0
+    up = cond.upper()
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and up[i : i + 5] in (" AND ",) and cond[i] == " ":
+            parts.append("".join(cur))
+            cur = []
+            i += 5
+            continue
+        cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+# --------------------------------------------------------------------------
+# ASOF JOIN
+# --------------------------------------------------------------------------
+
+_ASOF_RE = re.compile(
+    r"^(?P<head>SELECT\s+.+?)\s+FROM\s+"
+    r"(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?\s+"
+    r"ASOF\s+(?P<left>LEFT\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+"
+    r"ON\s+(?P<cond>.+?)"
+    r"(?P<tail>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|QUALIFY)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EQ_RE = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+_INEQ_RE = re.compile(r"^(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)$")
+
+
+def route_asof_join(
+    spark: SparkSession, sql: str, resolve: Resolver, translate: Translate
+) -> DataFrame | None:
+    """Route ``SELECT ... FROM l [la] ASOF [LEFT] JOIN r [ra] ON l.k = r.k
+    AND l.ts >= r.ts [WHERE/GROUP/ORDER/LIMIT ...]`` to operators.asof.
+
+    The matched right timestamp comes back under the right column's own name
+    (DuckDB semantics: selecting r.ts yields the matched value). Equality
+    keys must share a column name on both sides (the overwhelmingly common
+    shape); anything else raises UnsupportedDialect.
+    """
+    if not re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", _code_only(sql), re.IGNORECASE):
+        return None
+    from ..operators.asof import asof_join
+
+    m = _ASOF_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise UnsupportedDialect(
+            "ASOF JOIN: only the single-join shape "
+            "'SELECT ... FROM l ASOF [LEFT] JOIN r ON ... [trailing clauses]' is routable"
+        )
+    lt, la = m.group("lt"), m.group("la") or m.group("lt")
+    rt, ra = m.group("rt"), m.group("ra") or m.group("rt")
+    side = {la.lower(): "l", rt.lower(): "r", lt.lower(): "l", ra.lower(): "r"}
+
+    on_keys: list[str] = []
+    ineq = None
+    for part in _split_top_and(m.group("cond")):
+        eq = _EQ_RE.match(part)
+        if eq:
+            a_al, a_col, b_al, b_col = eq.groups()
+            if side.get(a_al.lower()) == side.get(b_al.lower()):
+                raise UnsupportedDialect("ASOF JOIN: equality must join the two sides")
+            lcol, rcol = (a_col, b_col) if side[a_al.lower()] == "l" else (b_col, a_col)
+            if lcol != rcol:
+                raise UnsupportedDialect(
+                    f"ASOF JOIN: equality keys must share a name ({lcol} vs {rcol})"
+                )
+            on_keys.append(lcol)
+            continue
+        iq = _INEQ_RE.match(part)
+        if iq:
+            a_al, a_col, op, b_al, b_col = iq.groups()
+            # normalize to l.ts >= r.ts
+            if op == "<=":
+                a_al, a_col, b_al, b_col = b_al, b_col, a_al, a_col
+            if side.get(a_al.lower()) != "l" or side.get(b_al.lower()) != "r":
+                raise UnsupportedDialect("ASOF JOIN: inequality must be left.ts >= right.ts")
+            if ineq is not None:
+                raise UnsupportedDialect("ASOF JOIN: exactly one inequality supported")
+            ineq = (a_col, b_col)
+            continue
+        raise UnsupportedDialect(f"ASOF JOIN: unparsable ON term {part!r}")
+    if ineq is None:
+        raise UnsupportedDialect("ASOF JOIN requires an inequality condition")
+    left_ts, right_ts = ineq
+
+    left, right = resolve(lt), resolve(rt)
+    payload = [c for c in right.columns if c not in on_keys]
+    out = asof_join(
+        left,
+        right,
+        on=on_keys,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_payload=payload,
+        how="left" if m.group("left") else "inner",
+    )
+    # expose the matched right ts under its own name when it doesn't collide
+    if right_ts not in out.columns:
+        out = out.withColumn(right_ts, F.col("asof_ts"))
+
+    view = "__asof_routed"
+    out.createOrReplaceTempView(view)
+    head, tail = m.group("head"), m.group("tail") or ""
+    rewritten = f"{head} FROM {view} {tail}"
+    # r.<ts> means the MATCHED right timestamp (DuckDB semantics) — which
+    # the operator exposes as asof_ts; then flatten remaining qualifiers
+    for al in {ra, rt}:
+        rewritten = re.sub(rf"\b{al}\.{right_ts}\b", "asof_ts", rewritten)
+    for al in {la, ra, lt, rt}:
+        rewritten = re.sub(rf"\b{al}\.", "", rewritten)
+    return spark.sql(translate(rewritten))
+
+
+# --------------------------------------------------------------------------
+# WITH RECURSIVE
+# --------------------------------------------------------------------------
+
+_REC_RE = re.compile(
+    r"^WITH\s+RECURSIVE\s+(?P<name>\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+AS\s*\(",
+    re.IGNORECASE,
+)
+_UNION_ALL_RE = re.compile(r"\bUNION\s+ALL\b", re.IGNORECASE)
+
+
+def route_with_recursive(
+    spark: SparkSession, sql: str, translate: Translate
+) -> DataFrame | None:
+    """Route linear-recursion CTEs — ``WITH RECURSIVE t[(cols)] AS (seed
+    UNION ALL step) outer`` — to operators.recursive.recursive_union.
+
+    The step is re-analyzed against a temp view holding the current frontier
+    each iteration (frontier-only recursion, the SQL-standard linear form).
+    UNION (set) recursion is not routed: its termination contract needs an
+    anti-join against the accumulated set, which the caller must express.
+    """
+    stripped = sql.strip().rstrip(";")
+    m = _REC_RE.match(stripped)
+    if m is None:
+        if re.search(r"\bWITH\s+RECURSIVE\b", _code_only(stripped), re.IGNORECASE):
+            raise UnsupportedDialect("WITH RECURSIVE: unparsable header")
+        return None
+    from ..operators.recursive import recursive_union
+
+    name = m.group("name")
+    cols = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+
+    # find the matching close-paren of the CTE body
+    depth, i = 1, m.end()
+    in_str = False
+    while i < len(stripped) and depth:
+        ch = stripped[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise UnsupportedDialect("WITH RECURSIVE: unbalanced CTE body")
+    body, outer = stripped[m.end() : i - 1], stripped[i:].strip()
+
+    um = _UNION_ALL_RE.search(body)
+    if not um:
+        raise UnsupportedDialect(
+            "WITH RECURSIVE: only 'seed UNION ALL step' linear recursion is routable"
+        )
+    seed_sql, step_sql = body[: um.start()], body[um.end() :]
+
+    seed = spark.sql(translate(seed_sql))
+    if cols:
+        seed = seed.toDF(*cols)
+
+    def step(frontier: DataFrame) -> DataFrame:
+        frontier.createOrReplaceTempView(name)
+        out = spark.sql(translate(step_sql))
+        return out.toDF(*cols) if cols else out.toDF(*frontier.columns)
+
+    result = recursive_union(seed, step)
+    result.createOrReplaceTempView(name)
+    return spark.sql(translate(outer))
+
+
+# --------------------------------------------------------------------------
+# SELECT * REPLACE
+# --------------------------------------------------------------------------
+
+_REPLACE_RE = re.compile(r"^(?P<pre>SELECT\s+\*\s+)REPLACE\s*\(", re.IGNORECASE | re.DOTALL)
+
+
+def route_star_replace(
+    spark: SparkSession, sql: str, translate: Translate
+) -> DataFrame | None:
+    """``SELECT * REPLACE (expr AS col, ...) FROM rest`` — resolved against
+    the actual schema of ``SELECT * FROM rest`` so column order is preserved
+    exactly as DuckDB preserves it (replaced columns stay in place)."""
+    stripped = sql.strip().rstrip(";")
+    m = _REPLACE_RE.match(stripped)
+    if m is None:
+        return None
+    from .dml import split_top_level
+
+    # balanced-paren scan for the REPLACE(...) argument list
+    depth, i, start = 1, m.end(), m.end()
+    in_str = False
+    while i < len(stripped) and depth:
+        ch = stripped[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise UnsupportedDialect("SELECT * REPLACE: unbalanced parentheses")
+    repl_body, rest = stripped[start : i - 1], stripped[i:].strip()
+
+    repl: dict[str, str] = {}
+    for item in split_top_level(repl_body):
+        im = re.match(r"^(.*)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+        if not im:
+            raise UnsupportedDialect(f"SELECT * REPLACE: item needs 'expr AS col': {item!r}")
+        repl[im.group(2).lower()] = im.group(1).strip()
+
+    base = spark.sql(translate(f"SELECT * {rest}"))
+    missing = [c for c in repl if c not in {x.lower() for x in base.columns}]
+    if missing:
+        raise UnsupportedDialect(f"SELECT * REPLACE: unknown column(s) {missing}")
+    return base.select(
+        *[
+            F.expr(translate(repl[c.lower()])).alias(c) if c.lower() in repl else F.col(c)
+            for c in base.columns
+        ]
+    )
+
+
+__all__ = ["route_asof_join", "route_with_recursive", "route_star_replace"]
