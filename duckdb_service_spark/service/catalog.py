@@ -66,6 +66,11 @@ class TableMeta:
     columns: list[dict]  # {name, type, not_null, primary_key}
     path: str
     created_at: float = field(default_factory=time.time)
+    # hive-style partition columns (engine extension `PARTITION BY (...)` on
+    # CREATE TABLE): unlocks partition-pruned scans AND partition-scoped
+    # copy-on-write DML — at 100 TB an UPDATE touching one day must not
+    # rewrite three years
+    partition_cols: list[str] = field(default_factory=list)
 
     def spark_schema(self) -> T.StructType:
         return T.StructType(
@@ -104,7 +109,13 @@ class Catalog:
     def _save_meta(self, meta: TableMeta) -> None:
         with open(self._meta_path(meta.name), "w") as f:
             json.dump(
-                {"name": meta.name, "columns": meta.columns, "created_at": meta.created_at}, f
+                {
+                    "name": meta.name,
+                    "columns": meta.columns,
+                    "created_at": meta.created_at,
+                    "partition_cols": meta.partition_cols,
+                },
+                f,
             )
 
     def _load_existing(self) -> None:
@@ -120,6 +131,7 @@ class Catalog:
                     columns=d["columns"],
                     path=os.path.join(self.dir, d["name"]),
                     created_at=d.get("created_at", 0),
+                    partition_cols=d.get("partition_cols", []),
                 )
                 self.tables[meta.name] = meta
                 if os.path.exists(meta.path):
@@ -130,17 +142,35 @@ class Catalog:
 
     # -- DDL ---------------------------------------------------------------
 
-    def create_table(self, name: str, columns: list[dict], if_not_exists: bool = False) -> None:
+    def create_table(
+        self,
+        name: str,
+        columns: list[dict],
+        if_not_exists: bool = False,
+        partition_cols: list[str] | None = None,
+    ) -> None:
         if name in self.tables:
             if if_not_exists:
                 return
             raise ValueError(f"table {name} already exists")
-        meta = TableMeta(name=name, columns=columns, path=os.path.join(self.dir, name))
-        os.makedirs(meta.path, exist_ok=True)
-        # materialize an empty parquet so reads of a fresh table work
-        self.spark.createDataFrame([], meta.spark_schema()).write.mode("overwrite").parquet(
-            meta.path
+        partition_cols = partition_cols or []
+        declared = {c["name"] for c in columns}
+        for p in partition_cols:
+            if p not in declared:
+                raise ValueError(f"PARTITION BY column {p} is not a table column")
+        meta = TableMeta(
+            name=name,
+            columns=columns,
+            path=os.path.join(self.dir, name),
+            partition_cols=partition_cols,
         )
+        os.makedirs(meta.path, exist_ok=True)
+        if not partition_cols:
+            # materialize an empty parquet so reads of a fresh table work
+            # (partitioned tables read empty via the no-files path instead)
+            self.spark.createDataFrame([], meta.spark_schema()).write.mode("overwrite").parquet(
+                meta.path
+            )
         self.tables[name] = meta
         self._save_meta(meta)
         self._register(meta)
@@ -238,9 +268,25 @@ class Catalog:
 
     # -- IO ----------------------------------------------------------------
 
+    def _has_data_files(self, path: str) -> bool:
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self, name: str) -> DataFrame:
         meta = self.tables[name]
-        return self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
+        from pyspark.sql import functions as F
+
+        if not meta.partition_cols:
+            return self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
+        schema = meta.spark_schema()
+        if not self._has_data_files(meta.path):
+            return self.spark.createDataFrame([], schema)
+        # hive-partition discovery infers partition-column types from the
+        # directory names; re-select in declared order with declared types
+        df = self.spark.read.parquet(meta.path)
+        return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Atomic-ish copy-on-write: write to temp dir, swap, re-register.
@@ -248,16 +294,54 @@ class Catalog:
         single-writer discipline is assumed, SURVEY §1.4.)"""
         meta = self.tables[name]
         tmp = meta.path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if meta.partition_cols:
+            w = w.partitionBy(*meta.partition_cols)
+        w.parquet(tmp)
         old = meta.path + ".old"
         os.rename(meta.path, old)
         os.rename(tmp, meta.path)
         shutil.rmtree(old, ignore_errors=True)
         self._register(meta)
 
+    def overwrite_partitions(self, name: str, df: DataFrame) -> None:
+        """Partition-scoped copy-on-write: `df` holds the new FULL content of
+        the partitions it covers; only those partition directories are
+        swapped — every other partition's files are never read or written.
+        (Dir-level rename stands in for the object-store commit protocol.)"""
+        meta = self.tables[name]
+        assert meta.partition_cols, "overwrite_partitions needs a partitioned table"
+        tmp = meta.path + ".ptmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.partitionBy(*meta.partition_cols).mode("overwrite").parquet(tmp)
+        for root, _dirs, files in os.walk(tmp):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            rel = os.path.relpath(root, tmp)
+            dest = os.path.join(meta.path, rel)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(root, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._register(meta)
+
+    def drop_partition_dirs(self, name: str, values: list[tuple]) -> None:
+        """Remove the directories of fully-emptied partitions (a DELETE that
+        drains a partition must not leave its old files resurrectable)."""
+        meta = self.tables[name]
+        for tup in values:
+            rel = os.path.join(
+                *[f"{c}={v}" for c, v in zip(meta.partition_cols, tup)]
+            )
+            shutil.rmtree(os.path.join(meta.path, rel), ignore_errors=True)
+        self._register(meta)
+
     def append(self, name: str, df: DataFrame) -> None:
         meta = self.tables[name]
-        df.write.mode("append").parquet(meta.path)
+        w = df.write.mode("append")
+        if meta.partition_cols:
+            w = w.partitionBy(*meta.partition_cols)
+        w.parquet(meta.path)
         self._register(meta)
 
     # -- snapshot / restore (EXPORT/IMPORT DATABASE) ----------------------

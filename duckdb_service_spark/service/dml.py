@@ -215,11 +215,37 @@ _UPDATE_RE = re.compile(
 )
 
 
+def _affected_partitions(engine: "Engine", table: str, df: DataFrame, pred) -> list[tuple]:
+    """Distinct partition-column tuples containing rows the predicate hits.
+    When the WHERE constrains the partition column, the scan underneath is
+    partition-pruned by Spark — the pruning IS the point: an UPDATE touching
+    one day of a date-partitioned 100 TB table must read one day."""
+    pcols = engine.catalog.tables[table].partition_cols
+    return [tuple(r) for r in df.filter(pred).select(*pcols).distinct().collect()]
+
+
+def _partition_membership(engine: "Engine", table: str, parts: list[tuple]):
+    import functools
+
+    pcols = engine.catalog.tables[table].partition_cols
+    if not parts:
+        return F.lit(False)
+    conds = [
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(pcols, tup)],
+        )
+        for tup in parts
+    ]
+    return functools.reduce(lambda a, b: a | b, conds)
+
+
 def update_rows(engine: "Engine", sql: str) -> int:
     m = _UPDATE_RE.match(sql.strip())
     if not m:
         raise ValueError(f"cannot parse UPDATE: {sql[:80]}")
     table, set_clause, where = m.groups()
+    meta = engine.catalog.tables[table]
     df = engine.catalog.read(table)
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
@@ -229,12 +255,34 @@ def update_rows(engine: "Engine", sql: str) -> int:
             raise ValueError(f"cannot parse UPDATE assignment (missing '='): {part!r}")
         col, expr = part.split("=", 1)
         assignments[col.strip()] = F.expr(translate(expr.strip()))
-    out = df
-    for col, expr in assignments.items():
-        field = engine.catalog.tables[table].spark_schema()[col]
-        out = out.withColumn(
-            col, F.when(pred, expr.cast(field.dataType)).otherwise(F.col(col))
-        )
+    if meta.partition_cols and any(c in meta.partition_cols for c in assignments):
+        raise ValueError("UPDATE of a partition column is not supported; DELETE+INSERT instead")
+
+    def apply_set(src: DataFrame) -> DataFrame:
+        out = src
+        for col, expr in assignments.items():
+            field = meta.spark_schema()[col]
+            out = out.withColumn(
+                col, F.when(pred, expr.cast(field.dataType)).otherwise(F.col(col))
+            )
+        return out
+
+    if meta.partition_cols:
+        parts = _affected_partitions(engine, table, df, pred)
+        if not parts:
+            return n
+        member = _partition_membership(engine, table, parts)
+        scoped = apply_set(df.filter(member))
+        if meta.pk_cols:
+            # PK uniqueness is global: check against untouched partitions too
+            _check_constraints_update(
+                engine, table, scoped.unionByName(df.filter(~F.coalesce(member, F.lit(False))))
+            )
+        else:
+            _check_constraints_update(engine, table, scoped)
+        engine.catalog.overwrite_partitions(table, scoped)
+        return n
+    out = apply_set(df)
     _check_constraints_update(engine, table, out)
     engine.catalog.overwrite(table, out)
     return n
@@ -258,11 +306,25 @@ def delete_rows(engine: "Engine", sql: str) -> int:
     if not m:
         raise ValueError(f"cannot parse DELETE: {sql[:80]}")
     table, where = m.groups()
+    meta = engine.catalog.tables[table]
     df = engine.catalog.read(table)
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
     # SQL three-valued logic: DELETE removes only rows where the predicate is
     # TRUE; rows where it evaluates NULL are retained (filter(~pred) would
     # silently drop them).
-    engine.catalog.overwrite(table, df.filter(~F.coalesce(pred, F.lit(False))))
+    keep = ~F.coalesce(pred, F.lit(False))
+    if meta.partition_cols:
+        parts = _affected_partitions(engine, table, df, pred)
+        if not parts:
+            return n
+        member = _partition_membership(engine, table, parts)
+        kept_scoped = df.filter(member).filter(keep)
+        surviving = {tuple(r) for r in kept_scoped.select(*meta.partition_cols).distinct().collect()}
+        engine.catalog.overwrite_partitions(table, kept_scoped)
+        # fully-drained partitions get no files from the dynamic overwrite —
+        # their old directories must go too
+        engine.catalog.drop_partition_dirs(table, [p for p in parts if p not in surviving])
+        return n
+    engine.catalog.overwrite(table, df.filter(keep))
     return n

@@ -28,6 +28,14 @@ class ExecuteOutcome:
     rows_affected: int
 
 
+# trailing PARTITION BY (cols) is an engine extension for hive-style
+# partitioned tables (partition-pruned scans + partition-scoped DML);
+# matched FIRST — in the plain pattern the greedy body would swallow it
+_CREATE_TABLE_PART_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*"
+    r"PARTITION\s+BY\s*\(([^)]*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_TABLE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -42,10 +50,14 @@ _split_columns = split_top_level  # top-level comma split, shared with DML
 
 
 def parse_create_table(sql: str):
-    m = _CREATE_TABLE_RE.match(sql)
+    m = _CREATE_TABLE_PART_RE.match(sql)
+    partition_spec = m.group(4) if m else None
+    if m is None:
+        m = _CREATE_TABLE_RE.match(sql)
     if not m:
         return None
     if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+    partition_cols = [c.strip() for c in (partition_spec or "").split(",") if c.strip()]
     columns, table_pk = [], []
     for part in _split_columns(body):
         pk_m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", part, re.IGNORECASE)
@@ -67,7 +79,7 @@ def parse_create_table(sql: str):
     for c in columns:
         if c["name"] in table_pk:
             c["primary_key"] = True
-    return if_not_exists, name, columns
+    return if_not_exists, name, columns, partition_cols
 
 
 class Engine:
@@ -207,8 +219,10 @@ class Engine:
 
         parsed = parse_create_table(stripped)
         if parsed is not None:
-            if_not_exists, name, columns = parsed
-            self.catalog.create_table(name, columns, if_not_exists=if_not_exists)
+            if_not_exists, name, columns, partition_cols = parsed
+            self.catalog.create_table(
+                name, columns, if_not_exists=if_not_exists, partition_cols=partition_cols
+            )
             return ExecuteOutcome(0)
 
         m = re.match(

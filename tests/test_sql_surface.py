@@ -194,6 +194,69 @@ def test_update_set_with_commas_in_expression(engine):
     assert rows == {(9, 5, 9), (8, 3, 3)}
 
 
+# ---- partition-scoped DML -------------------------------------------------
+
+
+def _partition_files(meta_path: str, part: str) -> dict[str, float]:
+    import os
+
+    d = os.path.join(meta_path, part)
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_partitioned_table_dml_scope(engine):
+    engine.execute(
+        "CREATE TABLE pt (id INTEGER, d DATE, v INTEGER) PARTITION BY (d)"
+    )
+    engine.execute(
+        "INSERT INTO pt VALUES (1, DATE '2024-01-01', 10), (2, DATE '2024-01-01', 20),"
+        " (3, DATE '2024-01-02', 30), (4, DATE '2024-01-03', 40)"
+    )
+    meta = engine.catalog.tables["pt"]
+    before_0102 = _partition_files(meta.path, "d=2024-01-02")
+    before_0103 = _partition_files(meta.path, "d=2024-01-03")
+    assert before_0102 and before_0103
+
+    # UPDATE scoped to one partition: the other partitions' files must be
+    # byte-untouched (same names, same mtimes) — not rewritten
+    out = engine.execute("UPDATE pt SET v = v + 1 WHERE d = DATE '2024-01-01'")
+    assert out.rows_affected == 2
+    assert _partition_files(meta.path, "d=2024-01-02") == before_0102
+    assert _partition_files(meta.path, "d=2024-01-03") == before_0103
+    rows = {(r.id, r.v) for r in engine.query_df("SELECT id, v FROM pt").collect()}
+    assert rows == {(1, 11), (2, 21), (3, 30), (4, 40)}
+
+    # DELETE that drains a partition removes its directory entirely
+    out = engine.execute("DELETE FROM pt WHERE d = DATE '2024-01-02'")
+    assert out.rows_affected == 1
+    import os
+
+    assert not os.path.exists(os.path.join(meta.path, "d=2024-01-02"))
+    assert _partition_files(meta.path, "d=2024-01-03") == before_0103
+    assert engine.query_df("SELECT COUNT(*) AS n FROM pt").collect()[0].n == 3
+
+
+def test_partitioned_scan_is_pruned(engine):
+    df = engine.catalog.read("pt").filter("d = DATE '2024-01-01'")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the date filter lands in PartitionFilters (directory pruning), and the
+    # partition-filter list actually carries the predicate
+    seg = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "2024-01-01" in seg or "d" in seg, plan
+
+
+def test_update_partition_column_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.execute("UPDATE pt SET d = DATE '2030-01-01' WHERE v = 40")
+
+
 def test_strptime_literal(spark):
     from duckdb_service_spark.service.dialect import translate
 
