@@ -406,6 +406,38 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_time",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(ts AS TIME)                         AS t,
+      CAST(date_part('hour', ts) AS BIGINT)    AS h,
+      CAST(date_part('minute', ts) AS BIGINT)  AS m,
+      TIME '08:30:00'                          AS fixed,
+      CAST(ts AS TIME) > TIME '12:00:00'       AS afternoon
+    FROM events
+    WHERE event_id <= 200
+    """,
+)
+def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME type (SURVEY §1.3 edge, deferred in r01; Spark 4.1 TimeType
+    behind spark.sql.timeType.enabled, set in session.tune). Spark lacks a
+    direct TIMESTAMP_NTZ→TIME cast, so the route is date_format→TIME —
+    microsecond-lossless for the fixture's second-resolution data."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") <= 200)
+    as_time = F.date_format("ts", "HH:mm:ss.SSSSSS").cast("time")
+    return e.select(
+        "event_id",
+        as_time.alias("t"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("m"),
+        F.expr("TIME '08:30:00'").alias("fixed"),
+        (as_time > F.expr("TIME '12:00:00'")).alias("afternoon"),
+    )
+
+
+@query(
     "fn_hash",
     oracle=f"""
     SELECT

@@ -74,9 +74,11 @@ PRIORITY: list[str] = [
     "stream_user_activity_windows",
     "win_running_sum",
     "win_partition_agg",
-    # new this round: SQL-surface routing of ASOF JOIN / WITH RECURSIVE
+    # new this round: SQL-surface routing of ASOF JOIN / WITH RECURSIVE and
+    # the TIME type edge
     "sql_asof_routing",
     "sql_recursive_routing",
+    "fn_time",
     # family representatives with no driver evidence yet
     "q1_pricing_summary",
     "q3_shipping_priority",

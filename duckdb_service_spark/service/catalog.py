@@ -42,6 +42,7 @@ _DUCK_TO_SPARK = {
     "STRING": T.StringType(),
     "BLOB": T.BinaryType(),
     "DATE": T.DateType(),
+    "TIME": T.TimeType(),
     "TIMESTAMP": T.TimestampNTZType(),
     "UUID": T.StringType(),
 }

@@ -88,6 +88,7 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.catalog = Catalog(spark, warehouse_dir)
+        self._pragmas: dict[str, str] = {}
 
     # ---- sequences -------------------------------------------------------
 
@@ -311,11 +312,26 @@ class Engine:
 
         m = re.match(r"^(?:PRAGMA|SET)\s+(\w+)\s*=\s*(.+)$", stripped, re.IGNORECASE)
         if m:
-            # map a safe subset onto spark confs; reject the rest loudly
-            key, val = m.group(1), m.group(2).strip().strip("'")
-            allowed = {"threads": "spark.sql.shuffle.partitions"}
-            if key in allowed:
-                self.spark.conf.set(allowed[key], val)
+            # map onto spark confs where a real equivalent exists; accept the
+            # common DuckDB tuning pragmas as recorded no-ops (they tune a
+            # single-process engine; the Spark analogues are cluster/submit
+            # settings); reject unknown keys loudly
+            key, val = m.group(1).lower(), m.group(2).strip().strip("'")
+            mapped = {"threads": "spark.sql.shuffle.partitions"}
+            accepted_noop = {
+                "memory_limit",
+                "temp_directory",
+                "enable_progress_bar",
+                "enable_object_cache",
+                "preserve_insertion_order",
+                "checkpoint_threshold",
+            }
+            if key in mapped:
+                self.spark.conf.set(mapped[key], val)
+                self._pragmas[key] = val
+                return ExecuteOutcome(0)
+            if key in accepted_noop:
+                self._pragmas[key] = val
                 return ExecuteOutcome(0)
             raise ValueError(f"unsupported PRAGMA/SET: {key}")
 
@@ -401,9 +417,14 @@ class Engine:
     # ---- query entry (returns reference-shaped result dict) --------------
 
     def is_query(self, sql: str) -> bool:
-        head = sql.strip().split(None, 1)
+        stripped = sql.strip()
+        head = stripped.split(None, 1)
         if not head:
             return False
+        # query-style PRAGMA (no '='): PRAGMA show_tables / table_info('t')
+        # / version / database_size return result sets (DuckDB behavior)
+        if head[0].upper() == "PRAGMA" and "=" not in stripped:
+            return True
         return head[0].upper() in {
             "SELECT",
             "WITH",
@@ -428,9 +449,39 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "column_name string, column_type string, `null` string, key string"
             )
-        if re.match(r"^SHOW\s+TABLES$", stripped, re.IGNORECASE):
+        if re.match(r"^(?:SHOW\s+TABLES|PRAGMA\s+show_tables)$", stripped, re.IGNORECASE):
             names = sorted(set(self.catalog.tables) | set(self.catalog.views))
             return self.spark.createDataFrame([(n,) for n in names], "name string")
+        m = re.match(r"^PRAGMA\s+table_info\s*\(\s*'?(\w+)'?\s*\)$", stripped, re.IGNORECASE)
+        if m and m.group(1) in self.catalog.tables:
+            meta = self.catalog.tables[m.group(1)]
+            rows = [
+                (i, c["name"], c["type"].upper(), bool(c["not_null"] or c["primary_key"]),
+                 None, bool(c["primary_key"]))
+                for i, c in enumerate(meta.columns)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "cid int, name string, type string, notnull boolean, "
+                "dflt_value string, pk boolean",
+            )
+        if re.match(r"^PRAGMA\s+version$", stripped, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(f"duckdb_service_spark (Spark {self.spark.version})", "spark")],
+                "library_version string, source_id string",
+            )
+        if re.match(r"^PRAGMA\s+database_size$", stripped, re.IGNORECASE):
+            st = self.catalog.status()
+            return self.spark.createDataFrame(
+                [("main", str(st["warehouse_bytes"]))],
+                "database_name string, database_size string",
+            )
+        m = re.match(r"^PRAGMA\s+(\w+)$", stripped, re.IGNORECASE)
+        if m and m.group(1).lower() in self._pragmas:
+            # read back a previously-set pragma value
+            return self.spark.createDataFrame(
+                [(self._pragmas[m.group(1).lower()],)], "value string"
+            )
         if stripped.upper().startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN") :].strip()
             plan = self.spark.sql(translate(inner))._jdf.queryExecution().explainString(

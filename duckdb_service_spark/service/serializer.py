@@ -34,6 +34,7 @@ _SIMPLE = {
     T.DateType: "DATE",
     T.TimestampType: "TIMESTAMP",
     T.TimestampNTZType: "TIMESTAMP",
+    T.TimeType: "TIME",
     T.NullType: '"NULL"',
 }
 
@@ -68,6 +69,8 @@ def _json_value(v: Any) -> Any:
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dt.time):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         # reference coerces []byte to string, db/db.go:107-111

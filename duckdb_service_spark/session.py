@@ -30,6 +30,8 @@ def tune(spark: SparkSession) -> SparkSession:
     conf applied here (not only a builder conf).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIME type (SURVEY §1.3 edge): feature-flagged in Spark 4.1
+    spark.conf.set("spark.sql.timeType.enabled", "true")
     # Match DuckDB's ANSI-ish cast/overflow behaviour is NOT desired here:
     # the oracle comparison needs permissive casts (try_cast semantics are
     # exercised explicitly), so keep ANSI off.

@@ -257,6 +257,44 @@ def test_update_partition_column_rejected(engine):
         engine.execute("UPDATE pt SET d = DATE '2030-01-01' WHERE v = 40")
 
 
+# ---- PRAGMA surface -------------------------------------------------------
+
+
+def test_pragma_query_style(engine):
+    kind, df = engine.run_statement("PRAGMA show_tables")
+    assert kind == "query" and "pt" in {r.name for r in df.collect()}
+    kind, df = engine.run_statement("PRAGMA table_info('pt')")
+    rows = {(r.name, r.type) for r in df.collect()}
+    assert ("d", "DATE") in rows and ("v", "INTEGER") in rows
+    kind, df = engine.run_statement("PRAGMA version")
+    assert "Spark" in df.collect()[0].library_version
+    kind, df = engine.run_statement("PRAGMA database_size")
+    assert int(df.collect()[0].database_size) > 0
+
+
+def test_pragma_set_and_readback(engine):
+    assert engine.execute("PRAGMA memory_limit='2GB'").rows_affected == 0
+    kind, df = engine.run_statement("PRAGMA memory_limit")
+    assert df.collect()[0].value == "2GB"
+    assert engine.execute("SET threads=16").rows_affected == 0
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    with pytest.raises(ValueError):
+        engine.execute("PRAGMA not_a_real_pragma=1")
+
+
+# ---- TIME type (§1.3 edge) ------------------------------------------------
+
+
+def test_time_type_end_to_end(engine):
+    from duckdb_service_spark.service.serializer import query_result
+
+    engine.execute("CREATE TABLE tt (id INTEGER, t TIME)")
+    engine.execute("INSERT INTO tt VALUES (1, TIME '08:30:00'), (2, TIME '23:59:59')")
+    out = query_result(engine.query_df("SELECT * FROM tt ORDER BY id"))
+    assert out["types"] == ["INTEGER", "TIME"]
+    assert out["values"] == [[1, "08:30:00"], [2, "23:59:59"]]
+
+
 def test_strptime_literal(spark):
     from duckdb_service_spark.service.dialect import translate
 
