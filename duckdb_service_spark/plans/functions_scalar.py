@@ -406,6 +406,37 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_variant",
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT)          AS k_big,
+      json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
+      CAST(json_extract(props, '$') IS NOT NULL AS BOOLEAN) AS parses
+    FROM events
+    WHERE event_id <= 300
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column via Spark 4 VARIANT (parse_json/variant_get) —
+    the engine's scale path for JSON: parse once into the binary variant
+    encoding, extract typed fields columnar-side (DuckDB twin: its JSON
+    type + json_extract). Variant itself never reaches the output (driver
+    canon can't hash it); extracted scalars do."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("event_id") <= 300)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_big"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')").isNotNull().alias(
+            "has_missing"
+        ),
+        v.isNotNull().alias("parses"),
+    )
+
+
+@query(
     "fn_time",
     oracle="""
     SELECT

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "sql_asof_routing",
     "sql_recursive_routing",
     "fn_time",
+    "fn_variant",
     # family representatives with no driver evidence yet
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -35,6 +35,7 @@ _SIMPLE = {
     T.TimestampType: "TIMESTAMP",
     T.TimestampNTZType: "TIMESTAMP",
     T.TimeType: "TIME",
+    T.VariantType: "JSON",  # Spark VARIANT ≅ DuckDB's JSON logical type
     T.NullType: '"NULL"',
 }
 
@@ -79,6 +80,8 @@ def _json_value(v: Any) -> Any:
         return [_json_value(x) for x in v]
     if isinstance(v, dict):
         return {k: _json_value(x) for k, x in v.items()}
+    if isinstance(v, T.VariantVal):
+        return v.toJson()
     if hasattr(v, "asDict"):  # Row
         return {k: _json_value(x) for k, x in v.asDict().items()}
     return str(v)
