@@ -80,6 +80,8 @@ PRIORITY: list[str] = [
     "sql_recursive_routing",
     "fn_time",
     "fn_variant",
+    "text_stratified_sample",
+    "pipeline_shard_assignment",
     # family representatives with no driver evidence yet
     "q1_pricing_summary",
     "q3_shipping_priority",

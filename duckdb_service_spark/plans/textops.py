@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable import hash64, hash64_sql
 from ..operators.dedup import tokens_expr
 from ..operators.text import (
     STOPWORDS,
@@ -199,3 +200,76 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return extract_features(d, id_col="doc_id", payload_col="payload", n_features=8)
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT lang, n_chars
+      FROM documents
+      WHERE {hash64_sql("CAST(doc_id AS VARCHAR)")} % 10 < 2
+    )
+    SELECT s.lang,
+           COUNT(*)                                  AS n_sampled,
+           t.n_total,
+           CAST(SUM(n_chars) AS BIGINT)              AS chars_sampled
+    FROM sampled s
+    JOIN (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang) t
+      ON s.lang = t.lang
+    GROUP BY s.lang, t.n_total
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-mix sampling: a deterministic ~20% hash-bucket
+    sample per language stratum, with per-stratum accounting against the
+    full corpus. Hash-bucket (not rand()) so the sample is reproducible
+    across retries/partitionings — the property a 100 TB data mix needs.
+    Map-side filter + one shuffle per groupBy; the stratum-totals join is
+    broadcast-sized (one row per language)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    sampled = d.filter(hash64(F.col("doc_id").cast("string")) % 10 < 2).select(
+        "lang", "n_chars"
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sampled.join(F.broadcast(totals), "lang")
+        .groupBy("lang", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .select("lang", "n_sampled", "n_total", "chars_sampled")
+    )
+
+
+@query(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, {hash64_sql("CAST(doc_id AS VARCHAR)")} % 16 AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY shard
+    """,
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data writes: content-hash
+    mod N (not round-robin) so shard membership is stable across reruns and
+    independent of input partitioning. The write path would be
+    .repartition(N, shard).write — here the assignment itself is the
+    oracle-checked artifact. Purely map-side + one count shuffle."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return (
+        d.select("doc_id", (hash64(F.col("doc_id").cast("string")) % 16).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
