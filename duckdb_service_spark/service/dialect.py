@@ -53,10 +53,18 @@ FUNCTION_ALIASES = {
     "list_filter": "filter",
     "list_aggregate_sum": "aggregate",  # placeholder; see special cases
     "list_contains": "array_contains",
+    # list_position: DuckDB 1.0 returns 0 when absent (verified empirically),
+    # matching Spark array_position — plain alias is correct
     "list_position": "array_position",
     "list_sort": "array_sort",
+    # 1-based extraction, NULL out-of-bounds — exactly element_at with ANSI off
+    "list_extract": "element_at",
+    "array_extract": "element_at",
+    "list_element": "element_at",
     "list_distinct": "array_distinct",
-    "list_slice": "slice",
+    # list_slice: DuckDB (list, begin, END-inclusive) vs Spark slice
+    # (arr, start, LENGTH) — arithmetic rewrite below, not a plain alias
+    "list_slice": "__duck_list_slice",
     "list_value": "array",
     "array_to_string": "array_join",
     "regexp_matches": "regexp_like",
@@ -147,14 +155,39 @@ def _rewrite_list_literals(code: str) -> str:
     A ``[`` opens a constructor only in VALUE position (start, after ``(``,
     ``,``, an operator, or a keyword); after an identifier/``)``/``]`` it is
     a subscript and stays untouched. Runs on code chunks only."""
+    _KEYWORDS = {
+        "select", "when", "then", "else", "end", "and", "or", "not", "in",
+        "on", "where", "having", "union", "all", "distinct", "by", "limit",
+        "offset", "case", "values", "return", "returns", "between", "like",
+    }
     out = []
-    stack = []  # True = constructor bracket (emitted as paren)
+    stack = []  # True = constructor bracket (emitted as closing paren)
     prev = ""
+    cur: list[str] = []  # identifier being read
+    last_word = ""  # last COMPLETED identifier (survives whitespace)
     for ch in code:
+        if ch.isalnum() or ch == "_":
+            cur.append(ch)
+        elif not ch.isspace():
+            if cur:
+                last_word = "".join(cur)
+                cur = []
+            elif ch not in "[":
+                last_word = ""
         if ch == "[":
-            is_ctor = not (prev.isalnum() or prev in ("_", ")", "]", '"'))
-            stack.append(is_ctor)
-            out.append("array(" if is_ctor else "[")
+            w = (last_word or "").lower()
+            last_word = ""
+            if w == "array":
+                # DuckDB's ARRAY[1,2] keyword form: keep the word, swap
+                # brackets for parens → the array(...) function call
+                stack.append(True)
+                out.append("(")
+            elif w in _KEYWORDS or not (prev.isalnum() or prev in ("_", ")", "]", '"')):
+                stack.append(True)
+                out.append("array(")
+            else:
+                stack.append(False)
+                out.append("[")
         elif ch == "]" and stack:
             out.append(")" if stack.pop() else "]")
         else:
@@ -164,8 +197,40 @@ def _rewrite_list_literals(code: str) -> str:
     return "".join(out)
 
 
+# DuckDB subscripts are 1-BASED (arr[1] = first element, NULL past the end,
+# inclusive-end slices); Spark's [] is 0-based — passing them through would
+# be a silent off-by-one. element_at/slice carry DuckDB's semantics exactly
+# (1-based, NULL out-of-bounds with ANSI off).
+_SUBSCRIPT_RE = re.compile(r"(\b[A-Za-z_]\w*(?:\.\w+)*)\s*\[([^\[\]]+)\]")
+
+
+def _subscript_one(m: re.Match) -> str:
+    base, content = m.group(1), m.group(2).strip()
+    if ":" in content:
+        b, e = (p.strip() for p in content.split(":", 1))
+        b = b or "1"
+        if not e:
+            return f"slice({base}, {b}, size({base}))"
+        return f"slice({base}, {b}, ({e}) - ({b}) + 1)"
+    return f"element_at({base}, {content})"
+
+
+def _rewrite_subscripts(code: str) -> str:
+    prev = None
+    while prev != code:  # innermost-first for chained a[1][2]
+        prev = code
+        code = _SUBSCRIPT_RE.sub(_subscript_one, code)
+    if re.search(r"[\)\]]\s*\[", code):
+        raise UnsupportedDialect(
+            "subscript on a complex base would be silently 0-based in Spark; "
+            "use element_at(expr, i) / slice(expr, b, n) explicitly"
+        )
+    return code
+
+
 def _rewrite_functions(code: str) -> str:
     code = _rewrite_list_literals(code)
+    code = _rewrite_subscripts(code)
     # bare VARCHAR/TEXT in CAST targets: Spark demands a length for VARCHAR
     # and has no TEXT — both mean STRING
     code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.IGNORECASE)
@@ -281,7 +346,71 @@ def translate(sql: str) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_len(sql)
+    sql = _rewrite_balanced_call(sql, "__duck_list_slice", _emit_slice)
     return sql
+
+
+def _emit_slice(args: list[str]) -> str:
+    """DuckDB list_slice(l, b, e) is INCLUSIVE-END; Spark slice(l, b, n)
+    takes a LENGTH. n = e - b + 1 (emitted as arithmetic so non-literal
+    bounds work)."""
+    if len(args) != 2 + 1:
+        raise UnsupportedDialect("list_slice expects (list, begin, end)")
+    lst, b, e = args
+    return f"slice({lst}, {b}, ({e}) - ({b}) + 1)"
+
+
+def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
+    """Replace every `marker(...)` call with emit(top_level_args)."""
+    out, i = [], 0
+    while True:
+        m = re.search(rf"\b{marker}\s*\(", sql[i:])
+        if not m:
+            out.append(sql[i:])
+            break
+        start = i + m.start()
+        open_at = i + m.end()
+        depth, j, in_str = 1, open_at, False
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        inner = _rewrite_balanced_call(sql[open_at : j - 1], marker, emit)
+        args = _split_args(inner)
+        out.append(sql[i:start])
+        out.append(emit(args))
+        i = j
+    return "".join(out)
+
+
+def _split_args(body: str) -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for ch in body:
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0 and not in_str:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
 
 
 # DuckDB len() is polymorphic (strings AND lists); Spark splits it into

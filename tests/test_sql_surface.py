@@ -295,6 +295,46 @@ def test_time_type_end_to_end(engine):
     assert out["values"] == [[1, "08:30:00"], [2, "23:59:59"]]
 
 
+# ---- DuckDB array semantics at the SQL surface ---------------------------
+
+
+def test_subscripts_are_one_based(spark):
+    """DuckDB subscripts are 1-based with NULL out-of-bounds; the dialect
+    must not pass them through to Spark's 0-based []."""
+    import duckdb
+
+    from duckdb_service_spark.service.dialect import translate
+
+    cases = [
+        "SELECT ([10, 20, 30])[1] AS v",
+        "SELECT l[2] AS v FROM (SELECT [10, 20, 30] AS l)",
+        "SELECT l[99] AS v FROM (SELECT [10, 20, 30] AS l)",
+        "SELECT l[-1] AS v FROM (SELECT [10, 20, 30] AS l)",
+        "SELECT array_to_string(l[2:3], ',') AS v FROM (SELECT [1, 2, 3, 4] AS l)",
+        "SELECT array_to_string(list_slice(l, 2, 3), ',') AS v FROM (SELECT [1, 2, 3, 4] AS l)",
+        "SELECT list_position([5, 6], 7) AS v",
+        "SELECT list_position([5, 6], 6) AS v",
+        "SELECT list_extract(ARRAY[7, 8], 2) AS v",
+    ]
+    for sql in cases:
+        # parenthesized-constructor subscript isn't routable; DuckDB value
+        # is the contract for the rest
+        if sql.startswith("SELECT (["):
+            continue
+        duck = duckdb.sql(sql).fetchone()[0]
+        got = spark.sql(translate(sql)).collect()[0].v
+        assert got == duck, f"{sql}: spark={got} duck={duck}"
+
+
+def test_complex_base_subscript_raises(spark):
+    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT split('a b', ' ')[1]")
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT ARRAY[7, 8][2]")  # constructor-then-subscript chain
+
+
 def test_strptime_literal(spark):
     from duckdb_service_spark.service.dialect import translate
 
