@@ -406,6 +406,45 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_union_type",
+    oracle="""
+    WITH u AS (
+      SELECT n_nationkey AS id,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN union_value(num := n_nationkey)::UNION(num INTEGER, str VARCHAR)
+                  ELSE union_value(str := n_name)::UNION(num INTEGER, str VARCHAR)
+             END AS uv
+      FROM nation
+    )
+    SELECT id,
+           union_tag(uv)            AS tag,
+           union_extract(uv, 'num') AS num,
+           union_extract(uv, 'str') AS str
+    FROM u
+    """,
+)
+def fn_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB UNION(tag: type, ...) sum type — SURVEY §1.3 shim: a struct of
+    one nullable field per variant plus the active tag (exactly the
+    union_tag/union_extract access pattern, so a reference user's queries
+    port mechanically)."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"]
+    even = F.col("n_nationkey") % 2 == 0
+    uv = F.struct(
+        F.when(even, F.lit("num")).otherwise(F.lit("str")).alias("tag"),
+        F.when(even, F.col("n_nationkey").cast("int")).alias("num"),
+        F.when(~even, F.col("n_name")).alias("str"),
+    )
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        uv.getField("tag").alias("tag"),
+        uv.getField("num").alias("num"),
+        uv.getField("str").alias("str"),
+    )
+
+
+@query(
     "fn_variant",
     oracle="""
     SELECT

@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "sql_recursive_routing",
     "fn_time",
     "fn_variant",
+    "fn_union_type",
     "text_stratified_sample",
     "pipeline_shard_assignment",
     # family representatives with no driver evidence yet

@@ -34,6 +34,11 @@ _DUCK_TO_SPARK = {
     "BIGINT": T.LongType(),
     "INT8": T.LongType(),
     "HUGEINT": T.DecimalType(38, 0),
+    # unsigned ints: Spark has none — next-wider signed type (SURVEY §1.3)
+    "UTINYINT": T.ShortType(),
+    "USMALLINT": T.IntegerType(),
+    "UINTEGER": T.LongType(),
+    "UBIGINT": T.DecimalType(20, 0),
     "FLOAT": T.FloatType(),
     "REAL": T.FloatType(),
     "DOUBLE": T.DoubleType(),

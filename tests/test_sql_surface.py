@@ -285,6 +285,14 @@ def test_pragma_set_and_readback(engine):
 # ---- TIME type (§1.3 edge) ------------------------------------------------
 
 
+def test_unsigned_int_ddl(engine):
+    engine.execute("CREATE TABLE ui (a UTINYINT, b USMALLINT, c UINTEGER, d UBIGINT)")
+    engine.execute("INSERT INTO ui VALUES (200, 60000, 4000000000, 10000000000000000000)")
+    row = engine.query_df("SELECT * FROM ui").collect()[0]
+    assert (row.a, row.b, row.c) == (200, 60000, 4000000000)
+    assert int(row.d) == 10000000000000000000  # Decimal(20,0) carries uint64 range
+
+
 def test_time_type_end_to_end(engine):
     from duckdb_service_spark.service.serializer import query_result
 
