@@ -113,14 +113,42 @@ def _aligned(engine: "Engine", table: str, cols_spec: str | None, src: DataFrame
     return out.select(*target_cols)
 
 
+_ON_CONFLICT_NOTHING_RE = re.compile(
+    r"\s+ON\s+CONFLICT(?:\s*\([^)]*\))?\s+DO\s+NOTHING\s*$", re.IGNORECASE
+)
+
+
+def _drop_conflicts(engine: "Engine", table: str, aligned: DataFrame) -> DataFrame:
+    """ON CONFLICT DO NOTHING: keep the first row per PK within the batch,
+    anti-join away rows whose PK already exists. Both steps hash on the PK —
+    no collect, broadcastable incoming batch."""
+    from pyspark.sql.window import Window
+
+    pk = engine.catalog.tables[table].pk_cols
+    if not pk:
+        return aligned
+    w = Window.partitionBy(*pk).orderBy(F.monotonically_increasing_id())
+    uniq = aligned.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+    existing = engine.catalog.read(table).select(*pk)
+    return uniq.join(existing, pk, "left_anti")
+
+
 def insert_values(engine: "Engine", sql: str) -> int:
-    m = _INSERT_VALUES_RE.match(sql.strip())
+    stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn("", sql.strip())
+    on_conflict_nothing = bool(n_sub)
+    m = _INSERT_VALUES_RE.match(stripped)
     if not m:
         raise ValueError(f"cannot parse INSERT: {sql[:80]}")
     table, cols_spec, values_clause = m.groups()
     src = engine.spark.sql(f"SELECT * FROM ({translate(values_clause)})")
     aligned = _aligned(engine, table, cols_spec, src)
-    _check_constraints(engine, table, aligned)
+    if on_conflict_nothing:
+        aligned = _drop_conflicts(engine, table, aligned).localCheckpoint(eager=True)
+        _check_constraints(engine, table, aligned)
+    else:
+        _check_constraints(engine, table, aligned)
     n = aligned.count()
     engine.catalog.append(table, aligned)
     return n
@@ -195,7 +223,8 @@ def _select_with_sequences(engine: "Engine", select_sql: str) -> DataFrame:
 
 
 def insert_select(engine: "Engine", sql: str) -> int:
-    m = _INSERT_SELECT_RE.match(sql.strip())
+    stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn("", sql.strip())
+    m = _INSERT_SELECT_RE.match(stripped)
     if not m:
         raise ValueError(f"cannot parse INSERT ... SELECT: {sql[:80]}")
     table, cols_spec, select_sql = m.groups()
@@ -204,6 +233,8 @@ def insert_select(engine: "Engine", sql: str) -> int:
     else:
         src = engine.spark.sql(translate(select_sql))
     aligned = _aligned(engine, table, cols_spec, src)
+    if n_sub:
+        aligned = _drop_conflicts(engine, table, aligned).localCheckpoint(eager=True)
     _check_constraints(engine, table, aligned)
     n = aligned.count()
     engine.catalog.append(table, aligned)

@@ -49,6 +49,32 @@ _COLUMN_RE = re.compile(
 _split_columns = split_top_level  # top-level comma split, shared with DML
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split a statement script on top-level semicolons (quote-aware)."""
+    parts, cur, in_str = [], [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        if ch == ";" and not in_str:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def parse_create_table(sql: str):
     m = _CREATE_TABLE_PART_RE.match(sql)
     partition_spec = m.group(4) if m else None
@@ -164,8 +190,39 @@ class Engine:
     # ---- write path ------------------------------------------------------
 
     def execute(self, sql: str) -> ExecuteOutcome:
+        # DuckDB's Exec accepts semicolon-separated statement scripts
+        # (reference passthrough reach, db/db.go:52) — run sequentially,
+        # sum rows_affected
+        stmts = [s for s in _split_statements(sql) if s.strip()]
+        if len(stmts) > 1:
+            total = 0
+            for s in stmts:
+                total += self.execute(s).rows_affected
+            return ExecuteOutcome(total)
         stripped = sql.strip().rstrip(";")
         upper = stripped.upper()
+
+        m = re.match(
+            r"^CREATE\s+OR\s+REPLACE\s+TABLE\s+(\w+)\s*(.*)$",
+            stripped,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            self.catalog.drop_table(m.group(1), if_exists=True)
+            return self.execute(f"CREATE TABLE {m.group(1)} {m.group(2)}")
+
+        m = re.match(r"^TRUNCATE\s+(?:TABLE\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            return ExecuteOutcome(delete_rows(self, f"DELETE FROM {m.group(1)}"))
+
+        m = re.match(r"^DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            name = m.group(2)
+            if name not in self.catalog.sequences and not m.group(1):
+                raise ValueError(f"sequence {name} does not exist")
+            self.catalog.sequences.pop(name, None)
+            self.catalog._save_sequences()
+            return ExecuteOutcome(0)
 
         m = re.match(
             r"^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(SELECT\s+.+|WITH\s+.+|VALUES\s*.+)$",

@@ -257,6 +257,53 @@ def test_update_partition_column_rejected(engine):
         engine.execute("UPDATE pt SET d = DATE '2030-01-01' WHERE v = 40")
 
 
+# ---- statement scripts / OR REPLACE / TRUNCATE / ON CONFLICT --------------
+
+
+def test_multi_statement_script(engine):
+    out = engine.execute(
+        "CREATE TABLE ms (id INTEGER, s TEXT);"
+        " INSERT INTO ms VALUES (1, 'a;b');"  # semicolon inside literal survives
+        " INSERT INTO ms VALUES (2, 'c')"
+    )
+    assert out.rows_affected == 2
+    rows = {(r.id, r.s) for r in engine.query_df("SELECT * FROM ms").collect()}
+    assert rows == {(1, "a;b"), (2, "c")}
+
+
+def test_create_or_replace_table(engine):
+    engine.execute("CREATE OR REPLACE TABLE orp (a INTEGER)")
+    engine.execute("INSERT INTO orp VALUES (1)")
+    engine.execute("CREATE OR REPLACE TABLE orp (b TEXT)")
+    df = engine.query_df("SELECT * FROM orp")
+    assert df.columns == ["b"] and df.count() == 0
+
+
+def test_truncate_and_drop_sequence(engine):
+    engine.execute("CREATE TABLE tr (a INTEGER); INSERT INTO tr VALUES (1), (2)")
+    assert engine.execute("TRUNCATE tr").rows_affected == 2
+    assert engine.query_df("SELECT COUNT(*) AS n FROM tr").collect()[0].n == 0
+    engine.execute("CREATE SEQUENCE sq_drop")
+    engine.execute("DROP SEQUENCE sq_drop")
+    with pytest.raises(ValueError):
+        engine.execute("DROP SEQUENCE sq_drop")
+    engine.execute("DROP SEQUENCE IF EXISTS sq_drop")  # no raise
+
+
+def test_insert_on_conflict_do_nothing(engine):
+    engine.execute("CREATE TABLE oc (id INTEGER PRIMARY KEY, v TEXT)")
+    engine.execute("INSERT INTO oc VALUES (1, 'a')")
+    out = engine.execute(
+        "INSERT INTO oc VALUES (1, 'dup'), (2, 'b'), (2, 'dup2') ON CONFLICT DO NOTHING"
+    )
+    assert out.rows_affected == 1  # only (2,'b') lands
+    rows = {(r.id, r.v) for r in engine.query_df("SELECT * FROM oc").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    # without the clause the same insert still raises
+    with pytest.raises(Exception):
+        engine.execute("INSERT INTO oc VALUES (1, 'dup')")
+
+
 # ---- PRAGMA surface -------------------------------------------------------
 
 
