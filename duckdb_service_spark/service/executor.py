@@ -541,9 +541,21 @@ class Engine:
             )
         if stripped.upper().startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN") :].strip()
-            plan = self.spark.sql(translate(inner))._jdf.queryExecution().explainString(
-                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
+            analyze = False
+            if inner.upper().startswith("ANALYZE"):
+                analyze, inner = True, inner[len("ANALYZE") :].strip()
+            df = self.spark.sql(translate(inner))
+            if analyze:
+                # EXPLAIN ANALYZE: execute, then report the AQE-finalized
+                # physical plan (runtime-chosen joins/partitions included)
+                df.collect()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            else:
+                plan = df._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
             return self.spark.createDataFrame([(line,) for line in plan.split("\n")], "plan string")
         return None
 

@@ -307,6 +307,12 @@ def test_insert_on_conflict_do_nothing(engine):
 # ---- PRAGMA surface -------------------------------------------------------
 
 
+def test_explain_analyze(engine):
+    kind, df = engine.run_statement("EXPLAIN ANALYZE SELECT 1 AS x")
+    text = "\n".join(r.plan for r in df.collect())
+    assert kind == "query" and "Project" in text
+
+
 def test_pragma_query_style(engine):
     kind, df = engine.run_statement("PRAGMA show_tables")
     assert kind == "query" and "pt" in {r.name for r in df.collect()}
