@@ -506,6 +506,20 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "column_name string, column_type string, `null` string, key string"
             )
+        m = re.match(r"^(?:DESCRIBE|DESC)\s+(SELECT\s+.+|WITH\s+.+|\(.+\))$",
+                     stripped, re.IGNORECASE | re.DOTALL)
+        if m:
+            # DESCRIBE <query>: analysis only, nothing executes
+            from .serializer import duckdb_type_name
+
+            df = self.query_df(m.group(1).strip("()"))
+            rows = [
+                (f.name, duckdb_type_name(f.dataType), "YES" if f.nullable else "NO", "")
+                for f in df.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "column_name string, column_type string, `null` string, key string"
+            )
         if re.match(r"^(?:SHOW\s+TABLES|PRAGMA\s+show_tables)$", stripped, re.IGNORECASE):
             names = sorted(set(self.catalog.tables) | set(self.catalog.views))
             return self.spark.createDataFrame([(n,) for n in names], "name string")

@@ -307,6 +307,12 @@ def test_insert_on_conflict_do_nothing(engine):
 # ---- PRAGMA surface -------------------------------------------------------
 
 
+def test_describe_query(engine):
+    kind, df = engine.run_statement("DESCRIBE SELECT 1 AS a, 'x' AS b")
+    rows = [(r.column_name, r.column_type) for r in df.collect()]
+    assert rows == [("a", "INTEGER"), ("b", "VARCHAR")]
+
+
 def test_explain_analyze(engine):
     kind, df = engine.run_statement("EXPLAIN ANALYZE SELECT 1 AS x")
     text = "\n".join(r.plan for r in df.collect())
