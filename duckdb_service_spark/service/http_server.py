@@ -2,7 +2,7 @@
 it matters (http/service.go):
 
   POST /db/execute  {"sql": ...} → {"result": {"rows_affected": n}, "took": s}
-  POST /db/query    {"sql": ...} → {"result": {"columns","types","values"}, "took": s}
+  POST|GET /db/query {"sql": ...} → {"result": {"columns","types","values"}, "took": s}
   GET  /status                   → node + store stats (service.go:144-193)
   POST /join                     → 501 (no consensus layer; SURVEY §2.1 S4)
   ?pretty                        → indented JSON (service.go:296-337)
@@ -99,7 +99,13 @@ class EngineHTTPServer:
                     )
 
             def do_GET(self) -> None:
-                if urlparse(self.path).path != "/status":
+                path = urlparse(self.path).path
+                if path == "/db/query":
+                    # the reference accepts GET with a JSON body for reads
+                    # (http/service.go:249) — mirror it
+                    self._handle(execute=False)
+                    return
+                if path != "/status":
                     self._send(404, {"error": "not found"})
                     return
                 status = {

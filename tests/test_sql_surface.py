@@ -307,6 +307,29 @@ def test_insert_on_conflict_do_nothing(engine):
 # ---- PRAGMA surface -------------------------------------------------------
 
 
+def test_get_db_query(engine):
+    """The reference accepts GET with a JSON body on /db/query
+    (http/service.go:249) — mirror check."""
+    import json
+    import urllib.request
+
+    from duckdb_service_spark.service.http_server import EngineHTTPServer
+
+    srv = EngineHTTPServer(engine).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/db/query",
+            data=json.dumps({"sql": "SELECT 41 + 1 AS v"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="GET",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["result"]["values"] == [[42]]
+    finally:
+        srv.stop()
+
+
 def test_describe_query(engine):
     kind, df = engine.run_statement("DESCRIBE SELECT 1 AS a, 'x' AS b")
     rows = [(r.column_name, r.column_type) for r in df.collect()]
