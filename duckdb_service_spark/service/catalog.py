@@ -371,7 +371,7 @@ class Catalog:
             name = d["name"]
             if name in self.tables:
                 self.drop_table(name)
-            self.create_table(name, d["columns"])
+            self.create_table(name, d["columns"], partition_cols=d.get("partition_cols"))
             df = self.spark.read.schema(self.tables[name].spark_schema()).parquet(
                 os.path.join(source_dir, name)
             )

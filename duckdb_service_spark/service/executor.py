@@ -343,7 +343,7 @@ class Engine:
             return ExecuteOutcome(delete_rows(self, stripped))
 
         m = re.match(
-            r"^COPY\s+(?:(\w+)|\((.+)\))\s+TO\s+'([^']+)'\s*(?:\(\s*([^)]*)\))?$",
+            r"^COPY\s+(?:(\w+)|\((.+)\))\s+TO\s+'([^']+)'\s*(?:\(\s*(.*)\))?$",
             stripped,
             re.IGNORECASE | re.DOTALL,
         )
@@ -352,7 +352,7 @@ class Engine:
             return ExecuteOutcome(self._copy_to(table, select_sql, path, opts))
 
         m = re.match(
-            r"^COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*([^)]*)\))?$",
+            r"^COPY\s+(\w+)\s+FROM\s+'([^']+)'\s*(?:\(\s*(.*)\))?$",
             stripped,
             re.IGNORECASE | re.DOTALL,
         )
@@ -410,7 +410,7 @@ class Engine:
 
     @staticmethod
     def _copy_options(opts: str | None, path: str) -> dict:
-        out = {"format": None, "header": True, "delimiter": ","}
+        out = {"format": None, "header": True, "delimiter": ",", "partition_by": []}
         for part in split_top_level(opts or ""):
             om = re.match(r"^(\w+)\s*(.*)$", part.strip())
             if not om:
@@ -422,6 +422,10 @@ class Engine:
                 out["header"] = val not in ("false", "0")
             elif key in ("DELIMITER", "DELIM", "SEP"):
                 out["delimiter"] = om.group(2).strip().strip("'")
+            elif key == "PARTITION_BY":
+                out["partition_by"] = [
+                    c.strip() for c in om.group(2).strip().strip("()").split(",") if c.strip()
+                ]
             else:
                 raise ValueError(f"unsupported COPY option: {key}")
         if out["format"] is None:
@@ -438,6 +442,9 @@ class Engine:
         df = self.catalog.read(table) if table else self.query_df(select_sql)
         n = df.count()
         w = df.write.mode("overwrite")
+        if o["partition_by"]:
+            # DuckDB's partitioned COPY TO (hive layout) ≅ write.partitionBy
+            w = w.partitionBy(*o["partition_by"])
         if o["format"] == "csv":
             w.option("header", str(o["header"]).lower()).option("sep", o["delimiter"]).csv(path)
         elif o["format"] == "json":

@@ -52,6 +52,34 @@ def test_copy_format_from_extension(engine):
     assert engine.query_df("SELECT v FROM cp_js").collect()[0].v == 42
 
 
+def test_copy_to_partitioned(engine):
+    import os
+
+    base = tempfile.mkdtemp(prefix="copy_part_") + "/out"
+    out = engine.execute(
+        f"COPY (SELECT 1 AS id, 'x' AS g UNION ALL SELECT 2, 'y') TO '{base}'"
+        " (FORMAT PARQUET, PARTITION_BY (g))"
+    )
+    assert out.rows_affected == 2
+    assert os.path.isdir(os.path.join(base, "g=x")) and os.path.isdir(
+        os.path.join(base, "g=y")
+    )
+
+
+def test_snapshot_restore_keeps_partitioning(engine):
+    engine.execute(
+        "CREATE TABLE snap_pt (id INTEGER, g TEXT) PARTITION BY (g);"
+        " INSERT INTO snap_pt VALUES (1, 'a'), (2, 'b')"
+    )
+    target = tempfile.mkdtemp(prefix="snap_pt_")
+    engine.execute(f"EXPORT DATABASE '{target}'")
+    engine.execute("DROP TABLE snap_pt")
+    engine.execute(f"IMPORT DATABASE '{target}'")
+    assert engine.catalog.tables["snap_pt"].partition_cols == ["g"]
+    rows = {(r.id, r.g) for r in engine.query_df("SELECT * FROM snap_pt").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
 # ---- SELECT * REPLACE -----------------------------------------------------
 
 
