@@ -50,62 +50,13 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # capped at the first 50 in round 1 — order the inventory so that (a) queries
 # whose canonical form changed this round and (b) families with no driver
 # evidence yet come first; long-green round-1 queries go last.
+# The driver's correctness run covers the FIRST 50 queries in registration
+# order. Round-3 ordering: (a) the 28 queries with no green CORRECTNESS row
+# in r01 or r02 lead (so every registry entry has been driver-checked at
+# least once across rounds), then (b) queries new in round 3. Everything
+# else — driver-green in r01/r02 — follows in registration order.
 PRIORITY: list[str] = [
-    # round-2 canonical-form fixes (red or canon-crash in CORRECTNESS_r01)
-    "agg_count_distinct",
-    "agg_filter_clause",
-    "agg_cube",
-    "agg_collect_list_set",
-    "fn_json_struct",
-    "fn_array",
-    "fn_struct_map",
-    # canon-hardened this round, driver-unchecked in r01
-    "pipeline_corpus_curation",
-    "case_coalesce_nullif",
-    "range_series",
-    "sample_deterministic",
-    "window_named_sql",
-    "fn_type_fidelity",
-    "cte_nested",
-    "sim_centroid_per_label",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "stream_sessionization",
-    "stream_user_activity_windows",
-    "win_running_sum",
-    "win_partition_agg",
-    # new this round: SQL-surface routing of ASOF JOIN / WITH RECURSIVE and
-    # the TIME type edge
-    "sql_asof_routing",
-    "sql_recursive_routing",
-    "fn_time",
-    "fn_variant",
-    "fn_union_type",
-    "text_stratified_sample",
-    "pipeline_shard_assignment",
-    # family representatives with no driver evidence yet
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "win_ranks",
-    "win_lag_lead",
-    "win_range_frame",
-    "win_first_last_nth",
-    "win_qualify",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_union_by_name",
-    "setop_intersect",
-    "setop_except",
-    "cte_recursive_series",
-    "cte_recursive_graph",
-    "pivot_status_by_priority",
-    "unpivot_part_measures",
-    "join_positional",
-    "join_lateral_correlated",
-    "join_asof_left",
-    "text_langid",
+    # never driver-checked through r02 (VERDICT r02 "Next round" item 1)
     "text_quality",
     "text_token_count",
     "text_fingerprint",
@@ -131,9 +82,17 @@ PRIORITY: list[str] = [
     "setop_except_all",
     "sim_lsh_topk",
     "mm_binary_meta",
-    # rows-only checks (weakest signal) and r01 driver-green queries follow
-    # in registration order
+    "sample_native",
+    "sim_ivf_search",
+    "mm_decode_features",
+    # new in round 3 (names appended as operators land)
+    "sql_read_parquet_routing",
+    "sql_read_csv_routing",
+    "sql_read_json_routing",
+    "sql_sample_routing",
+    "fn_bit_type",
 ]
+
 
 
 def load_all() -> None:
