@@ -231,10 +231,14 @@ def _rewrite_subscripts(code: str) -> str:
 def _rewrite_functions(code: str) -> str:
     code = _rewrite_list_literals(code)
     code = _rewrite_subscripts(code)
-    # bare VARCHAR/TEXT in CAST targets: Spark demands a length for VARCHAR
-    # and has no TEXT — both mean STRING
-    code = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", code, flags=re.IGNORECASE)
-    code = re.sub(r"\bTEXT\b(?!\s*\()", "STRING", code, flags=re.IGNORECASE)
+    # bare VARCHAR/TEXT as a cast-suffix type: Spark demands a length for
+    # VARCHAR and has no TEXT — both mean STRING.  Only the ::type form is
+    # safe to rewrite per-chunk; CAST(x AS TEXT) is handled paren-aware at
+    # the statement level (_rewrite_cast_string_types) because identifiers
+    # and aliases may legally be named "text"/"varchar".
+    code = re.sub(
+        r"::\s*(?:VARCHAR|TEXT)\b(?!\s*\()", "::STRING", code, flags=re.IGNORECASE
+    )
     for duck, spark in FUNCTION_ALIASES.items():
         if duck == spark:
             continue
@@ -242,6 +246,50 @@ def _rewrite_functions(code: str) -> str:
     # DuckDB integer division operator
     code = code.replace("//", " div ")
     return code
+
+
+_CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
+_CAST_AS_STRING_RE = re.compile(r"\bAS\s+(?:VARCHAR|TEXT)\b(?!\s*\()", re.IGNORECASE)
+
+
+def _literal_mask(sql: str) -> list[bool]:
+    mask = [False] * len(sql)
+    for m in _STRING_RE.finditer(sql):
+        for i in range(m.start(), m.end()):
+            mask[i] = True
+    return mask
+
+
+def _rewrite_cast_string_types(sql: str) -> str:
+    """CAST(x AS TEXT|VARCHAR) → CAST(x AS STRING), paren-balanced and
+    literal-aware, so identifiers/aliases named ``text`` are untouched
+    (the fixture ``documents`` table has a ``text`` column)."""
+    if not _CAST_OPEN_RE.search(sql):
+        return sql
+    mask = _literal_mask(sql)
+    spans: list[tuple[int, int]] = []  # (open_paren_idx+1, close_paren_idx)
+    for m in _CAST_OPEN_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if not mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth == 0:
+            spans.append((m.end(), i - 1))
+    out, pos = [], 0
+    for a, b in spans:
+        if a < pos:  # nested cast — already covered by the outer span
+            continue
+        out.append(sql[pos:a])
+        out.append(_rewrite_code(sql[a:b], lambda c: _CAST_AS_STRING_RE.sub("AS STRING", c)))
+        pos = b
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 # ---- clause rewrites ------------------------------------------------------
@@ -337,6 +385,7 @@ def translate(sql: str) -> str:
                 f"(duckdb_service_spark.operators) instead"
             )
     sql = _rewrite_code(sql, _rewrite_functions)
+    sql = _rewrite_cast_string_types(sql)
     sql = _convert_strftime_formats(sql)
     # matches the quoted unit itself, so it must see literals — safe because
     # the pattern requires the full date_diff('unit', prefix

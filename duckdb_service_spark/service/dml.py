@@ -114,8 +114,22 @@ def _aligned(engine: "Engine", table: str, cols_spec: str | None, src: DataFrame
 
 
 _ON_CONFLICT_NOTHING_RE = re.compile(
-    r"\s+ON\s+CONFLICT(?:\s*\([^)]*\))?\s+DO\s+NOTHING\s*$", re.IGNORECASE
+    r"\s+ON\s+CONFLICT(?:\s*\((?P<target>[^)]*)\))?\s+DO\s+NOTHING\s*$", re.IGNORECASE
 )
+
+
+def _check_conflict_target(engine: "Engine", table: str, target: str | None) -> None:
+    """The dedup key is always the table PK; a named conflict target that is
+    anything else would be silently honored on the wrong columns — raise."""
+    if not target or not target.strip():
+        return
+    named = [c.strip().strip('"').lower() for c in target.split(",") if c.strip()]
+    pk = [c.lower() for c in engine.catalog.tables[table].pk_cols]
+    if sorted(named) != sorted(pk):
+        raise ValueError(
+            f"ON CONFLICT target {named} must match the primary key {pk} of {table}; "
+            "arbitrary unique-index targets are not supported"
+        )
 
 
 def _drop_conflicts(engine: "Engine", table: str, aligned: DataFrame) -> DataFrame:
@@ -136,7 +150,13 @@ def _drop_conflicts(engine: "Engine", table: str, aligned: DataFrame) -> DataFra
 
 
 def insert_values(engine: "Engine", sql: str) -> int:
-    stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn("", sql.strip())
+    conflict_target: list[str | None] = [None]
+
+    def _capture(m: "re.Match[str]") -> str:
+        conflict_target[0] = m.group("target") or ""
+        return ""
+
+    stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn(_capture, sql.strip())
     on_conflict_nothing = bool(n_sub)
     m = _INSERT_VALUES_RE.match(stripped)
     if not m:
@@ -145,6 +165,7 @@ def insert_values(engine: "Engine", sql: str) -> int:
     src = engine.spark.sql(f"SELECT * FROM ({translate(values_clause)})")
     aligned = _aligned(engine, table, cols_spec, src)
     if on_conflict_nothing:
+        _check_conflict_target(engine, table, conflict_target[0])
         aligned = _drop_conflicts(engine, table, aligned).localCheckpoint(eager=True)
         _check_constraints(engine, table, aligned)
     else:

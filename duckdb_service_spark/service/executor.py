@@ -75,6 +75,24 @@ def _split_statements(sql: str) -> list[str]:
     return parts
 
 
+def _strip_outer_parens(text: str) -> str:
+    """Remove one balanced wrapping paren pair (repeatedly), never touching
+    parens that belong to the query itself — ``SELECT count(*) FROM (SELECT 1)``
+    must come back unchanged even though it ends in ')'."""
+    text = text.strip()
+    while text.startswith("(") and text.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(text) - 1:
+                    return text  # first '(' closes early — not a wrapper
+        text = text[1:-1].strip()
+    return text
+
+
 def parse_create_table(sql: str):
     m = _CREATE_TABLE_PART_RE.match(sql)
     partition_spec = m.group(4) if m else None
@@ -394,10 +412,17 @@ class Engine:
 
         if upper == "CHECKPOINT":
             return ExecuteOutcome(0)
-        if upper in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):
+        if upper in ("BEGIN", "BEGIN TRANSACTION", "COMMIT"):
             # reference never uses transactions (README.md:21 TODO); accept
             # no-ops so clients that bracket statements still work
             return ExecuteOutcome(0)
+        if upper in ("ROLLBACK", "ABORT"):
+            # a no-op ROLLBACK would silently KEEP data DuckDB would discard
+            # — a data-divergent lie. Error out instead (VERDICT r02 #2).
+            raise ValueError(
+                "ROLLBACK is unsupported: statements auto-commit in this engine; "
+                "writes since BEGIN cannot be discarded"
+            )
 
         raise ValueError(f"unrecognized write statement: {stripped[:80]}")
 
@@ -519,7 +544,7 @@ class Engine:
             # DESCRIBE <query>: analysis only, nothing executes
             from .serializer import duckdb_type_name
 
-            df = self.query_df(m.group(1).strip("()"))
+            df = self.query_df(_strip_outer_parens(m.group(1)))
             rows = [
                 (f.name, duckdb_type_name(f.dataType), "YES" if f.nullable else "NO", "")
                 for f in df.schema.fields

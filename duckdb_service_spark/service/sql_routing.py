@@ -129,6 +129,19 @@ def route_asof_join(
 
     left, right = resolve(lt), resolve(rt)
     payload = [c for c in right.columns if c not in on_keys]
+    head, tail = m.group("head"), m.group("tail") or ""
+    if "*" not in head:
+        # prune the carried payload struct to columns the statement actually
+        # references — the struct rides through a window last(); unreferenced
+        # fields are pure shuffle weight (VERDICT r02 perf note)
+        referenced = set(re.findall(r"\w+", _code_only(head + " " + tail)))
+        payload = [c for c in payload if c == right_ts or c in referenced]
+    dup = (set(payload) - {right_ts}) & {c for c in left.columns if c not in on_keys}
+    if dup:
+        raise UnsupportedDialect(
+            f"ASOF JOIN: right column(s) {sorted(dup)} collide with left column "
+            "names; alias them apart before the join"
+        )
     out = asof_join(
         left,
         right,
@@ -144,15 +157,21 @@ def route_asof_join(
 
     view = "__asof_routed"
     out.createOrReplaceTempView(view)
-    head, tail = m.group("head"), m.group("tail") or ""
     rewritten = f"{head} FROM {view} {tail}"
     # r.<ts> means the MATCHED right timestamp (DuckDB semantics) — which
-    # the operator exposes as asof_ts; then flatten remaining qualifiers
-    for al in {ra, rt}:
-        rewritten = re.sub(rf"\b{al}\.{right_ts}\b", "asof_ts", rewritten)
-    for al in {la, ra, lt, rt}:
-        rewritten = re.sub(rf"\b{al}\.", "", rewritten)
-    return spark.sql(translate(rewritten))
+    # the operator exposes as asof_ts; then flatten remaining qualifiers.
+    # Both substitutions are literal-aware: a string literal containing
+    # "v.ts" or "c." must survive verbatim.
+    from .dialect import _rewrite_code
+
+    def _flatten(code: str) -> str:
+        for al in {ra, rt}:
+            code = re.sub(rf"\b{al}\.{right_ts}\b", "asof_ts", code)
+        for al in {la, ra, lt, rt}:
+            code = re.sub(rf"\b{al}\.", "", code)
+        return code
+
+    return spark.sql(translate(_rewrite_code(rewritten, _flatten)))
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +183,29 @@ _REC_RE = re.compile(
     re.IGNORECASE,
 )
 _UNION_ALL_RE = re.compile(r"\bUNION\s+ALL\b", re.IGNORECASE)
+
+
+def _top_level_union_alls(body: str) -> list[tuple[int, int]]:
+    """(start, end) spans of UNION ALL tokens at paren depth 0 outside
+    string literals — a seed that is itself a parenthesized UNION ALL, or
+    the token inside a literal, must not split the CTE body."""
+    spans = []
+    for m in _UNION_ALL_RE.finditer(body):
+        depth, in_str = 0, False
+        for i in range(m.start()):
+            ch = body[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if depth == 0 and not in_str:
+            spans.append((m.start(), m.end()))
+    return spans
 
 
 def route_with_recursive(
@@ -207,12 +249,14 @@ def route_with_recursive(
         raise UnsupportedDialect("WITH RECURSIVE: unbalanced CTE body")
     body, outer = stripped[m.end() : i - 1], stripped[i:].strip()
 
-    um = _UNION_ALL_RE.search(body)
-    if not um:
+    splits = _top_level_union_alls(body)
+    if len(splits) != 1:
         raise UnsupportedDialect(
-            "WITH RECURSIVE: only 'seed UNION ALL step' linear recursion is routable"
+            "WITH RECURSIVE: only 'seed UNION ALL step' linear recursion with "
+            "exactly one top-level UNION ALL is routable (parenthesize a "
+            "multi-branch seed)"
         )
-    seed_sql, step_sql = body[: um.start()], body[um.end() :]
+    seed_sql, step_sql = body[: splits[0][0]], body[splits[0][1] :]
 
     seed = spark.sql(translate(seed_sql))
     if cols:
