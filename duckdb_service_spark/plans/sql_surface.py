@@ -64,3 +64,86 @@ def sql_recursive_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement DuckDB executes natively as the oracle."""
     load_tables(spark, sf_dir)
     return route_with_recursive(spark, _REC_SQL, translate)
+
+
+# --------------------------------------------------------------------------
+# read_* table functions (SURVEY §2.2a [P] rows — VERDICT r02 missing #1)
+# --------------------------------------------------------------------------
+
+def _run_routed(spark: SparkSession, sql: str) -> DataFrame:
+    """Exactly what Engine.query_df does for a read_* statement: rewrite the
+    table-function calls to temp views over spark.read, then run the dialect
+    translation."""
+    from ..service.sql_routing import rewrite_read_files
+
+    return spark.sql(translate(rewrite_read_files(spark, sql)))
+
+
+@query(
+    "sql_read_parquet_routing",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           MIN(p_name) AS first_name
+    FROM part GROUP BY p_brand
+    """,
+)
+def sql_read_parquet_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT ... FROM read_parquet('file')` posted as a SQL string —
+    DuckDB's commonest ad-hoc idiom (full passthrough reach, db/db.go:70).
+    The routed plan is a plain parquet file-source scan: pushdown, column
+    pruning, and glob-based split planning all intact at 100 TB."""
+    return _run_routed(
+        spark,
+        "SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum, "
+        "MIN(p_name) AS first_name "
+        f"FROM read_parquet('{sf_dir}/part.parquet') GROUP BY p_brand",
+    )
+
+
+@query(
+    "sql_read_csv_routing",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def sql_read_csv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`read_csv_auto('path', header=true)` routed to spark.read.csv with
+    schema inference — lossless for int/string columns, so the result equals
+    the direct query on the source table."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "dss_io", "nation_readfn_csv")
+    t["nation"].select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(path)
+    return _run_routed(
+        spark,
+        "SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation "
+        f"FROM read_csv_auto('{path}', header=true) GROUP BY n_regionkey",
+    )
+
+
+@query(
+    "sql_read_json_routing",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sql_read_json_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`read_json_auto('path')` routed to spark.read.json (newline-delimited,
+    DuckDB's auto-detected layout for COPY TO json output)."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "dss_io", "customer_readfn_json")
+    t["customer"].select("c_custkey", "c_mktsegment").write.mode("overwrite").json(path)
+    return _run_routed(
+        spark,
+        "SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+        f"FROM read_json_auto('{path}') GROUP BY c_mktsegment",
+    )

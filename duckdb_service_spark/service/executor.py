@@ -193,9 +193,14 @@ class Engine:
                 return out
         # constructs with no Spark-SQL equivalent route to DataFrame
         # operators before the dialect shim (which raises on them)
-        from .sql_routing import route_asof_join, route_star_replace, route_with_recursive
+        from .sql_routing import (
+            rewrite_read_files,
+            route_asof_join,
+            route_star_replace,
+            route_with_recursive,
+        )
 
-        stripped = sql.strip().rstrip(";")
+        stripped = rewrite_read_files(self.spark, sql.strip().rstrip(";"))
         routed = route_star_replace(self.spark, stripped, translate)
         if routed is None:
             routed = route_asof_join(self.spark, stripped, self.spark.table, translate)
@@ -203,7 +208,7 @@ class Engine:
             routed = route_with_recursive(self.spark, stripped, translate)
         if routed is not None:
             return routed
-        return self.spark.sql(translate(self._substitute_sequences(sql)))
+        return self.spark.sql(translate(self._substitute_sequences(stripped)))
 
     # ---- write path ------------------------------------------------------
 

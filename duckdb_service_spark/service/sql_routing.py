@@ -329,4 +329,170 @@ def route_star_replace(
     )
 
 
-__all__ = ["route_asof_join", "route_with_recursive", "route_star_replace"]
+# --------------------------------------------------------------------------
+# read_parquet / read_csv_auto / read_json_auto table functions
+# --------------------------------------------------------------------------
+#
+# DuckDB's most common ad-hoc idiom (reference reach: full passthrough,
+# db/db.go:70): `SELECT ... FROM read_parquet('glob')`. Spark has no table
+# functions over paths in SQL, but its readers accept the same glob syntax —
+# so each call is replaced by a temp view over spark.read.<fmt>(...).  File
+# listing, partition discovery, and scan parallelism are all Spark-side; at
+# 100 TB a glob over an object store resolves to a distributed file-source
+# scan with pushdown intact (the view is a plain DataFrame, not materialized).
+
+_READ_FN_RE = re.compile(
+    r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|"
+    r"read_json|read_ndjson_auto)\s*\(",
+    re.IGNORECASE,
+)
+
+# DuckDB reader option -> Spark DataFrameReader option (None = accepted no-op)
+_CSV_OPTIONS = {
+    "header": "header",
+    "delim": "delimiter",
+    "sep": "delimiter",
+    "quote": "quote",
+    "escape": "escape",
+    "nullstr": "nullValue",
+    "compression": "compression",
+    "sample_size": None,
+    "ignore_errors": "mode",  # true -> DROPMALFORMED
+    "all_varchar": "inferSchema",  # true -> inferSchema=false
+    "dateformat": "dateFormat",
+    "timestampformat": "timestampFormat",
+}
+_JSON_OPTIONS = {
+    "compression": "compression",
+    "ignore_errors": "mode",
+    "format": None,  # 'array'/'newline_delimited' — handled via multiLine
+    "maximum_object_size": None,
+    "sample_size": None,
+}
+
+
+def _parse_read_args(inner: str) -> tuple[list[str], dict[str, str]]:
+    """First positional arg is a path literal or ['p1','p2'] list; the rest
+    are DuckDB-style key=value options."""
+    from .dml import split_top_level
+
+    items = split_top_level(inner)
+    if not items or not items[0].strip():
+        raise UnsupportedDialect("read_*: missing path argument")
+    first = items[0].strip()
+    lm = re.match(r"^\[(.*)\]$", first, re.DOTALL)
+    if lm:
+        paths = [p.strip().strip("'") for p in lm.group(1).split(",") if p.strip()]
+    else:
+        pm = re.match(r"^'((?:[^']|'')*)'$", first)
+        if not pm:
+            raise UnsupportedDialect(
+                f"read_*: path must be a string literal or list of literals, got {first!r}"
+            )
+        paths = [pm.group(1).replace("''", "'")]
+    opts: dict[str, str] = {}
+    for item in items[1:]:
+        om = re.match(r"^(\w+)\s*:?=\s*(.+)$", item.strip(), re.DOTALL)
+        if not om:
+            raise UnsupportedDialect(f"read_*: unparsable option {item!r}")
+        opts[om.group(1).lower()] = om.group(2).strip().strip("'").lower()
+    return paths, opts
+
+
+def _reader_for(spark: SparkSession, fn: str, paths: list[str], opts: dict[str, str]):
+    fn = fn.lower()
+    if fn in ("read_parquet", "parquet_scan"):
+        for k in opts:
+            if k not in ("hive_partitioning", "union_by_name", "filename", "compression"):
+                raise UnsupportedDialect(f"read_parquet: unsupported option {k!r}")
+        reader = spark.read
+        if opts.get("union_by_name") == "true":
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+        if opts.get("filename") == "true":
+            df = df.withColumn("filename", F.input_file_name())
+        return df
+    if fn in ("read_csv_auto", "read_csv"):
+        reader = spark.read.option("header", "true").option("inferSchema", "true")
+        for k, v in opts.items():
+            if k not in _CSV_OPTIONS:
+                raise UnsupportedDialect(f"{fn}: unsupported option {k!r}")
+            mapped = _CSV_OPTIONS[k]
+            if mapped is None:
+                continue
+            if k == "ignore_errors":
+                reader = reader.option("mode", "DROPMALFORMED" if v == "true" else "FAILFAST")
+            elif k == "all_varchar":
+                reader = reader.option("inferSchema", "false" if v == "true" else "true")
+            else:
+                reader = reader.option(mapped, v)
+        return reader.csv(*paths)
+    # json family: Spark's json reader is newline-delimited by default,
+    # matching read_ndjson_auto; format='array' maps to multiLine
+    reader = spark.read
+    for k, v in opts.items():
+        if k not in _JSON_OPTIONS:
+            raise UnsupportedDialect(f"{fn}: unsupported option {k!r}")
+        if k == "format":
+            reader = reader.option("multiLine", "true" if v == "array" else "false")
+        elif k == "ignore_errors":
+            reader = reader.option("mode", "DROPMALFORMED" if v == "true" else "FAILFAST")
+        elif _JSON_OPTIONS[k]:
+            reader = reader.option(_JSON_OPTIONS[k], v)
+    return reader.json(*paths)
+
+
+def rewrite_read_files(spark: SparkSession, sql: str) -> str:
+    """Replace every read_* table-function call with a temp view over the
+    corresponding spark.read — returns the rewritten SQL (unchanged when no
+    read_* call is present). Literal-aware: a call inside a string survives."""
+    if not _READ_FN_RE.search(_code_only(sql)):
+        return sql
+    out, pos, n = [], 0, 0
+    while True:
+        lit_spans = [
+            (m.start(), m.end()) for m in re.finditer(r"'(?:[^']|'')*'", sql)
+        ]
+
+        def _in_lit(i: int) -> bool:
+            return any(a <= i < b for a, b in lit_spans)
+
+        m = None
+        for cand in _READ_FN_RE.finditer(sql, pos):
+            if not _in_lit(cand.start()):
+                m = cand
+                break
+        if m is None:
+            break
+        depth, i, in_str = 1, m.end(), False
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise UnsupportedDialect(f"{m.group(1)}: unbalanced parentheses")
+        paths, opts = _parse_read_args(sql[m.end() : i - 1])
+        df = _reader_for(spark, m.group(1), paths, opts)
+        view = f"__readfn_{n}"
+        n += 1
+        df.createOrReplaceTempView(view)
+        sql = sql[: m.start()] + view + sql[i:]
+        pos = m.start() + len(view)
+    out.append(sql)
+    return "".join(out)
+
+
+__all__ = [
+    "route_asof_join",
+    "route_with_recursive",
+    "route_star_replace",
+    "rewrite_read_files",
+]
