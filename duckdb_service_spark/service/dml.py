@@ -380,3 +380,274 @@ def delete_rows(engine: "Engine", sql: str) -> int:
         return n
     engine.catalog.overwrite(table, df.filter(keep))
     return n
+
+
+# ---- upsert + join-powered DML (VERDICT r02 missing #2) --------------------
+#
+# Reference reach: full Exec passthrough (db/db.go:52) accepts DuckDB's
+# `INSERT ... ON CONFLICT DO UPDATE`, `UPDATE ... FROM`, `DELETE ... USING`.
+# All three become JOIN-shaped copy-on-write: one shuffle on the join keys,
+# no driver-side row loops, broadcast-eligible small sides via AQE — the
+# shape that survives a 100 TB target table.
+
+_ON_CONFLICT_UPDATE_RE = re.compile(
+    r"\s+ON\s+CONFLICT(?:\s*\((?P<target>[^)]*)\))?\s+DO\s+UPDATE\s+SET\s+"
+    r"(?P<set>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXCLUDED_RE = re.compile(r"\bexcluded\.(\w+)\b", re.IGNORECASE)
+
+
+def _resolve_relation(engine: "Engine", name: str) -> DataFrame:
+    if name in engine.catalog.tables:
+        return engine.catalog.read(name)
+    return engine.spark.table(name)
+
+
+def upsert_values(engine: "Engine", sql: str) -> int | None:
+    """INSERT ... ON CONFLICT [(pk)] DO UPDATE SET ... [WHERE ...].
+
+    DuckDB semantics: conflicting rows are updated in place (``excluded.c``
+    names the incoming value), non-conflicting rows are appended;
+    rows_affected counts both. Several incoming rows conflicting on the same
+    key is an error in DuckDB ("can not update the same row twice") — same
+    here. Returns None when the statement has no DO UPDATE clause."""
+    from .dialect import _rewrite_code
+
+    m = _ON_CONFLICT_UPDATE_RE.search(sql)
+    if m is None:
+        return None
+    head = sql[: m.start()]
+    im = _INSERT_VALUES_RE.match(head.strip()) or _INSERT_SELECT_RE.match(head.strip())
+    if not im:
+        raise ValueError(f"cannot parse INSERT before ON CONFLICT: {sql[:80]}")
+    table, cols_spec, body = im.groups()
+    meta = engine.catalog.tables[table]
+    pk = meta.pk_cols
+    if not pk:
+        raise ValueError(f"ON CONFLICT DO UPDATE requires a primary key on {table}")
+    _check_conflict_target(engine, table, m.group("target"))
+
+    src = engine.spark.sql(f"SELECT * FROM ({translate(body)})")
+    aligned = _aligned(engine, table, cols_spec, src)
+    if aligned.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "ON CONFLICT DO UPDATE can not update the same row twice: "
+            "incoming batch has duplicate keys"
+        )
+
+    # incoming side renamed __exc_<col>; `excluded.c` in SET/WHERE text maps
+    # there, bare names keep resolving to the existing row (DuckDB scoping)
+    exc = aligned.select(
+        *[F.col(c).alias(f"__exc_{c}") for c in aligned.columns],
+        F.lit(True).alias("__exc_match"),
+    )
+    existing = engine.catalog.read(table)
+    on = [F.col(c).eqNullSafe(F.col(f"__exc_{c}")) for c in pk]
+    joined = existing.join(exc, functools_reduce(lambda a, b: a & b, on), "left")
+
+    def _xlate(text: str) -> str:
+        return translate(_rewrite_code(text, lambda c: _EXCLUDED_RE.sub(r"__exc_\1", c)))
+
+    upd_pred = F.col("__exc_match").isNotNull()
+    if m.group("where"):
+        upd_pred = upd_pred & F.coalesce(F.expr(_xlate(m.group("where"))), F.lit(False))
+
+    assignments: dict[str, "F.Column"] = {}
+    for part in split_top_level(m.group("set")):
+        if "=" not in part:
+            raise ValueError(f"cannot parse DO UPDATE assignment: {part!r}")
+        col, expr = part.split("=", 1)
+        col = col.strip()
+        if col in pk or col in meta.partition_cols:
+            raise ValueError(f"DO UPDATE may not reassign key/partition column {col}")
+        assignments[col] = F.expr(_xlate(expr.strip()))
+
+    updated = joined
+    for col, expr in assignments.items():
+        field = meta.spark_schema()[col]
+        updated = updated.withColumn(
+            col, F.when(upd_pred, expr.cast(field.dataType)).otherwise(F.col(col))
+        )
+    n_updated = joined.filter(upd_pred).count()
+    tcols = [c["name"] for c in meta.columns]
+    new_existing = updated.select(*tcols)
+
+    to_insert = aligned.join(existing.select(*pk), pk, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_insert = to_insert.count()
+    _check_constraints(engine, table, to_insert)
+    _check_constraints_update(engine, table, new_existing)
+
+    if meta.partition_cols:
+        parts = [
+            tuple(r)
+            for r in joined.filter(upd_pred)
+            .select(*meta.partition_cols)
+            .distinct()
+            .collect()
+        ]
+        if parts:
+            member = _partition_membership(engine, table, parts)
+            engine.catalog.overwrite_partitions(table, new_existing.filter(member))
+    elif n_updated:
+        engine.catalog.overwrite(table, new_existing)
+    if n_insert:
+        engine.catalog.append(table, to_insert)
+    return n_updated + n_insert
+
+
+_UPDATE_FROM_RE = re.compile(
+    r"^UPDATE\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<ta>\w+))?\s+SET\s+(?P<set>.+?)\s+"
+    r"FROM\s+(?P<u>\w+)(?:\s+(?:AS\s+)?(?P<ua>\w+))?(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_USING_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<ta>\w+))?\s+"
+    r"USING\s+(?P<u>\w+)(?:\s+(?:AS\s+)?(?P<ua>\w+))?(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _qualified_rewrite(text: str, t_names: set[str], u_names: set[str]) -> str:
+    """Rewrite `t.col` → `col` and `u.col` → `__src_col` (literal-aware)."""
+    from .dialect import _rewrite_code
+
+    def _fix(code: str) -> str:
+        for al in u_names:
+            code = re.sub(rf"\b{al}\.(\w+)\b", r"__src_\1", code, flags=re.IGNORECASE)
+        for al in t_names:
+            code = re.sub(rf"\b{al}\.", "", code, flags=re.IGNORECASE)
+        return code
+
+    return _rewrite_code(text, _fix)
+
+
+def _join_src(engine: "Engine", name: str) -> DataFrame:
+    src = _resolve_relation(engine, name)
+    return src.select(
+        *[F.col(c).alias(f"__src_{c}") for c in src.columns],
+        F.lit(True).alias("__src_match"),
+    )
+
+
+def update_from(engine: "Engine", sql: str) -> int | None:
+    """UPDATE t SET ... FROM u WHERE <join cond> — join-powered copy-on-write.
+
+    Each target row with ≥1 matching source row gets the SET applied; more
+    than one match is ambiguous (which source row wins?) and raises rather
+    than picking one silently. Returns None when there is no FROM clause."""
+    m = _UPDATE_FROM_RE.match(sql.strip())
+    if m is None:
+        return None
+    table, ta = m.group("t"), m.group("ta") or m.group("t")
+    uname, ua = m.group("u"), m.group("ua") or m.group("u")
+    meta = engine.catalog.tables[table]
+    target = engine.catalog.read(table).withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
+    src = _join_src(engine, uname)
+    t_names, u_names = {ta, table}, {ua, uname}
+    cond = (
+        F.expr(translate(_qualified_rewrite(m.group("where"), t_names, u_names)))
+        if m.group("where")
+        else F.lit(True)
+    )
+    joined = target.join(src, cond, "left")
+    dup = (
+        joined.filter(F.col("__src_match").isNotNull())
+        .groupBy("__tid")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "UPDATE ... FROM: a target row matches multiple source rows; "
+            "the result would depend on which one wins — deduplicate the source"
+        )
+    assignments = {}
+    for part in split_top_level(m.group("set")):
+        if "=" not in part:
+            raise ValueError(f"cannot parse UPDATE assignment: {part!r}")
+        col, expr = part.split("=", 1)
+        col = col.strip()
+        if col in meta.partition_cols:
+            raise ValueError("UPDATE of a partition column is not supported")
+        assignments[col] = F.expr(
+            translate(_qualified_rewrite(expr.strip(), t_names, u_names))
+        )
+    upd = F.col("__src_match").isNotNull()
+    out = joined
+    for col, expr in assignments.items():
+        field = meta.spark_schema()[col]
+        out = out.withColumn(
+            col, F.when(upd, expr.cast(field.dataType)).otherwise(F.col(col))
+        )
+    n = joined.filter(upd).count()
+    tcols = [c["name"] for c in meta.columns]
+    new_df = out.select(*tcols, "__tid").dropDuplicates(["__tid"]).select(*tcols)
+    _check_constraints_update(engine, table, new_df)
+    if meta.partition_cols:
+        parts = [
+            tuple(r)
+            for r in joined.filter(upd).select(*meta.partition_cols).distinct().collect()
+        ]
+        if parts:
+            member = _partition_membership(engine, table, parts)
+            engine.catalog.overwrite_partitions(table, new_df.filter(member))
+        return n
+    if n:
+        engine.catalog.overwrite(table, new_df)
+    return n
+
+
+def delete_using(engine: "Engine", sql: str) -> int | None:
+    """DELETE FROM t USING u WHERE <cond> — anti-join copy-on-write.
+    Returns None when there is no USING clause."""
+    m = _DELETE_USING_RE.match(sql.strip())
+    if m is None:
+        return None
+    table, ta = m.group("t"), m.group("ta") or m.group("t")
+    uname, ua = m.group("u"), m.group("ua") or m.group("u")
+    meta = engine.catalog.tables[table]
+    target = engine.catalog.read(table)
+    src = _join_src(engine, uname)
+    t_names, u_names = {ta, table}, {ua, uname}
+    cond = (
+        F.expr(translate(_qualified_rewrite(m.group("where"), t_names, u_names)))
+        if m.group("where")
+        else F.lit(True)
+    )
+    doomed = target.join(src, cond, "left_semi")
+    n = doomed.count()
+    kept = target.join(src, cond, "left_anti")
+    if meta.partition_cols:
+        parts = [
+            tuple(r)
+            for r in doomed.select(*meta.partition_cols).distinct().collect()
+        ]
+        if not parts:
+            return n
+        member = _partition_membership(engine, table, parts)
+        kept_scoped = kept.filter(member)
+        surviving = {
+            tuple(r)
+            for r in kept_scoped.select(*meta.partition_cols).distinct().collect()
+        }
+        engine.catalog.overwrite_partitions(table, kept_scoped)
+        engine.catalog.drop_partition_dirs(
+            table, [p for p in parts if p not in surviving]
+        )
+        return n
+    if n:
+        engine.catalog.overwrite(table, kept)
+    return n
+
+
+def functools_reduce(fn, seq):
+    import functools
+
+    return functools.reduce(fn, seq)

@@ -349,6 +349,11 @@ class Engine:
             return ExecuteOutcome(0)
 
         if upper.startswith("INSERT"):
+            from .dml import upsert_values
+
+            n_up = upsert_values(self, stripped)
+            if n_up is not None:
+                return ExecuteOutcome(n_up)
             if re.search(r"\bVALUES\b", stripped, re.IGNORECASE):
                 # VALUES rows: one value per textual occurrence (each row
                 # literal calls nextval itself) — driver-side substitution
@@ -360,9 +365,19 @@ class Engine:
             return ExecuteOutcome(n)
 
         if upper.startswith("UPDATE"):
+            from .dml import update_from
+
+            n_uf = update_from(self, stripped)
+            if n_uf is not None:
+                return ExecuteOutcome(n_uf)
             return ExecuteOutcome(update_rows(self, stripped))
 
         if upper.startswith("DELETE"):
+            from .dml import delete_using
+
+            n_du = delete_using(self, stripped)
+            if n_du is not None:
+                return ExecuteOutcome(n_du)
             return ExecuteOutcome(delete_rows(self, stripped))
 
         m = re.match(
