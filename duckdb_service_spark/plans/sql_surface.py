@@ -147,3 +147,25 @@ def sql_read_json_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
         f"FROM read_json_auto('{path}') GROUP BY c_mktsegment",
     )
+
+
+@query(
+    "sql_sample_routing",
+    oracle="""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS distinct_keys
+    FROM (SELECT o_orderkey FROM orders USING SAMPLE 100 ROWS) s
+    """,
+)
+def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`USING SAMPLE n ROWS` (SURVEY §2.2f) rewritten in place to Spark's
+    TABLESAMPLE — same grammatical position, no statement surgery. The exact
+    row-count contract (a 100-row sample has exactly 100 distinct orders) is
+    engine-independent, so this is oracle-exact even though the sampled rows
+    differ."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(
+        translate(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS distinct_keys "
+            "FROM (SELECT o_orderkey FROM orders USING SAMPLE 100 ROWS) s"
+        )
+    )

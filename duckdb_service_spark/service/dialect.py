@@ -292,6 +292,38 @@ def _rewrite_cast_string_types(sql: str) -> str:
     return "".join(out)
 
 
+# ---- USING SAMPLE ---------------------------------------------------------
+
+# DuckDB sample clause on a table reference (SURVEY §2.2f): bare number =
+# rows, % / PERCENT = bernoulli percentage, optional (method[, seed]).
+# Spark's TABLESAMPLE sits in the same grammatical position, so an in-place
+# token rewrite preserves the rest of the statement. Scale note: TABLESAMPLE
+# ROWS is a global limit-style sample and PERCENT is per-split bernoulli —
+# both execute without collecting or shuffling.
+_USING_SAMPLE_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>%|\bPERCENT\b|\bROWS?\b)?"
+    r"(?:\s*\(\s*(?P<method>\w+)(?:\s*,\s*(?P<seed>\d+))?\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(code: str) -> str:
+    def _one(m: re.Match) -> str:
+        n, unit = m.group("n"), (m.group("unit") or "").upper()
+        method = (m.group("method") or "").lower()
+        if method not in ("", "bernoulli", "system", "reservoir"):
+            raise UnsupportedDialect(f"USING SAMPLE: unknown method {method!r}")
+        if unit in ("%", "PERCENT"):
+            out = f"TABLESAMPLE ({n} PERCENT)"
+        else:
+            out = f"TABLESAMPLE ({int(float(n))} ROWS)"
+        if m.group("seed"):
+            out += f" REPEATABLE ({m.group('seed')})"
+        return out
+
+    return _USING_SAMPLE_RE.sub(_one, code)
+
+
 # ---- clause rewrites ------------------------------------------------------
 
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
@@ -386,6 +418,7 @@ def translate(sql: str) -> str:
             )
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_cast_string_types(sql)
+    sql = _rewrite_code(sql, _rewrite_using_sample)
     sql = _convert_strftime_formats(sql)
     # matches the quoted unit itself, so it must see literals — safe because
     # the pattern requires the full date_diff('unit', prefix

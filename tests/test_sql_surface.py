@@ -459,3 +459,31 @@ def test_strptime_literal(spark):
     out = translate("SELECT strptime('2024-01-15', '%Y-%m-%d') AS ts")
     assert "''" not in out
     assert spark.sql(out).collect()[0].ts.year == 2024
+
+
+def test_using_sample_rows(engine):
+    engine.execute("CREATE TABLE samp (id INTEGER)")
+    engine.execute(
+        "INSERT INTO samp SELECT * FROM range(100)"
+        if False
+        else "INSERT INTO samp VALUES " + ", ".join(f"({i})" for i in range(100))
+    )
+    rows = engine.query_df("SELECT count(*) AS n FROM samp USING SAMPLE 10 ROWS").collect()
+    assert rows[0].n == 10
+
+
+def test_using_sample_percent_seed(engine):
+    a = engine.query_df(
+        "SELECT count(*) AS n FROM samp USING SAMPLE 50% (bernoulli, 7)"
+    ).collect()[0].n
+    b = engine.query_df(
+        "SELECT count(*) AS n FROM samp USING SAMPLE 50% (bernoulli, 7)"
+    ).collect()[0].n
+    assert a == b and 10 <= a <= 90  # seeded → reproducible; loose bounds
+
+
+def test_using_sample_unknown_method_raises(engine):
+    from duckdb_service_spark.service.dialect import UnsupportedDialect
+
+    with pytest.raises((UnsupportedDialect, ValueError)):
+        engine.query_df("SELECT * FROM samp USING SAMPLE 10% (bogus)")
