@@ -648,3 +648,38 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 5).alias("safe_div"),
         F.try_divide(F.col("c_acctbal").cast("double"), F.col("c_custkey")).alias("div_by_key"),
     )
+
+
+@query(
+    "fn_bit_type",
+    oracle="""
+    SELECT
+      b,
+      CAST(b::BIT AS VARCHAR)                 AS bits,
+      bit_count(b::BIT)                       AS n_set,
+      get_bit(b::BIT, 0)                      AS first_bit,
+      CAST(set_bit(b::BIT, 0, 0) AS VARCHAR)  AS cleared,
+      CAST(bitstring(b, 12) AS VARCHAR)       AS padded,
+      CAST(b::BIT || '01'::BIT AS VARCHAR)    AS appended
+    FROM (VALUES ('1011'), ('0101'), ('111000'), ('1')) v(b)
+    """,
+)
+def fn_bit_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT bitstring family (SURVEY §1.3 last deferred type edge). DuckDB
+    fetches BIT as a '0'/'1' character string, so the engine's STRING
+    representation is value-identical: casts validate via the dialect's
+    __duck_bit rewrite, bit_count/get_bit/set_bit/bit_position become pure
+    string expressions (JVM-side, no UDF), bitstring() is lpad."""
+    from ..service.dialect import translate
+
+    return spark.sql(
+        translate(
+            "SELECT b, b::BIT AS bits, "
+            "CAST(length(replace(b, '0', '')) AS BIGINT) AS n_set, "
+            "CAST(substring(b, 1, 1) AS INT) AS first_bit, "
+            "concat('0', substring(b, 2)) AS cleared, "
+            "bitstring(b, 12) AS padded, "
+            "concat(b::BIT, '01') AS appended "
+            "FROM (VALUES ('1011'), ('0101'), ('111000'), ('1')) v(b)"
+        )
+    )

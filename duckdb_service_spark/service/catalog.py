@@ -50,6 +50,11 @@ _DUCK_TO_SPARK = {
     "TIME": T.TimeType(),
     "TIMESTAMP": T.TimestampNTZType(),
     "UUID": T.StringType(),
+    # BIT (bitstring): Spark has no bitstring type — stored as a '0'/'1'
+    # STRING; the serializer reports BIT via per-column metadata (SURVEY
+    # §1.3 last deferred edge)
+    "BIT": T.StringType(),
+    "BITSTRING": T.StringType(),
 }
 
 
@@ -81,7 +86,14 @@ class TableMeta:
     def spark_schema(self) -> T.StructType:
         return T.StructType(
             [
-                T.StructField(c["name"], parse_type(c["type"]), not c["not_null"])
+                T.StructField(
+                    c["name"],
+                    parse_type(c["type"]),
+                    not c["not_null"],
+                    metadata={"duckdb_type": c["type"].upper()}
+                    if c["type"].upper() in ("BIT", "BITSTRING")
+                    else {},
+                )
                 for c in self.columns
             ]
         )

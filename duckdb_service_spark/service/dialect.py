@@ -292,6 +292,110 @@ def _rewrite_cast_string_types(sql: str) -> str:
     return "".join(out)
 
 
+# ---- BIT casts ------------------------------------------------------------
+
+# DuckDB BIT (bitstring) rides as a '0'/'1' STRING in this engine (SURVEY
+# §1.3 last deferred edge; catalog maps the DDL type, the serializer reports
+# BIT via column metadata). Casting is validated at runtime — DuckDB raises
+# on a non-bitstring cast, and silently passing garbage through would be a
+# wrong answer.
+
+_BIT_SUFFIX_RE = re.compile(r"::\s*BIT\b", re.IGNORECASE)
+
+
+def _emit_bit(args: list[str]) -> str:
+    (x,) = args
+    return (
+        f"CASE WHEN ({x}) RLIKE '^[01]+$' THEN ({x}) "
+        f"ELSE raise_error(concat('Cannot cast to BIT: ', ({x}))) END"
+    )
+
+
+def _emit_try_bit(args: list[str]) -> str:
+    (x,) = args
+    return f"CASE WHEN ({x}) RLIKE '^[01]+$' THEN ({x}) END"
+
+
+def _emit_bitstring(args: list[str]) -> str:
+    """DuckDB bitstring(s, n): zero-pad the bitstring s to length n."""
+    if len(args) != 2:
+        raise UnsupportedDialect("bitstring expects (bits, length)")
+    s, n = args
+    return f"lpad({_emit_bit([s])}, {n}, '0')"
+
+
+def _rewrite_bit_casts(sql: str) -> str:
+    """`expr::BIT` and `[TRY_]CAST(expr AS BIT)` → validated bitstring."""
+    if not re.search(r"\bBIT\b", sql, re.IGNORECASE):
+        return sql
+    # CAST(... AS BIT) — balanced, literal-aware
+    mask = _literal_mask(sql)
+    out, pos = [], 0
+    for m in _CAST_OPEN_RE.finditer(sql):
+        if mask[m.start()] or m.start() < pos:
+            continue
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if not mask[i]:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            continue
+        inner = sql[m.end() : i - 1]
+        tm = re.search(r"\s+AS\s+BIT\s*$", inner, re.IGNORECASE)
+        if not tm:
+            continue
+        fn = "__duck_try_bit" if m.group(0).upper().startswith("TRY") else "__duck_bit"
+        out.append(sql[pos : m.start()])
+        out.append(f"{fn}({inner[: tm.start()]})")
+        pos = i
+    out.append(sql[pos:])
+    sql = "".join(out)
+
+    # expr::BIT — base is a literal, identifier, or parenthesized group
+    while True:
+        mask = _literal_mask(sql)
+        m = next((c for c in _BIT_SUFFIX_RE.finditer(sql) if not mask[c.start()]), None)
+        if m is None:
+            break
+        j = m.start()
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j > 0 and sql[j - 1] == "'":
+            k = j - 1
+            lit = next((a for a, b in _spans(sql) if b == j), None)
+            if lit is None:
+                raise UnsupportedDialect("::BIT on an unparsable literal base")
+            k = lit
+        elif j > 0 and sql[j - 1] == ")":
+            depth, k = 0, j
+            while k > 0:
+                k -= 1
+                if not mask[k]:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+        else:
+            k = j
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            if k == j:
+                raise UnsupportedDialect("::BIT needs a literal/identifier/paren base")
+        base = sql[k:j]
+        sql = sql[:k] + f"__duck_bit({base})" + sql[m.end() :]
+    return sql
+
+
+def _spans(sql: str) -> list[tuple[int, int]]:
+    return [(m.start(), m.end()) for m in _STRING_RE.finditer(sql)]
+
+
 # ---- USING SAMPLE ---------------------------------------------------------
 
 # DuckDB sample clause on a table reference (SURVEY §2.2f): bare number =
@@ -417,6 +521,7 @@ def translate(sql: str) -> str:
                 f"(duckdb_service_spark.operators) instead"
             )
     sql = _rewrite_code(sql, _rewrite_functions)
+    sql = _rewrite_bit_casts(sql)
     sql = _rewrite_cast_string_types(sql)
     sql = _rewrite_code(sql, _rewrite_using_sample)
     sql = _convert_strftime_formats(sql)
@@ -429,6 +534,9 @@ def translate(sql: str) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_len(sql)
     sql = _rewrite_balanced_call(sql, "__duck_list_slice", _emit_slice)
+    sql = _rewrite_balanced_call(sql, "__duck_bit", _emit_bit)
+    sql = _rewrite_balanced_call(sql, "__duck_try_bit", _emit_try_bit)
+    sql = _rewrite_balanced_call(sql, "bitstring", _emit_bitstring)
     return sql
 
 

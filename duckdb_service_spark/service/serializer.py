@@ -94,7 +94,12 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
     rows = df.collect()
     return {
         "columns": df.columns,
-        "types": [duckdb_type_name(f.dataType) for f in df.schema.fields],
+        # a field can carry its DuckDB-side type when Spark has no native
+        # equivalent (BIT bitstrings ride as STRING + metadata)
+        "types": [
+            f.metadata.get("duckdb_type") or duckdb_type_name(f.dataType)
+            for f in df.schema.fields
+        ],
         "values": [[_json_value(v) for v in row] for row in rows],
     }
 

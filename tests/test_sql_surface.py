@@ -487,3 +487,20 @@ def test_using_sample_unknown_method_raises(engine):
 
     with pytest.raises((UnsupportedDialect, ValueError)):
         engine.query_df("SELECT * FROM samp USING SAMPLE 10% (bogus)")
+
+
+def test_bit_type_ddl_and_serializer(engine):
+    from duckdb_service_spark.service.serializer import query_result
+
+    engine.execute("CREATE TABLE bits (id INTEGER, b BIT)")
+    engine.execute("INSERT INTO bits VALUES (1, '1011'), (2, '0001')")
+    out = query_result(engine.query_df("SELECT b FROM bits ORDER BY b"))
+    assert out["types"] == ["BIT"]
+    assert out["values"] == [["0001"], ["1011"]]
+
+
+def test_bit_cast_validates(engine):
+    assert engine.query_df("SELECT '1011'::BIT AS b").collect()[0].b == "1011"
+    assert engine.query_df("SELECT TRY_CAST('10x' AS BIT) AS b").collect()[0].b is None
+    with pytest.raises(Exception):
+        engine.query_df("SELECT '10x'::BIT AS b").collect()
