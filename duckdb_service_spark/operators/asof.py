@@ -61,15 +61,30 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
 
-    # Right rows with equal ts sort before left rows (side 0 < 1), giving the
-    # inclusive `left_ts >= right_ts` match. A unique right ts per key keeps
-    # ties deterministic (as in DuckDB).
+    return _asof_carry(tagged_r.unionByName(tagged_l), on, lcols, left_ts, right_ts, rpay, how)
+
+
+def _asof_carry(
+    tagged: DataFrame,
+    on: list[str],
+    lcols: list[str],
+    left_ts: str,
+    right_ts: str,
+    rpay: list[str],
+    how: str,
+) -> DataFrame:
+    """Shared tail of both asof variants: sort each key group once by
+    (ts, side) and carry the latest right payload struct forward.
+
+    Right rows with equal ts sort before left rows (side 0 < 1), giving the
+    inclusive `left_ts >= right_ts` match. A unique right ts per key keeps
+    ties deterministic (as in DuckDB)."""
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = tagged_r.unionByName(tagged_l).select(
+    carried = tagged.select(
         *on,
         "__ts",
         "__side",
@@ -87,6 +102,46 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out
+
+
+def asof_join_fused(
+    source: DataFrame,
+    left_pred: Column,
+    right_pred: Column,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """`asof_join` for the common case where BOTH sides are filters of ONE
+    relation (e.g. clicks vs views of the same `events` table): one scan of
+    the source with a conditional side tag, instead of two scans unioned.
+    At 100 TB this halves the input I/O of the asof stage; at sf0.1 it
+    shaves the cold-cache cost measurably (tools/perf_asof.py).
+
+    Requires ``left_pred`` and ``right_pred`` to be mutually exclusive —
+    a row satisfying both would need to appear on both sides, which a
+    single-pass tag cannot express. Semantics are otherwise identical to
+    ``asof_join(source.filter(left_pred), source.filter(right_pred), ...)``.
+    """
+    from pyspark.sql import types as T
+
+    lcols = [c for c in left_payload if c not in on and c != left_ts]
+    rpay = [right_ts] + [c for c in right_payload if c != right_ts]
+    rpay_type = T.StructType([T.StructField(c, source.schema[c].dataType) for c in rpay])
+
+    tagged = source.filter(left_pred | right_pred).select(
+        *on,
+        F.when(right_pred, F.col(right_ts)).otherwise(F.col(left_ts)).alias("__ts"),
+        F.when(right_pred, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(right_pred, F.struct(*[F.col(c).alias(c) for c in rpay]))
+        .otherwise(F.lit(None).cast(rpay_type))
+        .alias("__rpay"),
+        *[F.when(left_pred, F.col(c)).alias(f"__l_{c}") for c in lcols],
+    )
+    return _asof_carry(tagged, on, lcols, left_ts, right_ts, rpay, how)
 
 
 def _with_global_pos(df: DataFrame, order: list[Column]) -> DataFrame:

@@ -71,12 +71,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def explode_shingles(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
-    """(id, s): one row per distinct shingle per doc. Compute ONCE and share
-    (localCheckpoint) across signature + verification stages — the shingle
-    relation is the expensive subtree of every near-dup pipeline."""
+    """(id, s): one row per distinct shingle per doc, with the shingle stored
+    as its portable 60-bit hash (bigint), NOT the raw n-gram string. Compute
+    ONCE and share (localCheckpoint) across signature + verification stages —
+    the shingle relation is the expensive subtree of every near-dup pipeline,
+    it gets materialized and re-joined up to 3×, and long keys store, shuffle
+    and compare far cheaper than n-gram strings. The md5 count is unchanged
+    (it moves from the signature stage to before the checkpoint); Jaccard
+    intersection over 60-bit hashes equals string intersection up to a
+    ~2^-60-per-pair collision, the standard trade (MMDS ch.3 hashes shingles
+    to ints for exactly this reason)."""
     return df.select(
-        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("s")
-    )
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("__s_raw")
+    ).select(F.col(id_col), hash64(F.col("__s_raw")).alias("s"))
 
 
 def minhash_signatures(
@@ -95,8 +102,8 @@ def minhash_signatures(
     ``shingles`` (from explode_shingles) to share the scan.
     """
     sh0 = shingles if shingles is not None else explode_shingles(df, id_col, text_col, shingle_n)
-    h31 = (hash64(F.col("s")) % MINHASH_PRIME).alias("h")
-    sh = sh0.select(id_col, h31)
+    # explode_shingles already emits the portable 60-bit hash as `s`
+    sh = sh0.select(id_col, (F.col("s") % MINHASH_PRIME).alias("h"))
     aggs = []
     for i in range(num_perms):
         a, b = perm_coeffs(i)
