@@ -117,6 +117,8 @@ class Catalog:
         self.tables: dict[str, TableMeta] = {}
         self.views: dict[str, str] = {}
         self.sequences: dict[str, int] = {}
+        self.macros: dict = {}  # name -> macros.MacroDef
+        self.attached: dict[str, str] = {}  # alias -> warehouse path
         self._load_existing()
 
     # -- persistence -------------------------------------------------------
@@ -140,6 +142,13 @@ class Catalog:
         if os.path.exists(self._seq_path()):
             with open(self._seq_path()) as f:
                 self.sequences.update(json.load(f))
+        if os.path.exists(self._macros_path()):
+            from .macros import MacroDef
+
+            with open(self._macros_path()) as f:
+                for d in json.load(f).values():
+                    m = MacroDef.from_json(d)
+                    self.macros[m.name] = m
         for fn in os.listdir(self.dir):
             if fn.endswith(".meta.json"):
                 with open(os.path.join(self.dir, fn)) as f:
@@ -261,6 +270,81 @@ class Catalog:
     def create_sequence(self, name: str, start: int = 1) -> None:
         self.sequences[name] = start - 1
         self._save_sequences()
+
+    def _macros_path(self) -> str:
+        return os.path.join(self.dir, "_macros.json")
+
+    def _save_macros(self) -> None:
+        with open(self._macros_path(), "w") as f:
+            json.dump({n: m.to_json() for n, m in self.macros.items()}, f)
+
+    def create_macro(self, macro, or_replace: bool = False) -> None:
+        """Persist a macro definition (DuckDB macros live in the database
+        file; ours live in the warehouse sidecar)."""
+        if macro.name in self.macros and not or_replace:
+            raise ValueError(f"macro {macro.name} already exists")
+        self.macros[macro.name] = macro
+        self._save_macros()
+
+    def drop_macro(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.macros:
+            if if_exists:
+                return
+            raise ValueError(f"macro {name} does not exist")
+        del self.macros[name]
+        self._save_macros()
+
+    # -- ATTACH / DETACH ---------------------------------------------------
+
+    def attach(self, path: str, alias: str | None = None) -> None:
+        """DuckDB `ATTACH 'dir' AS alias`: expose another warehouse's tables
+        as `alias.table`. Spark mapping: a database in the session catalog
+        holding one VIEW per attached table over its parquet directory —
+        views need no partition recovery (partition dirs are inferred by the
+        parquet source) and are read-only, matching the single-writer
+        discipline (writes still only target the primary warehouse).
+        Session-scoped, like DuckDB ATTACH (not persisted in the db)."""
+        if not os.path.isdir(path):
+            raise ValueError(f"cannot attach {path!r}: not a directory")
+        alias = (alias or re.sub(r"\W+", "_", os.path.basename(path.rstrip("/")))).lower()
+        if alias in ("default", "global_temp"):
+            raise ValueError(f"cannot attach as reserved database name {alias!r}")
+        if alias in self.attached:
+            raise ValueError(f"database {alias} already attached")
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+        try:
+            for fn in sorted(os.listdir(path)):
+                if not fn.endswith(".meta.json"):
+                    continue
+                with open(os.path.join(path, fn)) as f:
+                    d = json.load(f)
+                name, tpath = d["name"], os.path.join(path, d["name"])
+                if self._has_data_files(tpath):
+                    self.spark.sql(
+                        f"CREATE OR REPLACE VIEW {alias}.{name} AS "
+                        f"SELECT * FROM parquet.`{tpath}`"
+                    )
+                else:
+                    # empty table: no files to infer from — typed empty view
+                    # off the sidecar schema
+                    cols = ", ".join(
+                        f"CAST(NULL AS {parse_type(c['type']).simpleString()}) AS {c['name']}"
+                        for c in d["columns"]
+                    )
+                    self.spark.sql(
+                        f"CREATE OR REPLACE VIEW {alias}.{name} AS SELECT {cols} WHERE 1=0"
+                    )
+        except Exception:
+            self.spark.sql(f"DROP DATABASE IF EXISTS {alias} CASCADE")
+            raise
+        self.attached[alias] = path
+
+    def detach(self, alias: str) -> None:
+        alias = alias.lower()
+        if alias not in self.attached:
+            raise ValueError(f"database {alias} is not attached")
+        self.spark.sql(f"DROP DATABASE {alias} CASCADE")
+        del self.attached[alias]
 
     def nextval(self, name: str) -> int:
         if name not in self.sequences:

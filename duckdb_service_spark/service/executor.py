@@ -133,6 +133,23 @@ class Engine:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse_dir)
         self._pragmas: dict[str, str] = {}
+        self._prepared: dict[str, str] = {}
+
+    def _bind_execute_stmt(self, stripped: str):
+        """If `stripped` is EXECUTE name(args), return the bound SQL text;
+        None otherwise. Shared by the read and write paths (a prepared
+        statement may be a SELECT or an INSERT)."""
+        m = re.match(r"^EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", stripped, re.IGNORECASE | re.DOTALL)
+        if m is None:
+            return None
+        from .macros import _split_top_commas, bind_prepared
+
+        name = m.group(1).lower()
+        if name not in self._prepared:
+            raise ValueError(f"prepared statement {m.group(1)} does not exist")
+        raw = (m.group(2) or "").strip()
+        args = _split_top_commas(raw) if raw else []
+        return bind_prepared(self._prepared[name], args)
 
     # ---- sequences -------------------------------------------------------
 
@@ -187,6 +204,13 @@ class Engine:
         return None
 
     def query_df(self, sql: str) -> DataFrame:
+        sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
+        if sub is not None:
+            return self.query_df(sub)
+        if self.catalog.macros:
+            from .macros import expand_macros
+
+            sql = expand_macros(sql, self.catalog.macros)
         if self._UNION_BY_NAME_RE.search(sql):
             out = self._union_by_name(sql.strip().rstrip(";"))
             if out is not None:
@@ -224,6 +248,52 @@ class Engine:
             return ExecuteOutcome(total)
         stripped = sql.strip().rstrip(";")
         upper = stripped.upper()
+
+        # -- macros / prepared statements / attach (bind-time surface) -----
+        from .macros import expand_macros, parse_create_macro, parse_drop_macro
+
+        mac = parse_create_macro(stripped)
+        if mac is not None:
+            or_replace = bool(re.match(r"^CREATE\s+OR\s+REPLACE\b", stripped, re.IGNORECASE))
+            self.catalog.create_macro(mac, or_replace=or_replace)
+            return ExecuteOutcome(0)
+        dm = parse_drop_macro(stripped)
+        if dm is not None:
+            self.catalog.drop_macro(dm[0], if_exists=dm[1])
+            return ExecuteOutcome(0)
+
+        m = re.match(r"^PREPARE\s+(\w+)\s+AS\s+(.+)$", stripped, re.IGNORECASE | re.DOTALL)
+        if m:
+            # session-scoped, like DuckDB prepared statements (not persisted)
+            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            return ExecuteOutcome(0)
+        m = re.match(r"^DEALLOCATE\s+(?:PREPARE\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            if self._prepared.pop(m.group(1).lower(), None) is None:
+                raise ValueError(f"prepared statement {m.group(1)} does not exist")
+            return ExecuteOutcome(0)
+        sub = self._bind_execute_stmt(stripped)
+        if sub is not None:
+            return self.execute(sub)
+
+        m = re.match(
+            r"^ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+(\w+))?\s*"
+            r"(\(\s*READ_ONLY\s*\))?$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            path, alias = m.group(1), m.group(2)
+            self.catalog.attach(path, alias)
+            return ExecuteOutcome(0)
+        m = re.match(r"^DETACH\s+(?:DATABASE\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            self.catalog.detach(m.group(1))
+            return ExecuteOutcome(0)
+
+        if self.catalog.macros:
+            stripped = expand_macros(stripped, self.catalog.macros)
+            upper = stripped.upper()
 
         m = re.match(
             r"^CREATE\s+OR\s+REPLACE\s+TABLE\s+(\w+)\s*(.*)$",
