@@ -93,6 +93,7 @@ def minhash_signatures(
     num_perms: int = 64,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): k-permutation MinHash signature per document.
 
@@ -100,6 +101,12 @@ def minhash_signatures(
     groupBy — NOT k passes and NOT a k× row blow-up. h is the portable
     md5-based 64-bit hash reduced mod 2^31-1. Pass a pre-computed
     ``shingles`` (from explode_shingles) to share the scan.
+
+    ``with_size=True`` adds ``n_sh`` (distinct-shingle count) to the SAME
+    aggregate: the downstream Jaccard verification needs per-doc set sizes,
+    and riding them on the signature groupBy is free, where a separate
+    count-aggregate would re-shuffle the whole shingle relation (it showed
+    up as 2 extra Exchanges + 2 checkpoint rescans in the executed plan).
     """
     sh0 = shingles if shingles is not None else explode_shingles(df, id_col, text_col, shingle_n)
     # explode_shingles already emits the portable 60-bit hash as `s`
@@ -108,6 +115,8 @@ def minhash_signatures(
     for i in range(num_perms):
         a, b = perm_coeffs(i)
         aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}"))
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -147,11 +156,20 @@ def jaccard_verify(
     text_col: str,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs only."""
+    """Exact shingle-set Jaccard for candidate pairs only.
+
+    Pass ``sizes`` (id, n_sh) — e.g. from ``minhash_signatures(...,
+    with_size=True)`` — to reuse an already-materialized per-doc count
+    instead of re-aggregating the shingle relation twice (na/nb sides).
+    """
     sh0 = shingles if shingles is not None else explode_shingles(docs, id_col, text_col, shingle_n)
     sh = sh0.select(F.col(id_col).alias("__id"), "s")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is not None:
+        sizes = sizes.select(F.col(id_col).alias("__id"), "n_sh")
+    else:
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("s"))
     sh_b = sh.select(F.col("__id").alias("id_b"), F.col("s"))
     inter = (

@@ -90,6 +90,36 @@ def token_counts(text: Column) -> dict[str, Column]:
     }
 
 
+# PII patterns shared verbatim between the Spark expressions and the DuckDB
+# oracle (plans/textops.py) — restricted to the regex subset Java's engine
+# and RE2 interpret identically (\b, \d, ASCII classes, bounded repeats).
+# Order matters: email first (its local part can contain digits and dots that
+# the later numeric patterns would chew up), then SSN (3-2-4) before phone
+# (3-3-4), then IPv4 last (dots only). Each count is taken on the text AFTER
+# the previous replacements, so overlapping matches are never double-counted.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(scrubbed_text, {n_email, n_ssn, ...}) — sequential regex redaction.
+
+    Pure column expressions (regexp_count / regexp_replace are JVM codegen),
+    zero Python in the row path; at 100 TB this is a map-only pass that
+    pipelines with whatever scan feeds it.
+    """
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur, counts
+
+
 def fingerprint(text: Column, n_hashes: int = 5, shingle_n: int = 3) -> Column:
     """Winnowing-style doc fingerprint: the k smallest shingle-hash prefixes,
     joined. Two docs share fingerprint parts iff they share low-hash

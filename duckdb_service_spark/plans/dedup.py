@@ -150,10 +150,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise each recompute the explode.
     corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
     sh = explode_shingles(corpus, "doc_id", "text").localCheckpoint(eager=True)
-    sig = minhash_signatures(corpus, "doc_id", "text", num_perms=64, shingles=sh)
+    # Checkpoint the signature relation too (docs × 65 longs — tiny): the
+    # LSH band self-join otherwise RECOMPUTES the whole 64-min aggregate for
+    # both sides (verified in the executed plan: two Exchange+partial_min
+    # subtrees), and with_size rides the per-doc shingle count on the same
+    # groupBy so verification doesn't re-aggregate the shingle relation.
+    sig = minhash_signatures(
+        corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
+    ).localCheckpoint(eager=True)
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify(corpus, pairs, "doc_id", "text", shingles=sh)
+    verified = jaccard_verify(
+        corpus, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
+    )
     return (
         verified.filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -1,0 +1,201 @@
+"""Connected-components queries (plans for operators/components.py).
+
+Two oracle-checked entries:
+
+- ``graph_connected_components``: synthetic chains + cycles built from
+  ``range()`` on both engines — exercises the multi-round large-star /
+  small-star fixpoint (chain diameter 49 forces several contractions; the
+  ring closures add non-tree edges).
+- ``dedup_cluster_components``: the real pipeline composition — MinHash-LSH
+  verified near-dup pairs over a corpus where every doc has a CHAIN of two
+  mutated twins, resolved to duplicate clusters. This is the step that makes
+  a keep-policy exact when near-dup relations chain (A~B~C without A~C).
+
+Both oracles are DuckDB recursive transitive closures (min reachable id per
+node) — exponentially slower than the star contraction at scale, but exact
+at sf0.01, which is the point of the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    explode_shingles,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ..session import default_parallelism
+from ..sources import load_tables
+from .registry import query
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    chain_edges AS (
+      SELECT i AS src, i + 1 AS dst
+      FROM generate_series(0, 998) t(i)
+      WHERE i % 50 <> 49
+    ),
+    ring_edges AS (
+      SELECT 50 * k AS src, 50 * k + 49 AS dst
+      FROM generate_series(0, 19) t(k)
+      WHERE k % 2 = 0
+    ),
+    base AS (SELECT src, dst FROM chain_edges UNION ALL SELECT src, dst FROM ring_edges),
+    bidir AS (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+    nodes AS (SELECT DISTINCT src AS n FROM bidir),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT b.dst AS n, reach.r FROM reach JOIN bidir b ON b.src = reach.n
+    ),
+    lab AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT component, COUNT(*) AS n_nodes, MAX(n) AS max_node
+    FROM lab
+    GROUP BY component
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 chains of 50 nodes (0-49, 50-99, …), every even chain closed into a
+    ring — 20 components of 50 nodes each, found by star contraction."""
+    chain = (
+        spark.range(0, 999)
+        .filter(F.col("id") % 50 != 49)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    ring = (
+        spark.range(0, 20)
+        .filter(F.col("id") % 2 == 0)
+        .select((F.col("id") * 50).alias("src"), (F.col("id") * 50 + 49).alias("dst"))
+    )
+    comp = connected_components(chain.unionByName(ring))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("node").alias("max_node")
+    )
+
+
+TWIN1_OFFSET = 100000
+TWIN2_OFFSET = 200000
+TWIN1_SUFFIX = " zq yq xq"
+TWIN2_SUFFIX = " zq yq xq pq"
+
+
+def _corpus3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    t1 = d.select(
+        (F.col("doc_id") + TWIN1_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(TWIN1_SUFFIX)).alias("text"),
+    )
+    t2 = d.select(
+        (F.col("doc_id") + TWIN2_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(TWIN2_SUFFIX)).alias("text"),
+    )
+    return d.unionByName(t1).unionByName(t2)
+
+
+# Same portable MinHash pipeline as plans/dedup.py's oracle (driver-green
+# there), over the 3-part corpus, then a recursive closure over the verified
+# pairs. Kept inline: the oracle must be a single self-contained statement.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {TWIN1_OFFSET}, text || '{TWIN1_SUFFIX}' FROM documents
+  UNION ALL
+  SELECT doc_id + {TWIN2_OFFSET}, text || '{TWIN2_SUFFIX}' FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, s
+  FROM toks, UNNEST(list_transform(
+         generate_series(1, greatest(len(tok) - 2, 0)),
+         i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS u(s)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM shingles
+),
+perms AS (SELECT unnest(generate_series(0, 63)) AS pi),
+mh AS (
+  SELECT doc_id, pi,
+         MIN(((1103515245 * (pi + 1) + 12345) % {MINHASH_PRIME} * h
+              + (69069 * (pi + 1) + 362437) % {MINHASH_PRIME}) % {MINHASH_PRIME}) AS v
+  FROM hashed CROSS JOIN perms
+  GROUP BY doc_id, pi
+),
+bands AS (
+  SELECT doc_id, pi // 4 AS band_id,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi)) AS band_hash
+  FROM mh GROUP BY doc_id, pi // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+),
+edges AS (
+  SELECT i.id_a AS src, i.id_b AS dst
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.3
+),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(n, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT b.dst AS n, reach.r FROM reach JOIN bidir b ON b.src = reach.n
+),
+lab AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n)
+SELECT component AS cluster_rep, COUNT(*) AS n_docs, MAX(n) AS max_doc
+FROM lab
+GROUP BY component
+"""
+
+
+@query("dedup_cluster_components", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: every doc has a chain of two
+    mutated twins (orig ~ twin1 ~ twin2); LSH-verified pairs feed the star
+    contraction, so each cluster resolves to (min doc_id, 3 docs) even when
+    some orig~twin2 pair is below the Jaccard cut. Singletons (docs whose
+    pairs all fail verification) stay as 1-doc clusters via the nodes
+    relation."""
+    corpus = _corpus3(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
+    sh = explode_shingles(corpus, "doc_id", "text").localCheckpoint(eager=True)
+    sig = minhash_signatures(
+        corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
+    ).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    edges = (
+        jaccard_verify(
+            corpus, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges, nodes=corpus.select("doc_id"))
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc")
+    ).select(F.col("component").alias("cluster_rep"), "n_docs", "max_doc")

@@ -142,10 +142,16 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 3: near-dup removal (drop higher id of each verified pair)
     sh = explode_shingles(exact_kept, "doc_id", "text").localCheckpoint(eager=True)
-    sig = minhash_signatures(exact_kept, "doc_id", "text", num_perms=64, shingles=sh)
+    # sig checkpoint: the band self-join would otherwise recompute the
+    # 64-min aggregate twice; with_size shares the per-doc shingle count.
+    sig = minhash_signatures(
+        exact_kept, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
+    ).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     dup_ids = (
-        jaccard_verify(exact_kept, pairs, "doc_id", "text", shingles=sh)
+        jaccard_verify(
+            exact_kept, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
+        )
         .filter(F.col("jaccard") >= JACCARD_CUT)
         .select(F.col("id_b").alias("drop_id"))
         .distinct()

@@ -91,6 +91,11 @@ PRIORITY: list[str] = [
     "sql_read_json_routing",
     "sql_sample_routing",
     "fn_bit_type",
+    "graph_connected_components",
+    "dedup_cluster_components",
+    "text_pii_scrub",
+    "text_contamination",
+    "stream_dedup_exact",
 ]
 
 
@@ -105,6 +110,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         functions_scalar,
+        graphs,
         joins,
         pipeline_curation,
         relational,

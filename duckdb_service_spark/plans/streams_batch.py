@@ -119,6 +119,49 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_exact",
+    oracle="""
+    WITH deliveries AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 90 SECOND, user_id, event_type, value
+      FROM events WHERE event_id % 4 = 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn,
+             COUNT(*) OVER (PARTITION BY event_id) AS n_deliveries
+      FROM deliveries
+    )
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(n_deliveries AS BIGINT) AS n_deliveries
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once projection of an at-least-once event feed: keep the
+    first delivery (min ts) per event_id. Batch twin of
+    ``dropDuplicatesWithinWatermark(["event_id"])`` (streaming.pipeline.
+    dedup_events — same keys; the watermark bounds streaming state to the
+    redelivery horizon, here simulated as +90 s redeliveries of every 4th
+    event). One shuffle on event_id; at 100 TB the dedup state is one row
+    per key per watermark window, the minimum any exactly-once sink pays."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    redelivered = e.filter(F.col("event_id") % 4 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS")
+    )
+    deliveries = e.unionByName(redelivered)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    ranked = deliveries.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_id")).alias("n_deliveries"),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
     "stream_user_activity_windows",
     oracle="""
     SELECT user_id,

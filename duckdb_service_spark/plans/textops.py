@@ -7,10 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64, hash64_sql
-from ..operators.dedup import tokens_expr
+from ..operators.dedup import explode_shingles, tokens_expr
 from ..operators.text import (
+    PII_PATTERNS,
     STOPWORDS,
     fingerprint,
+    pii_scrub,
     predict_lang,
     quality_features,
     quality_score,
@@ -241,6 +243,159 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_sampled"),
         )
         .select("lang", "n_sampled", "n_total", "chars_sampled")
+    )
+
+
+# The fixture corpus is a digit-free word salad, so deterministic PII is
+# seeded onto both engines' inputs with the SAME concat expression — the
+# scrub then has real matches to find (emails, SSNs, dashed+dotted phones,
+# IPv4s) instead of vacuously counting zero.
+_PII_SEED_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' contact bob.smith+ml@data-eng.example.org or 555-867-5309' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN"
+    " ' ssn 123-45-6789 from host 10.0.42.177' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN"
+    " ' fallback 555.867.1234 at 192.168.1.9 alt.user@example.co' ELSE '' END"
+)
+
+
+def _pii_seed_col():
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" contact bob.smith+ml@data-eng.example.org or 555-867-5309"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789 from host 10.0.42.177")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" fallback 555.867.1234 at 192.168.1.9 alt.user@example.co"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    """Staged CTE chain generated from the SAME PII_PATTERNS list the Spark
+    side compiles, so the two engines can never drift on pattern text or
+    application order."""
+    stages = [f"seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS t0 FROM documents)"]
+    prev = "t0"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cur = f"t{i + 1}"
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[:i])
+        carry = carry + ", " if carry else ""
+        stages.append(
+            f"s{i + 1} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all({prev}, '{pat}')) AS INT) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur} "
+            f"FROM {'seeded' if i == 0 else f's{i}'})"
+        )
+        prev = cur
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(stages) + f"\nSELECT doc_id, {names}, {prev} AS scrubbed"
+        f" FROM s{len(PII_PATTERNS)}"
+    )
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (operators.text.pii_scrub): sequential
+    regex scrub of emails, SSNs, phone numbers, IPv4s, with per-class match
+    counts taken on the progressively-scrubbed text. Map-only JVM codegen —
+    no shuffle, no Python; at 100 TB this pipelines with the scan."""
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t).select("doc_id", _pii_seed_col().alias("seeded"))
+    scrubbed, counts = pii_scrub(F.col("seeded"))
+    return d.select(
+        "doc_id",
+        *[c.cast("int").alias(k) for k, c in counts.items()],
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# 6-gram benchmark-contamination check (the GPT-3 report's 13-gram collision
+# test, shrunk to the fixture's ~60-token docs). The "benchmark" is every
+# 23rd doc; the training corpus is everything else PLUS a prefixed copy of
+# each benchmark doc (doc_id + 500000) whose interior 6-grams still collide
+# — guaranteed true positives without hand-built fixtures.
+_CONTAM_N = 6
+_CONTAM_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id, {h} AS s
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM {src}) t,
+       UNNEST(list_transform(
+         generate_series(1, greatest(len(tok) - {nm1}, 0)),
+         i -> array_to_string(list_slice(tok, i, i + {nm1}), ' '))) AS u(g)
+"""
+
+
+def _contam_oracle() -> str:
+    sh = lambda src: _CONTAM_SHINGLE_SQL.format(  # noqa: E731
+        h=hash64_sql("g"), src=src, nm1=_CONTAM_N - 1
+    )
+    return f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0),
+    train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0
+      UNION ALL
+      SELECT doc_id + 500000, 'zz qq ' || text FROM bench
+    ),
+    tsh AS ({sh("train")}),
+    bsh AS (SELECT DISTINCT s FROM ({sh("bench")})),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    hits AS (SELECT t.doc_id, COUNT(*) AS n_hits FROM tsh t JOIN bsh USING (s) GROUP BY t.doc_id)
+    SELECT totals.doc_id, n_shingles,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_shingles, 6) AS contamination,
+           COALESCE(n_hits, 0) > 0 AS contaminated
+    FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+    """
+
+
+@query("text_contamination", oracle=_contam_oracle())
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: per-training-doc overlap of its
+    distinct 6-gram set with the benchmark corpus's 6-gram set.
+
+    Scale shape: the benchmark side of the join is an eval set — thousands
+    of docs even at 100 TB of training data — so its distinct shingle-hash
+    set is explicitly broadcast and the training shingles NEVER shuffle for
+    the membership probe (map-side broadcast hash join); the only shuffle is
+    the per-doc count groupBy. Shingles travel as 60-bit portable hashes
+    (operators.dedup.explode_shingles), not strings."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text")
+    bench_docs = d.filter(F.col("doc_id") % 23 == 0)
+    train = (
+        d.filter(F.col("doc_id") % 23 != 0)
+        .unionByName(
+            bench_docs.select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.lit("zz qq "), F.col("text")).alias("text"),
+            )
+        )
+        .repartition(default_parallelism(), F.col("doc_id"))
+    )
+    bench_sh = explode_shingles(bench_docs, "doc_id", "text", _CONTAM_N).select("s").distinct()
+    tr_sh = explode_shingles(train, "doc_id", "text", _CONTAM_N)
+    totals = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        tr_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
 
 

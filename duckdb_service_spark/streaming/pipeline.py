@@ -54,6 +54,20 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def dedup_events(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once projection of an at-least-once feed: drop redeliveries
+    of the same event key. Streaming: ``dropDuplicatesWithinWatermark`` —
+    state holds one row per key only until the watermark passes its event
+    time (bounded, unlike plain dropDuplicates whose state grows forever).
+    Batch twin with identical keys: plans/streams_batch.stream_dedup_exact
+    (keeps min-ts delivery; a batch frame here keeps the first-seen row,
+    which is the same row set keyed by event_id)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream with the availableNow trigger into a memory sink and
     return the materialized result (test/backfill harness)."""

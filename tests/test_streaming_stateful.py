@@ -41,6 +41,46 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     assert len(got) >= 0.5 * len(batch_keys)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a simulated at-least-once feed
+    (every 4th event redelivered +90s in a second file): output must carry
+    each event_id exactly once and cover the full key set."""
+    from duckdb_service_spark.sources import load_tables
+    from duckdb_service_spark.streaming.pipeline import dedup_events
+
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # LTZ for watermark; tz pinned UTC
+    )
+    feed = str(tmp_path / "deliveries")
+    e.coalesce(1).write.mode("overwrite").parquet(feed)
+    (
+        e.filter(F.col("event_id") % 4 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(feed)
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.table("t_dedup").collect()]
+    assert len(got) == len(set(got)), "stream emitted duplicate event_ids"
+    assert set(got) == {r.event_id for r in e.select("event_id").collect()}
+
+
 def test_sequences_via_service(spark):
     import tempfile
 
