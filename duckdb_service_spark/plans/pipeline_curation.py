@@ -11,6 +11,7 @@ no intermediate materialization except the shared shingle checkpoint.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -134,19 +135,23 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BYTES) — but the next stage is CPU-heavy shingling, so force the
         # spread back out with an explicit repartition (user repartitions
         # with a partition count are exempt from AQE coalescing), and
-        # checkpoint: exact_kept feeds both the shingle explode and the
+        # persist: exact_kept feeds both the shingle explode and the
         # final survivor join.
         .repartition(default_parallelism(), F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # stage 3: near-dup removal (drop higher id of each verified pair)
-    sh = explode_shingles(exact_kept, "doc_id", "text").localCheckpoint(eager=True)
-    # sig checkpoint: the band self-join would otherwise recompute the
+    # stage 3: near-dup removal (drop higher id of each verified pair).
+    # persist, not eager localCheckpoint: cached relations are computed once
+    # per action even with multiple consumers, keep outputPartitioning, and
+    # add no extra jobs — the whole pipeline runs as ONE action (see
+    # plans/dedup.py for the measured delta).
+    sh = explode_shingles(exact_kept, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    # sig persist: the band self-join would otherwise recompute the
     # 64-min aggregate twice; with_size shares the per-doc shingle count.
     sig = minhash_signatures(
         exact_kept, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     dup_ids = (
         jaccard_verify(
