@@ -48,16 +48,25 @@ def tokens_expr(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def ngrams_expr(col: Column, n: int) -> Column:
+    """ALL word n-grams in order, multiplicity preserved (repetition stats
+    need counts; shingles_expr dedups for set semantics). Guarded for docs
+    shorter than n tokens: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
+    index 0 then crashes slice, so short docs get an explicit empty array."""
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_expr(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (pure expressions —
     whole-stage codegen, no UDF)."""
-    toks = tokens_expr(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    return F.array_distinct(ngrams_expr(col, n))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -96,6 +96,9 @@ PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_contamination",
     "stream_dedup_exact",
+    "text_repetition_filter",
+    "pipeline_sequence_packing",
+    "pipeline_source_mix",
 ]
 
 

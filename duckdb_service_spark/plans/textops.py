@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64, hash64_sql
-from ..operators.dedup import explode_shingles, tokens_expr
+from ..operators.dedup import explode_shingles, ngrams_expr, tokens_expr
 from ..operators.text import (
     PII_PATTERNS,
     STOPWORDS,
@@ -427,4 +427,235 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher-style rules, token-fraction variants)
+# ---------------------------------------------------------------------------
+
+# DuckDB n-gram list (non-distinct, order preserved) — the multiplicity-
+# preserving twin of the shingle SQL used by the dedup oracles.
+def _ngram_sql(n: int) -> str:
+    return (
+        "list_transform(generate_series(1, greatest(len(tok) - {m}, 0)), "
+        "i -> array_to_string(list_slice(tok, i, i + {m}), ' '))"
+    ).format(m=n - 1)
+
+
+_REPETITION_ORACLE = f"""
+WITH toksed AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM documents
+),
+words AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM toksed, UNNEST(tok) AS u(w) GROUP BY doc_id, w
+),
+wstat AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM words GROUP BY doc_id),
+bigrams AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM toksed, UNNEST({_ngram_sql(2)}) AS u(g) GROUP BY doc_id, g
+),
+bstat AS (SELECT doc_id, MAX(c) AS top_bc, SUM(c) AS n_bi FROM bigrams GROUP BY doc_id),
+trigrams AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM toksed, UNNEST({_ngram_sql(3)}) AS u(g) GROUP BY doc_id, g
+),
+tstat AS (SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS n_tri_distinct FROM trigrams GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(w.n_tok AS BIGINT) AS n_tokens,
+       round(CAST(w.top_c AS DOUBLE) / w.n_tok, 6) AS top_word_ratio,
+       round(COALESCE(CAST(b.top_bc AS DOUBLE) / b.n_bi, 0.0), 6) AS top_bigram_ratio,
+       round(COALESCE(1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri, 0.0), 6) AS dup_trigram_ratio,
+       (CAST(w.top_c AS DOUBLE) / w.n_tok > 0.20
+        OR COALESCE(CAST(b.top_bc AS DOUBLE) / b.n_bi, 0.0) > 0.18
+        OR COALESCE(1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri, 0.0) > 0.30) AS repetitive
+FROM wstat w
+LEFT JOIN bstat b ON w.doc_id = b.doc_id
+LEFT JOIN tstat t ON w.doc_id = t.doc_id
+"""
+
+
+def _gram_stats(d: DataFrame, gram_col, prefix: str) -> DataFrame:
+    """(doc_id, {prefix}_top, {prefix}_total, {prefix}_distinct) from a
+    non-distinct gram array: explode -> per-gram counts -> per-doc rollup.
+    Two shuffles on (doc_id[, gram]) — the scale shape; never builds an
+    in-memory frequency map per doc (a 10^6-token doc would blow it)."""
+    per_gram = (
+        d.select("doc_id", F.explode(gram_col).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.max("c").alias(f"{prefix}_top"),
+        F.sum("c").alias(f"{prefix}_total"),
+        F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+    )
+
+
+@query("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules (Rae et al. 2021 §A1.1, token-fraction
+    variants): most-common-word fraction, most-common-bigram fraction, and
+    duplicate-trigram fraction, with the composite `repetitive` drop flag.
+
+    Scale: each n-gram family is explode -> count -> rollup (map-side
+    partial aggs, AQE skew-split on hot docs); the three per-doc stats
+    join on doc_id. No Python, no per-doc in-memory maps."""
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t).select("doc_id", "text")
+    toks = tokens_expr(F.col("text"))
+    w = _gram_stats(d, toks, "w")
+    b = _gram_stats(d, ngrams_expr(F.col("text"), 2), "b")
+    tri = _gram_stats(d, ngrams_expr(F.col("text"), 3), "t")
+    top_word = F.col("w_top").cast("double") / F.col("w_total")
+    top_bi = F.coalesce(F.col("b_top").cast("double") / F.col("b_total"), F.lit(0.0))
+    dup_tri = F.coalesce(
+        F.lit(1.0) - F.col("t_distinct").cast("double") / F.col("t_total"), F.lit(0.0)
+    )
+    return (
+        w.join(b, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("w_total").alias("n_tokens"),
+            F.round(top_word, 6).alias("top_word_ratio"),
+            F.round(top_bi, 6).alias("top_bigram_ratio"),
+            F.round(dup_tri, 6).alias("dup_trigram_ratio"),
+            ((top_word > 0.20) | (top_bi > 0.18) | (dup_tri > 0.30)).alias("repetitive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split token budgeting for training batches)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 256
+
+_PACKING_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, n_tok, c,
+         (c - n_tok) // {_SEQ_LEN} AS s0,
+         (c - 1) // {_SEQ_LEN} AS s1
+  FROM cum WHERE n_tok > 0
+),
+placed AS (
+  SELECT CAST(u.seq_id AS BIGINT) AS seq_id, doc_id,
+         least(c, (u.seq_id + 1) * {_SEQ_LEN}) - greatest(c - n_tok, u.seq_id * {_SEQ_LEN}) AS toks_here
+  FROM spans, UNNEST(generate_series(s0, s1)) AS u(seq_id)
+)
+SELECT seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks_here) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY seq_id
+"""
+
+
+@query("pipeline_sequence_packing", oracle=_PACKING_ORACLE)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining batch
+    layout): documents in deterministic doc_id order form one token stream,
+    cut every {SEQ_LEN} tokens; each doc is attributed to every sequence it
+    overlaps with its exact token contribution.
+
+    The global running token total comes from operators.prefix.prefix_sum —
+    range-partitioned two-phase prefix sum, NOT a single-partition window,
+    so the packing plan survives 100 TB (driver traffic is one row per
+    partition). Span explosion is sequence()+explode; final accounting is
+    one groupBy(seq_id)."""
+    from ..operators.prefix import prefix_sum
+
+    t = load_tables(spark, sf_dir)
+    sized = t["documents"].select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tok")
+    )
+    cum = prefix_sum(sized, order=[F.col("doc_id")], value=F.col("n_tok"), out_col="c")
+    L = F.lit(_SEQ_LEN)
+    spans = cum.filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        "c",
+        F.floor((F.col("c") - F.col("n_tok")) / L).alias("s0"),
+        F.floor((F.col("c") - 1) / L).alias("s1"),
+    )
+    placed = spans.select(
+        "doc_id",
+        "c",
+        "n_tok",
+        F.explode(F.sequence(F.col("s0"), F.col("s1"))).alias("seq_id"),
+    ).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (
+            F.least(F.col("c"), (F.col("seq_id") + 1) * L)
+            - F.greatest(F.col("c") - F.col("n_tok"), F.col("seq_id") * L)
+        ).alias("toks_here"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks_here").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix rebalancing (training-mixture weights per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_source_mix",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS all_tokens, COUNT(*) AS n_sources FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / all_tokens, 6) AS actual_frac,
+           round((CAST(all_tokens AS DOUBLE) / n_sources) / n_tokens, 6) AS resample_weight
+    FROM per_source, tot
+    """,
+)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per-source token share and the resample
+    weight that would equalize the mix (target = uniform across sources;
+    weight = target_tokens / actual_tokens, >1 upsample, <1 downsample).
+    One groupBy(source); the totals side is a broadcast-sized crossJoin
+    (one row)."""
+    t = load_tables(spark, sf_dir)
+    per_source = (
+        t["documents"]
+        .select("source", F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("all_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias("actual_frac"),
+        F.round(
+            (F.col("all_tokens").cast("double") / F.col("n_sources")) / F.col("n_tokens"), 6
+        ).alias("resample_weight"),
     )
