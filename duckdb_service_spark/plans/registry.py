@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "text_repetition_filter",
     "pipeline_sequence_packing",
     "pipeline_source_mix",
+    "sql_summarize_routing",
 ]
 
 

@@ -169,3 +169,37 @@ def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM (SELECT o_orderkey FROM orders USING SAMPLE 100 ROWS) s"
         )
     )
+
+
+@query(
+    "sql_summarize_routing",
+    oracle="""
+    SELECT column_name, column_type, min, max, count,
+           CAST(null_percentage AS DOUBLE) AS null_pct
+    FROM (SUMMARIZE SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    """,
+)
+def sql_summarize_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `SUMMARIZE` statement accepted by the service executor: one
+    aggregation pass computes every per-column statistic (Engine.summarize).
+    The oracle projects the deterministic columns (min/max/count/null%);
+    approx_unique, avg/std and the quartile sketches are engine-specific
+    approximations and stay out of the hash."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    load_tables(spark, sf_dir).view("orders")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_summ_"))
+    kind, df = eng.run_statement(
+        "SUMMARIZE SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"
+    )
+    assert kind == "query"
+    return df.select(
+        "column_name",
+        "column_type",
+        "min",
+        "max",
+        "count",
+        F.col("null_percentage").cast("double").alias("null_pct"),
+    )

@@ -613,7 +613,72 @@ class Engine:
             "EXPLAIN",
             "VALUES",
             "TABLE",
+            "SUMMARIZE",
         }
+
+    def summarize(self, df: DataFrame) -> DataFrame:
+        """DuckDB `SUMMARIZE`: per-column profile with DuckDB 1.0's exact
+        output schema (column_name..null_percentage). ONE aggregation pass
+        over the relation — every per-column statistic (min/max/approx-
+        distinct/avg/std/quartile sketch/null count) rides the same
+        map-side partial agg, so a 100 TB profile costs a single scan +
+        one-row shuffle. Quartiles use percentile_approx and uniqueness
+        uses HLL, matching DuckDB's own approximate SUMMARIZE semantics
+        (ref reach: passthrough db/db.go:70)."""
+        import decimal
+
+        from pyspark.sql import types as T
+
+        from .serializer import duckdb_type_name
+
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, f in enumerate(df.schema.fields):
+            c = F.col(f"`{f.name}`")
+            is_num = isinstance(f.dataType, numeric)
+            null_str = F.lit(None).cast("string")
+            aggs += [
+                F.min(c).cast("string").alias(f"mn_{i}"),
+                F.max(c).cast("string").alias(f"mx_{i}"),
+                F.approx_count_distinct(c).alias(f"uq_{i}"),
+                (F.avg(c).cast("double").cast("string") if is_num else null_str).alias(f"av_{i}"),
+                (F.stddev(c).cast("string") if is_num else null_str).alias(f"sd_{i}"),
+                (
+                    F.percentile_approx(c.cast("double"), F.lit([0.25, 0.5, 0.75]))
+                    if is_num
+                    else F.lit(None).cast("array<double>")
+                ).alias(f"q_{i}"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"nu_{i}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        n = row["__n"]
+        rows = []
+        for i, f in enumerate(df.schema.fields):
+            qs = row[f"q_{i}"] or [None, None, None]
+            pct = (
+                decimal.Decimal(100 * (row[f"nu_{i}"] or 0) / n).quantize(decimal.Decimal("0.01"))
+                if n
+                else None
+            )
+            rows.append(
+                (
+                    f.name, duckdb_type_name(f.dataType), row[f"mn_{i}"], row[f"mx_{i}"],
+                    row[f"uq_{i}"], row[f"av_{i}"], row[f"sd_{i}"],
+                    None if qs[0] is None else str(qs[0]),
+                    None if qs[1] is None else str(qs[1]),
+                    None if qs[2] is None else str(qs[2]),
+                    n, pct,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, column_type string, min string, max string, "
+            "approx_unique bigint, avg string, std string, q25 string, q50 string, "
+            "q75 string, count bigint, null_percentage decimal(9,2)",
+        )
 
     def describe(self, sql: str) -> DataFrame:
         stripped = sql.strip().rstrip(";")
@@ -675,6 +740,12 @@ class Engine:
             return self.spark.createDataFrame(
                 [(self._pragmas[m.group(1).lower()],)], "value string"
             )
+        m = re.match(r"^SUMMARIZE\s+(.+)$", stripped, re.IGNORECASE | re.DOTALL)
+        if m:
+            target = m.group(1).strip()
+            if re.fullmatch(r"\w+", target):
+                target = f"SELECT * FROM {target}"
+            return self.summarize(self.query_df(target))
         if stripped.upper().startswith("EXPLAIN"):
             inner = stripped[len("EXPLAIN") :].strip()
             analyze = False

@@ -504,3 +504,37 @@ def test_bit_cast_validates(engine):
     assert engine.query_df("SELECT TRY_CAST('10x' AS BIT) AS b").collect()[0].b is None
     with pytest.raises(Exception):
         engine.query_df("SELECT '10x'::BIT AS b").collect()
+
+
+# ---- SUMMARIZE ------------------------------------------------------------
+
+
+def test_summarize_table(engine):
+    engine.execute("CREATE TABLE sum_t (id INTEGER, grp TEXT, v DOUBLE)")
+    engine.execute(
+        "INSERT INTO sum_t VALUES (1, 'a', 1.5), (2, 'a', 2.5), (3, 'b', NULL), (4, NULL, 10.0)"
+    )
+    kind, df = engine.run_statement("SUMMARIZE sum_t")
+    assert kind == "query"
+    assert df.columns == [
+        "column_name", "column_type", "min", "max", "approx_unique", "avg",
+        "std", "q25", "q50", "q75", "count", "null_percentage",
+    ]
+    rows = {r.column_name: r for r in df.collect()}
+    assert set(rows) == {"id", "grp", "v"}
+    rid = rows["id"]
+    assert (rid.min, rid.max, rid["count"], rid.approx_unique) == ("1", "4", 4, 4)
+    assert float(rid.avg) == 2.5 and float(rid.null_percentage) == 0.0
+    rg = rows["grp"]
+    assert (rg.min, rg.max) == ("a", "b")
+    assert rg.avg is None and rg.q50 is None
+    assert float(rg.null_percentage) == 25.0
+    rv = rows["v"]
+    assert float(rv.null_percentage) == 25.0 and rv.column_type == "DOUBLE"
+
+
+def test_summarize_query(engine):
+    kind, df = engine.run_statement("SUMMARIZE SELECT 1 AS x UNION ALL SELECT 3")
+    assert kind == "query"
+    row = df.collect()[0]
+    assert (row.column_name, row.min, row.max, row["count"]) == ("x", "1", "3", 2)
