@@ -194,14 +194,23 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline via mapInPandas
     (operators.multimodal): binary payload → deterministic fake 'decoder' →
     fixed-length feature vector. Arrow-batched; the real image/audio decoder
-    drops into decode_batch without touching the Spark plumbing."""
+    drops into decode_batch without touching the Spark plumbing.
+
+    The feature vector is emitted as a JSON string (not array<float>) at the
+    query boundary so the driver's pandas canonicalizer can sort/hash the
+    column — same serialization rule as the centroid query in
+    plans/similarity.py. The array-valued form stays available through
+    operators.multimodal.extract_features for internal composition."""
     from ..operators.multimodal import extract_features
 
     t = load_tables(spark, sf_dir)
     d = t["documents"].filter(F.col("doc_id") <= 200).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return extract_features(d, id_col="doc_id", payload_col="payload", n_features=8)
+    feats = extract_features(d, id_col="doc_id", payload_col="payload", n_features=8)
+    return feats.select(
+        "doc_id", "n_bytes", F.to_json(F.col("features")).alias("features_json")
+    )
 
 
 @query(
