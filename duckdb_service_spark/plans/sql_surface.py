@@ -172,6 +172,52 @@ def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_dml_returning",
+    oracle="""
+    SELECT 'ins' AS op, 100 AS n_nationkey, 'zed' AS n_name, 9 AS n_regionkey
+    UNION ALL
+    SELECT 'upd', n_nationkey, upper(n_name), n_regionkey
+    FROM nation WHERE n_regionkey = 2
+    UNION ALL
+    SELECT 'del', 100, 'zed', 9
+    ORDER BY op, n_nationkey
+    """,
+)
+def sql_dml_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT/UPDATE/DELETE ... RETURNING through the service executor
+    (VERDICT r03 missing #1; reference reach: passthrough db/db.go:52).
+    Each statement's RETURNING relation is the affected rows — inserted
+    values, post-update images, deleted rows — checked against the
+    equivalent SELECTs on the pristine source table."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    t = load_tables(spark, sf_dir)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_ret_"))
+    t["nation"].select("n_nationkey", "n_name", "n_regionkey").createOrReplaceTempView(
+        "nation_src"
+    )
+    eng.execute("CREATE TABLE nation_r AS SELECT * FROM nation_src")
+    ins = eng.execute(
+        "INSERT INTO nation_r VALUES (100, 'zed', 9) RETURNING *"
+    ).returning
+    upd = eng.execute(
+        "UPDATE nation_r SET n_name = upper(n_name) WHERE n_regionkey = 2 "
+        "RETURNING n_nationkey, n_name, n_regionkey"
+    ).returning
+    dele = eng.execute(
+        "DELETE FROM nation_r WHERE n_regionkey = 9 RETURNING *"
+    ).returning
+    out = (
+        ins.select(F.lit("ins").alias("op"), "*")
+        .unionByName(upd.select(F.lit("upd").alias("op"), "*"))
+        .unionByName(dele.select(F.lit("del").alias("op"), "*"))
+    )
+    return out.orderBy("op", "n_nationkey")
+
+
+@query(
     "sql_summarize_routing",
     oracle="""
     SELECT column_name, column_type, min, max, count,

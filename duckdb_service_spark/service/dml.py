@@ -30,6 +30,48 @@ class ConstraintViolation(Exception):
     pass
 
 
+def split_returning(sql: str) -> tuple[str, str | None]:
+    """Split a trailing top-level ``RETURNING <select-list>`` off a DML
+    statement (DuckDB supports RETURNING on INSERT/UPDATE/DELETE; reference
+    reach: passthrough db/db.go:52). Paren-depth and string-literal aware so
+    ``VALUES ('RETURNING')`` or a subquery containing the word stays intact.
+    Returns (body, returning_list | None)."""
+    depth, in_str = 0, False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and sql[i : i + 9].upper() == "RETURNING"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (i + 9 == len(sql) or not (sql[i + 9].isalnum() or sql[i + 9] == "_"))
+        ):
+            return sql[:i].rstrip(), sql[i + 9 :].strip() or "*"
+        i += 1
+    return sql, None
+
+
+def _apply_returning(affected: DataFrame, returning: str) -> DataFrame:
+    """Evaluate the RETURNING select list against the affected-row relation
+    (which carries exactly the table's columns). Eagerly checkpointed by the
+    caller BEFORE the table write, so serializing the result after the
+    overwrite/append cannot re-read mutated files."""
+    items = [translate(item) for item in split_top_level(returning)]
+    return affected.selectExpr(*items)
+
+
 def split_top_level(body: str) -> list[str]:
     """Split a comma-separated SQL fragment list (CREATE TABLE columns,
     UPDATE SET assignments) on top-level commas — paren-depth and
@@ -149,7 +191,7 @@ def _drop_conflicts(engine: "Engine", table: str, aligned: DataFrame) -> DataFra
     return uniq.join(existing, pk, "left_anti")
 
 
-def insert_values(engine: "Engine", sql: str) -> int:
+def insert_values(engine: "Engine", sql: str, returning: str | None = None):
     conflict_target: list[str | None] = [None]
 
     def _capture(m: "re.Match[str]") -> str:
@@ -170,8 +212,12 @@ def insert_values(engine: "Engine", sql: str) -> int:
         _check_constraints(engine, table, aligned)
     else:
         _check_constraints(engine, table, aligned)
+    if returning is not None:
+        aligned = aligned.localCheckpoint(eager=True)
     n = aligned.count()
     engine.catalog.append(table, aligned)
+    if returning is not None:
+        return n, _apply_returning(aligned, returning)
     return n
 
 
@@ -243,7 +289,7 @@ def _select_with_sequences(engine: "Engine", select_sql: str) -> DataFrame:
     return pos.select(*[c for c in src.columns])
 
 
-def insert_select(engine: "Engine", sql: str) -> int:
+def insert_select(engine: "Engine", sql: str, returning: str | None = None):
     stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn("", sql.strip())
     m = _INSERT_SELECT_RE.match(stripped)
     if not m:
@@ -257,8 +303,14 @@ def insert_select(engine: "Engine", sql: str) -> int:
     if n_sub:
         aligned = _drop_conflicts(engine, table, aligned).localCheckpoint(eager=True)
     _check_constraints(engine, table, aligned)
+    if returning is not None:
+        # pin the inserted rows BEFORE the append: `INSERT INTO t SELECT
+        # ... FROM t` would otherwise re-read the appended files
+        aligned = aligned.localCheckpoint(eager=True)
     n = aligned.count()
     engine.catalog.append(table, aligned)
+    if returning is not None:
+        return n, _apply_returning(aligned, returning)
     return n
 
 
@@ -292,7 +344,7 @@ def _partition_membership(engine: "Engine", table: str, parts: list[tuple]):
     return functools.reduce(lambda a, b: a | b, conds)
 
 
-def update_rows(engine: "Engine", sql: str) -> int:
+def update_rows(engine: "Engine", sql: str, returning: str | None = None):
     m = _UPDATE_RE.match(sql.strip())
     if not m:
         raise ValueError(f"cannot parse UPDATE: {sql[:80]}")
@@ -301,6 +353,7 @@ def update_rows(engine: "Engine", sql: str) -> int:
     df = engine.catalog.read(table)
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
+    ret_df: DataFrame | None = None
     assignments = {}
     for part in split_top_level(set_clause):
         if "=" not in part:
@@ -319,10 +372,16 @@ def update_rows(engine: "Engine", sql: str) -> int:
             )
         return out
 
+    if returning is not None:
+        # post-update images of the hit rows, pinned before the rewrite
+        ret_df = (
+            apply_set(df.filter(F.coalesce(pred, F.lit(False))))
+            .localCheckpoint(eager=True)
+        )
     if meta.partition_cols:
         parts = _affected_partitions(engine, table, df, pred)
         if not parts:
-            return n
+            return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
         member = _partition_membership(engine, table, parts)
         scoped = apply_set(df.filter(member))
         if meta.pk_cols:
@@ -333,11 +392,11 @@ def update_rows(engine: "Engine", sql: str) -> int:
         else:
             _check_constraints_update(engine, table, scoped)
         engine.catalog.overwrite_partitions(table, scoped)
-        return n
+        return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
     out = apply_set(df)
     _check_constraints_update(engine, table, out)
     engine.catalog.overwrite(table, out)
-    return n
+    return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
 
 
 def _check_constraints_update(engine: "Engine", table: str, updated: DataFrame) -> None:
@@ -353,7 +412,7 @@ def _check_constraints_update(engine: "Engine", table: str, updated: DataFrame) 
 _DELETE_RE = re.compile(r"^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL)
 
 
-def delete_rows(engine: "Engine", sql: str) -> int:
+def delete_rows(engine: "Engine", sql: str, returning: str | None = None):
     m = _DELETE_RE.match(sql.strip())
     if not m:
         raise ValueError(f"cannot parse DELETE: {sql[:80]}")
@@ -362,6 +421,10 @@ def delete_rows(engine: "Engine", sql: str) -> int:
     df = engine.catalog.read(table)
     pred = F.expr(translate(where)) if where else F.lit(True)
     n = df.filter(pred).count()
+    ret_df: DataFrame | None = None
+    if returning is not None:
+        # the doomed rows, pinned before the rewrite removes their files
+        ret_df = df.filter(F.coalesce(pred, F.lit(False))).localCheckpoint(eager=True)
     # SQL three-valued logic: DELETE removes only rows where the predicate is
     # TRUE; rows where it evaluates NULL are retained (filter(~pred) would
     # silently drop them).
@@ -369,7 +432,7 @@ def delete_rows(engine: "Engine", sql: str) -> int:
     if meta.partition_cols:
         parts = _affected_partitions(engine, table, df, pred)
         if not parts:
-            return n
+            return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
         member = _partition_membership(engine, table, parts)
         kept_scoped = df.filter(member).filter(keep)
         surviving = {tuple(r) for r in kept_scoped.select(*meta.partition_cols).distinct().collect()}
@@ -377,9 +440,9 @@ def delete_rows(engine: "Engine", sql: str) -> int:
         # fully-drained partitions get no files from the dynamic overwrite —
         # their old directories must go too
         engine.catalog.drop_partition_dirs(table, [p for p in parts if p not in surviving])
-        return n
+        return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
     engine.catalog.overwrite(table, df.filter(keep))
-    return n
+    return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
 
 
 # ---- upsert + join-powered DML (VERDICT r02 missing #2) --------------------

@@ -26,6 +26,10 @@ from .dml import delete_rows, insert_select, insert_values, split_top_level, upd
 @dataclass
 class ExecuteOutcome:
     rows_affected: int
+    # RETURNING clause result (DuckDB: INSERT/UPDATE/DELETE ... RETURNING):
+    # affected rows with the select list applied; serialized as a query
+    # result by the HTTP layer when present
+    returning: "DataFrame | None" = None
 
 
 # trailing PARTITION BY (cols) is an engine extension for hive-style
@@ -418,37 +422,59 @@ class Engine:
             self.catalog.create_sequence(m.group(1), int(m.group(2) or 1))
             return ExecuteOutcome(0)
 
+        if upper.startswith(("INSERT", "UPDATE", "DELETE")):
+            from .dml import split_returning
+
+            body, returning = split_returning(stripped)
+            if returning is not None:
+                stripped, upper = body, body.upper()
+
+        def _outcome(res) -> ExecuteOutcome:
+            if isinstance(res, tuple):
+                return ExecuteOutcome(res[0], returning=res[1])
+            return ExecuteOutcome(res)
+
         if upper.startswith("INSERT"):
             from .dml import upsert_values
 
             n_up = upsert_values(self, stripped)
             if n_up is not None:
+                if returning is not None:
+                    raise ValueError(
+                        "RETURNING is not supported with ON CONFLICT DO UPDATE"
+                    )
                 return ExecuteOutcome(n_up)
             if re.search(r"\bVALUES\b", stripped, re.IGNORECASE):
                 # VALUES rows: one value per textual occurrence (each row
                 # literal calls nextval itself) — driver-side substitution
-                n = insert_values(self, self._substitute_sequences(stripped))
+                res = insert_values(
+                    self, self._substitute_sequences(stripped), returning=returning
+                )
             else:
                 # SELECT form: nextval must increment PER ROW — handled by
                 # insert_select via a reserved contiguous block
-                n = insert_select(self, stripped)
-            return ExecuteOutcome(n)
+                res = insert_select(self, stripped, returning=returning)
+            return _outcome(res)
 
         if upper.startswith("UPDATE"):
             from .dml import update_from
 
             n_uf = update_from(self, stripped)
             if n_uf is not None:
+                if returning is not None:
+                    raise ValueError("RETURNING is not supported with UPDATE ... FROM")
                 return ExecuteOutcome(n_uf)
-            return ExecuteOutcome(update_rows(self, stripped))
+            return _outcome(update_rows(self, stripped, returning=returning))
 
         if upper.startswith("DELETE"):
             from .dml import delete_using
 
             n_du = delete_using(self, stripped)
             if n_du is not None:
+                if returning is not None:
+                    raise ValueError("RETURNING is not supported with DELETE ... USING")
                 return ExecuteOutcome(n_du)
-            return ExecuteOutcome(delete_rows(self, stripped))
+            return _outcome(delete_rows(self, stripped, returning=returning))
 
         m = re.match(
             r"^COPY\s+(?:(\w+)|\((.+)\))\s+TO\s+'([^']+)'\s*(?:\(\s*(.*)\))?$",

@@ -78,11 +78,16 @@ class EngineHTTPServer:
                     with outer.lock:
                         if execute and not outer.engine.is_query(sql):
                             out = outer.engine.execute(sql)
-                            result = execute_result(out.rows_affected)
+                            if out.returning is not None:
+                                result = query_result(out.returning)
+                            else:
+                                result = execute_result(out.rows_affected)
                         else:
                             kind, payload = outer.engine.run_statement(sql)
                             if kind == "query":
                                 result = query_result(payload)
+                            elif payload.returning is not None:
+                                result = query_result(payload.returning)
                             else:
                                 result = execute_result(payload.rows_affected)
                     self._send(
