@@ -171,6 +171,59 @@ def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_SQL = (
+    "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority"
+)
+
+
+@query("sql_pivot_routing", oracle=_PIVOT_SQL)
+def sql_pivot_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's simplified `PIVOT t ON col USING agg GROUP BY g` statement
+    (VERDICT r03 missing #2) routed to a conditional-aggregation SELECT —
+    dynamic IN-list discovery via one DISTINCT scan, then one hash aggregate
+    (agg FILTER per discovered value). The oracle is the VERBATIM statement
+    run by DuckDB."""
+    from ..service.sql_routing import route_pivot_statement
+
+    load_tables(spark, sf_dir).view("orders")
+    return route_pivot_statement(spark, _PIVOT_SQL, spark.table, translate)
+
+
+_UNPIVOT_SQL = (
+    "UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v, "
+    "CAST(p_retailprice AS DOUBLE) AS price_v FROM part WHERE p_partkey <= 100) "
+    "ON size_v, price_v INTO NAME kind VALUE val"
+)
+
+
+@query("sql_unpivot_routing", oracle=_UNPIVOT_SQL)
+def sql_unpivot_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's `UNPIVOT t ON cols INTO NAME k VALUE v` statement routed to
+    DataFrame.unpivot (+ the NULL-cell drop DuckDB applies). Verbatim
+    statement as oracle."""
+    from ..service.sql_routing import route_unpivot_statement
+
+    load_tables(spark, sf_dir).view("part")
+    return route_unpivot_statement(spark, _UNPIVOT_SQL, spark.table, translate)
+
+
+_FROM_FIRST_SQL = (
+    "FROM customer SELECT c_mktsegment, count(*) AS n, "
+    "CAST(sum(c_custkey) AS BIGINT) AS key_sum GROUP BY c_mktsegment"
+)
+
+
+@query("sql_from_first_routing", oracle=_FROM_FIRST_SQL)
+def sql_from_first_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB 1.x FROM-first sugar (`FROM t SELECT ... GROUP BY ...`)
+    rewritten to standard clause order (VERDICT r03 missing #6). Verbatim
+    statement as oracle."""
+    from ..service.sql_routing import rewrite_from_first
+
+    load_tables(spark, sf_dir).view("customer")
+    return spark.sql(translate(rewrite_from_first(_FROM_FIRST_SQL)))
+
+
 @query(
     "sql_dml_returning",
     oracle="""

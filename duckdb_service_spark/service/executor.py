@@ -207,6 +207,11 @@ class Engine:
             i += 1
         return None
 
+    def _resolve_view(self, name: str) -> DataFrame:
+        from .dml import _resolve_relation
+
+        return _resolve_relation(self, name)
+
     def query_df(self, sql: str) -> DataFrame:
         sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
         if sub is not None:
@@ -222,14 +227,24 @@ class Engine:
         # constructs with no Spark-SQL equivalent route to DataFrame
         # operators before the dialect shim (which raises on them)
         from .sql_routing import (
+            rewrite_from_first,
             rewrite_read_files,
             route_asof_join,
+            route_pivot_statement,
             route_star_replace,
+            route_unpivot_statement,
             route_with_recursive,
         )
 
         stripped = rewrite_read_files(self.spark, sql.strip().rstrip(";"))
-        routed = route_star_replace(self.spark, stripped, translate)
+        stripped = rewrite_from_first(stripped)
+        routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
+        if routed is None:
+            routed = route_unpivot_statement(
+                self.spark, stripped, self._resolve_view, translate
+            )
+        if routed is None:
+            routed = route_star_replace(self.spark, stripped, translate)
         if routed is None:
             routed = route_asof_join(self.spark, stripped, self.spark.table, translate)
         if routed is None:
@@ -640,6 +655,9 @@ class Engine:
             "VALUES",
             "TABLE",
             "SUMMARIZE",
+            "PIVOT",
+            "UNPIVOT",
+            "FROM",
         }
 
     def summarize(self, df: DataFrame) -> DataFrame:

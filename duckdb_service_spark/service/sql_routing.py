@@ -490,9 +490,229 @@ def rewrite_read_files(spark: SparkSession, sql: str) -> str:
     return "".join(out)
 
 
+# --------------------------------------------------------------------------
+# FROM-first statements (DuckDB 1.x sugar; reference reach: db/db.go:70)
+# --------------------------------------------------------------------------
+
+_CLAUSE_KW_RE = re.compile(
+    r"^(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|QUALIFY|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _top_level_kw(sql: str, pattern: "re.Pattern[str]") -> int | None:
+    """Offset of the first top-level (paren-depth-0, outside literals) match
+    of ``pattern``, or None."""
+    depth, in_str, i = 0, False, 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            if pattern.match(sql[i:]):
+                return i
+        i += 1
+    return None
+
+
+def rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first sugar → standard clause order (verified grammar:
+    ``FROM <rel> [SELECT <list>] [WHERE/GROUP/ORDER/...]``; the SELECT
+    clause, when present, sits between FROM and the other clauses).
+
+    ``FROM t``                      → ``SELECT * FROM t``
+    ``FROM t WHERE p``              → ``SELECT * FROM t WHERE p``
+    ``FROM t SELECT a WHERE p``     → ``SELECT a FROM t WHERE p``
+    """
+    s = sql.strip().rstrip(";")
+    if not re.match(r"^FROM\b", s, re.IGNORECASE):
+        return sql
+    sel_at = _top_level_kw(s, re.compile(r"^SELECT\b", re.IGNORECASE))
+    if sel_at is None:
+        return f"SELECT * {s}"
+    from_part = s[:sel_at].strip()          # "FROM <rel>"
+    rest = s[sel_at + 6 :].strip()          # "<list> [clauses]"
+    clause_at = _top_level_kw(rest, _CLAUSE_KW_RE)
+    if clause_at is None:
+        return f"SELECT {rest} {from_part}"
+    return f"SELECT {rest[:clause_at].strip()} {from_part} {rest[clause_at:]}"
+
+
+# --------------------------------------------------------------------------
+# PIVOT / UNPIVOT statements (DuckDB's simplified forms; reference reach:
+# passthrough db/db.go:70)
+# --------------------------------------------------------------------------
+#
+# DuckDB `PIVOT t ON c [IN (..)] [USING aggs] [GROUP BY g]` is sugar for a
+# conditional aggregation: agg(x) FILTER (WHERE c = value) per discovered
+# value. Compiling to that SELECT keeps the whole plan inside Catalyst —
+# one hash aggregate with map-side partials, no per-value scans; dynamic
+# IN-list discovery is one DISTINCT scan (exactly DuckDB's own strategy).
+# Semantics verified against DuckDB 1.x: count() fills 0 / sum fills NULL
+# (the FILTER form reproduces both), discovered values sort ascending and
+# NULL never becomes a column, multi-agg columns are named <value>_<alias>.
+
+_PIVOT_RE = re.compile(
+    r"^PIVOT\s+(?P<rel>\w+|\(.+?\))\s+ON\s+(?P<on>\w+)"
+    r"(?:\s+IN\s*\((?P<inlist>[^)]*)\))?"
+    r"(?:\s+USING\s+(?P<using>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNPIVOT_RE = re.compile(
+    r"^UNPIVOT\s+(?P<rel>\w+|\(.+?\))\s+ON\s+(?P<cols>.+?)\s+"
+    r"INTO\s+NAME\s+(?P<name>\w+)\s+VALUE\s+(?P<value>\w+)"
+    r"(?P<tail>\s+(?:WHERE|ORDER\s+BY|LIMIT)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_AGG_ITEM_RE = re.compile(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", re.IGNORECASE | re.DOTALL)
+
+
+def _pivot_literal(v) -> str:
+    """Render a discovered pivot value as a SQL literal."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v}'"
+    return str(v)
+
+
+def _resolve_pivot_rel(
+    spark: SparkSession, rel: str, resolve: Resolver, translate: Translate
+) -> tuple[DataFrame, str]:
+    """(DataFrame, FROM-clause text) for a PIVOT/UNPIVOT target — a table
+    name or a parenthesized subquery."""
+    rel = rel.strip()
+    if rel.startswith("("):
+        df = spark.sql(translate(rel[1:-1]))
+        df.createOrReplaceTempView("__pivot_src")
+        return df, "__pivot_src"
+    return resolve(rel), rel
+
+
+def route_pivot_statement(
+    spark: SparkSession, sql: str, resolve: Resolver, translate: Translate
+) -> DataFrame | None:
+    sql = sql.strip().rstrip(";")
+    if not re.match(r"^PIVOT\b", sql, re.IGNORECASE):
+        return None
+    m = _PIVOT_RE.match(sql)
+    if not m:
+        raise UnsupportedDialect(f"cannot parse PIVOT statement: {sql[:80]}")
+    df, from_sql = _resolve_pivot_rel(spark, m.group("rel"), resolve, translate)
+    on_col = m.group("on")
+
+    if m.group("inlist"):
+        from .dml import split_top_level
+
+        values = []
+        for item in split_top_level(m.group("inlist")):
+            item = item.strip()
+            values.append(item[1:-1].replace("''", "'") if item.startswith("'") else item)
+        lits = [
+            ("'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v), str(v))
+            for v in values
+        ]
+    else:
+        # dynamic column discovery: one DISTINCT scan, like DuckDB's own
+        # dynamic PIVOT; NULL never becomes a column
+        vals = [
+            r[0]
+            for r in df.select(on_col).distinct().collect()
+            if r[0] is not None
+        ]
+        lits = [(_pivot_literal(v), str(v)) for v in sorted(vals)]
+
+    from .dml import split_top_level
+
+    using = m.group("using") or "count(*)"
+    aggs = []
+    for item in split_top_level(using):
+        am = _AGG_ITEM_RE.match(item.strip())
+        aggs.append((am.group("expr").strip(), (am.group("alias") or "").strip()))
+
+    if m.group("group"):
+        group_cols = [c.strip() for c in m.group("group").split(",") if c.strip()]
+    else:
+        # implicit GROUP BY: every column not pivoted on and not consumed
+        # by an aggregate expression
+        agg_text = " ".join(e for e, _ in aggs)
+        used = {
+            w.lower()
+            for w in re.findall(r"\b\w+\b", agg_text)
+        }
+        group_cols = [
+            c for c in df.columns if c != on_col and c.lower() not in used
+        ]
+        if not group_cols:
+            raise UnsupportedDialect(
+                "PIVOT with no GROUP BY and no remaining columns"
+            )
+
+    items = list(group_cols)
+    for lit, label in lits:
+        for expr, alias in aggs:
+            if len(aggs) == 1:
+                name = f"{label}_{alias}" if alias else label
+            else:
+                name = f"{label}_{alias or expr}"
+            items.append(
+                f"{translate(expr)} FILTER (WHERE {on_col} IS NOT DISTINCT FROM {lit}) "
+                f"AS `{name}`"
+            )
+    out_sql = (
+        f"SELECT {', '.join(items)} FROM {from_sql} "
+        f"GROUP BY {', '.join(group_cols)}{m.group('tail') or ''}"
+    )
+    return spark.sql(out_sql)
+
+
+def route_unpivot_statement(
+    spark: SparkSession, sql: str, resolve: Resolver, translate: Translate
+) -> DataFrame | None:
+    sql = sql.strip().rstrip(";")
+    if not re.match(r"^UNPIVOT\b", sql, re.IGNORECASE):
+        return None
+    m = _UNPIVOT_RE.match(sql)
+    if not m:
+        raise UnsupportedDialect(f"cannot parse UNPIVOT statement: {sql[:80]}")
+    df, _ = _resolve_pivot_rel(spark, m.group("rel"), resolve, translate)
+    on_cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+    name_col, value_col = m.group("name"), m.group("value")
+    ids = [c for c in df.columns if c not in on_cols]
+    out = df.unpivot(ids, on_cols, name_col, value_col)
+    # DuckDB UNPIVOT drops NULL cells (verified); Spark's unpivot keeps them
+    out = out.filter(F.col(value_col).isNotNull())
+    if m.group("tail"):
+        out.createOrReplaceTempView("__unpivot_out")
+        out = spark.sql(f"SELECT * FROM __unpivot_out{m.group('tail')}")
+    return out
+
+
 __all__ = [
     "route_asof_join",
     "route_with_recursive",
     "route_star_replace",
     "rewrite_read_files",
+    "rewrite_from_first",
+    "route_pivot_statement",
+    "route_unpivot_statement",
 ]
