@@ -227,6 +227,7 @@ class Engine:
         # constructs with no Spark-SQL equivalent route to DataFrame
         # operators before the dialect shim (which raises on them)
         from .sql_routing import (
+            rewrite_columns_expr,
             rewrite_from_first,
             rewrite_read_files,
             route_asof_join,
@@ -238,6 +239,7 @@ class Engine:
 
         stripped = rewrite_read_files(self.spark, sql.strip().rstrip(";"))
         stripped = rewrite_from_first(stripped)
+        stripped = rewrite_columns_expr(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

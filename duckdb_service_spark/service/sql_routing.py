@@ -549,6 +549,118 @@ def rewrite_from_first(sql: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# COLUMNS() star expression (reference reach: db/db.go:70)
+# --------------------------------------------------------------------------
+#
+# DuckDB's COLUMNS('regex') / COLUMNS(*) / COLUMNS(* EXCLUDE (...)) expands
+# a select-list item into one copy per matching column, with the enclosing
+# expression replicated around each (`SELECT min(COLUMNS(*)) FROM t` → one
+# min per column, result columns keeping the bare column names). Verified
+# against DuckDB 1.x: the regex uses SEARCH semantics ('b' matches ab, bd,
+# xab), and an explicit alias containing \0 substitutes the column name.
+# Schema-resolved textual expansion — the result is plain SQL, so pushdown /
+# pruning / whole-stage codegen are untouched.
+
+_COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _columns_matching(arg: str, cols: list[str]) -> list[str]:
+    arg = arg.strip()
+    if arg.startswith("*"):
+        excl: set[str] = set()
+        em = re.match(r"^\*\s+EXCLUDE\s*\(([^)]*)\)$", arg, re.IGNORECASE)
+        if em:
+            excl = {c.strip().strip('"').lower() for c in em.group(1).split(",")}
+        elif arg != "*":
+            raise UnsupportedDialect(f"COLUMNS: unsupported argument {arg!r}")
+        return [c for c in cols if c.lower() not in excl]
+    sm = re.match(r"^'((?:[^']|'')*)'$", arg)
+    if sm:
+        pat = re.compile(sm.group(1).replace("''", "'"))
+        return [c for c in cols if pat.search(c)]
+    raise UnsupportedDialect(
+        f"COLUMNS: unsupported argument {arg!r} (use *, * EXCLUDE, or a 'regex')"
+    )
+
+
+def rewrite_columns_expr(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """Expand COLUMNS(...) select-list items against the FROM relation's
+    actual schema; returns the rewritten SQL (unchanged when absent)."""
+    from .dml import split_top_level
+
+    stripped = sql.strip().rstrip(";")
+    if not _COLUMNS_RE.search(_code_only(stripped)):
+        return sql
+    hm = re.match(r"^SELECT\s+(?:DISTINCT\s+)?", stripped, re.IGNORECASE)
+    if not hm:
+        return sql
+    body = stripped[hm.end() :]
+    from_at = _top_level_kw(body, re.compile(r"^FROM\b", re.IGNORECASE))
+    if from_at is None:
+        raise UnsupportedDialect("COLUMNS() requires a FROM clause to resolve against")
+    select_list, rest = body[:from_at], body[from_at:]
+    # schema of the FROM relation alone (clauses after it don't change it)
+    clause_at = _top_level_kw(rest[4:], _CLAUSE_KW_RE)
+    from_clause = rest if clause_at is None else rest[: 4 + clause_at]
+    cols = spark.sql(translate(f"SELECT * {from_clause} LIMIT 0")).columns
+
+    out_items: list[str] = []
+    for item in split_top_level(select_list):
+        item = item.strip()
+        # split an optional trailing alias off the item first (the COLUMNS
+        # span may sit inside an enclosing expression like min(...))
+        alias_tpl = None
+        am = re.search(r'\s+AS\s+(?:"([^"]*)"|(\w+))\s*$', item, re.IGNORECASE)
+        expr = item
+        if am:
+            alias_tpl = am.group(1) if am.group(1) is not None else am.group(2)
+            expr = item[: am.start()]
+        lit_spans = [(s.start(), s.end()) for s in re.finditer(r"'(?:[^']|'')*'", expr)]
+        m = next(
+            (
+                cand
+                for cand in _COLUMNS_RE.finditer(expr)
+                if not any(a <= cand.start() < b for a, b in lit_spans)
+            ),
+            None,
+        )
+        if m is None:
+            out_items.append(item)
+            continue
+        depth, i = 1, m.end()
+        in_str = False
+        while i < len(expr) and depth:
+            ch = expr[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise UnsupportedDialect("COLUMNS: unbalanced parentheses")
+        arg = expr[m.end() : i - 1]
+        for c in _columns_matching(arg, cols):
+            expanded = expr[: m.start()] + c + expr[i:]
+            if alias_tpl is not None:
+                name = alias_tpl.replace("\\0", c)
+            elif expr[: m.start()].strip() or expr[i:].strip():
+                # enclosing expression (e.g. min(...)): DuckDB keeps the
+                # bare column name on the result
+                name = c
+            else:
+                name = None
+            out_items.append(f"{expanded} AS `{name}`" if name else expanded)
+    return f"{stripped[: hm.end()]}{', '.join(out_items)} {rest}"
+
+
+# --------------------------------------------------------------------------
 # PIVOT / UNPIVOT statements (DuckDB's simplified forms; reference reach:
 # passthrough db/db.go:70)
 # --------------------------------------------------------------------------
@@ -713,6 +825,7 @@ __all__ = [
     "route_star_replace",
     "rewrite_read_files",
     "rewrite_from_first",
+    "rewrite_columns_expr",
     "route_pivot_statement",
     "route_unpivot_statement",
 ]

@@ -107,3 +107,38 @@ def test_from_first_select_and_clauses(engine):
 def test_from_first_keyword_inside_literal_untouched(engine):
     _, df = engine.run_statement("FROM pv SELECT 'SELECT WHERE' AS s LIMIT 1")
     assert df.collect()[0].s == "SELECT WHERE"
+
+
+# ---- COLUMNS() expressions ------------------------------------------------
+
+
+def test_columns_regex_projection(engine):
+    engine.execute("CREATE TABLE cx (ab INTEGER, ac INTEGER, bd TEXT, xab INTEGER)")
+    engine.execute("INSERT INTO cx VALUES (1, 2, 'x', 9), (3, 4, 'y', 8)")
+    _, df = engine.run_statement("SELECT COLUMNS('a.*') FROM cx")
+    # search semantics: 'a.*' also matches xab (verified against DuckDB)
+    assert df.columns == ["ab", "ac", "xab"]
+
+
+def test_columns_star_in_aggregate(engine):
+    _, df = engine.run_statement("SELECT min(COLUMNS(*)) FROM cx")
+    assert df.columns == ["ab", "ac", "bd", "xab"]
+    assert tuple(df.collect()[0]) == (1, 2, "x", 8)
+
+
+def test_columns_exclude(engine):
+    _, df = engine.run_statement("SELECT max(COLUMNS(* EXCLUDE (bd))) FROM cx")
+    assert df.columns == ["ab", "ac", "xab"]
+
+
+def test_columns_alias_backref(engine):
+    _, df = engine.run_statement('SELECT min(COLUMNS(\'^a\')) AS "m_\\0" FROM cx')
+    assert df.columns == ["m_ab", "m_ac"]
+
+
+def test_columns_with_group_by(engine):
+    _, df = engine.run_statement(
+        "SELECT bd, sum(COLUMNS('^a')) FROM cx GROUP BY bd ORDER BY bd"
+    )
+    assert df.columns == ["bd", "ab", "ac"]
+    assert [tuple(r) for r in df.collect()] == [("x", 1, 2), ("y", 3, 4)]
