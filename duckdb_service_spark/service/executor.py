@@ -439,6 +439,26 @@ class Engine:
             self.catalog.create_sequence(m.group(1), int(m.group(2) or 1))
             return ExecuteOutcome(0)
 
+        m = re.match(
+            r"^CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+"
+            r"ON\s+(\w+)\s*\(([^)]*)\)$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            self.catalog.create_index(
+                m.group(3),
+                m.group(4),
+                [c.strip() for c in m.group(5).split(",") if c.strip()],
+                unique=bool(m.group(1)),
+                if_not_exists=bool(m.group(2)),
+            )
+            return ExecuteOutcome(0)
+        m = re.match(r"^DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE)
+        if m:
+            self.catalog.drop_index(m.group(2), if_exists=bool(m.group(1)))
+            return ExecuteOutcome(0)
+
         if upper.startswith(("INSERT", "UPDATE", "DELETE")):
             from .dml import split_returning
 
