@@ -46,60 +46,68 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
     return deco
 
 
-# The driver's correctness run covers queries in registration order and
-# capped at the first 50 in round 1 — order the inventory so that (a) queries
-# whose canonical form changed this round and (b) families with no driver
-# evidence yet come first; long-green round-1 queries go last.
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-3 ordering: (a) the 28 queries with no green CORRECTNESS row
-# in r01 or r02 lead (so every registry entry has been driver-checked at
-# least once across rounds), then (b) queries new in round 3. Everything
-# else — driver-green in r01/r02 — follows in registration order.
+# order. Round-5 rotation (VERDICT r03 "Next round" item 9: no green row
+# should be more than ~2 rounds stale): (a) queries new or changed in round
+# 5, then (b) the 37 queries whose only green row is from r01 — joins,
+# aggregates, scalar families, dedup — which have run under code rewritten
+# since (asof fused scan, persist strategy, dialect fixes), then (c) the
+# oldest r02 rows whose underlying code moved in r03 (TPC-H bench set,
+# curation pipeline, asof/recursive routing). 6 + 37 + 7 = 50.
 PRIORITY: list[str] = [
-    # never driver-checked through r02 (VERDICT r02 "Next round" item 1)
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_quantize_int8",
-    "io_parquet_roundtrip",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h",
-    "proj_expressions",
-    "select_exclude_replace",
-    "filter_predicates",
-    "filter_ilike",
-    "cast_try_cast",
-    "distinct_basic",
-    "distinct_on_latest_order",
-    "values_relation",
-    "generate_series_step",
-    "limit_offset",
-    "order_nulls_last",
-    "subquery_correlated_scalar",
-    "setop_intersect_all",
-    "setop_except_all",
-    "sim_lsh_topk",
-    "mm_binary_meta",
-    "sample_native",
-    "sim_ivf_search",
-    "mm_decode_features",
-    # new in round 3 (names appended as operators land)
-    "sql_read_parquet_routing",
-    "sql_read_csv_routing",
-    "sql_read_json_routing",
-    "sql_sample_routing",
-    "fn_bit_type",
-    "graph_connected_components",
-    "dedup_cluster_components",
-    "text_pii_scrub",
-    "text_contamination",
-    "stream_dedup_exact",
-    "text_repetition_filter",
-    "pipeline_sequence_packing",
-    "pipeline_source_mix",
-    "sql_summarize_routing",
+    # (a) new/changed in round 5
+    "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
+    "sql_dml_returning",
+    "sql_pivot_routing",
+    "sql_unpivot_routing",
+    "sql_from_first_routing",
+    "sql_columns_expr",
+    # (b) r01-era green rows, never rechecked since
+    "join_inner_equi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_in_subquery",
+    "join_theta_nonequi",
+    "join_range_interval",
+    "join_using_natural",
+    "join_asof",
+    "agg_bool_bit",
+    "agg_group_by_all",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_median_percentile",
+    "agg_rollup",
+    "agg_approx_count_distinct",
+    "fn_string",
+    "fn_regex",
+    "fn_math",
+    "fn_datetime",
+    "fn_timestamp_parts",
+    "fn_interval",
+    "fn_array_agg_lambda",
+    "fn_json",
+    "fn_hash",
+    "fn_bit",
+    "fn_format",
+    "fn_try_arithmetic",
+    "dedup_exact",
+    "dedup_exact_keep_longest",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # (c) oldest r02 rows over code rewritten in r03
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "pipeline_corpus_curation",
+    "sql_asof_routing",
+    "sql_recursive_routing",
 ]
 
 

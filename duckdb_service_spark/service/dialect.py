@@ -508,6 +508,23 @@ _UNSUPPORTED = [
     (re.compile(r"\bWITH\s+RECURSIVE\b", re.IGNORECASE), "WITH RECURSIVE"),
 ]
 
+# Declared divergences (COVERAGE.md "Window frame modes"): Spark's window
+# grammar has no GROUPS frame mode and no frame EXCLUDE clause, and neither
+# decomposes onto ROWS/RANGE without per-peer-group bookkeeping that would
+# change the plan shape. Raised loudly rather than silently mis-framing.
+_UNSUPPORTED_FRAME = [
+    (
+        re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+(?:UNBOUNDED|\d+\s+PRECEDING|CURRENT\s+ROW)", re.IGNORECASE),
+        "window GROUPS frame mode",
+    ),
+    (
+        re.compile(
+            r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP\b|TIES\b|NO\s+OTHERS)", re.IGNORECASE
+        ),
+        "window frame EXCLUDE clause",
+    ),
+]
+
 
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
@@ -519,6 +536,13 @@ def translate(sql: str) -> str:
             raise UnsupportedDialect(
                 f"{name} is not translatable at the SQL layer; use the engine operator "
                 f"(duckdb_service_spark.operators) instead"
+            )
+    for rx, name in _UNSUPPORTED_FRAME:
+        if rx.search(code_only):
+            raise UnsupportedDialect(
+                f"{name} is not supported: Spark windows have only ROWS/RANGE "
+                f"frames with no EXCLUDE; rewrite with row_number()/peer-group "
+                f"aggregation (declared divergence, COVERAGE.md)"
             )
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_bit_casts(sql)

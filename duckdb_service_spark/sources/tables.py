@@ -39,11 +39,16 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); read nanos as long, then
-        # truncate to micros exactly like DuckDB's parquet reader does
-        # (integer division; all values are post-1970).
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # events.ts as parquet TIMESTAMP(NANOS) (earlier fixture drops; read
+        # as long under nanosAsLong): truncate to micros exactly like
+        # DuckDB's parquet reader does (integer division; all values are
+        # post-1970). Later drops write TIMESTAMP(MICROS), which lands in
+        # the generic TimestampType→NTZ cast below instead — the read path
+        # adapts to whichever physical type the fixture carries.
         df = df.withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
     # All fixture timestamps are timezone-naive; TIMESTAMP_NTZ keeps
     # collected values independent of driver-host timezone (the LTZ

@@ -22,18 +22,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. pathGlobFilter pins the
     stream to events.parquet inside the fixture dir; maxFilesPerTrigger
     simulates micro-batches."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ts is TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return (
+    stream = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
-        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
-        # values align with the batch NTZ frames
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so values
+    # align with the batch NTZ frames. Fixture drops have carried ts as
+    # TIMESTAMP(NANOS) (reads as long under nanosAsLong → truncate like
+    # DuckDB) or TIMESTAMP(MICROS) (already a timestamp) — adapt to either.
+    if isinstance(batch_schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -136,6 +136,22 @@ def test_columns_alias_backref(engine):
     assert df.columns == ["m_ab", "m_ac"]
 
 
+def test_groups_frame_declared_divergence(engine):
+    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+    with pytest.raises(UnsupportedDialect, match="GROUPS frame mode"):
+        translate(
+            "SELECT sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+        )
+    with pytest.raises(UnsupportedDialect, match="frame EXCLUDE"):
+        translate(
+            "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+            "EXCLUDE CURRENT ROW) FROM t"
+        )
+    # select-list * EXCLUDE (cols) must NOT trip the frame check
+    assert "EXCEPT" in translate("SELECT * EXCLUDE (a, b) FROM t")
+
+
 def test_columns_with_group_by(engine):
     _, df = engine.run_statement(
         "SELECT bd, sum(COLUMNS('^a')) FROM cx GROUP BY bd ORDER BY bd"
