@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "sql_unpivot_routing",
     "sql_from_first_routing",
     "sql_columns_expr",
+    "mm_frame_sample",
     # (b) r01-era green rows, never rechecked since
     "join_inner_equi",
     "join_left_outer",
@@ -106,7 +107,6 @@ PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
     "pipeline_corpus_curation",
-    "sql_asof_routing",
     "sql_recursive_routing",
 ]
 

@@ -214,6 +214,32 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(u.f - 1 AS BIGINT)                       AS frame_no,
+           CAST((u.f - 1) * 64 AS BIGINT)                AS "offset",
+           CAST(ord(substr(d.text, (u.f - 1) * 64 + 1, 1)) AS BIGINT) AS frame_byte
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id <= 50) d,
+         UNNEST(generate_series(1, (octet_length(encode(d.text)) + 63) // 64)) AS u(f)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators.multimodal.frame_sample): video →
+    row-per-frame explosion through mapInPandas, sampling one byte every 64.
+    The fixture payloads are ASCII text, so DuckDB can reproduce the byte
+    values with ord(substr(...)) — making the pandas-UDF path oracle-exact,
+    not just rows-only."""
+    from ..operators.multimodal import frame_sample
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 50).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return frame_sample(d, id_col="doc_id", payload_col="payload", every_n_bytes=64)
+
+
+@query(
     "text_stratified_sample",
     oracle=f"""
     WITH sampled AS (

@@ -466,6 +466,33 @@ class Engine:
             if returning is not None:
                 stripped, upper = body, body.upper()
 
+        # DuckDB shorthands (verified): INSERT OR IGNORE ≡ ON CONFLICT DO
+        # NOTHING; INSERT OR REPLACE ≡ ON CONFLICT DO UPDATE SET <every
+        # non-key column> = excluded.<col>
+        m = re.match(r"^INSERT\s+OR\s+(IGNORE|REPLACE)\s+INTO\s+(\w+)\b(.*)$",
+                     stripped, re.IGNORECASE | re.DOTALL)
+        if m:
+            mode, table, rest = m.group(1).upper(), m.group(2), m.group(3)
+            if table not in self.catalog.tables:
+                raise ValueError(f"table {table} does not exist")
+            if mode == "IGNORE":
+                stripped = f"INSERT INTO {table}{rest} ON CONFLICT DO NOTHING"
+            else:
+                meta = self.catalog.tables[table]
+                keys = set(meta.pk_cols) | set(meta.partition_cols)
+                sets = ", ".join(
+                    f"{c['name']} = excluded.{c['name']}"
+                    for c in meta.columns
+                    if c["name"] not in keys
+                )
+                if not sets:
+                    stripped = f"INSERT INTO {table}{rest} ON CONFLICT DO NOTHING"
+                else:
+                    stripped = (
+                        f"INSERT INTO {table}{rest} ON CONFLICT DO UPDATE SET {sets}"
+                    )
+            upper = stripped.upper()
+
         def _outcome(res) -> ExecuteOutcome:
             if isinstance(res, tuple):
                 return ExecuteOutcome(res[0], returning=res[1])

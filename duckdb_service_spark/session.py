@@ -57,6 +57,9 @@ def get_spark(app_name: str = "duckdb-service-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for the bench JSON line and shave the progress-
+        # bar redraw overhead from per-query walls
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
     return tune(builder.getOrCreate())

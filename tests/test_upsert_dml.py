@@ -173,3 +173,24 @@ def test_delete_using_partitioned(engine):
     assert out.rows_affected == 1
     rows = {(r.id, r.g) for r in engine.query_df("SELECT * FROM pdel").collect()}
     assert rows == {(2, "a"), (3, "b")}
+
+
+# ---- INSERT OR REPLACE / OR IGNORE shorthands (round 5) -------------------
+# Verified against DuckDB: OR REPLACE rewrites every non-key column from the
+# incoming row; OR IGNORE keeps the existing row.
+
+
+def test_insert_or_replace(engine):
+    engine.execute("CREATE TABLE orr (id INTEGER PRIMARY KEY, v TEXT, n INTEGER)")
+    engine.execute("INSERT INTO orr VALUES (1, 'a', 10), (2, 'b', 20)")
+    out = engine.execute("INSERT OR REPLACE INTO orr VALUES (2, 'B', 99), (3, 'c', 30)")
+    assert out.rows_affected == 2
+    rows = {(r.id, r.v, r.n) for r in engine.query_df("SELECT * FROM orr").collect()}
+    assert rows == {(1, "a", 10), (2, "B", 99), (3, "c", 30)}
+
+
+def test_insert_or_ignore(engine):
+    out = engine.execute("INSERT OR IGNORE INTO orr VALUES (3, 'X', 0), (4, 'd', 40)")
+    assert out.rows_affected == 1  # only the new row
+    rows = {(r.id, r.v, r.n) for r in engine.query_df("SELECT * FROM orr").collect()}
+    assert rows == {(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)}
