@@ -171,6 +171,22 @@ def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORDER_ALL_SQL = (
+    "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
+    "FROM orders GROUP BY ALL ORDER BY ALL LIMIT 20"
+)
+
+
+@query("sql_order_by_all", oracle=_ORDER_ALL_SQL)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `GROUP BY ALL` + `ORDER BY ALL` sugar — both supported
+    natively by Spark SQL (3.4+/4.0+), so the statement passes through the
+    dialect shim unchanged; registered to keep the parity visible. ORDER BY
+    ALL over the full select list makes the LIMIT deterministic."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_ORDER_ALL_SQL))
+
+
 _COLUMNS_SQL = (
     "SELECT l_returnflag, min(COLUMNS('l_.*price|l_quantity')) "
     "FROM lineitem GROUP BY l_returnflag"

@@ -116,3 +116,42 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     load_all()
     plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT should not global-sort"
+
+
+def test_pivot_compiles_to_single_aggregate(spark, sf_dir):
+    """The PIVOT statement compile must be ONE hash aggregate over ONE scan
+    (agg FILTER per discovered value) — never a scan or aggregate per pivot
+    value. At 100 TB a per-value plan would multiply the input read by the
+    column cardinality."""
+    from duckdb_service_spark.service.dialect import translate
+    from duckdb_service_spark.service.sql_routing import route_pivot_statement
+    from duckdb_service_spark.sources import load_tables
+
+    load_tables(spark, sf_dir).view("orders")
+    df = route_pivot_statement(
+        spark,
+        "PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority",
+        spark.table,
+        translate,
+    )
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]  # the operator tree (nodes repeat in details)
+    # one partial + one final hash aggregate, one parquet scan
+    assert tree.count("HashAggregate") == 2, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_columns_expansion_preserves_pruning(spark, sf_dir):
+    """COLUMNS('regex') expansion must reach the parquet scan as a plain
+    projection — ReadSchema carries only the matched columns."""
+    from duckdb_service_spark.service.dialect import translate
+    from duckdb_service_spark.service.sql_routing import rewrite_columns_expr
+    from duckdb_service_spark.sources import load_tables
+
+    load_tables(spark, sf_dir).view("lineitem")
+    sql = "SELECT COLUMNS('^l_.*key$') FROM lineitem"
+    df = spark.sql(translate(rewrite_columns_expr(spark, sql, translate)))
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_partkey" in read_schema
+    assert "l_quantity" not in read_schema, read_schema
