@@ -683,3 +683,49 @@ def fn_bit_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM (VALUES ('1011'), ('0101'), ('111000'), ('1')) v(b)"
         )
     )
+
+
+_FN_R5_SQL = """
+SELECT n_nationkey,
+       week(d)                                           AS wk,
+       CAST(isodow(d) AS BIGINT)                         AS iso_dow,
+       monthname(d)                                      AS mname,
+       dayname(d)                                        AS dname,
+       time_bucket(INTERVAL '15 minutes', t)             AS bucket_15m,
+       time_bucket(INTERVAL '1 hour', t)                 AS bucket_1h,
+       to_base(n_nationkey + 250, 16)                    AS hex_id,
+       even(n_nationkey / 3.0)                           AS next_even,
+       signbit(n_nationkey - 12.0)                       AS is_neg,
+       isfinite(n_nationkey / 4.0)                       AS fin,
+       isinf(n_nationkey / 4.0)                          AS inf,
+       starts_with(n_name, 'A')                          AS a_start,
+       suffix(n_name, 'A')                               AS a_end,
+       CAST(unicode(n_name) AS BIGINT)                   AS first_cp,
+       hex(from_hex('4142'))                             AS ab_hex,
+       array_to_string(list_reverse_sort([n_nationkey, 5, 17]), ',') AS rsorted,
+       CAST(list_aggregate([n_nationkey, 5, 17], 'sum') AS BIGINT)   AS lsum,
+       CAST(list_aggregate([n_nationkey, 5, 17], 'max') AS BIGINT)   AS lmax,
+       CAST(list_unique([n_nationkey % 3, 1, 2]) AS BIGINT)          AS luniq,
+       regexp_extract(n_name, '[A-Z]+')                  AS word,
+       regexp_extract(n_name || '7', '([A-Z])([0-9])', 2) AS digit,
+       array_to_string(str_split_regex(n_name, '[AEIOU]+'), '.') AS consonants
+FROM (SELECT n_nationkey, n_name,
+             DATE '2024-01-01' + CAST(n_nationkey AS INT) AS d,
+             TIMESTAMP '2024-01-01 00:07:00' + n_nationkey * INTERVAL '37 minutes' AS t
+      FROM nation)
+"""
+
+
+@query("fn_battery_r5", oracle=_FN_R5_SQL)
+def fn_battery_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar-function battery: the dialect gaps found by running
+    ~50 common DuckDB expressions through both engines (week/isodow/
+    monthname/dayname/time_bucket/to_base/even/signbit/isfinite/isinf/
+    starts_with/prefix/suffix/unicode/from_hex/list_reverse_sort/
+    list_aggregate/list_unique/2-arg regexp_extract/str_split_regex), each
+    rewritten onto Spark built-ins with DuckDB-verified semantics
+    (service/dialect.py round-5 emitters). Same verbatim SQL on both sides."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_FN_R5_SQL))

@@ -53,7 +53,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # aggregates, scalar families, dedup — which have run under code rewritten
 # since (asof fused scan, persist strategy, dialect fixes), then (c) the
 # oldest r02 rows whose underlying code moved in r03 (TPC-H bench set,
-# curation pipeline, asof/recursive routing). 6 + 37 + 7 = 50.
+# curation pipeline, recursive routing). 7 + 36 + 7 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "sql_from_first_routing",
     "sql_columns_expr",
     "mm_frame_sample",
+    "fn_battery_r5",
     # (b) r01-era green rows, never rechecked since
     "join_inner_equi",
     "join_left_outer",
@@ -100,7 +101,6 @@ PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     # (c) oldest r02 rows over code rewritten in r03
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -79,6 +79,32 @@ FUNCTION_ALIASES = {
     "to_timestamp": "to_timestamp",
     "nextval": "nextval",  # handled by executor (sequences)
     "len": "__duck_len",  # resolved to length/size by a wrapper function
+    # round-5 battery additions (each verified against DuckDB 1.x output)
+    "str_split_regex": "split",
+    "starts_with": "startswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "unicode": "ascii",
+    "ord": "ascii",
+    "from_hex": "unhex",
+    "week": "weekofyear",
+    "list_reverse_sort": "__duck_rsort",
+    # Spark 4 has native monthname/dayname but they ABBREVIATE (Mar/Fri);
+    # DuckDB returns full names — rewrite to date_format
+    "monthname": "__duck_monthname",
+    "dayname": "__duck_dayname",
+    "isodow": "__duck_isodow",
+    "to_base": "__duck_to_base",
+    "even": "__duck_even",
+    "signbit": "__duck_signbit",
+    "isfinite": "__duck_isfinite",
+    "isinf": "__duck_isinf",
+    "age": "__duck_age",
+    "time_bucket": "__duck_time_bucket",
+    "list_aggregate": "__duck_list_aggregate",
+    "list_aggr": "__duck_list_aggregate",
+    "list_unique": "__duck_list_unique",
+    "regexp_extract": "__duck_regexp_extract",
 }
 
 _STRFTIME_MAP = [
@@ -561,7 +587,140 @@ def translate(sql: str) -> str:
     sql = _rewrite_balanced_call(sql, "__duck_bit", _emit_bit)
     sql = _rewrite_balanced_call(sql, "__duck_try_bit", _emit_try_bit)
     sql = _rewrite_balanced_call(sql, "bitstring", _emit_bitstring)
+    for marker, emit in _ROUND5_EMITTERS.items():
+        sql = _rewrite_balanced_call(sql, marker, emit)
     return sql
+
+
+# ---- round-5 function emitters (semantics verified against DuckDB 1.x) ----
+
+
+def _emit_rsort(args: list[str]) -> str:
+    return f"sort_array({args[0]}, false)"
+
+
+def _emit_monthname(args: list[str]) -> str:
+    return f"date_format({args[0]}, 'MMMM')"
+
+
+def _emit_dayname(args: list[str]) -> str:
+    return f"date_format({args[0]}, 'EEEE')"
+
+
+def _emit_isodow(args: list[str]) -> str:
+    # Spark weekday: Monday=0; ISO dow: Monday=1
+    return f"CAST(weekday({args[0]}) + 1 AS BIGINT)"
+
+
+def _emit_to_base(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("to_base expects (number, radix)")
+    return f"conv(CAST(({args[0]}) AS BIGINT), 10, {args[1]})"
+
+
+def _emit_even(args: list[str]) -> str:
+    # round away from zero to the next even number
+    x = args[0]
+    return (
+        f"CAST(CASE WHEN ({x}) >= 0 THEN 2 * CEIL(({x}) / 2) "
+        f"ELSE 2 * FLOOR(({x}) / 2) END AS DOUBLE)"
+    )
+
+
+def _emit_signbit(args: list[str]) -> str:
+    # string form carries the sign of -0.0 too ('-0.0'); NaN/'Infinity'
+    # have no leading '-', matching DuckDB's signbit
+    return f"startswith(CAST(CAST(({args[0]}) AS DOUBLE) AS STRING), '-')"
+
+
+def _emit_isfinite(args: list[str]) -> str:
+    x = f"CAST(({args[0]}) AS DOUBLE)"
+    return f"(NOT isnan({x}) AND abs({x}) <> CAST('Infinity' AS DOUBLE))"
+
+
+def _emit_isinf(args: list[str]) -> str:
+    x = f"CAST(({args[0]}) AS DOUBLE)"
+    return f"(abs({x}) = CAST('Infinity' AS DOUBLE))"
+
+
+def _emit_age(args: list[str]) -> str:
+    # DuckDB age() is CALENDAR-normalized ('1 year 2 months'); Spark's
+    # day-time interval cannot carry month components, so a - b would be a
+    # silently different value (425 days vs '1 year 2 months'). Declared
+    # divergence: raise with the workaround named.
+    raise UnsupportedDialect(
+        "age() is calendar-normalized and has no Spark interval equivalent; "
+        "use (later - earlier) for elapsed time or date_diff('month', ...) "
+        "for month counts (declared divergence, COVERAGE.md)"
+    )
+
+
+def _emit_time_bucket(args: list[str]) -> str:
+    """time_bucket(width, ts): epoch-aligned flooring (verified: DuckDB
+    aligns sub-day buckets to the epoch). Bucket width in micros is derived
+    by adding the interval to the epoch — constant-folded by Catalyst."""
+    if len(args) != 2:
+        raise UnsupportedDialect("time_bucket expects (bucket_width, timestamp)")
+    itv, ts = args
+    w = f"unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP) + ({itv}))"
+    return (
+        f"CAST(timestamp_micros(CAST(floor(unix_micros(CAST(({ts}) AS TIMESTAMP)) "
+        f"/ {w}) * {w} AS BIGINT)) AS TIMESTAMP_NTZ)"
+    )
+
+
+def _emit_list_aggregate(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("list_aggregate expects (list, 'name')")
+    lst, name = args[0], args[1].strip().strip("'").lower()
+    if name == "min":
+        return f"array_min({lst})"
+    if name == "max":
+        return f"array_max({lst})"
+    if name == "count":
+        return f"size(filter({lst}, __x -> __x IS NOT NULL))"
+    if name == "sum":
+        # double accumulator: int lists come back as DOUBLE (DuckDB keeps
+        # HUGEINT) — the stable cross-engine form is CAST(... AS BIGINT)
+        return f"aggregate({lst}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+    if name == "avg":
+        return (
+            f"(aggregate({lst}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+            f"/ size(filter({lst}, __x -> __x IS NOT NULL)))"
+        )
+    raise UnsupportedDialect(f"list_aggregate: unsupported function {name!r}")
+
+
+def _emit_list_unique(args: list[str]) -> str:
+    return f"size(array_distinct({args[0]}))"
+
+
+def _emit_regexp_extract(args: list[str]) -> str:
+    # DuckDB's default group is 0 (whole match); Spark's is 1 and errors
+    # when the pattern has no group — pin the DuckDB default explicitly
+    if len(args) == 2:
+        return f"regexp_extract({args[0]}, {args[1]}, 0)"
+    if len(args) == 3 and not args[2].strip().startswith("["):
+        return f"regexp_extract({args[0]}, {args[1]}, {args[2]})"
+    raise UnsupportedDialect("regexp_extract: name-list form is not supported")
+
+
+_ROUND5_EMITTERS = {
+    "__duck_rsort": _emit_rsort,
+    "__duck_monthname": _emit_monthname,
+    "__duck_dayname": _emit_dayname,
+    "__duck_isodow": _emit_isodow,
+    "__duck_to_base": _emit_to_base,
+    "__duck_even": _emit_even,
+    "__duck_signbit": _emit_signbit,
+    "__duck_isfinite": _emit_isfinite,
+    "__duck_isinf": _emit_isinf,
+    "__duck_age": _emit_age,
+    "__duck_time_bucket": _emit_time_bucket,
+    "__duck_list_aggregate": _emit_list_aggregate,
+    "__duck_list_unique": _emit_list_unique,
+    "__duck_regexp_extract": _emit_regexp_extract,
+}
 
 
 def _emit_slice(args: list[str]) -> str:

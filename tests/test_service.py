@@ -267,3 +267,28 @@ def test_create_table_as_select(server):
     assert "already exists" in r["error"]
     r = _post(server, "/db/execute", "CREATE TABLE IF NOT EXISTS ctas_dst AS SELECT 1 AS x")
     assert r["result"]["rows_affected"] == 0
+
+
+def test_dialect_round5_functions():
+    """Round-5 battery emitters: pure-text translation checks (semantics
+    are oracle-checked end-to-end by the fn_battery_r5 driver query)."""
+    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+    assert translate("SELECT monthname(d)") == "SELECT date_format(d, 'MMMM')"
+    assert translate("SELECT dayname(d)") == "SELECT date_format(d, 'EEEE')"
+    assert "weekofyear" in translate("SELECT week(d)")
+    assert "weekday(d) + 1" in translate("SELECT isodow(d)")
+    assert "conv(" in translate("SELECT to_base(n, 16)")
+    assert "sort_array(l, false)" in translate("SELECT list_reverse_sort(l)")
+    assert "array_distinct" in translate("SELECT list_unique(l)")
+    assert "array_min" in translate("SELECT list_aggregate(l, 'min')")
+    assert ", 0)" in translate("SELECT regexp_extract(s, 'x')")  # DuckDB group-0 default
+    assert "startswith" in translate("SELECT starts_with(a, b)")
+    assert "endswith" in translate("SELECT suffix(a, b)")
+    # age(): calendar-normalized, no Spark equivalent — declared divergence
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedDialect, match="calendar-normalized"):
+        translate("SELECT age(a, b)")
+    with _pytest.raises(UnsupportedDialect, match="unsupported function"):
+        translate("SELECT list_aggregate(l, 'median')")
