@@ -171,6 +171,27 @@ def sql_sample_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPREHENSION_SQL = """
+SELECT n_nationkey,
+       array_to_string([upper(w) FOR w IN string_split(n_name, ' ')
+                        IF length(w) > 4], '|')                     AS big_words,
+       array_to_string([n_nationkey * x FOR x IN [1, 2, 3]], ',')  AS multiples,
+       {'key': n_nationkey, 'name': n_name}.name                   AS s_name
+FROM nation
+"""
+
+
+@query("sql_list_comprehension", oracle=_COMPREHENSION_SQL)
+def sql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB list comprehensions (`[expr FOR x IN l IF cond]` →
+    transform/filter lambdas) and struct literals (`{'k': v}` →
+    named_struct) — both statement-level bracket/brace rewrites in the
+    dialect shim; whole-stage-codegen expressions, no UDF. Verbatim SQL as
+    oracle."""
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_COMPREHENSION_SQL))
+
+
 _ORDER_ALL_SQL = (
     "SELECT o_orderpriority, o_orderstatus, count(*) AS n "
     "FROM orders GROUP BY ALL ORDER BY ALL LIMIT 20"

@@ -187,3 +187,34 @@ def stream_user_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").cast("double").alias("day_value"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_type,
+           c.c_mktsegment                                   AS segment,
+           COUNT(*)                                         AS n,
+           CAST(SUM(CAST(ROUND(e.value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming.pipeline.enrich_events on
+    the batch frame — same code object as the stream side, asserted
+    equivalent in tests/test_streaming_stateful.py). Dimension broadcast,
+    stateless, no stream-side shuffle; decimal-stable value sum."""
+    t = load_tables(spark, sf_dir)
+    from ..streaming.pipeline import enrich_events
+
+    joined = enrich_events(t["events"], t["customer"], "user_id", "c_custkey")
+    return joined.groupBy(
+        "event_type", F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 1e6).cast("bigint")).cast("double") / 1e6).alias(
+            "total_value"
+        ),
+    )

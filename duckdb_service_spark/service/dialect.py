@@ -180,7 +180,10 @@ def _rewrite_list_literals(code: str) -> str:
 
     A ``[`` opens a constructor only in VALUE position (start, after ``(``,
     ``,``, an operator, or a keyword); after an identifier/``)``/``]`` it is
-    a subscript and stays untouched. Runs on code chunks only."""
+    a subscript and stays untouched. Runs STATEMENT-level with an in-string
+    flag (not per code chunk): a constructor's brackets may straddle string
+    literals — ``['a', 'b']`` — and per-chunk rewriting would lose the
+    bracket stack at each literal and emit ``array('a', 'b']``."""
     _KEYWORDS = {
         "select", "when", "then", "else", "end", "and", "or", "not", "in",
         "on", "where", "having", "union", "all", "distinct", "by", "limit",
@@ -191,7 +194,28 @@ def _rewrite_list_literals(code: str) -> str:
     prev = ""
     cur: list[str] = []  # identifier being read
     last_word = ""  # last COMPLETED identifier (survives whitespace)
-    for ch in code:
+    in_str = False
+    i = 0
+    while i < len(code):
+        ch = code[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < len(code) and code[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_str = False
+                # after a string literal a '[' is a subscript ('abc'[2])
+                prev = "]"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            prev = ""
+            i += 1
+            continue
         if ch.isalnum() or ch == "_":
             cur.append(ch)
         elif not ch.isspace():
@@ -220,7 +244,177 @@ def _rewrite_list_literals(code: str) -> str:
             out.append(ch)
         if not ch.isspace():
             prev = ch
+        i += 1
     return "".join(out)
+
+
+def _scan_balanced(sql: str, start: int, open_ch: str, close_ch: str) -> int:
+    """Index just past the close matching the open at ``start`` (which must
+    point AT the opening char); string-literal aware. -1 if unbalanced."""
+    depth, i, in_str = 0, start, False
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == open_ch:
+            depth += 1
+        elif ch == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _find_top_kw(body: str, kw: str) -> int:
+    """Offset of the first top-level (depth 0 over ()/[]/{}, outside string
+    literals) occurrence of word ``kw`` in ``body``; -1 if none."""
+    depth, in_str, i = 0, False, 0
+    pat = re.compile(rf"^{kw}\b", re.IGNORECASE)
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (
+            depth == 0
+            and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_"))
+            and pat.match(body[i:])
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _rewrite_list_comprehensions(sql: str) -> str:
+    """DuckDB list comprehensions → transform/filter lambdas:
+
+      ``[expr FOR x IN l]``          → ``transform(l, x -> expr)``
+      ``[expr FOR x IN l IF cond]``  → ``transform(filter(l, x -> cond),
+                                                    x -> expr)``
+
+    Detected by a top-level FOR inside a bracket pair (a subscript's content
+    can never contain a top-level FOR); nested comprehensions recurse."""
+    i = 0
+    while True:
+        open_at = sql.find("[", i)
+        if open_at == -1:
+            return sql
+        # skip brackets inside string literals
+        mask = _literal_mask(sql)
+        if mask[open_at]:
+            i = open_at + 1
+            continue
+        end = _scan_balanced(sql, open_at, "[", "]")
+        if end == -1:
+            return sql
+        body = sql[open_at + 1 : end - 1]
+        for_at = _find_top_kw(body, "FOR")
+        if for_at == -1:
+            i = open_at + 1
+            continue
+        expr = body[:for_at].strip()
+        rest = body[for_at + 3 :]
+        in_at = _find_top_kw(rest, "IN")
+        if in_at == -1:
+            raise UnsupportedDialect(f"list comprehension without IN: [{body}]")
+        var = rest[:in_at].strip()
+        tail = rest[in_at + 2 :]
+        if_at = _find_top_kw(tail, "IF")
+        if if_at == -1:
+            lst, cond = tail.strip(), None
+        else:
+            lst, cond = tail[:if_at].strip(), tail[if_at + 2 :].strip()
+        expr = _rewrite_list_comprehensions(expr)
+        lst = _rewrite_list_comprehensions(lst)
+        src = f"filter({lst}, {var} -> {_rewrite_list_comprehensions(cond)})" if cond else lst
+        repl = f"transform({src}, {var} -> {expr})"
+        sql = sql[:open_at] + repl + sql[end:]
+        i = open_at + len(repl)
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB brace literals → Spark constructors:
+
+      ``{'a': 1, 'b': x}``    → ``named_struct('a', 1, 'b', x)``
+      ``MAP {'a': 1}``        → ``map('a', 1)``
+
+    Braces appear nowhere else in the supported SQL surface; keys must be
+    single-quoted strings (DuckDB's own struct-literal grammar)."""
+    from .dml import split_top_level
+
+    i = 0
+    while True:
+        open_at = sql.find("{", i)
+        if open_at == -1:
+            return sql
+        mask = _literal_mask(sql)
+        if mask[open_at]:
+            i = open_at + 1
+            continue
+        end = _scan_balanced(sql, open_at, "{", "}")
+        if end == -1:
+            raise UnsupportedDialect("unbalanced '{' in statement")
+        body = _rewrite_struct_literals(sql[open_at + 1 : end - 1])
+        pairs = []
+        for item in split_top_level(body):
+            k_at = _find_top_kw_colon(item)
+            if k_at == -1:
+                raise UnsupportedDialect(f"struct literal item without ':': {item!r}")
+            key, val = item[:k_at].strip(), item[k_at + 1 :].strip()
+            if not re.match(r"^'(?:[^']|'')*'$", key):
+                raise UnsupportedDialect(
+                    f"struct literal key must be a quoted string: {key!r}"
+                )
+            pairs.append(f"{key}, {val}")
+        # `MAP {...}` prefix selects the map constructor
+        head = sql[:open_at]
+        hm = re.search(r"\bMAP\s*$", head, re.IGNORECASE)
+        if hm:
+            repl = f"map({', '.join(pairs)})"
+            sql = head[: hm.start()] + repl + sql[end:]
+            i = hm.start() + len(repl)
+        else:
+            repl = f"named_struct({', '.join(pairs)})"
+            sql = head + repl + sql[end:]
+            i = open_at + len(repl)
+
+
+def _find_top_kw_colon(item: str) -> int:
+    depth, in_str, i = 0, False, 0
+    while i < len(item):
+        ch = item[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(item) and item[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            return i
+        i += 1
+    return -1
 
 
 # DuckDB subscripts are 1-BASED (arr[1] = first element, NULL past the end,
@@ -255,7 +449,6 @@ def _rewrite_subscripts(code: str) -> str:
 
 
 def _rewrite_functions(code: str) -> str:
-    code = _rewrite_list_literals(code)
     code = _rewrite_subscripts(code)
     # bare VARCHAR/TEXT as a cast-suffix type: Spark demands a length for
     # VARCHAR and has no TEXT — both mean STRING.  Only the ::type form is
@@ -570,6 +763,11 @@ def translate(sql: str) -> str:
                 f"frames with no EXCLUDE; rewrite with row_number()/peer-group "
                 f"aggregation (declared divergence, COVERAGE.md)"
             )
+    # statement-level bracket/brace passes first (their spans may straddle
+    # string literals, so per-chunk rewriting would lose the bracket stack)
+    sql = _rewrite_list_comprehensions(sql)
+    sql = _rewrite_list_literals(sql)
+    sql = _rewrite_struct_literals(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_cast_string_types(sql)

@@ -844,7 +844,10 @@ class Engine:
             analyze = False
             if inner.upper().startswith("ANALYZE"):
                 analyze, inner = True, inner[len("ANALYZE") :].strip()
-            df = self.spark.sql(translate(inner))
+            # query_df, not spark.sql: EXPLAIN over ROUTED constructs (ASOF
+            # JOIN, PIVOT, recursive, read_*, FROM-first) must show the plan
+            # the engine would actually run
+            df = self.query_df(inner)
             if analyze:
                 # EXPLAIN ANALYZE: execute, then report the AQE-finalized
                 # physical plan (runtime-chosen joins/partitions included)

@@ -89,3 +89,16 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def enrich_events(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static enrichment join: the canonical streaming-ETL shape
+    (events stream × slowly-changing dimension). The static side is
+    broadcast by Spark when small — no stream-side shuffle, no state store
+    (stateless join), so throughput is scan-bound at any scale. Works
+    identically on a batch frame (same code object = batch twin)."""
+    from pyspark.sql import functions as F
+
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
+    ).drop(on_right)

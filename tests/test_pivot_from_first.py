@@ -158,3 +158,13 @@ def test_columns_with_group_by(engine):
     )
     assert df.columns == ["bd", "ab", "ac"]
     assert [tuple(r) for r in df.collect()] == [("x", 1, 2), ("y", 3, 4)]
+
+
+def test_explain_routed_statements(engine):
+    """EXPLAIN over routed constructs shows the actually-executed plan."""
+    kind, df = engine.run_statement("EXPLAIN PIVOT pv ON status USING count(*) GROUP BY pri")
+    assert kind == "query"
+    plan = "\n".join(r[0] for r in df.collect())
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    kind, df = engine.run_statement("EXPLAIN FROM pv SELECT pri WHERE price > 6")
+    assert "Scan" in "\n".join(r[0] for r in df.collect())

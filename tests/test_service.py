@@ -292,3 +292,29 @@ def test_dialect_round5_functions():
         translate("SELECT age(a, b)")
     with _pytest.raises(UnsupportedDialect, match="unsupported function"):
         translate("SELECT list_aggregate(l, 'median')")
+
+
+def test_dialect_list_comprehension_and_struct_literals(spark):
+    """Round-5 statement-level bracket/brace rewrites (semantics verified
+    against DuckDB; oracle-checked end-to-end by sql_list_comprehension)."""
+    from duckdb_service_spark.service.dialect import translate
+
+    t = translate("SELECT [x * 2 FOR x IN [1, 2, 3]] AS r")
+    assert "transform(array(1, 2, 3), x -> x * 2)" in t
+    t = translate("SELECT [x FOR x IN l IF x > 2] AS r")
+    assert "transform(filter(l, x -> x > 2), x -> x)" in t
+    t = translate("SELECT {'a': 1, 'b': 'z'} AS s")
+    assert "named_struct('a', 1, 'b', 'z')" in t
+    t = translate("SELECT MAP {'k': 10} AS m")
+    assert "map('k', 10)" in t
+    # the historical chunking bug: constructor brackets straddling string
+    # literals must stay balanced
+    assert translate("SELECT ['a', 'b'] AS l").count("(") == translate(
+        "SELECT ['a', 'b'] AS l"
+    ).count(")")
+    assert "array('a', 'b')" in translate("SELECT ['a', 'b'] AS l")
+    # executes end-to-end
+    row = spark.sql(
+        translate("SELECT [upper(s) FOR s IN ['a', 'b']] AS r, {'k': 7}.k AS v")
+    ).collect()[0]
+    assert row.r == ["A", "B"] and row.v == 7

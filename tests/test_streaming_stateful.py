@@ -108,3 +108,34 @@ def test_sequences_survive_restart(spark):
     # new Engine over the same warehouse = restart
     eng2 = Engine(spark, wh)
     assert eng2.query_df("SELECT nextval('s2') AS v").collect()[0].v == 6
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static join: the same enrich_events code object over the
+    file-source stream must produce exactly the batch join's rows
+    (stateless join — append mode, no watermark needed)."""
+    from duckdb_service_spark.sources import load_tables
+    from duckdb_service_spark.streaming.pipeline import enrich_events, read_events_stream
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    stream = enrich_events(
+        read_events_stream(spark, sf_dir).select("event_id", "user_id"),
+        dim,
+        "user_id",
+        "c_custkey",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.event_id, r.c_mktsegment) for r in spark.table("t_enrich").collect()}
+    batch = enrich_events(
+        t["events"].select("event_id", "user_id"), dim, "user_id", "c_custkey"
+    )
+    want = {(r.event_id, r.c_mktsegment) for r in batch.collect()}
+    assert got == want and got
