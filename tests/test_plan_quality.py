@@ -155,3 +155,46 @@ def test_columns_expansion_preserves_pruning(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "l_orderkey" in read_schema and "l_partkey" in read_schema
     assert "l_quantity" not in read_schema, read_schema
+
+
+def test_q6_scan_filter_agg_only(spark, sf_dir):
+    """q6 is the ideal 100 TB shape: all predicates pushed to the scan, no
+    join, no row shuffle (only the 1-row partial/final agg exchange)."""
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q19_envelope_filters_push_to_both_scans(spark, sf_dir):
+    """q19's disjunction can't push through the join, but the hand-derived
+    envelopes must: brand IN-list on the part scan, quantity range on the
+    lineitem scan."""
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["q19_discounted_revenue"](spark, sf_dir))
+    assert "In(p_brand" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan, plan
+
+
+def test_q21_no_hinted_broadcast_of_facts(spark, sf_dir):
+    """q21's three lineitem legs and orders are sf-proportional: with
+    size-based broadcast off, only the nation-filtered supplier (and the
+    nation dim itself) may appear as a broadcast side."""
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q21_suppliers_waiting")
+    # tree nodes only ("formatted" repeats each node in the detail section)
+    assert plan.count("BroadcastHashJoin Inner") <= 2, plan
+    assert "SortMergeJoin LeftSemi" in plan and "SortMergeJoin LeftAnti" in plan, plan
+
+
+def test_q10_topk_take_ordered(spark, sf_dir):
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
