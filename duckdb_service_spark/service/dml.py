@@ -714,3 +714,342 @@ def functools_reduce(fn, seq):
     import functools
 
     return functools.reduce(fn, seq)
+
+
+# ---- MERGE INTO (DuckDB 1.4 surface) ---------------------------------------
+#
+# Reference reach: full Exec passthrough (db/db.go:52) accepts DuckDB's
+# `MERGE INTO target USING source ON cond WHEN ...` (DuckDB >= 1.4). Spark
+# has no native MERGE outside Delta, so this compiles to the same join-
+# powered copy-on-write the other upsert forms use: ONE left join of the
+# target on the merge condition resolves every matched/not-matched-by-source
+# clause per target row (chained, first-match-wins), one anti join resolves
+# the insert side — two shuffles on the join keys total, broadcast-eligible
+# small sources via AQE, no driver-side row loops.
+
+_MERGE_CLAUSE_RE = re.compile(
+    r"^(?:(?P<not>NOT)\s+)?MATCHED(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge(sql: str):
+    """Parse MERGE INTO into (target, t_alias, source_text, u_alias, on_cond,
+    clauses). clauses = list of (kind, cond_text, action_text) where kind is
+    'matched' | 'not_by_target' | 'not_by_source'."""
+    from .dialect import _find_top_kw
+
+    m = re.match(
+        r"^MERGE\s+INTO\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<ta>\w+))?\s+USING\s+",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse MERGE INTO statement: {sql[:80]}")
+    table, ta = m.group("t"), m.group("ta") or m.group("t")
+    rest = sql[m.end() :]
+    on_at = _find_top_kw(rest, "ON")
+    if on_at == -1:
+        raise ValueError("MERGE INTO requires an ON condition")
+    src_text = rest[:on_at].strip()
+    rest = rest[on_at + 2 :]
+    when_at = _find_top_kw(rest, "WHEN")
+    if when_at == -1:
+        raise ValueError("MERGE INTO requires at least one WHEN clause")
+    on_cond = rest[:when_at].strip()
+    clauses = []
+    body = rest[when_at:]
+    while body:
+        assert body[:4].upper() == "WHEN"
+        body = body[4:]
+        nxt = _find_top_kw(body, "WHEN")
+        clause, body = (body[:nxt], body[nxt:]) if nxt != -1 else (body, "")
+        then_at = _find_top_kw(clause, "THEN")
+        if then_at == -1:
+            raise ValueError(f"MERGE WHEN clause without THEN: {clause[:60]}")
+        head, action = clause[:then_at].strip(), clause[then_at + 4 :].strip()
+        hm = _MERGE_CLAUSE_RE.match(head)
+        if not hm:
+            raise ValueError(f"cannot parse MERGE WHEN clause: {head[:60]}")
+        if hm.group("not"):
+            by = (hm.group("by") or "TARGET").upper()
+            kind = "not_by_source" if by == "SOURCE" else "not_by_target"
+        else:
+            if hm.group("by"):
+                raise ValueError("WHEN MATCHED takes no BY qualifier")
+            kind = "matched"
+        clauses.append((kind, hm.group("cond"), action))
+    # source: bare table/view name or parenthesized subquery, optional alias
+    sm = re.match(
+        r"^(?:(?P<name>\w+)|(?P<subq>\(.+\)))(?:\s+(?:AS\s+)?(?P<ua>\w+))?$",
+        src_text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not sm:
+        raise ValueError(f"cannot parse MERGE source: {src_text[:60]}")
+    return table, ta, sm.group("name"), sm.group("subq"), sm.group("ua"), on_cond, clauses
+
+
+def merge_into(engine: "Engine", sql: str, returning: str | None = None):
+    """MERGE INTO t USING s ON cond WHEN [NOT] MATCHED [BY SOURCE] [AND c]
+    THEN UPDATE SET ... | UPDATE | DELETE | DO NOTHING | INSERT [(cols)
+    VALUES (...)] | INSERT — first matching clause wins per row, DuckDB
+    semantics. rows_affected = updates + deletes + inserts. A target row
+    matching multiple source rows raises (the winner would be arbitrary).
+
+    RETURNING exposes the affected rows plus ``merge_action``
+    ('UPDATE' | 'DELETE' | 'INSERT'), mirroring DuckDB's merge_action()."""
+    table, ta, src_name, src_subq, ua, on_cond, clauses = _parse_merge(sql.strip())
+    if table not in engine.catalog.tables:
+        raise ValueError(f"table {table} does not exist")
+    meta = engine.catalog.tables[table]
+    tcols = [c["name"] for c in meta.columns]
+
+    if src_subq is not None:
+        src_raw = engine.spark.sql(translate(f"SELECT * FROM {src_subq}"))
+        u_names = {ua} if ua else set()
+    else:
+        src_raw = _resolve_relation(engine, src_name)
+        u_names = {ua or src_name, src_name}
+    src_cols = src_raw.columns
+    t_names = {ta, table}
+    src = src_raw.select(
+        *[F.col(c).alias(f"__src_{c}") for c in src_cols],
+        F.lit(True).alias("__src_match"),
+    )
+
+    # bare identifiers naming a SOURCE-only column must resolve against the
+    # prefixed source side of the join (target-name collisions keep DuckDB's
+    # target-first scoping via the plain column)
+    src_only = [c for c in src_cols if c not in tcols]
+
+    def _cond_expr(text: str) -> "F.Column":
+        from .dialect import _rewrite_code
+
+        code = _qualified_rewrite(text, t_names, u_names)
+
+        def _fix(chunk: str) -> str:
+            for c in src_only:
+                chunk = re.sub(rf"\b{c}\b(?!\s*\()", f"__src_{c}", chunk)
+            return chunk
+
+        return F.expr(translate(_rewrite_code(code, _fix)))
+
+    target = engine.catalog.read(table).withColumn("__tid", F.monotonically_increasing_id())
+    cond = _cond_expr(on_cond)
+
+    target_clauses = [c for c in clauses if c[0] in ("matched", "not_by_source")]
+    insert_clauses = [c for c in clauses if c[0] == "not_by_target"]
+
+    n_upd = n_del = n_ins = 0
+    ret_parts: list[DataFrame] = []
+    new_existing = None
+    act = None
+    joined = None
+    if target_clauses:
+        joined = target.join(src, cond, "left")
+        matched = F.col("__src_match").isNotNull()
+        if any(k == "matched" for k, _, _ in target_clauses):
+            dup = (
+                joined.filter(matched)
+                .groupBy("__tid")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE can not update the same row twice: a target row "
+                    "matches multiple source rows — deduplicate the source"
+                )
+        # first-match-wins action tag per target row
+        act = F.lit("keep")
+        tags: list[tuple[str, dict | None]] = []  # (tag, assignments|None=delete)
+        chain = None
+        for i, (kind, ctext, action) in enumerate(target_clauses):
+            base = matched if kind == "matched" else ~matched
+            if ctext:
+                base = base & F.coalesce(_cond_expr(ctext), F.lit(False))
+            au = action.upper()
+            if au.startswith("UPDATE"):
+                tag = f"u{i}"
+                rest = action[len("UPDATE") :].strip()
+                if rest:
+                    sm = re.match(r"^SET\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+                    if not sm:
+                        raise ValueError(f"cannot parse MERGE UPDATE action: {action[:60]}")
+                    assignments = {}
+                    for part in split_top_level(sm.group(1)):
+                        col, expr = part.split("=", 1)
+                        assignments[col.strip()] = _cond_expr(expr.strip())
+                else:
+                    if kind == "not_by_source":
+                        raise ValueError(
+                            "WHEN NOT MATCHED BY SOURCE THEN UPDATE requires SET "
+                            "(there is no source row to copy from)"
+                        )
+                    # shorthand: every common non-key column from the source
+                    keys = set(meta.pk_cols) | set(meta.partition_cols)
+                    assignments = {
+                        c: F.col(f"__src_{c}")
+                        for c in tcols
+                        if c in src_cols and c not in keys
+                    }
+                for col in assignments:
+                    if col in meta.partition_cols:
+                        raise ValueError(
+                            f"MERGE may not reassign partition column {col}"
+                        )
+            elif au == "DELETE":
+                tag, assignments = "d", None
+            elif re.fullmatch(r"DO\s+NOTHING", au):
+                tag, assignments = "keep", {}
+            else:
+                raise ValueError(
+                    f"unsupported MERGE action for {kind} clause: {action[:60]}"
+                )
+            tags.append((tag, assignments))
+            chain = chain.when(base, tag) if chain is not None else F.when(base, tag)
+        act = chain.otherwise(F.lit("keep")) if chain is not None else F.lit("keep")
+        out = joined.withColumn("__act", act)
+        for i, (tag, assignments) in enumerate(tags):
+            if not assignments:
+                continue
+            for col, expr in assignments.items():
+                field = meta.spark_schema()[col]
+                out = out.withColumn(
+                    col,
+                    F.when(F.col("__act") == tag, expr.cast(field.dataType)).otherwise(
+                        F.col(col)
+                    ),
+                )
+        # eager checkpoint BEFORE any table write: the RETURNING frames and
+        # the final overwrite both derive from this plan, and a lazy plan
+        # would re-read the mutated table files after overwrite/append
+        out = out.localCheckpoint(eager=True)
+        n_upd = out.filter(F.col("__act").startswith("u")).count()
+        n_del = out.filter(F.col("__act") == "d").count()
+        new_existing = out.filter(F.col("__act") != "d").select(*tcols, "__act")
+        if returning is not None:
+            ret_parts.append(
+                out.filter(F.col("__act").startswith("u"))
+                .select(*tcols)
+                .withColumn("merge_action", F.lit("UPDATE"))
+            )
+            ret_parts.append(
+                out.filter(F.col("__act") == "d")
+                .select(*tcols)
+                .withColumn("merge_action", F.lit("DELETE"))
+            )
+
+    to_insert = None
+    if insert_clauses:
+        # source rows with no target match, restored to their natural names
+        ins0 = src.join(target, cond, "left_anti").select(
+            *[F.col(f"__src_{c}").alias(c) for c in src_cols]
+        )
+
+        def _ins_expr(text: str) -> "F.Column":
+            # inside an insert clause bare/qualified names are SOURCE columns
+            return F.expr(translate(_qualified_rewrite(text, u_names, set())))
+
+        chain_pred = F.lit(False)
+        pieces = []
+        for kind, ctext, action in insert_clauses:
+            pred = F.coalesce(_ins_expr(ctext), F.lit(False)) if ctext else F.lit(True)
+            pred = pred & ~chain_pred
+            chain_pred = chain_pred | pred
+            au = action.upper()
+            if re.fullmatch(r"DO\s+NOTHING", au):
+                continue
+            im = re.match(
+                r"^INSERT\s*(?:\*|(?:\((?P<cols>[^)]*)\)\s*)?(?:VALUES\s*\((?P<vals>.+)\))?)?$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise ValueError(f"unsupported MERGE INSERT action: {action[:60]}")
+            rows = ins0.filter(pred)
+            if im.group("vals"):
+                vals = [
+                    _ins_expr(v.strip()) for v in split_top_level(im.group("vals"))
+                ]
+                cols = (
+                    [c.strip() for c in im.group("cols").split(",")]
+                    if im.group("cols")
+                    else tcols
+                )
+                if len(vals) != len(cols):
+                    raise ValueError("MERGE INSERT column/value count mismatch")
+                named = dict(zip(cols, vals))
+                sel = [
+                    (
+                        named[c]
+                        if c in named
+                        else F.lit(None)
+                    ).cast(meta.spark_schema()[c].dataType).alias(c)
+                    for c in tcols
+                ]
+            else:
+                # INSERT / INSERT *: align by name, missing columns NULL
+                sel = [
+                    (
+                        F.col(c) if c in src_cols else F.lit(None)
+                    ).cast(meta.spark_schema()[c].dataType).alias(c)
+                    for c in tcols
+                ]
+            pieces.append(rows.select(*sel))
+        if pieces:
+            to_insert = pieces[0]
+            for p in pieces[1:]:
+                to_insert = to_insert.unionByName(p)
+            to_insert = to_insert.localCheckpoint(eager=True)
+            n_ins = to_insert.count()
+            _check_constraints(engine, table, to_insert)
+            if returning is not None and n_ins:
+                ret_parts.append(
+                    to_insert.withColumn("merge_action", F.lit("INSERT"))
+                )
+
+    if new_existing is not None and (n_upd or n_del):
+        final_rows = new_existing.select(*tcols)
+        _check_constraints_update(engine, table, final_rows)
+        if meta.partition_cols:
+            touched = (
+                out.filter(F.col("__act") != "keep")
+                .select(*meta.partition_cols)
+                .distinct()
+            )
+            parts = [tuple(r) for r in touched.collect()]
+            if parts:
+                member = _partition_membership(engine, table, parts)
+                kept_scoped = final_rows.filter(member)
+                surviving = {
+                    tuple(r)
+                    for r in kept_scoped.select(*meta.partition_cols)
+                    .distinct()
+                    .collect()
+                }
+                engine.catalog.overwrite_partitions(table, kept_scoped)
+                engine.catalog.drop_partition_dirs(
+                    table, [p for p in parts if p not in surviving]
+                )
+        else:
+            engine.catalog.overwrite(table, final_rows)
+    if to_insert is not None and n_ins:
+        engine.catalog.append(table, to_insert)
+
+    n = n_upd + n_del + n_ins
+    if returning is not None:
+        if not ret_parts:
+            schema = meta.spark_schema().add("merge_action", "string")
+            ret_parts.append(engine.spark.createDataFrame([], schema))
+        affected = ret_parts[0]
+        for p in ret_parts[1:]:
+            affected = affected.unionByName(p)
+        returning = re.sub(r"\bmerge_action\s*\(\s*\)", "merge_action", returning,
+                          flags=re.IGNORECASE)
+        return n, _apply_returning(affected, returning)
+    return n

@@ -459,12 +459,13 @@ class Engine:
             self.catalog.drop_index(m.group(2), if_exists=bool(m.group(1)))
             return ExecuteOutcome(0)
 
-        if upper.startswith(("INSERT", "UPDATE", "DELETE")):
+        if upper.startswith(("INSERT", "UPDATE", "DELETE", "MERGE")):
             from .dml import split_returning
 
             body, returning = split_returning(stripped)
             if returning is not None:
                 stripped, upper = body, body.upper()
+
 
         # DuckDB shorthands (verified): INSERT OR IGNORE ≡ ON CONFLICT DO
         # NOTHING; INSERT OR REPLACE ≡ ON CONFLICT DO UPDATE SET <every
@@ -497,6 +498,11 @@ class Engine:
             if isinstance(res, tuple):
                 return ExecuteOutcome(res[0], returning=res[1])
             return ExecuteOutcome(res)
+
+        if upper.startswith("MERGE"):
+            from .dml import merge_into
+
+            return _outcome(merge_into(self, stripped, returning=returning))
 
         if upper.startswith("INSERT"):
             from .dml import upsert_values
