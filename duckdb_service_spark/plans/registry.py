@@ -54,7 +54,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # (joins, aggregates, scalar families, dedup: code rewritten since their
 # only green row) as fit the 50-slot window. The remainder of the stale
 # set is covered by the local exact harness (tools/diffcheck.py 158/158 on
-# HEAD) and rotates in next round. 24 + 26 = 50.
+# HEAD) and rotates in next round. 25 + 25 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "sql_from_first_routing",
     "sql_columns_expr",
     "sql_list_comprehension",
+    "sql_unnest_select",
     "sql_order_by_all",
     "stream_static_enrich",
     "mm_frame_sample",
@@ -105,7 +106,6 @@ PRIORITY: list[str] = [
     "fn_math",
     "fn_datetime",
     "fn_timestamp_parts",
-    "fn_interval",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]

@@ -357,3 +357,19 @@ def sql_summarize_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count",
         F.col("null_percentage").cast("double").alias("null_pct"),
     )
+
+
+_UNNEST_SQL = """
+SELECT n_nationkey,
+       unnest(string_split(n_name, '_')) AS piece
+FROM nation
+"""
+
+
+@query("sql_unnest_select", oracle=_UNNEST_SQL)
+def sql_unnest_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB `unnest(list)` in the SELECT list (repeat the row per
+    element) → Spark generator-in-select `explode`; identical zero-rows
+    semantics for NULL/empty lists. Verbatim SQL as oracle."""
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_UNNEST_SQL))

@@ -105,6 +105,11 @@ FUNCTION_ALIASES = {
     "list_aggr": "__duck_list_aggregate",
     "list_unique": "__duck_list_unique",
     "regexp_extract": "__duck_regexp_extract",
+    # unnest in the SELECT list: DuckDB repeats the other columns per
+    # element, exactly Spark's generator-in-select explode semantics
+    # (both yield zero rows for NULL/empty lists — verified). The FROM-
+    # clause table form `FROM UNNEST(...)` is not routed.
+    "unnest": "explode",
 }
 
 _STRFTIME_MAP = [
