@@ -8,7 +8,10 @@ wall-clock on the same query set at the same sf).
 Methodology: one warm-up execution per query (to exclude one-off JVM/codegen
 and parquet footer reads — the reference's `took` field likewise measures
 per-request execution, not process startup, http/service.go:241), then the
-median of 3 timed runs, each fully materializing the result via a count+collect.
+median of 5 timed runs, each fully materializing the result via a collect.
+(5, not 3: SCALING.md's round-5 variance measurement saw ±40% run-to-run on
+sub-second queries from machine load alone; the median of 5 discards two
+outliers instead of one.)
 """
 
 from __future__ import annotations
@@ -43,7 +46,7 @@ def main() -> None:
         fn = QUERIES[name]
         _materialize(fn(spark, sf_dir))  # warm-up
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             _materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
@@ -100,7 +103,7 @@ def _oracle_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
         try:
             con.execute(sql).fetchall()  # warm-up
             runs = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 runs.append(time.perf_counter() - t0)

@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "sql_unnest_select",
     "sql_order_by_all",
     "stream_static_enrich",
+    "stream_stream_join",
     "mm_frame_sample",
     "fn_battery_r5",
     # (b) r01-era green rows, never rechecked since
@@ -105,7 +106,6 @@ PRIORITY: list[str] = [
     "fn_regex",
     "fn_math",
     "fn_datetime",
-    "fn_timestamp_parts",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]

@@ -218,3 +218,43 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.user_id) AS n_users
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY day
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join batch twin (streaming.pipeline.join_event_streams
+    on batch frames — same code object; the true two-stream watermarked run
+    is asserted equivalent in tests/test_streaming_stateful.py):
+    click→purchase conversion pairs per user within 30 minutes, daily
+    accounting. The time-bound condition is what makes the streaming state
+    finite; in batch it is a range-condition join Catalyst plans as an
+    equi-join on user_id with the range as post-filter."""
+    from ..streaming.pipeline import join_event_streams
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select("user_id", "event_type", "ts")
+    clicks = e.filter(F.col("event_type") == "click").drop("event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").drop("event_type")
+    j = join_event_streams(clicks, purchases)
+    return (
+        j.groupBy(
+            F.date_trunc("day", F.col("l.ts")).cast("timestamp_ntz").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("l.user_id")).alias("n_users"),
+        )
+    )

@@ -253,6 +253,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
     """,
+    bench=True,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (order priority checking), lateness re-expressed as
@@ -754,6 +755,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
     """,
+    bench=True,
 )
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): the hardest shape in

@@ -102,3 +102,24 @@ def enrich_events(events: DataFrame, dim: DataFrame, on_left: str, on_right: str
     return events.join(
         F.broadcast(dim), events[on_left] == dim[on_right], "inner"
     ).drop(on_right)
+
+
+def join_event_streams(
+    left: DataFrame, right: DataFrame, max_lag: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: right-side events for the same user within
+    (left.ts, left.ts + max_lag]. Both sides carry a 1-hour watermark and
+    the join condition time-bounds the right side relative to the left, so
+    the state store evicts rows once the watermark passes — bounded state,
+    the requirement for an unbounded 100 TB/day stream join. On batch
+    frames withWatermark is a no-op and this is a plain range-condition
+    join (same code object = batch twin)."""
+    l = left.withWatermark("ts", "1 hour").alias("l")
+    r = right.withWatermark("ts", "1 hour").alias("r")
+    return l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )

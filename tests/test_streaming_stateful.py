@@ -139,3 +139,54 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     )
     want = {(r.event_id, r.c_mktsegment) for r in batch.collect()}
     assert got == want and got
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join (watermarked, time-bounded): the same
+    join_event_streams code object over TWO file-source streams must
+    produce exactly the batch join's pairs. The time bound + watermark
+    keep the state store finite — this asserts correctness of the
+    bounded-state configuration, not just the batch semantics."""
+    from duckdb_service_spark.sources import load_tables
+    from duckdb_service_spark.streaming.pipeline import (
+        join_event_streams,
+        read_events_stream,
+    )
+
+    def split(df):
+        c = df.filter(df.event_type == "click").select("user_id", "ts", "event_id")
+        p = df.filter(df.event_type == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        return c, p
+
+    sc, sp = split(read_events_stream(spark, sf_dir))
+    joined = join_event_streams(sc, sp).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("purchase_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.click_id, r.purchase_id) for r in spark.table("t_ssj").collect()}
+
+    # batch twin over LTZ frames under the same UTC session the stream set
+    bc, bp = split(
+        load_tables(spark, sf_dir)["events"].withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in join_event_streams(bc, bp)
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    assert got == want and got
