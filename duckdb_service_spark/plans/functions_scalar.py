@@ -729,3 +729,64 @@ def fn_battery_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_FN_R5_SQL))
+
+
+_FN_R6_SQL = """
+SELECT n_nationkey,
+       left(n_name, 3)                                   AS l3,
+       right(n_name, 2)                                  AS r2,
+       repeat(substr(n_name, 1, 2), 3)                   AS rep,
+       reverse(n_name)                                   AS rev,
+       translate(n_name, 'NAT', 'xyz')                   AS tr,
+       CAST(levenshtein(n_name, 'NATION_1') AS BIGINT)   AS lev,
+       split_part(n_name, '_', 2)                        AS num_part,
+       contains(n_name, '_1')                            AS has_one,
+       CAST(factorial(n_nationkey % 6) AS BIGINT)        AS fact,
+       round(cot(n_nationkey + 1.0), 6)                  AS cot6,
+       degrees(n_nationkey / 10.0)                       AS deg,
+       radians(n_nationkey * 15.0)                       AS rad,
+       round(log2(n_nationkey + 2.0), 6)                 AS lg2,
+       round(log10(n_nationkey + 10.0), 6)               AS lg10,
+       round(ln(n_nationkey + 1.5), 6)                   AS lnx,
+       CAST(sign(n_nationkey - 12) AS BIGINT)            AS sgn,
+       last_day(d)                                       AS month_end,
+       CAST(quarter(d) AS BIGINT)                        AS qtr,
+       CAST(dayofyear(d) AS BIGINT)                      AS doy,
+       date_diff('day', DATE '2024-01-01', d)            AS dd_day,
+       date_diff('month', DATE '2024-01-15', d)          AS dd_month,
+       date_diff('hour', TIMESTAMP '2024-01-01 00:30:00', t) AS dd_hour,
+       epoch_ms(t)                                       AS ems,
+       make_date(2024, (n_nationkey % 12) + 1, 28)       AS md,
+       chr(65 + n_nationkey)                             AS ch,
+       to_hex(n_nationkey + 250)                         AS hx,
+       bin(n_nationkey + 5)                              AS bn,
+       printf('%s=%d', n_name, n_nationkey)              AS pf,
+       greatest(n_nationkey, NULL, 12)                   AS grt,
+       least(n_nationkey, NULL, 12)                      AS lst,
+       array_to_string(list_concat([n_nationkey], [7, 8]), ',') AS lcat,
+       array_to_string(flatten([[n_nationkey], [5, 6]]), '-')   AS flat,
+       array_to_string(map_keys(MAP {'a': n_nationkey, 'b': 2}), '') AS mk,
+       CAST(cardinality(MAP {'a': 1, 'b': n_nationkey}) AS BIGINT)  AS card,
+       CAST(position('_' IN n_name) AS BIGINT)           AS pos
+FROM (SELECT n_nationkey, n_name,
+             DATE '2024-01-01' + CAST(n_nationkey * 11 AS INT) AS d,
+             TIMESTAMP '2024-01-01 00:07:00' + n_nationkey * INTERVAL '131 minutes' AS t
+      FROM nation)
+"""
+
+
+@query("fn_battery_r6", oracle=_FN_R6_SQL)
+def fn_battery_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 scalar-function battery (~35 more DuckDB expressions verified
+    value-identical cross-engine): string slicing/editing (left/right/
+    repeat/reverse/translate/levenshtein/split_part/contains/printf),
+    math (factorial/cot/degrees/radians/log2/log10/ln/sign — cbrt excluded:
+    last-ulp divergence), calendar (last_day/quarter/dayofyear,
+    date_diff boundary-crossing semantics for day/month/hour, epoch_ms,
+    make_date), encodings (chr/to_hex/bin), null-skipping greatest/least,
+    and list/map constructors (list_concat/flatten/map_keys/cardinality/
+    MAP literals). Same verbatim SQL on both sides."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_FN_R6_SQL))

@@ -83,6 +83,7 @@ PRIORITY: list[str] = [
     "stream_stream_join",
     "mm_frame_sample",
     "fn_battery_r5",
+    "fn_battery_r6",
     # (b) r01-era green rows, never rechecked since
     "join_inner_equi",
     "join_left_outer",
@@ -104,7 +105,6 @@ PRIORITY: list[str] = [
     "agg_rollup",
     "fn_string",
     "fn_regex",
-    "fn_math",
     "fn_datetime",
     "dedup_exact",
     "dedup_minhash_lsh",

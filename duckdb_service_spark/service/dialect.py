@@ -110,6 +110,18 @@ FUNCTION_ALIASES = {
     # (both yield zero rows for NULL/empty lists — verified). The FROM-
     # clause table form `FROM UNNEST(...)` is not routed.
     "unnest": "explode",
+    # round-6 battery additions (each verified against DuckDB 1.x output)
+    "to_hex": "hex",
+    "chr": "char",
+    "printf": "format_string",  # same C-style directives both engines
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "array_concat": "concat",
+    # DuckDB date_diff/datediff are ('part', start, end) — boundary
+    # crossings; Spark's 2-arg datediff is days-only. Emitter resolves.
+    "date_diff": "__duck_date_diff",
+    "datediff": "__duck_date_diff",
+    "epoch_ms": "__duck_epoch_ms",
 }
 
 _STRFTIME_MAP = [
@@ -169,15 +181,10 @@ def _rewrite_printf_decimals(sql: str) -> str:
     return re.sub(r"\b(printf|format_string)\s*\(([^()]*)\)", fix_args, sql, flags=re.IGNORECASE)
 
 
-def _rewrite_date_diff(sql: str) -> str:
-    """date_diff('unit', a, b) → timestampdiff(unit, a, b) (same order:
-    b - a in units)."""
-    return re.sub(
-        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
-        lambda m: f"timestampdiff({m.group(1)},",
-        sql,
-        flags=re.IGNORECASE,
-    )
+# (date_diff is handled by the __duck_date_diff emitter: DuckDB counts
+# BOUNDARY CROSSINGS — date_diff('month', Jan 15, Jun 1) = 5 — while
+# Spark's timestampdiff counts elapsed whole units (4). The round-5
+# timestampdiff rewrite was wrong for mid-period timestamps.)
 
 
 def _rewrite_list_literals(code: str) -> str:
@@ -780,7 +787,6 @@ def translate(sql: str) -> str:
     sql = _convert_strftime_formats(sql)
     # matches the quoted unit itself, so it must see literals — safe because
     # the pattern requires the full date_diff('unit', prefix
-    sql = _rewrite_date_diff(sql)
     sql = _rewrite_printf_decimals(sql)
     sql = _rewrite_exclude_replace(sql)
     sql = _rewrite_distinct_on(sql)
@@ -908,6 +914,44 @@ def _emit_regexp_extract(args: list[str]) -> str:
     raise UnsupportedDialect("regexp_extract: name-list form is not supported")
 
 
+def _emit_date_diff(args: list[str]) -> str:
+    """DuckDB date_diff('part', start, end): signed count of PART BOUNDARIES
+    crossed (verified: date_diff('month', Jan 15, Jun 1) = 5, not 4.5-
+    rounded). day → datediff on dates; month/quarter/year → ordinal
+    difference; hour/minute/second → epoch difference of truncated
+    timestamps (session tz pinned UTC by load_tables, so the LTZ cast is
+    value-preserving)."""
+    if len(args) != 3:
+        raise UnsupportedDialect("date_diff expects ('part', start, end)")
+    part, a, b = args[0].strip().strip("'").lower(), args[1], args[2]
+    if part == "day":
+        return f"CAST(datediff(CAST({b} AS DATE), CAST({a} AS DATE)) AS BIGINT)"
+    if part in ("month", "year", "quarter"):
+        mul = {"month": 12, "quarter": 4, "year": 1}[part]
+        unit = {"month": "month", "quarter": "quarter", "year": "year"}[part]
+        return (
+            f"CAST((year({b}) * {mul} + {unit}({b})) - "
+            f"(year({a}) * {mul} + {unit}({a})) AS BIGINT)"
+        ) if part != "year" else f"CAST(year({b}) - year({a}) AS BIGINT)"
+    if part in ("hour", "minute", "second"):
+        secs = {"hour": 3600, "minute": 60, "second": 1}[part]
+        tr = part.upper()
+        return (
+            f"CAST((unix_seconds(CAST(date_trunc('{tr}', {b}) AS TIMESTAMP)) - "
+            f"unix_seconds(CAST(date_trunc('{tr}', {a}) AS TIMESTAMP))) / {secs} AS BIGINT)"
+        )
+    raise UnsupportedDialect(
+        f"date_diff: unsupported part {part!r} (day/month/quarter/year/"
+        f"hour/minute/second)"
+    )
+
+
+def _emit_epoch_ms(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("epoch_ms expects (timestamp)")
+    return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
+
+
 _ROUND5_EMITTERS = {
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
@@ -923,6 +967,8 @@ _ROUND5_EMITTERS = {
     "__duck_list_aggregate": _emit_list_aggregate,
     "__duck_list_unique": _emit_list_unique,
     "__duck_regexp_extract": _emit_regexp_extract,
+    "__duck_date_diff": _emit_date_diff,
+    "__duck_epoch_ms": _emit_epoch_ms,
 }
 
 

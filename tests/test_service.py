@@ -149,7 +149,11 @@ def test_dialect_shim():
     assert " div " in translate("SELECT pi // 4 FROM t")
     assert "'//'" in translate("SELECT '//' FROM t")  # literals untouched
     assert "date_format(ts, 'yyyy-MM-dd')" in translate("SELECT strftime(ts, '%Y-%m-%d') FROM t")
-    assert "timestampdiff(day," in translate("SELECT date_diff('day', a, b) FROM t")
+    # DuckDB date_diff counts boundary crossings: day goes through
+    # date-level datediff, not elapsed-unit timestampdiff
+    assert "datediff(CAST(b AS DATE), CAST(a AS DATE))" in translate(
+        "SELECT date_diff('day', a, b) FROM t"
+    )
     out = translate("SELECT o_custkey FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) = 1")
     assert "WHERE __q" in out and "QUALIFY" not in out.upper()
     out = translate("SELECT DISTINCT ON (k) k, v FROM t ORDER BY v DESC")
