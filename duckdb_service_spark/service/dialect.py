@@ -226,11 +226,23 @@ def _rewrite_list_literals(code: str) -> str:
             in_str = True
             out.append(ch)
             prev = ""
+            # a string literal ends any pending identifier — without this,
+            # SELECT 'abc'[2] flushes 'select' AT the bracket and the
+            # keyword check turns the subscript into a constructor
+            cur = []
+            last_word = ""
             i += 1
             continue
         if ch.isalnum() or ch == "_":
             cur.append(ch)
-        elif not ch.isspace():
+        elif ch.isspace():
+            # whitespace COMPLETES an identifier (without this, "SELECT
+            # array[" reads the pending word as "selectarray" and the
+            # ARRAY-keyword form is never recognized)
+            if cur:
+                last_word = "".join(cur)
+                cur = []
+        else:
             if cur:
                 last_word = "".join(cur)
                 cur = []
