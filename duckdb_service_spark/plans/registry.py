@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "sql_columns_expr",
     "sql_list_comprehension",
     "sql_unnest_select",
+    "sql_lateral_unnest",
     "sql_order_by_all",
     "stream_static_enrich",
     "stream_stream_join",
@@ -102,7 +103,6 @@ PRIORITY: list[str] = [
     "agg_grouping_sets",
     "agg_having",
     "agg_median_percentile",
-    "agg_rollup",
     "fn_string",
     "fn_regex",
     "fn_datetime",

@@ -373,3 +373,19 @@ def sql_unnest_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics for NULL/empty lists. Verbatim SQL as oracle."""
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_UNNEST_SQL))
+
+
+_LATERAL_UNNEST_SQL = """
+SELECT n_nationkey, u.piece AS piece
+FROM nation, UNNEST(string_split(n_name, '_')) AS u(piece)
+"""
+
+
+@query("sql_lateral_unnest", oracle=_LATERAL_UNNEST_SQL)
+def sql_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's correlated FROM-clause UNNEST (`FROM t, UNNEST(expr)
+    AS u(c)` where expr references t's columns) → Spark `LATERAL VIEW
+    explode`; the standalone `FROM UNNEST(...)` form becomes a derived
+    table. Verbatim SQL as oracle."""
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_LATERAL_UNNEST_SQL))

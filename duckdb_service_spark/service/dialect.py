@@ -187,6 +187,50 @@ def _rewrite_printf_decimals(sql: str) -> str:
 # timestampdiff rewrite was wrong for mid-period timestamps.)
 
 
+def _rewrite_from_unnest(sql: str) -> str:
+    """FROM-clause UNNEST table function → Spark forms:
+
+      ``FROM t, UNNEST(expr) AS u(c)``  → ``FROM t LATERAL VIEW
+        explode(expr) u AS c`` (the CORRELATED form — expr may reference
+        t's columns, which a derived-table rewrite would break)
+      ``FROM UNNEST(expr) AS u(c)``     → ``FROM (SELECT explode(expr)
+        AS c) u`` (standalone)
+
+    Missing aliases default to DuckDB's: column ``unnest``. Runs before
+    the function-alias pass (which maps remaining SELECT-list unnest calls
+    to generator explode)."""
+    out = sql
+    pat = re.compile(r"(,\s*|\bFROM\s+)UNNEST\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out)
+        if m is None:
+            return out
+        open_at = out.index("(", m.end() - 1)
+        end = _scan_balanced(out, open_at, "(", ")")
+        if end == -1:
+            raise UnsupportedDialect("unbalanced UNNEST(...) in FROM clause")
+        inner = out[open_at + 1 : end - 1]
+        am = re.match(
+            r"\s*(?:AS\s+)?(\w+)\s*(?:\(\s*(\w+)\s*\))?", out[end:], re.IGNORECASE
+        )
+        _CLAUSE_KW = {
+            "where", "group", "order", "limit", "having", "union", "join",
+            "on", "left", "right", "inner", "cross", "full", "qualify",
+            "intersect", "except", "offset", "lateral", "using",
+        }
+        if am and am.group(1) and am.group(1).lower() not in _CLAUSE_KW:
+            alias, col = am.group(1), am.group(2) or "unnest"
+            tail_at = end + am.end()
+        else:
+            alias, col, tail_at = "__u", "unnest", end
+        comma_form = m.group(1).strip() == ","
+        if comma_form:
+            repl = f" LATERAL VIEW explode({inner}) {alias} AS {col}"
+        else:
+            repl = f"{m.group(1)}(SELECT explode({inner}) AS {col}) {alias}"
+        out = out[: m.start()] + repl + out[tail_at:]
+
+
 def _rewrite_list_literals(code: str) -> str:
     """DuckDB ``[1, 2, 3]`` list constructors → ``array(1, 2, 3)``.
 
@@ -792,6 +836,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_list_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_from_unnest(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_cast_string_types(sql)

@@ -337,3 +337,19 @@ def test_dialect_bracket_tokenizer_edges():
     assert translate("SELECT ARRAY[1, 2] AS a") == "SELECT ARRAY(1, 2) AS a"
     assert "element_at(l, 2)" in translate("SELECT l[2] FROM t")
     assert "IN array(1, 2)" in translate("SELECT x IN [1, 2] FROM t")
+
+
+def test_dialect_from_unnest(spark):
+    from duckdb_service_spark.service.dialect import translate
+
+    t = translate("SELECT * FROM UNNEST([1, 2, 3]) AS t(x)")
+    assert "(SELECT explode(array(1, 2, 3)) AS x) t" in t
+    t = translate("SELECT u.p FROM tn, UNNEST(string_split(n, '_')) AS u(p)")
+    assert "LATERAL VIEW explode(split(n, '_')) u AS p" in t
+    # no-alias defaults to DuckDB's column name; clause keywords not eaten
+    t = translate("SELECT unnest FROM UNNEST([1,2]) WHERE unnest > 1")
+    assert "AS unnest) __u WHERE" in t
+    rows = spark.sql(
+        translate("SELECT x FROM UNNEST([1,2,3]) AS t(x) WHERE x > 1")
+    ).collect()
+    assert [r.x for r in rows] == [2, 3]
