@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "sql_list_comprehension",
     "sql_unnest_select",
     "sql_lateral_unnest",
+    "sql_pattern_operators",
     "sql_order_by_all",
     "stream_static_enrich",
     "stream_stream_join",
@@ -105,7 +106,6 @@ PRIORITY: list[str] = [
     "agg_median_percentile",
     "fn_string",
     "fn_regex",
-    "fn_datetime",
     "dedup_exact",
     "dedup_minhash_lsh",
 ]

@@ -389,3 +389,24 @@ def sql_lateral_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Verbatim SQL as oracle."""
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_LATERAL_UNNEST_SQL))
+
+
+_PATTERN_OPS_SQL = """
+SELECT n_nationkey, n_name,
+       n_name SIMILAR TO 'NATION_[0-9]'          AS one_digit,
+       n_name SIMILAR TO 'NAT.*[02468]'          AS even_tail,
+       n_name NOT SIMILAR TO '.*1.*'             AS no_one,
+       n_name GLOB 'NATION_?'                    AS glob_one,
+       n_name GLOB '*[13579]'                    AS glob_odd,
+       n_name GLOB 'NATION_[!2]*'                AS glob_not2
+FROM nation
+"""
+
+
+@query("sql_pattern_operators", oracle=_PATTERN_OPS_SQL)
+def sql_pattern_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB pattern operators: SIMILAR TO (= regexp_full_match, NOT the
+    PostgreSQL %/_-wildcard semantics — verified) and GLOB (*/?/[..]/[!..])
+    → anchored RLIKE rewrites. Verbatim SQL as oracle."""
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_PATTERN_OPS_SQL))

@@ -187,6 +187,65 @@ def _rewrite_printf_decimals(sql: str) -> str:
 # timestampdiff rewrite was wrong for mid-period timestamps.)
 
 
+def _glob_to_regex(pat: str) -> str:
+    """DuckDB GLOB pattern → anchored regex: * → .*, ? → ., [...] classes
+    pass through ([!x] negation → [^x]); everything else regex-escaped."""
+    out, i = [], 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(ch))
+            else:
+                body = pat[i + 1 : j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append(f"[{body}]")
+                i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_similar_glob(sql: str) -> str:
+    """DuckDB pattern operators with literal patterns:
+
+      ``x [NOT] SIMILAR TO 'p'`` → ``x [NOT] RLIKE '^(?:p)$'`` — DuckDB's
+        SIMILAR TO is regexp_full_match (verified: 'abc' SIMILAR TO 'a%'
+        is FALSE — %/_ are NOT wildcards, unlike PostgreSQL), i.e. plain
+        anchored regex.
+      ``x GLOB 'p'``             → ``x RLIKE '^(?:glob→regex)$'``.
+
+    Non-literal patterns stay untouched (Spark raises a clean analysis
+    error rather than silently mis-matching)."""
+
+    def sim(m: re.Match) -> str:
+        neg = m.group(1) or ""
+        pat = m.group(2).replace("''", "'")
+        anchored = f"^(?:{pat})$".replace("'", "''")
+        return f"{neg}RLIKE '{anchored}'"
+
+    sql = re.sub(
+        r"\b(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'",
+        sim,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def glob(m: re.Match) -> str:
+        pat = m.group(1).replace("''", "'")
+        anchored = f"^(?:{_glob_to_regex(pat)})$".replace("'", "''")
+        return f"RLIKE '{anchored}'"
+
+    return re.sub(r"\bGLOB\s+'((?:[^']|'')*)'", glob, sql, flags=re.IGNORECASE)
+
+
 def _rewrite_from_unnest(sql: str) -> str:
     """FROM-clause UNNEST table function → Spark forms:
 
@@ -837,6 +896,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_from_unnest(sql)
+    sql = _rewrite_similar_glob(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_cast_string_types(sql)
