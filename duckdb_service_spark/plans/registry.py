@@ -53,8 +53,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # mm_decode_features fix — then (b) as many of the r01-era stale rows
 # (joins, aggregates, scalar families, dedup: code rewritten since their
 # only green row) as fit the 50-slot window. The remainder of the stale
-# set is covered by the local exact harness (tools/diffcheck.py 158/158 on
-# HEAD) and rotates in next round. 25 + 25 = 50.
+# set is covered by the local exact harness (tools/diffcheck.py, all
+# registered queries green on HEAD) and rotates in next round. 29 + 21 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
@@ -80,6 +80,7 @@ PRIORITY: list[str] = [
     "sql_unnest_select",
     "sql_lateral_unnest",
     "sql_pattern_operators",
+    "sql_bare_path_from",
     "sql_order_by_all",
     "stream_static_enrich",
     "stream_stream_join",
@@ -97,7 +98,6 @@ PRIORITY: list[str] = [
     "join_in_subquery",
     "join_theta_nonequi",
     "join_range_interval",
-    "join_using_natural",
     "join_asof",
     "agg_bool_bit",
     "agg_group_by_all",

@@ -410,3 +410,18 @@ def sql_pattern_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     → anchored RLIKE rewrites. Verbatim SQL as oracle."""
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_PATTERN_OPS_SQL))
+
+
+@query(
+    "sql_bare_path_from",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def sql_bare_path_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's bare-path relation — `SELECT * FROM 'file.parquet'` with no
+    read_* call — rewritten to the corresponding reader by extension
+    (parquet/csv/json). The Spark side runs the VERBATIM DuckDB idiom."""
+    return _run_routed(
+        spark, f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
+    )

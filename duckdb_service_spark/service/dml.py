@@ -291,6 +291,16 @@ def _select_with_sequences(engine: "Engine", select_sql: str) -> DataFrame:
 
 def insert_select(engine: "Engine", sql: str, returning: str | None = None):
     stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn("", sql.strip())
+    # DuckDB `INSERT INTO t BY NAME SELECT ...`: the SELECT's output names
+    # (not positions) pick the target columns; unnamed target columns fill
+    # NULL. Equivalent to an explicit column list taken from the source.
+    by_name = re.match(
+        r"^(INSERT\s+INTO\s+\w+)\s+BY\s+NAME\s+(.+)$",
+        stripped,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if by_name:
+        stripped = f"{by_name.group(1)} {by_name.group(2)}"
     m = _INSERT_SELECT_RE.match(stripped)
     if not m:
         raise ValueError(f"cannot parse INSERT ... SELECT: {sql[:80]}")
@@ -299,6 +309,8 @@ def insert_select(engine: "Engine", sql: str, returning: str | None = None):
         src = _select_with_sequences(engine, select_sql)
     else:
         src = engine.spark.sql(translate(select_sql))
+    if by_name:
+        cols_spec = ", ".join(src.columns)
     aligned = _aligned(engine, table, cols_spec, src)
     if n_sub:
         aligned = _drop_conflicts(engine, table, aligned).localCheckpoint(eager=True)

@@ -442,10 +442,42 @@ def _reader_for(spark: SparkSession, fn: str, paths: list[str], opts: dict[str, 
     return reader.json(*paths)
 
 
+_BARE_PATH_EXT = {
+    "parquet": "read_parquet",
+    "pq": "read_parquet",
+    "csv": "read_csv_auto",
+    "tsv": "read_csv_auto",
+    "json": "read_json_auto",
+    "jsonl": "read_json_auto",
+    "ndjson": "read_json_auto",
+}
+
+
+def _rewrite_bare_path_from(sql: str) -> str:
+    """DuckDB's bare-path relation (`SELECT * FROM 'data.parquet'`) →
+    the equivalent read_* call, which the routing below materializes.
+    Only FROM/JOIN/comma positions rewrite, so COPY ... FROM 'path' (a
+    different statement, handled upstream) and ordinary string literals
+    stay untouched."""
+
+    def sub(m: re.Match) -> str:
+        ext = m.group(3).lower()
+        return f"{m.group(1)}{_BARE_PATH_EXT[ext]}('{m.group(2)}')"
+
+    exts = "|".join(_BARE_PATH_EXT)
+    return re.sub(
+        rf"(\bFROM\s+|\bJOIN\s+|,\s*)'([^']+\.({exts}))'",
+        sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def rewrite_read_files(spark: SparkSession, sql: str) -> str:
     """Replace every read_* table-function call with a temp view over the
     corresponding spark.read — returns the rewritten SQL (unchanged when no
     read_* call is present). Literal-aware: a call inside a string survives."""
+    sql = _rewrite_bare_path_from(sql)
     if not _READ_FN_RE.search(_code_only(sql)):
         return sql
     out, pos, n = [], 0, 0

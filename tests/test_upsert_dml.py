@@ -194,3 +194,20 @@ def test_insert_or_ignore(engine):
     assert out.rows_affected == 1  # only the new row
     rows = {(r.id, r.v, r.n) for r in engine.query_df("SELECT * FROM orr").collect()}
     assert rows == {(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)}
+
+
+def test_insert_by_name(engine):
+    engine.execute("CREATE TABLE byname (a INTEGER, b TEXT, c DOUBLE)")
+    out = engine.execute(
+        "INSERT INTO byname BY NAME SELECT 'x' AS b, 1 AS a"
+    )
+    assert out.rows_affected == 1
+    row = engine.query_df("SELECT * FROM byname").collect()[0]
+    assert (row.a, row.b, row.c) == (1, "x", None)
+    # RETURNING composes with BY NAME
+    out = engine.execute(
+        "INSERT INTO byname BY NAME SELECT 2.5 AS c, 7 AS a RETURNING a, b, c"
+    )
+    assert out.rows_affected == 1
+    r = out.returning.collect()[0]
+    assert (r.a, r.b, r.c) == (7, None, 2.5)
