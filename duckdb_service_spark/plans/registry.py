@@ -54,7 +54,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # (joins, aggregates, scalar families, dedup: code rewritten since their
 # only green row) as fit the 50-slot window. The remainder of the stale
 # set is covered by the local exact harness (tools/diffcheck.py, all
-# registered queries green on HEAD) and rotates in next round. 29 + 21 = 50.
+# registered queries green on HEAD) and rotates in next round. 30 + 20 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
