@@ -1,0 +1,93 @@
+"""Property-based checks (hypothesis) for dialect conversions whose
+correctness is a FUNCTION, not a sample: glob→regex, SIMILAR TO anchoring,
+and the date_diff boundary-crossing formulas — each against an in-process
+DuckDB oracle over randomized inputs. No SparkSession needed (fast)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+con = duckdb.connect()
+
+
+def _duck(sql, *params):
+    return con.execute(sql, list(params)).fetchone()[0]
+
+
+# ---- GLOB → regex ---------------------------------------------------------
+
+_glob_atom = st.sampled_from(
+    ["a", "b", "c", ".", "x", "*", "?", "[ab]", "[!a]", "[a-c]", "_", "%"]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(alphabet="abc.x_%", max_size=8),
+    pat=st.lists(_glob_atom, max_size=6).map("".join),
+)
+def test_glob_matches_duckdb(s, pat):
+    from duckdb_service_spark.service.dialect import _glob_to_regex
+
+    want = _duck("SELECT ? GLOB ?", s, pat)
+    got = re.fullmatch(_glob_to_regex(pat), s) is not None
+    assert got == want, (s, pat, _glob_to_regex(pat))
+
+
+# ---- SIMILAR TO = anchored regex ------------------------------------------
+
+_sim_atom = st.sampled_from(["a", "b", "c", ".", "a*", "b+", "(a|b)", "[ab]", "c?"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(alphabet="abc", max_size=8),
+    pat=st.lists(_sim_atom, min_size=1, max_size=5).map("".join),
+)
+def test_similar_to_is_anchored_regex(s, pat):
+    want = _duck(f"SELECT ? SIMILAR TO '{pat}'", s)
+    got = re.fullmatch(f"(?:{pat})", s) is not None
+    assert got == want, (s, pat)
+
+
+# ---- date_diff boundary crossings -----------------------------------------
+
+_ts = st.datetimes(
+    min_value=dt.datetime(1995, 1, 1), max_value=dt.datetime(2030, 12, 31)
+).map(lambda d: d.replace(microsecond=0))
+
+
+def _our_date_diff(part: str, a: dt.datetime, b: dt.datetime) -> int:
+    """Python replication of the __duck_date_diff emitter formulas."""
+    if part == "day":
+        return (b.date() - a.date()).days
+    if part == "month":
+        return (b.year * 12 + b.month) - (a.year * 12 + a.month)
+    if part == "year":
+        return b.year - a.year
+    if part == "quarter":
+        qa, qb = (a.month - 1) // 3 + 1, (b.month - 1) // 3 + 1
+        return (b.year * 4 + qb) - (a.year * 4 + qa)
+    secs = {"hour": 3600, "minute": 60, "second": 1}[part]
+    trunc = {
+        "hour": lambda t: t.replace(minute=0, second=0),
+        "minute": lambda t: t.replace(second=0),
+        "second": lambda t: t,
+    }[part]
+    return int((trunc(b) - trunc(a)).total_seconds()) // secs
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=_ts,
+    b=_ts,
+    part=st.sampled_from(["day", "month", "year", "quarter", "hour", "minute", "second"]),
+)
+def test_date_diff_boundary_semantics(a, b, part):
+    want = _duck(f"SELECT date_diff('{part}', ?::TIMESTAMP, ?::TIMESTAMP)", a, b)
+    assert _our_date_diff(part, a, b) == want, (part, a, b)
