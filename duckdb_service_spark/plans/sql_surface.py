@@ -425,3 +425,33 @@ def sql_bare_path_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_routed(
         spark, f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
     )
+
+
+_EXCLUDE_FRAME_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(ROUND(o_totalprice * 1e6) AS BIGINT))
+            OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                  EXCLUDE CURRENT ROW) AS DOUBLE) / 1e6  AS neighbors_sum,
+       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE GROUP)                     AS other_days,
+       CAST(sum(CAST(ROUND(o_totalprice * 1e6) AS BIGINT))
+            OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  EXCLUDE TIES) AS DOUBLE) / 1e6         AS upto_no_ties
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@query("win_exclude_frame", oracle=_EXCLUDE_FRAME_SQL)
+def win_exclude_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE (CURRENT ROW / GROUP / TIES — DuckDB 1.x
+    surface Spark's grammar lacks), rewritten by window algebra:
+    agg(frame) minus the excluded contribution (current row value, or a
+    peer-group window partitioned by (partition, order) columns), with
+    empty-after-exclusion returning NULL. Verbatim SQL as oracle; exact
+    BIGINT units so the subtraction is bit-stable."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_EXCLUDE_FRAME_SQL))

@@ -7,8 +7,10 @@ gap is entirely ours to bridge. Rewrites never touch quoted string literals.
 
 Covered: function-name aliases (§2.2h), ``//`` integer division, QUALIFY,
 DISTINCT ON, SELECT * EXCLUDE/REPLACE, strftime format conversion,
-date_diff argument order. Unsupported constructs raise UnsupportedDialect
-with the construct named (better than silent wrong results).
+date_diff boundary-crossing semantics, list comprehensions, struct/MAP
+literals, FROM-clause UNNEST, SIMILAR TO/GLOB pattern operators.
+Unsupported constructs raise UnsupportedDialect with the construct named
+(better than silent wrong results).
 """
 
 from __future__ import annotations
@@ -260,10 +262,42 @@ def _rewrite_from_unnest(sql: str) -> str:
     to generator explode)."""
     out = sql
     pat = re.compile(r"(,\s*|\bFROM\s+)UNNEST\s*\(", re.IGNORECASE)
+
+    def _in_from_clause(text: str, at: int) -> bool:
+        """True when the last top-level clause keyword before ``at`` is
+        FROM — a comma before UNNEST in the SELECT list must NOT rewrite
+        (that's the generator form, handled by the alias pass)."""
+        depth, in_str, i, last = 0, False, 0, ""
+        kw = re.compile(
+            r"^(select|from|where|group|having|order|limit|qualify|window)\b",
+            re.IGNORECASE,
+        )
+        while i < at:
+            ch = text[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif depth == 0 and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                km = kw.match(text[i:])
+                if km:
+                    last = km.group(1).lower()
+            i += 1
+        return last == "from"
+
+    search_from = 0
     while True:
-        m = pat.search(out)
+        m = pat.search(out, search_from)
         if m is None:
             return out
+        if m.group(1).strip() == "," and not _in_from_clause(out, m.start()):
+            search_from = m.end()
+            continue
         open_at = out.index("(", m.end() - 1)
         end = _scan_balanced(out, open_at, "(", ")")
         if end == -1:
@@ -288,6 +322,7 @@ def _rewrite_from_unnest(sql: str) -> str:
         else:
             repl = f"{m.group(1)}(SELECT explode({inner}) AS {col}) {alias}"
         out = out[: m.start()] + repl + out[tail_at:]
+        search_from = 0  # text changed; re-scan (UNNEST consumed, no loop)
 
 
 def _rewrite_list_literals(code: str) -> str:
@@ -854,22 +889,172 @@ _UNSUPPORTED = [
     (re.compile(r"\bWITH\s+RECURSIVE\b", re.IGNORECASE), "WITH RECURSIVE"),
 ]
 
-# Declared divergences (COVERAGE.md "Window frame modes"): Spark's window
-# grammar has no GROUPS frame mode and no frame EXCLUDE clause, and neither
-# decomposes onto ROWS/RANGE without per-peer-group bookkeeping that would
-# change the plan shape. Raised loudly rather than silently mis-framing.
+# GROUPS frame mode: not implemented by the reference's own engine either
+# (DuckDB 1.x: "GROUPS mode for window functions is not implemented yet"),
+# so raising keeps exact parity — the declared divergence is only vs the
+# SQL standard, not vs the reference.
 _UNSUPPORTED_FRAME = [
     (
         re.compile(r"\bGROUPS\s+BETWEEN\b|\bGROUPS\s+(?:UNBOUNDED|\d+\s+PRECEDING|CURRENT\s+ROW)", re.IGNORECASE),
         "window GROUPS frame mode",
     ),
-    (
-        re.compile(
-            r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP\b|TIES\b|NO\s+OTHERS)", re.IGNORECASE
-        ),
-        "window frame EXCLUDE clause",
-    ),
 ]
+
+
+# ---- window frame EXCLUDE (DuckDB 1.x supports; Spark grammar lacks) ------
+#
+# sum/count/avg over a frame with EXCLUDE decompose by window algebra:
+#   EXCLUDE CURRENT ROW: agg(frame) ⊖ current row's contribution
+#   EXCLUDE GROUP:       agg(frame) ⊖ agg(peer group)   [RANGE frames only:
+#                        a RANGE frame always contains the full peer group,
+#                        a ROWS frame may cut it — raise there]
+#   EXCLUDE TIES:        ⊖ peers ⊕ current row
+#   EXCLUDE NO OTHERS:   the default — clause dropped
+# Empty-after-exclusion yields NULL (sum/avg) / 0 (count), matching DuckDB.
+
+_EXCLUDE_IN_SPEC_RE = re.compile(
+    r"\s*\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*$", re.IGNORECASE
+)
+
+
+def _split_window_spec(spec: str):
+    """(partition_exprs, order_exprs_bare, frame_text_or_None)."""
+    sp = spec.strip()
+    part, order, frame = [], [], None
+    fm = re.search(r"\b(ROWS|RANGE)\b", sp, re.IGNORECASE)
+    if fm:
+        frame = sp[fm.start() :].strip()
+        sp = sp[: fm.start()]
+    om = re.search(r"\bORDER\s+BY\s+", sp, re.IGNORECASE)
+    if om:
+        from .dml import split_top_level
+
+        for item in split_top_level(sp[om.end() :]):
+            bare = re.sub(
+                r"\s+(ASC|DESC)?\s*(NULLS\s+(FIRST|LAST))?\s*$",
+                "",
+                item.strip(),
+                flags=re.IGNORECASE,
+            )
+            order.append(bare)
+        sp = sp[: om.start()]
+    pm = re.search(r"\bPARTITION\s+BY\s+", sp, re.IGNORECASE)
+    if pm:
+        from .dml import split_top_level
+
+        part = [i.strip() for i in split_top_level(sp[pm.end() :])]
+    return part, order, frame
+
+
+def _frame_includes_current(frame: str | None) -> bool:
+    if frame is None:
+        return True  # default frame ends at CURRENT ROW (peer-inclusive)
+    f = frame.upper()
+    if "BETWEEN" not in f:
+        # single-bound form: "ROWS x PRECEDING" etc. — ends at current row
+        return True
+    lo_follows = re.search(r"BETWEEN\s+\d+\s+FOLLOWING", f)
+    hi_precedes = re.search(r"AND\s+\d+\s+PRECEDING", f)
+    return not (lo_follows or hi_precedes)
+
+
+def _rewrite_frame_exclude(sql: str) -> str:
+    """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
+    avg} into subtraction form. Other aggregates (min/max/rank/...) can't
+    decompose — raise with the workaround named."""
+    while True:
+        m = None
+        for cand in re.finditer(r"\bOVER\s*\(", sql, re.IGNORECASE):
+            end = _scan_balanced(sql, sql.index("(", cand.end() - 1), "(", ")")
+            if end == -1:
+                break
+            spec = sql[sql.index("(", cand.end() - 1) + 1 : end - 1]
+            em = _EXCLUDE_IN_SPEC_RE.search(spec)
+            if em:
+                m = (cand.start(), sql.index("(", cand.end() - 1), end, spec, em)
+                break
+        if m is None:
+            return sql
+        over_at, open_at, close_at, spec, em = m
+        kind = re.sub(r"\s+", " ", em.group(1).upper())
+        base_spec = spec[: em.start()].strip()
+
+        # the aggregate call immediately before OVER
+        j = over_at - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j < 0 or sql[j] != ")":
+            raise UnsupportedDialect(
+                "window frame EXCLUDE: cannot locate the aggregate call"
+            )
+        depth, k = 0, j
+        while k >= 0:
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        args = sql[k + 1 : j]
+        fm = re.search(r"(\w+)\s*$", sql[:k])
+        fname = fm.group(1).lower() if fm else ""
+        call_start = fm.start(1) if fm else k
+
+        if kind == "NO OTHERS":
+            repl = f"{sql[call_start:k]}({args}) OVER ({base_spec})"
+            sql = sql[:call_start] + repl + sql[close_at:]
+            continue
+        if fname not in ("sum", "count", "avg"):
+            raise UnsupportedDialect(
+                f"window frame EXCLUDE is supported for sum/count/avg only "
+                f"(got {fname or '?'}); rewrite min/max-style aggregates with "
+                f"peer-group joins"
+            )
+        part, order, frame = _split_window_spec(base_spec)
+        if not _frame_includes_current(frame):
+            raise UnsupportedDialect(
+                "window frame EXCLUDE over a frame not containing the "
+                "current row is not supported"
+            )
+        if kind in ("GROUP", "TIES") and frame is not None and frame.upper().startswith("ROWS"):
+            raise UnsupportedDialect(
+                "EXCLUDE GROUP/TIES with a ROWS frame may cut the peer "
+                "group; use a RANGE frame"
+            )
+        star = args.strip() == "*"
+        x = args
+        b = base_spec
+        peers = ", ".join(part + order) if (part or order) else None
+        pspec = f"PARTITION BY {peers}" if peers else ""
+        cnt_b = f"count({x}) OVER ({b})"
+        sum_b = f"sum({x}) OVER ({b})"
+        if kind == "CURRENT ROW":
+            has = "1" if star else f"(CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
+            val = "NULL" if star else f"COALESCE({x}, 0)"
+            cnt_excl = f"({cnt_b} - {has})"
+            sum_excl = f"({sum_b} - {val})"
+        else:  # GROUP or TIES
+            cnt_p = f"count({x}) OVER ({pspec})"
+            sum_p = f"sum({x}) OVER ({pspec})"
+            if kind == "GROUP":
+                cnt_excl = f"({cnt_b} - {cnt_p})"
+                sum_excl = f"({sum_b} - COALESCE({sum_p}, 0))"
+            else:  # TIES: remove peers, keep current row
+                has = "1" if star else f"(CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
+                val = "0" if star else f"COALESCE({x}, 0)"
+                cnt_excl = f"({cnt_b} - {cnt_p} + {has})"
+                sum_excl = f"({sum_b} - COALESCE({sum_p}, 0) + {val})"
+        if fname == "count":
+            repl = cnt_excl
+        elif fname == "sum":
+            repl = f"(CASE WHEN {cnt_excl} = 0 THEN NULL ELSE {sum_excl} END)"
+        else:  # avg
+            repl = (
+                f"(CASE WHEN {cnt_excl} = 0 THEN NULL "
+                f"ELSE {sum_excl} / {cnt_excl} END)"
+            )
+        sql = sql[:call_start] + repl + sql[close_at:]
 
 
 def translate(sql: str) -> str:
@@ -887,9 +1072,10 @@ def translate(sql: str) -> str:
         if rx.search(code_only):
             raise UnsupportedDialect(
                 f"{name} is not supported: Spark windows have only ROWS/RANGE "
-                f"frames with no EXCLUDE; rewrite with row_number()/peer-group "
-                f"aggregation (declared divergence, COVERAGE.md)"
+                f"frames; the reference's engine (DuckDB 1.x) also rejects "
+                f"GROUPS, so this raises for parity"
             )
+    sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_list_comprehensions(sql)

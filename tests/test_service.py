@@ -353,3 +353,38 @@ def test_dialect_from_unnest(spark):
         translate("SELECT x FROM UNNEST([1,2,3]) AS t(x) WHERE x > 1")
     ).collect()
     assert [r.x for r in rows] == [2, 3]
+
+
+def test_window_frame_exclude(spark):
+    """EXCLUDE CURRENT ROW/GROUP/TIES via window algebra (values verified
+    against DuckDB in the win_exclude_frame oracle query); unsupported
+    decompositions raise with the workaround named."""
+    import pytest as _pytest
+
+    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1,10),(2,10),(3,20),(4,30),(5,30) t(i,v)"
+    ).createOrReplaceTempView("t_excl")
+    rows = spark.sql(translate(
+        "SELECT i, sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE CURRENT ROW) AS x FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [10, 30, 40, 50, 30]
+    rows = spark.sql(translate(
+        "SELECT i, sum(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS x FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [80, 80, 80, 40, 40]
+    # min can't decompose by subtraction
+    with _pytest.raises(UnsupportedDialect, match="sum/count/avg"):
+        translate(
+            "SELECT min(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE CURRENT ROW) FROM t_excl"
+        )
+    # ROWS frame may cut the peer group
+    with _pytest.raises(UnsupportedDialect, match="ROWS frame"):
+        translate(
+            "SELECT sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE GROUP) FROM t_excl"
+        )
