@@ -790,3 +790,33 @@ def fn_battery_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_FN_R6_SQL))
+
+
+_FN_R7_SQL = """
+SELECT o_orderpriority,
+       mode(CAST(o_custkey % 2 AS BIGINT))                          AS common_parity,
+       to_json(histogram(o_orderstatus))                            AS status_hist,
+       CAST(quantile_disc(CAST(o_orderkey AS BIGINT), 0.5) AS BIGINT) AS median_key,
+       CAST(quantile_disc(CAST(o_orderkey AS BIGINT), 0.9) AS BIGINT) AS p90_key,
+       round(list_cosine_similarity([1.0, 2.0, 3.0], [3.0, 2.0, 1.0]), 6) AS cos_fixed,
+       list_dot_product([1.0, 2.0], [3.0, 4.0])                     AS dot_fixed,
+       array_to_string(regexp_split_to_array(min(o_orderpriority), '-'), '|') AS split_parts
+FROM orders
+WHERE o_orderkey <= 5000
+GROUP BY o_orderpriority
+"""
+
+
+@query("fn_battery_r7", oracle=_FN_R7_SQL)
+def fn_battery_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 battery — aggregate-shaped DuckDB functions rewritten as
+    expression compositions: mode (native both, tie-free input), histogram
+    (key-sorted map via collect_list lambda, compared as to_json bytes),
+    quantile_disc (ceil(q·n) element of the sorted list — DuckDB's
+    discrete quantile, verified), list_cosine_similarity/list_dot_product
+    (left-fold aggregate lambdas, DuckDB's accumulation order),
+    regexp_split_to_array. Same verbatim SQL both sides."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_FN_R7_SQL))

@@ -124,6 +124,13 @@ FUNCTION_ALIASES = {
     "date_diff": "__duck_date_diff",
     "datediff": "__duck_date_diff",
     "epoch_ms": "__duck_epoch_ms",
+    # round-7 battery additions (each verified against DuckDB 1.x output)
+    "regexp_split_to_array": "split",
+    "list_cosine_similarity": "__duck_list_cos",
+    "list_dot_product": "__duck_list_dot",
+    "list_inner_product": "__duck_list_dot",
+    "quantile_disc": "__duck_quantile_disc",
+    "histogram": "__duck_histogram",
 }
 
 _STRFTIME_MAP = [
@@ -1255,6 +1262,56 @@ def _emit_epoch_ms(args: list[str]) -> str:
     return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
 
 
+def _emit_list_dot(args: list[str]) -> str:
+    """list_dot_product: left-fold in element order — the same
+    accumulation order DuckDB uses, so doubles are bit-identical."""
+    if len(args) != 2:
+        raise UnsupportedDialect("list_dot_product expects (list, list)")
+    a, b = args
+    return (
+        f"aggregate(zip_with({a}, {b}, (__x, __y) -> __x * __y), "
+        f"CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
+    )
+
+
+def _emit_list_cos(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("list_cosine_similarity expects (list, list)")
+    a, b = args
+    dot = _emit_list_dot([a, b])
+    na = f"sqrt({_emit_list_dot([a, a])})"
+    nb = f"sqrt({_emit_list_dot([b, b])})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _emit_quantile_disc(args: list[str]) -> str:
+    """quantile_disc(x, q): the element at ceil(q·n) of the sorted values
+    (DuckDB's discrete quantile — verified: q=0.5 over [1,2,3,4] → 2).
+    collect_list keeps this an aggregate expression; fine for moderate
+    groups, not for billion-row ones (use approx quantiles there)."""
+    if len(args) != 2:
+        raise UnsupportedDialect("quantile_disc expects (value, fraction)")
+    x, qf = args
+    lst = f"array_sort(collect_list({x}))"
+    return (
+        f"element_at({lst}, greatest(1, CAST(ceil(({qf}) * size({lst})) AS INT)))"
+    )
+
+
+def _emit_histogram(args: list[str]) -> str:
+    """histogram(x) → key-sorted map of value→count (DuckDB returns keys
+    sorted; map_from_entries over the sorted distinct list reproduces the
+    order, so to_json output is byte-identical)."""
+    if len(args) != 1:
+        raise UnsupportedDialect("histogram expects (value)")
+    x = args[0]
+    lst = f"collect_list({x})"
+    return (
+        f"map_from_entries(transform(array_sort(array_distinct({lst})), "
+        f"__v -> struct(__v, CAST(size(filter({lst}, __y -> __y = __v)) AS BIGINT))))"
+    )
+
+
 _ROUND5_EMITTERS = {
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
@@ -1272,6 +1329,10 @@ _ROUND5_EMITTERS = {
     "__duck_regexp_extract": _emit_regexp_extract,
     "__duck_date_diff": _emit_date_diff,
     "__duck_epoch_ms": _emit_epoch_ms,
+    "__duck_list_dot": _emit_list_dot,
+    "__duck_list_cos": _emit_list_cos,
+    "__duck_quantile_disc": _emit_quantile_disc,
+    "__duck_histogram": _emit_histogram,
 }
 
 
