@@ -455,3 +455,26 @@ def win_exclude_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT units so the subtraction is bit-stable."""
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_EXCLUDE_FRAME_SQL))
+
+
+_IGNORE_NULLS_SQL = """
+SELECT o_orderkey,
+       last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+                  IGNORE NULLS)
+         OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_price,
+       lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey END
+           IGNORE NULLS)
+         OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_real_key
+FROM orders
+WHERE o_orderkey <= 3000
+"""
+
+
+@query("win_ignore_nulls", oracle=_IGNORE_NULLS_SQL)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window modifier — DuckDB places it INSIDE the call,
+    Spark after it; the dialect moves it (gap-fill / last-observation-
+    carried-forward, the canonical time-series idiom). Verbatim oracle."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_IGNORE_NULLS_SQL))

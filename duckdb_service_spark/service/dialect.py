@@ -965,6 +965,19 @@ def _frame_includes_current(frame: str | None) -> bool:
     return not (lo_follows or hi_precedes)
 
 
+def _rewrite_ignore_nulls(sql: str) -> str:
+    """DuckDB puts IGNORE/RESPECT NULLS INSIDE the window-function call
+    (`first_value(v IGNORE NULLS)`); Spark takes it after the call
+    (`first_value(v) IGNORE NULLS`). Pure position move."""
+    return re.sub(
+        r"\b(first_value|last_value|nth_value|lag|lead|any_value)\s*"
+        r"\(([^()]*?)\s+(IGNORE|RESPECT)\s+NULLS\s*\)",
+        r"\1(\2) \3 NULLS",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
     avg} into subtraction form. Other aggregates (min/max/rank/...) can't
@@ -1082,6 +1095,7 @@ def translate(sql: str) -> str:
                 f"frames; the reference's engine (DuckDB 1.x) also rejects "
                 f"GROUPS, so this raises for parity"
             )
+    sql = _rewrite_ignore_nulls(sql)
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)

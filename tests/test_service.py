@@ -388,3 +388,12 @@ def test_window_frame_exclude(spark):
             "SELECT sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
             "FOLLOWING EXCLUDE GROUP) FROM t_excl"
         )
+
+
+def test_dialect_ignore_nulls_position():
+    from duckdb_service_spark.service.dialect import translate
+
+    t = translate("SELECT first_value(v IGNORE NULLS) OVER (ORDER BY i) FROM t")
+    assert "first_value(v) IGNORE NULLS OVER" in t
+    t = translate("SELECT nth_value(v, 2 IGNORE NULLS) OVER (ORDER BY i) FROM t")
+    assert "nth_value(v, 2) IGNORE NULLS OVER" in t
