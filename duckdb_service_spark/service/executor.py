@@ -598,6 +598,16 @@ class Engine:
 
         if upper == "CHECKPOINT":
             return ExecuteOutcome(0)
+        if upper == "VACUUM" or upper.startswith("VACUUM "):
+            # DuckDB VACUUM is a stats/space maintenance no-op for parquet-
+            # backed tables (copy-on-write rewrites already compact); accept
+            # like CHECKPOINT so maintenance scripts run end-to-end
+            return ExecuteOutcome(0)
+        if upper == "ANALYZE" or re.match(r"^ANALYZE\s+\w+$", stripped, re.IGNORECASE):
+            # DuckDB ANALYZE recomputes optimizer statistics; Spark derives
+            # file-level stats from parquet footers at plan time, so this is
+            # a metadata no-op (AQE re-plans from RUNTIME sizes anyway)
+            return ExecuteOutcome(0)
         if upper in ("BEGIN", "BEGIN TRANSACTION", "COMMIT"):
             # reference never uses transactions (README.md:21 TODO); accept
             # no-ops so clients that bracket statements still work

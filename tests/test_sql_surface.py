@@ -577,3 +577,9 @@ def test_drop_table_drops_dependent_indexes(engine):
     engine.execute("CREATE INDEX idx_a ON idx_t2 (a)")
     engine.execute("DROP TABLE idx_t2")
     assert "idx_a" not in engine.catalog.status()["indexes"]
+
+
+def test_vacuum_analyze_accepted(engine):
+    for stmt in ("VACUUM", "VACUUM ANALYZE", "ANALYZE"):
+        out = engine.execute(stmt)
+        assert out.rows_affected == 0
