@@ -546,3 +546,34 @@ class Catalog:
             "spark_app_id": self.spark.sparkContext.applicationId,
             "spark_version": self.spark.version,
         }
+
+    # -- comments (COMMENT ON ... IS '...', DuckDB >= 0.10) ----------------
+    #
+    # Pure catalog metadata (DuckDB stores them in duckdb_comments());
+    # persisted beside the index metadata and surfaced through /status.
+
+    def _comments_path(self) -> str:
+        return os.path.join(self.dir, "_comments.json")
+
+    def set_comment(self, kind: str, target: str, comment: str | None) -> None:
+        if not hasattr(self, "comments"):
+            self.comments = {}
+        key = f"{kind.lower()}:{target.lower()}"
+        if comment is None:
+            self.comments.pop(key, None)
+        else:
+            self.comments[key] = comment
+        with open(self._comments_path(), "w") as f:
+            import json as _json
+
+            _json.dump(self.comments, f)
+
+    def load_comments(self) -> dict:
+        if not hasattr(self, "comments"):
+            self.comments = {}
+            if os.path.exists(self._comments_path()):
+                import json as _json
+
+                with open(self._comments_path()) as f:
+                    self.comments.update(_json.load(f))
+        return self.comments

@@ -598,6 +598,21 @@ class Engine:
 
         if upper == "CHECKPOINT":
             return ExecuteOutcome(0)
+        m = re.match(
+            r"^COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|INDEX|SEQUENCE|MACRO)\s+"
+            r"([\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            # DuckDB >= 0.10 COMMENT ON: catalog metadata (duckdb_comments());
+            # persisted and surfaced via /status
+            kind, target = m.group(1), m.group(2)
+            comment = None if m.group(4) else m.group(3).replace("''", "'")
+            self.catalog.load_comments()
+            self.catalog.set_comment(kind, target, comment)
+            return ExecuteOutcome(0)
+
         if upper == "VACUUM" or upper.startswith("VACUUM "):
             # DuckDB VACUUM is a stats/space maintenance no-op for parquet-
             # backed tables (copy-on-write rewrites already compact); accept

@@ -583,3 +583,14 @@ def test_vacuum_analyze_accepted(engine):
     for stmt in ("VACUUM", "VACUUM ANALYZE", "ANALYZE"):
         out = engine.execute(stmt)
         assert out.rows_affected == 0
+
+
+def test_comment_on(engine):
+    engine.execute("CREATE TABLE cmt (id INTEGER, v TEXT)")
+    engine.execute("COMMENT ON TABLE cmt IS 'fact table'")
+    engine.execute("COMMENT ON COLUMN cmt.v IS 'the ''value'''")
+    c = engine.catalog.load_comments()
+    assert c["table:cmt"] == "fact table"
+    assert c["column:cmt.v"] == "the 'value'"
+    engine.execute("COMMENT ON TABLE cmt IS NULL")
+    assert "table:cmt" not in engine.catalog.load_comments()
