@@ -143,12 +143,13 @@ def test_groups_frame_declared_divergence(engine):
         translate(
             "SELECT sum(x) OVER (ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
         )
-    with pytest.raises(UnsupportedDialect, match="frame EXCLUDE"):
-        translate(
-            "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
-            "EXCLUDE CURRENT ROW) FROM t"
-        )
-    # select-list * EXCLUDE (cols) must NOT trip the frame check
+    # frame EXCLUDE is SUPPORTED since round 5 (window-algebra rewrite)
+    out = translate(
+        "SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+        "EXCLUDE CURRENT ROW) FROM t"
+    )
+    assert "EXCLUDE" not in out.upper() and "CASE WHEN" in out
+    # select-list * EXCLUDE (cols) must NOT trip the frame machinery
     assert "EXCEPT" in translate("SELECT * EXCLUDE (a, b) FROM t")
 
 

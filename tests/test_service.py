@@ -397,3 +397,20 @@ def test_dialect_ignore_nulls_position():
     assert "first_value(v) IGNORE NULLS OVER" in t
     t = translate("SELECT nth_value(v, 2 IGNORE NULLS) OVER (ORDER BY i) FROM t")
     assert "nth_value(v, 2) IGNORE NULLS OVER" in t
+
+
+def test_round5_statements_over_http(server):
+    """MERGE INTO / COMMENT ON / VACUUM ride the same /db/execute envelope
+    end-to-end (reference contract: every statement is one POST)."""
+    _post(server, "/db/execute", "CREATE TABLE h5 (id integer primary key, v text)")
+    _post(server, "/db/execute", "INSERT INTO h5 VALUES (1, 'a'), (2, 'b')")
+    r = _post(server, "/db/execute",
+              "MERGE INTO h5 USING (SELECT 2 AS id, 'B' AS v UNION ALL SELECT 3, 'c') s "
+              "ON h5.id = s.id "
+              "WHEN MATCHED THEN UPDATE SET v = s.v "
+              "WHEN NOT MATCHED THEN INSERT")
+    assert r["result"]["rows_affected"] == 2, r
+    r = _post(server, "/db/query", "SELECT v FROM h5 ORDER BY id")
+    assert [x[0] for x in r["result"]["values"]] == ["a", "B", "c"]
+    assert _post(server, "/db/execute", "COMMENT ON TABLE h5 IS 'merged'")["result"]["rows_affected"] == 0
+    assert _post(server, "/db/execute", "VACUUM")["result"]["rows_affected"] == 0
