@@ -1095,6 +1095,11 @@ def translate(sql: str) -> str:
                 f"frames; the reference's engine (DuckDB 1.x) also rejects "
                 f"GROUPS, so this raises for parity"
             )
+    # CTE materialization hints: planner advice in DuckDB, no Spark keyword
+    # — semantics identical either way (Spark decides reuse itself)
+    sql = re.sub(
+        r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
+    )
     sql = _rewrite_ignore_nulls(sql)
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle

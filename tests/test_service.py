@@ -414,3 +414,13 @@ def test_round5_statements_over_http(server):
     assert [x[0] for x in r["result"]["values"]] == ["a", "B", "c"]
     assert _post(server, "/db/execute", "COMMENT ON TABLE h5 IS 'merged'")["result"]["rows_affected"] == 0
     assert _post(server, "/db/execute", "VACUUM")["result"]["rows_affected"] == 0
+
+
+def test_cte_materialized_hint(spark):
+    from duckdb_service_spark.service.dialect import translate
+
+    out = translate("WITH x AS MATERIALIZED (SELECT 1 AS a) SELECT a FROM x")
+    assert "MATERIALIZED" not in out.upper()
+    assert spark.sql(out).collect()[0].a == 1
+    out = translate("WITH x AS NOT MATERIALIZED (SELECT 2 AS a) SELECT a FROM x")
+    assert spark.sql(out).collect()[0].a == 2
