@@ -594,14 +594,7 @@ _SUBSCRIPT_RE = re.compile(r"(\b[A-Za-z_]\w*(?:\.\w+)*)\s*\[([^\[\]]+)\]")
 
 
 def _subscript_one(m: re.Match) -> str:
-    base, content = m.group(1), m.group(2).strip()
-    if ":" in content:
-        b, e = (p.strip() for p in content.split(":", 1))
-        b = b or "1"
-        if not e:
-            return f"slice({base}, {b}, size({base}))"
-        return f"slice({base}, {b}, ({e}) - ({b}) + 1)"
-    return f"element_at({base}, {content})"
+    return _subscript_content(m.group(1), m.group(2).strip())
 
 
 def _rewrite_subscripts(code: str) -> str:
@@ -609,12 +602,105 @@ def _rewrite_subscripts(code: str) -> str:
     while prev != code:  # innermost-first for chained a[1][2]
         prev = code
         code = _SUBSCRIPT_RE.sub(_subscript_one, code)
-    if re.search(r"[\)\]]\s*\[", code):
-        raise UnsupportedDialect(
-            "subscript on a complex base would be silently 0-based in Spark; "
-            "use element_at(expr, i) / slice(expr, b, n) explicitly"
-        )
+    # call-shaped bases (`split(...)[2]`, `array(...)[1]`) are handled by
+    # the statement-level _rewrite_call_subscripts pass in translate()
     return code
+
+
+_INT_LIT_RE = re.compile(r"^-?\d+$")
+
+
+def _subscript_content(base: str, content: str) -> str:
+    """DuckDB subscript semantics onto element_at/slice (all verified):
+    1-based; index 0 → NULL; negative → from the back; out-of-range →
+    NULL. Slices are inclusive-end, clamped, negative-aware, and empty
+    when end < start ([2:1] → [], [0:2] → first two, [-1:-1] → last)."""
+    colon = _find_top_kw_colon(content)
+    if colon != -1:
+        b = content[:colon].strip() or "1"
+        e = content[colon + 1 :].strip()
+        b_lit = _INT_LIT_RE.match(b)
+        if not e:
+            if b_lit and int(b) > 0:
+                return f"slice({base}, {b}, size({base}))"
+            bi = (
+                f"greatest(CASE WHEN ({b}) > 0 THEN ({b}) "
+                f"WHEN ({b}) < 0 THEN size({base}) + ({b}) + 1 ELSE 1 END, 1)"
+            )
+            return f"slice({base}, {bi}, greatest(size({base}) - {bi} + 1, 0))"
+        e_lit = _INT_LIT_RE.match(e)
+        if b_lit and e_lit and int(b) > 0 and int(e) > 0:
+            return f"slice({base}, {b}, greatest(({e}) - ({b}) + 1, 0))"
+        bi = (
+            f"greatest(CASE WHEN ({b}) > 0 THEN ({b}) "
+            f"WHEN ({b}) < 0 THEN size({base}) + ({b}) + 1 ELSE 1 END, 1)"
+        )
+        ei = (
+            f"CASE WHEN ({e}) > 0 THEN ({e}) "
+            f"WHEN ({e}) < 0 THEN size({base}) + ({e}) + 1 ELSE 0 END"
+        )
+        return f"slice({base}, {bi}, greatest({ei} - {bi} + 1, 0))"
+    if _INT_LIT_RE.match(content):
+        if int(content) == 0:
+            return "NULL"
+        return f"element_at({base}, {content})"
+    # runtime index: guard the 0 case (DuckDB → NULL, Spark → error)
+    return (
+        f"(CASE WHEN ({content}) = 0 THEN NULL ELSE element_at({base}, "
+        f"CASE WHEN ({content}) = 0 THEN 1 ELSE ({content}) END) END)"
+    )
+
+
+def _rewrite_call_subscripts(sql: str) -> str:
+    """Statement-level: a subscript whose base is a parenthesized call —
+    ``split(s, '_')[2]``, ``array(1, 2)[1]``, ``(expr)[i]`` — becomes
+    element_at/slice with DuckDB's 1-based semantics. Literal-masked, so
+    string arguments inside the base don't break the balance scan; loops
+    so chains (``f(x)[1][2]``) resolve outermost-last."""
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in re.finditer(r"\)\s*\[", sql):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            # anything still subscripting a bracket base is untranslatable
+            code_only = "".join(
+                ch for i, ch in enumerate(sql) if not mask[i]
+            )
+            if re.search(r"\]\s*\[", code_only):
+                raise UnsupportedDialect(
+                    "subscript on a complex base would be silently 0-based "
+                    "in Spark; use element_at(expr, i) / slice(expr, b, n) "
+                    "explicitly"
+                )
+            return sql
+        close = m.start()
+        depth, i = 0, close
+        while i >= 0:
+            if not mask[i]:
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            i -= 1
+        if i < 0:
+            raise UnsupportedDialect("unbalanced parens before subscript")
+        j = i - 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        base_start = j + 1
+        open_br = sql.index("[", m.start())
+        end_br = _scan_balanced(sql, open_br, "[", "]")
+        if end_br == -1:
+            raise UnsupportedDialect("unbalanced subscript bracket")
+        base = sql[base_start : close + 1]
+        content = sql[open_br + 1 : end_br - 1].strip()
+        repl = _subscript_content(base, content)
+        sql = sql[:base_start] + repl + sql[end_br:]
 
 
 def _rewrite_functions(code: str) -> str:
@@ -1110,6 +1196,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
+    sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_cast_string_types(sql)
     sql = _rewrite_code(sql, _rewrite_using_sample)

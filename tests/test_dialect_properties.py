@@ -91,3 +91,52 @@ def _our_date_diff(part: str, a: dt.datetime, b: dt.datetime) -> int:
 def test_date_diff_boundary_semantics(a, b, part):
     want = _duck(f"SELECT date_diff('{part}', ?::TIMESTAMP, ?::TIMESTAMP)", a, b)
     assert _our_date_diff(part, a, b) == want, (part, a, b)
+
+
+# ---- bracket expressions: list literals / subscripts / slices -------------
+#
+# The bracket tokenizer is pure string surgery (constructor vs subscript by
+# context) and round 5 found two context bugs in it — so drive it with
+# generated expressions evaluated in BOTH engines.
+
+_lists = st.sampled_from(["[1, 2, 3]", "[4, 5]", "['a', 'b', 'c']", "[10]"])
+_ints = st.integers(min_value=-1, max_value=5)
+
+
+@st.composite
+def _bracket_expr(draw):
+    base = draw(_lists)
+    form = draw(st.sampled_from(["lit", "sub", "slice", "len", "concat", "comp"]))
+    if form == "lit":
+        return base
+    if form == "sub":
+        return f"{base}[{draw(_ints)}]"
+    if form == "slice":
+        a, b = draw(_ints), draw(_ints)
+        return f"{base}[{a}:{b}]"
+    if form == "len":
+        return f"len({base})"
+    if form == "concat":
+        other = draw(_lists)
+        if ("'" in base) != ("'" in other):
+            other = base
+        return f"list_concat({base}, {other})"
+    # comprehension over int lists only
+    ibase = draw(st.sampled_from(["[1, 2, 3]", "[4, 5]", "[10]"]))
+    return f"[x * 2 FOR x IN {ibase} IF x > {draw(_ints)}]"
+
+
+@pytest.fixture(scope="module")
+def _duck_spark(spark):
+    return con, spark
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=_bracket_expr())
+def test_bracket_expressions_match_duckdb(expr, _duck_spark):
+    from duckdb_service_spark.service.dialect import translate
+
+    duck, spark = _duck_spark
+    want = duck.execute(f"SELECT {expr} AS r").fetchone()[0]
+    got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
+    assert got == want, (expr, translate(f"SELECT {expr} AS r"))

@@ -444,13 +444,17 @@ def test_subscripts_are_one_based(spark):
         assert got == duck, f"{sql}: spark={got} duck={duck}"
 
 
-def test_complex_base_subscript_raises(spark):
-    from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+def test_call_base_subscripts(spark):
+    """Round 5: call-shaped subscript bases are now translated (they used
+    to raise) — 1-based, 0 → NULL, negative-from-back, like DuckDB."""
+    from duckdb_service_spark.service.dialect import translate
 
-    with pytest.raises(UnsupportedDialect):
-        translate("SELECT split('a b', ' ')[1]")
-    with pytest.raises(UnsupportedDialect):
-        translate("SELECT ARRAY[7, 8][2]")  # constructor-then-subscript chain
+    assert spark.sql(translate("SELECT split('a b', ' ')[1] AS r")).collect()[0].r == "a"
+    assert spark.sql(translate("SELECT ARRAY[7, 8][2] AS r")).collect()[0].r == 8
+    assert spark.sql(translate("SELECT [1,2,3][0] AS r")).collect()[0].r is None
+    assert spark.sql(translate("SELECT [1,2,3][-1] AS r")).collect()[0].r == 3
+    assert spark.sql(translate("SELECT [1,2,3][-2:3] AS r")).collect()[0].r == [2, 3]
+    assert spark.sql(translate("SELECT [1,2,3][2:1] AS r")).collect()[0].r == []
 
 
 def test_strptime_literal(spark):
