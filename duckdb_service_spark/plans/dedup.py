@@ -331,3 +331,141 @@ def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("kept_len"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+    ),
+    batch AS (
+      SELECT doc_id + {TWIN_OFFSET} AS doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN text || '{TWIN_SUFFIX}'
+                  ELSE reverse(text) END AS text
+      FROM documents
+    ),
+    allc AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id, text FROM batch
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM allc
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(
+             generate_series(1, greatest(len(tok) - 2, 0)),
+             i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS u(s)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+      FROM shingles
+    ),
+    perms AS (SELECT unnest(generate_series(0, 63)) AS pi),
+    mh AS (
+      SELECT doc_id, pi,
+             MIN(((1103515245 * (pi + 1) + 12345) % {MINHASH_PRIME} * h
+                  + (69069 * (pi + 1) + 362437) % {MINHASH_PRIME}) % {MINHASH_PRIME}) AS v
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, pi
+    ),
+    bands AS (
+      SELECT doc_id, pi // 4 AS band_id,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi)) AS band_hash
+      FROM mh GROUP BY doc_id, pi // 4
+    ),
+    cand AS (  -- incremental: ONLY batch x base pairs, never batch x batch
+      SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+      FROM bands nb JOIN bands ob
+        ON nb.band_id = ob.band_id AND nb.band_hash = ob.band_hash
+       AND nb.doc_id >= {TWIN_OFFSET} AND ob.doc_id < {TWIN_OFFSET}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    dropped AS (
+      SELECT DISTINCT c.new_id
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.new_id
+      JOIN shingles sb ON sb.doc_id = c.old_id AND sb.s = sa.s
+      JOIN sizes na ON na.doc_id = c.new_id
+      JOIN sizes nb ON nb.doc_id = c.old_id
+      GROUP BY c.new_id, c.old_id, na.n_sh, nb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (na.n_sh + nb.n_sh - COUNT(*)) >= 0.5
+    )
+    SELECT b.lang,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN d.new_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.new_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM batch b LEFT JOIN dropped d ON b.doc_id = d.new_id
+    GROUP BY b.lang
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: a NEW batch (half near-duplicates of the
+    corpus, half fresh) deduplicated AGAINST an existing corpus — the
+    production daily-increment shape. Candidates come from joining the
+    batch's LSH bands to the CORPUS bands only (never batch x batch, never
+    corpus x corpus): at 100 TB the corpus band table is a precomputed,
+    bucketed artifact and each increment's cost scales with the BATCH size,
+    not the corpus size. Exact-Jaccard verification on candidates only;
+    per-language kept/dropped accounting."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    base = d.select("doc_id", "text")
+    batch = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        "lang",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(TWIN_SUFFIX))
+        ).otherwise(F.reverse(F.col("text"))).alias("text"),
+    )
+
+    sh_b = explode_shingles(base.repartition(F.col("doc_id")), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_n = explode_shingles(batch.repartition(F.col("doc_id")), "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig_b = minhash_signatures(base, "doc_id", "text", num_perms=64, shingles=sh_b, with_size=True)
+    sig_n = minhash_signatures(batch, "doc_id", "text", num_perms=64, shingles=sh_n, with_size=True)
+    bands_b = lsh_bands(sig_b, "doc_id")
+    bands_n = lsh_bands(sig_n, "doc_id")
+    cand = (
+        bands_n.select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
+        .join(
+            bands_b.select(F.col("doc_id").alias("old_id"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_all = sh_n.unionByName(sh_b)
+    sizes = sig_n.select("doc_id", "n_sh").unionByName(sig_b.select("doc_id", "n_sh"))
+    dropped = (
+        jaccard_verify(
+            None,
+            cand.select(F.col("old_id").alias("id_a"), F.col("new_id").alias("id_b")),
+            "doc_id",
+            "text",
+            shingles=sh_all,
+            sizes=sizes,
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("new_id"))
+        .distinct()
+    )
+    return (
+        batch.join(dropped, batch.doc_id == dropped.new_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("new_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("new_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -54,7 +54,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # (joins, aggregates, scalar families, dedup: code rewritten since their
 # only green row) as fit the 50-slot window. The remainder of the stale
 # set is covered by the local exact harness (tools/diffcheck.py, all
-# registered queries green on HEAD) and rotates in next round. 33 + 17 = 50.
+# registered queries green on HEAD) and rotates in next round. 34 + 16 = 50.
 PRIORITY: list[str] = [
     # (a) new/changed in round 5
     "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
@@ -90,12 +90,12 @@ PRIORITY: list[str] = [
     "win_exclude_frame",
     "fn_battery_r7",
     "win_ignore_nulls",
+    "dedup_incremental_lsh",
     # (b) r01-era green rows, never rechecked since
     "join_inner_equi",
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_cross",
     "join_semi_exists",
     "join_in_subquery",
     "join_asof",
