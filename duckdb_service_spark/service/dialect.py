@@ -232,9 +232,15 @@ def _rewrite_similar_glob(sql: str) -> str:
       ``x GLOB 'p'``             → ``x RLIKE '^(?:glob→regex)$'``.
 
     Non-literal patterns stay untouched (Spark raises a clean analysis
-    error rather than silently mis-matching)."""
+    error rather than silently mis-matching). Literal-aware: the operator
+    keyword must sit in code — ``SELECT 'he GLOB ''x''' AS s`` is a plain
+    string and survives unrewritten (masks are computed against the string
+    each pass; re.sub match offsets refer to that same input)."""
+    mask = _literal_mask(sql)
 
     def sim(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
         neg = m.group(1) or ""
         pat = m.group(2).replace("''", "'")
         anchored = f"^(?:{pat})$".replace("'", "''")
@@ -246,8 +252,11 @@ def _rewrite_similar_glob(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    mask = _literal_mask(sql)
 
     def glob(m: re.Match) -> str:
+        if mask[m.start()]:
+            return m.group(0)
         pat = m.group(1).replace("''", "'")
         anchored = f"^(?:{_glob_to_regex(pat)})$".replace("'", "''")
         return f"RLIKE '{anchored}'"
@@ -325,11 +334,51 @@ def _rewrite_from_unnest(sql: str) -> str:
             alias, col, tail_at = "__u", "unnest", end
         comma_form = m.group(1).strip() == ","
         if comma_form:
-            repl = f" LATERAL VIEW explode({inner}) {alias} AS {col}"
+            # Spark's grammar puts LATERAL VIEW after ALL relations in the
+            # FROM clause, so splice the UNNEST segment out and append the
+            # view at the clause end — ``FROM t, UNNEST(t.xs) u(x), s``
+            # must become ``FROM t, s LATERAL VIEW ...``, not emit the view
+            # mid-clause (which Spark rejects).
+            lv = f"LATERAL VIEW explode({inner}) {alias} AS {col}"
+            body = out[: m.start()] + out[tail_at:]
+            ins = _from_clause_end(body, m.start())
+            out = body[:ins].rstrip() + f" {lv} " + body[ins:].lstrip()
         else:
             repl = f"{m.group(1)}(SELECT explode({inner}) AS {col}) {alias}"
-        out = out[: m.start()] + repl + out[tail_at:]
+            out = out[: m.start()] + repl + out[tail_at:]
         search_from = 0  # text changed; re-scan (UNNEST consumed, no loop)
+
+
+def _from_clause_end(text: str, start: int) -> int:
+    """Index just past the last FROM-clause relation, scanning from
+    ``start``: the first top-level clause keyword after the relation list,
+    the enclosing ``)`` (subquery), or end of string. Literal-aware."""
+    kw = re.compile(
+        r"^(where|group|having|order|limit|offset|qualify|window|union|"
+        r"intersect|except)\b",
+        re.IGNORECASE,
+    )
+    depth, in_str, i = 0, False, start
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0 and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            if kw.match(text[i:]):
+                return i
+        i += 1
+    return len(text)
 
 
 def _rewrite_list_literals(code: str) -> str:
@@ -1054,14 +1103,31 @@ def _frame_includes_current(frame: str | None) -> bool:
 def _rewrite_ignore_nulls(sql: str) -> str:
     """DuckDB puts IGNORE/RESPECT NULLS INSIDE the window-function call
     (`first_value(v IGNORE NULLS)`); Spark takes it after the call
-    (`first_value(v) IGNORE NULLS`). Pure position move."""
-    return re.sub(
-        r"\b(first_value|last_value|nth_value|lag|lead|any_value)\s*"
-        r"\(([^()]*?)\s+(IGNORE|RESPECT)\s+NULLS\s*\)",
-        r"\1(\2) \3 NULLS",
-        sql,
-        flags=re.IGNORECASE,
+    (`first_value(v) IGNORE NULLS`). Pure position move. Balanced-scans
+    the argument list so nested calls — ``first_value(coalesce(a, b)
+    IGNORE NULLS)`` — rewrite too (a ``[^()]*`` argument regex would skip
+    them and the untranslated form then dies in Spark's parser)."""
+    pat = re.compile(
+        r"\b(first_value|last_value|nth_value|lag|lead|any_value)\s*\(",
+        re.IGNORECASE,
     )
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            return sql
+        open_at = sql.index("(", m.end() - 1)
+        end = _scan_balanced(sql, open_at, "(", ")")
+        if end == -1:
+            return sql
+        args = sql[open_at + 1 : end - 1]
+        am = re.search(r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", args, re.IGNORECASE)
+        if am is None:
+            pos = end
+            continue
+        repl = f"{m.group(1)}({args[: am.start()]}) {am.group(1).upper()} NULLS"
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
 
 
 def _rewrite_frame_exclude(sql: str) -> str:

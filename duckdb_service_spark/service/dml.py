@@ -876,6 +876,15 @@ def merge_into(engine: "Engine", sql: str, returning: str | None = None):
                     "MERGE can not update the same row twice: a target row "
                     "matches multiple source rows — deduplicate the source"
                 )
+        else:
+            # No WHEN MATCHED clause: matched rows can only be tagged 'keep',
+            # but the left join still fans a target row out once per matching
+            # source row — collapse back to one row per target id so the
+            # rewrite doesn't duplicate untouched rows. Safe because the
+            # matched flag and every referenced column are identical across a
+            # target row's duplicates (NOT MATCHED BY SOURCE rows join to
+            # nothing, so their source columns are uniformly NULL).
+            joined = joined.dropDuplicates(["__tid"])
         # first-match-wins action tag per target row
         act = F.lit("keep")
         tags: list[tuple[str, dict | None]] = []  # (tag, assignments|None=delete)

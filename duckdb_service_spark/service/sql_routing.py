@@ -453,24 +453,71 @@ _BARE_PATH_EXT = {
 }
 
 
+# Keywords that terminate a FROM clause at the current nesting depth.
+_FROM_EXIT_WORDS = frozenset(
+    "where group order having limit offset window qualify union except "
+    "intersect select on using set when then values".split()
+)
+
+
 def _rewrite_bare_path_from(sql: str) -> str:
     """DuckDB's bare-path relation (`SELECT * FROM 'data.parquet'`) →
     the equivalent read_* call, which the routing below materializes.
-    Only FROM/JOIN/comma positions rewrite, so COPY ... FROM 'path' (a
-    different statement, handled upstream) and ordinary string literals
-    stay untouched."""
 
-    def sub(m: re.Match) -> str:
-        ext = m.group(3).lower()
-        return f"{m.group(1)}{_BARE_PATH_EXT[ext]}('{m.group(2)}')"
-
+    Position-aware: a literal rewrites only when it sits in a FROM-clause
+    relation slot (after FROM/JOIN or a FROM-clause comma at the same
+    nesting depth). Ordinary string literals that merely end in a known
+    extension — select-list items, IN-list members, function arguments —
+    stay untouched, as do COPY/EXPORT/IMPORT statements (different
+    grammar, handled upstream)."""
+    head = sql.lstrip()[:10].upper()
+    if head.startswith(("COPY", "EXPORT", "IMPORT")):
+        return sql
     exts = "|".join(_BARE_PATH_EXT)
-    return re.sub(
-        rf"(\bFROM\s+|\bJOIN\s+|,\s*)'([^']+\.({exts}))'",
-        sub,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    path_re = re.compile(rf"[^']+\.({exts})", re.IGNORECASE)
+    word_re = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_from = [False]  # one flag per paren depth
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            m = re.compile(r"'(?:[^']|'')*'").match(sql, i)
+            if m is None:  # unterminated literal — emit rest verbatim
+                out.append(sql[i:])
+                break
+            body = m.group(0)[1:-1]
+            pm = path_re.fullmatch(body)
+            if pm is not None and in_from[-1] and "''" not in body:
+                out.append(f"{_BARE_PATH_EXT[pm.group(1).lower()]}('{body}')")
+            else:
+                out.append(m.group(0))
+            i = m.end()
+            continue
+        if ch == "(":
+            in_from.append(False)
+            out.append(ch)
+            i += 1
+            continue
+        if ch == ")":
+            if len(in_from) > 1:
+                in_from.pop()
+            out.append(ch)
+            i += 1
+            continue
+        wm = word_re.match(sql, i)
+        if wm is not None:
+            w = wm.group(0).lower()
+            if w in ("from", "join"):
+                in_from[-1] = True
+            elif w in _FROM_EXIT_WORDS:
+                in_from[-1] = False
+            out.append(wm.group(0))
+            i = wm.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def rewrite_read_files(spark: SparkSession, sql: str) -> str:
