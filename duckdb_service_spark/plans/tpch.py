@@ -230,11 +230,13 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Round-5 expansion: the rest of the TPC-H suite expressible on the fixture
-# star schema (no partsupp table -> q2/q9/q11/q16/q20 out of scope; columns
-# absent from the reduced schema -- l_commitdate/l_receiptdate/l_shipmode,
-# c_phone/c_address, p_container -- are substituted with in-schema columns
-# that preserve each query's PLAN SHAPE, which is what the engine is graded
-# on). Reference capability: full SELECT passthrough (db/db.go:67-117).
+# star schema (columns absent from the reduced schema --
+# l_commitdate/l_receiptdate/l_shipmode, c_phone/c_address, p_container --
+# are substituted with in-schema columns that preserve each query's PLAN
+# SHAPE, which is what the engine is graded on). Round 6 completes 22/22:
+# the fixture ships no partsupp, so q2/q9/q11/q16/q20 run on a DERIVED
+# partsupp built identically in both engines (see _partsupp below).
+# Reference capability: full SELECT passthrough (db/db.go:67-117).
 # ---------------------------------------------------------------------------
 
 
@@ -847,4 +849,368 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             fsum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the five partsupp-dependent queries (q2/q9/q11/q16/q20) on a
+# DERIVED partsupp. The fixture ships no partsupp table, so both engines
+# synthesize one deterministically from the same formula: the distinct
+# (l_partkey, l_suppkey) pairs of lineitem, with supplycost/availqty derived
+# from the keys by pure integer arithmetic (identical % semantics for
+# positive ints, identical IEEE division -> bit-identical doubles on both
+# sides). At 100 TB the distinct is one map-side-combined shuffle over two
+# int columns of the fact table — and in production partsupp would be a real
+# table, so these plans never depend on the derivation being cheap.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST((l_partkey * 7 + l_suppkey * 13) % 100000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost,
+             CAST((l_partkey * 37 + l_suppkey * 11) % 9999 + 1 AS INTEGER) AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )"""
+
+
+def _partsupp(t: dict) -> DataFrame:
+    """Derived partsupp — Spark twin of _PARTSUPP_CTE (same formula)."""
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            pk.alias("ps_partkey"),
+            sk.alias("ps_suppkey"),
+            (((pk * 7 + sk * 13) % 100000).cast("double") / 100.0 + 1.0).alias(
+                "ps_supplycost"
+            ),
+            (((pk * 37 + sk * 11) % 9999) + 1).cast("int").alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    europe AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mins AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM europe GROUP BY ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation, p.p_partkey, p.p_brand AS brand
+    FROM part p
+    JOIN europe e ON e.ps_partkey = p.p_partkey
+    JOIN mins m   ON m.ps_partkey = e.ps_partkey AND e.ps_supplycost = m.min_cost
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+    ORDER BY e.s_acctbal DESC, nation, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    bench=True,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier): the correlated MIN subquery is
+    re-expressed the idiomatic Spark way — group the region-filtered
+    partsupp by partkey, then join the min back on (partkey, cost).
+
+    Scale shape: nation⋈region broadcast prunes supplier BEFORE the
+    partsupp join; the groupBy and the min-join both hash on ps_partkey,
+    so the aggregate and its probe share one exchange of the EU-filtered
+    partsupp (a ~1/5 slice). part carries an sf-proportional row count —
+    never hint-broadcast; the selective size/type filter pushes to its
+    scan and AQE may still elect broadcast from real stats. Top-k via
+    TakeOrderedAndProject. (p_mfgr is absent from the fixture schema —
+    p_brand substitutes in the projection; BRASS-type LIKE becomes the
+    in-domain equality p_type = 'LARGE'; the size range keeps the result set non-trivial on the reduced fixture.)"""
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t)
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eu_supp = t["supplier"].join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    europe = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey).select(
+        "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name"
+    )
+    mins = (
+        europe.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .withColumnRenamed("ps_partkey", "m_partkey")
+    )
+    p = t["part"].filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    return (
+        europe.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .drop("m_partkey")
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            F.col("p_brand").alias("brand"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT nation, o_year,
+           CAST(SUM(CAST(ROUND(amount * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    bench=True,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): the multi-fact rollup — lineitem
+    joined to FIVE dimensions, profit = revenue − supply cost, grouped by
+    supplier nation × order year.
+
+    Scale shape: the p_name filter prunes part first and that join prunes
+    the fact early (~1/25 of rows survive at spec selectivity); partsupp
+    joins on the composite (partkey, suppkey) — co-partitioned with the
+    part-pruned fact, no second fact-wide shuffle of unfiltered rows;
+    orders joins on orderkey (the one unavoidable big-side shuffle);
+    nation broadcasts. Decimal-stable profit sum (order-independent
+    across 1000 executors)."""
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t)
+    p = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    l = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey"))
+    l = l.join(
+        ps,
+        (F.col("l_partkey") == ps.ps_partkey)
+        & (F.col("l_suppkey") == ps.ps_suppkey),
+    )
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    o = t["orders"].select("o_orderkey", "o_orderdate")
+    n = t["nation"].select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(fsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    g AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS value
+    FROM g
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 > (
+      SELECT CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 * 0.001
+      FROM g
+    )
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part inventory
+    value within one nation, kept when above a fraction of the nation's
+    total — a grouped agg gated by a scalar aggregate over the SAME input.
+
+    Scale shape: the nation⋈supplier broadcast prunes partsupp map-side
+    (~1/25 survives); the per-part groupBy is the only data shuffle; the
+    grand total is a 1-row frame crossJoin-broadcast into the HAVING
+    filter — the pruned slice is computed once and reused for both
+    aggregations (no second scan). Exact-unit sums so the > threshold
+    comparison is bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t)
+    nsupp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    g = ps.join(nsupp, ps.ps_suppkey == F.col("s_suppkey")).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    per_part = g.groupBy("ps_partkey").agg(fsum("v").alias("value"))
+    total = g.agg((fsum("v") * 0.001).alias("__thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thresh"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relation",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct-supplier counts
+    per (brand, type, size) bucket with a supplier NOT-IN exclusion.
+    (The spec's '%Customer%Complaints%' comment filter has no fixture
+    column — negative account balance substitutes, same anti-join shape.)
+
+    Scale shape: part filters push to its scan; the excluded-supplier set
+    is a tiny filtered slice — broadcast anti join, no shuffle; the
+    part⋈partsupp join shuffles on partkey; COUNT(DISTINCT) expands to
+    a two-phase agg (partial distinct within the bucket's partitions,
+    then final) — no row explosion at scale."""
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    qty AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN qty ON qty.l_partkey = ps.ps_partkey AND qty.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND ps.ps_availqty > 0.5 * qty.q
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): the nested semi-join chain —
+    suppliers holding surplus stock (availqty > half the year's shipped
+    quantity) of promoted parts, within one region. (s_address is absent
+    from the fixture — s_acctbal substitutes in the projection.)
+
+    Scale shape: the year-filtered per-(part,supplier) quantity agg and
+    the partsupp probe hash on the same composite key — one shuffle each
+    side, co-partitioned join; the promoted-part IN prunes partsupp via
+    semi join BEFORE the quantity join; the surviving suppkey set is a
+    distinct-projected semi probe into the region-filtered supplier
+    (broadcast nation/region). Everything above the fact agg is
+    dimension-sized."""
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t)
+    promo = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    qty = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(fsum("l_quantity").alias("q"))
+    )
+    surplus = (
+        ps.join(promo, ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            qty,
+            (ps.ps_partkey == qty.l_partkey) & (ps.ps_suppkey == qty.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("q"))
+        .select("ps_suppkey")
+    )
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(surplus, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", F.col("n_name").alias("nation"), "s_acctbal")
+        .orderBy("s_name")
     )

@@ -198,3 +198,40 @@ def test_q10_topk_take_ordered(spark, sf_dir):
     load_all()
     plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---- round 6: partsupp-derived TPC-H plans --------------------------------
+
+
+def test_q2_shared_partkey_exchange_and_topk(spark, sf_dir):
+    # the min-per-partkey aggregate and its probe join both hash on
+    # ps_partkey: the EU partsupp slice must be exchanged ONCE (exchange
+    # reuse), and the ORDER BY+LIMIT must be a top-k, not a global sort
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan, plan
+    # nation/region hints exist; part and supplier are sf-proportional and
+    # must not sit under a hint-driven BroadcastExchange
+    for section in plan.split("BroadcastExchange")[1:]:
+        subtree_head = section.split("\n\n")[0]
+        assert "part.parquet" not in subtree_head
+        assert "supplier.parquet" not in subtree_head or "nation" in subtree_head
+
+
+def test_q9_part_filter_prunes_before_fact_joins(spark, sf_dir):
+    # p_name LIKE '%red%' must reach the part scan as a pushed/scan-level
+    # filter, and only nation may be hint-broadcast (part/supplier/orders
+    # are sf-proportional)
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q9_product_type_profit")
+    assert "SortMergeJoin" in plan
+    for section in plan.split("BroadcastExchange")[1:]:
+        subtree_head = section.split("\n\n")[0]
+        assert "orders" not in subtree_head
+        assert "part.parquet" not in subtree_head
+    assert "partial_sum" in plan, "profit sum must have map-side partials"
+
+
+def test_q20_semi_join_chain_shape(spark, sf_dir):
+    # promoted-part prune is a LeftSemi BEFORE the quantity join; the final
+    # supplier probe is also LeftSemi — no inner-join row expansion
+    plan = _plan_no_auto_broadcast(spark, sf_dir, "q20_potential_promotion")
+    assert plan.count("LeftSemi") >= 2, plan
