@@ -244,6 +244,27 @@ def sql_pivot_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_pivot_statement(spark, _PIVOT_SQL, spark.table, translate)
 
 
+_PIVOT_MULTI_SQL = (
+    "PIVOT orders ON o_orderstatus, o_orderpriority IN ('1-URGENT', '3-MEDIUM') "
+    "USING count(*) AS n, max(o_totalprice) AS mx GROUP BY o_orderdate"
+)
+
+
+@query("sql_pivot_multi", oracle=_PIVOT_MULTI_SQL)
+def sql_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column, multi-aggregate PIVOT (VERDICT r05 missing #3): the ON
+    clause takes several columns (each with an optional per-column IN list;
+    IN-less columns are discovered in ONE collect_set pass) and USING takes
+    several aggregates — output columns are the cross product, named
+    value1_value2_alias exactly as DuckDB names them (combinations absent
+    from the data aggregate over zero rows). Verbatim statement as oracle;
+    count/max aggregates so every cell is exact cross-engine."""
+    from ..service.sql_routing import route_pivot_statement
+
+    load_tables(spark, sf_dir).view("orders")
+    return route_pivot_statement(spark, _PIVOT_MULTI_SQL, spark.table, translate)
+
+
 _UNPIVOT_SQL = (
     "UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_v, "
     "CAST(p_retailprice AS DOUBLE) AS price_v FROM part WHERE p_partkey <= 100) "
@@ -439,7 +460,15 @@ SELECT o_orderkey,
        CAST(sum(CAST(ROUND(o_totalprice * 1e6) AS BIGINT))
             OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                  EXCLUDE TIES) AS DOUBLE) / 1e6         AS upto_no_ties
+                  EXCLUDE TIES) AS DOUBLE) / 1e6         AS upto_no_ties,
+       min(o_totalprice) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                               EXCLUDE CURRENT ROW)      AS neighbor_min,
+       max(o_totalprice) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               EXCLUDE CURRENT ROW)      AS prior_max
 FROM orders
 WHERE o_orderkey <= 2000
 """

@@ -1177,6 +1177,58 @@ def _rewrite_frame_exclude(sql: str) -> str:
             repl = f"{sql[call_start:k]}({args}) OVER ({base_spec})"
             sql = sql[:call_start] + repl + sql[close_at:]
             continue
+        if fname in ("min", "max"):
+            # min/max don't decompose by subtraction; for EXCLUDE CURRENT
+            # ROW under a ROWS frame the frame SPLITS instead: the part
+            # before the current row and the part after it, combined with
+            # least/greatest (both skip NULLs, so an empty side drops out
+            # exactly as DuckDB's exclusion does). RANGE frames keep the
+            # current row's peers in-frame, so a row-position split would
+            # be wrong — those still raise below.
+            part, order, frame = _split_window_spec(base_spec)
+            if (
+                kind == "CURRENT ROW"
+                and frame is not None
+                and frame.upper().lstrip().startswith("ROWS")
+            ):
+                if not _frame_includes_current(frame):
+                    # frame never contains the current row — EXCLUDE is a no-op
+                    repl = f"{fname}({args}) OVER ({base_spec})"
+                    sql = sql[:call_start] + repl + sql[close_at:]
+                    continue
+                ft = frame.strip()
+                bm = re.match(
+                    r"ROWS\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", ft, re.IGNORECASE | re.DOTALL
+                )
+                if bm:
+                    lo, hi = bm.group(1).strip(), bm.group(2).strip()
+                else:
+                    lo = re.match(r"ROWS\s+(.+)$", ft, re.IGNORECASE).group(1).strip()
+                    hi = "CURRENT ROW"
+                prefix = base_spec[: base_spec.upper().find("ROWS")].strip()
+                comb = "least" if fname == "min" else "greatest"
+                parts = []
+                if lo.upper() != "CURRENT ROW":
+                    parts.append(
+                        f"{fname}({args}) OVER ({prefix} ROWS BETWEEN {lo} AND 1 PRECEDING)"
+                    )
+                if hi.upper() != "CURRENT ROW":
+                    parts.append(
+                        f"{fname}({args}) OVER ({prefix} ROWS BETWEEN 1 FOLLOWING AND {hi})"
+                    )
+                if len(parts) == 2:
+                    repl = f"{comb}({parts[0]}, {parts[1]})"
+                elif parts:
+                    repl = parts[0]
+                else:  # single-row frame minus the row: typed empty result
+                    repl = f"(CASE WHEN 1=0 THEN {fname}({args}) OVER ({base_spec}) END)"
+                sql = sql[:call_start] + repl + sql[close_at:]
+                continue
+            raise UnsupportedDialect(
+                f"window frame EXCLUDE for {fname} is supported only as "
+                f"EXCLUDE CURRENT ROW with a ROWS frame (frame split); "
+                f"GROUP/TIES and RANGE frames need a peer-group join rewrite"
+            )
         if fname not in ("sum", "count", "avg"):
             raise UnsupportedDialect(
                 f"window frame EXCLUDE is supported for sum/count/avg only "

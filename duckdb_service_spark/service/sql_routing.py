@@ -754,12 +754,16 @@ def rewrite_columns_expr(
 # NULL never becomes a column, multi-agg columns are named <value>_<alias>.
 
 _PIVOT_RE = re.compile(
-    r"^PIVOT\s+(?P<rel>\w+|\(.+?\))\s+ON\s+(?P<on>\w+)"
-    r"(?:\s+IN\s*\((?P<inlist>[^)]*)\))?"
+    r"^PIVOT\s+(?P<rel>\w+|\(.+?\))\s+ON\s+(?P<onclause>.+?)"
     r"(?:\s+USING\s+(?P<using>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?P<tail>\s+(?:ORDER\s+BY|LIMIT)\b.*)?$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# one ON-clause item: a column, optionally with its own IN (...) list
+_PIVOT_ON_ITEM_RE = re.compile(
+    r"^(?P<col>\w+)(?:\s+IN\s*\((?P<inlist>.*)\))?$", re.IGNORECASE | re.DOTALL
 )
 _UNPIVOT_RE = re.compile(
     r"^UNPIVOT\s+(?P<rel>\w+|\(.+?\))\s+ON\s+(?P<cols>.+?)\s+"
@@ -809,30 +813,56 @@ def route_pivot_statement(
     if not m:
         raise UnsupportedDialect(f"cannot parse PIVOT statement: {sql[:80]}")
     df, from_sql = _resolve_pivot_rel(spark, m.group("rel"), resolve, translate)
-    on_col = m.group("on")
-
-    if m.group("inlist"):
-        from .dml import split_top_level
-
-        values = []
-        for item in split_top_level(m.group("inlist")):
-            item = item.strip()
-            values.append(item[1:-1].replace("''", "'") if item.startswith("'") else item)
-        lits = [
-            ("'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v), str(v))
-            for v in values
-        ]
-    else:
-        # dynamic column discovery: one DISTINCT scan, like DuckDB's own
-        # dynamic PIVOT; NULL never becomes a column
-        vals = [
-            r[0]
-            for r in df.select(on_col).distinct().collect()
-            if r[0] is not None
-        ]
-        lits = [(_pivot_literal(v), str(v)) for v in sorted(vals)]
 
     from .dml import split_top_level
+
+    # ON clause: one or more columns, each with an optional IN list. DuckDB
+    # emits the CROSS PRODUCT of per-column value lists as output columns,
+    # named value1_value2[_agg] — including combinations absent from the
+    # data (they aggregate over zero rows).
+    on_items: list[tuple[str, str | None]] = []
+    for item in split_top_level(m.group("onclause")):
+        im = _PIVOT_ON_ITEM_RE.match(item.strip())
+        if im is None:
+            raise UnsupportedDialect(f"cannot parse PIVOT ON item: {item[:60]}")
+        on_items.append((im.group("col"), im.group("inlist")))
+    on_cols = [c for c, _ in on_items]
+
+    # dynamic column discovery for IN-less columns: ONE pass collecting
+    # every needed distinct set (collect_set drops NULLs, matching DuckDB's
+    # "NULL never becomes a column"); low-cardinality by construction so
+    # the driver-side sets stay small at any data scale
+    need_scan = [c for c, inl in on_items if inl is None]
+    scanned: dict[str, list] = {}
+    if need_scan:
+        row = df.select(
+            *[F.collect_set(F.col(c)).alias(c) for c in need_scan]
+        ).collect()[0]
+        for c in need_scan:
+            scanned[c] = sorted(row[c])
+
+    per_col_lits: list[list[tuple[str, str]]] = []
+    for col, inlist in on_items:
+        if inlist is not None:
+            values = []
+            for item in split_top_level(inlist):
+                item = item.strip()
+                values.append(
+                    item[1:-1].replace("''", "'") if item.startswith("'") else item
+                )
+            per_col_lits.append(
+                [
+                    (
+                        "'" + v.replace("'", "''") + "'"
+                        if isinstance(v, str)
+                        else str(v),
+                        str(v),
+                    )
+                    for v in values
+                ]
+            )
+        else:
+            per_col_lits.append([(_pivot_literal(v), str(v)) for v in scanned[col]])
 
     using = m.group("using") or "count(*)"
     aggs = []
@@ -851,27 +881,33 @@ def route_pivot_statement(
             for w in re.findall(r"\b\w+\b", agg_text)
         }
         group_cols = [
-            c for c in df.columns if c != on_col and c.lower() not in used
+            c for c in df.columns if c not in on_cols and c.lower() not in used
         ]
-        if not group_cols:
-            raise UnsupportedDialect(
-                "PIVOT with no GROUP BY and no remaining columns"
-            )
+        # no remaining columns -> global one-row aggregate (DuckDB 1.x
+        # behavior, verified: PIVOT with every column pivoted/consumed
+        # returns a single row, not an error)
+
+    import itertools
 
     items = list(group_cols)
-    for lit, label in lits:
+    for combo in itertools.product(*per_col_lits):
+        label = "_".join(lab for _, lab in combo)
+        cond = " AND ".join(
+            f"{col} IS NOT DISTINCT FROM {lit}"
+            for col, (lit, _) in zip(on_cols, combo)
+        )
         for expr, alias in aggs:
             if len(aggs) == 1:
                 name = f"{label}_{alias}" if alias else label
             else:
                 name = f"{label}_{alias or expr}"
             items.append(
-                f"{translate(expr)} FILTER (WHERE {on_col} IS NOT DISTINCT FROM {lit}) "
-                f"AS `{name}`"
+                f"{translate(expr)} FILTER (WHERE {cond}) AS `{name}`"
             )
+    group_clause = f" GROUP BY {', '.join(group_cols)}" if group_cols else ""
     out_sql = (
-        f"SELECT {', '.join(items)} FROM {from_sql} "
-        f"GROUP BY {', '.join(group_cols)}{m.group('tail') or ''}"
+        f"SELECT {', '.join(items)} FROM {from_sql}"
+        f"{group_clause}{m.group('tail') or ''}"
     )
     return spark.sql(out_sql)
 

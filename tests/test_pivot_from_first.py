@@ -169,3 +169,36 @@ def test_explain_routed_statements(engine):
     assert "HashAggregate" in plan or "Aggregate" in plan
     kind, df = engine.run_statement("EXPLAIN FROM pv SELECT pri WHERE price > 6")
     assert "Scan" in "\n".join(r[0] for r in df.collect())
+
+
+def test_pivot_multi_column_multi_agg(engine):
+    # DuckDB semantics (verified on 1.x): ON a, b emits the CROSS PRODUCT
+    # of per-column value lists — including combinations absent from the
+    # data — named value1_value2_alias; with every column pivoted or
+    # consumed by an aggregate, the result is one global row
+    kind, df = engine.run_statement(
+        "PIVOT pv ON pri IN ('1-URGENT', '2-HIGH'), status "
+        "USING count(*) AS n, max(price) AS mx"
+    )
+    assert kind == "query"
+    assert df.columns == [
+        "1-URGENT_F_n", "1-URGENT_F_mx", "1-URGENT_O_n", "1-URGENT_O_mx",
+        "1-URGENT_P_n", "1-URGENT_P_mx", "2-HIGH_F_n", "2-HIGH_F_mx",
+        "2-HIGH_O_n", "2-HIGH_O_mx", "2-HIGH_P_n", "2-HIGH_P_mx",
+    ]
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["1-URGENT_F_n"], r["1-URGENT_F_mx"]) == (1, 10.0)
+    assert (r["2-HIGH_P_n"], r["2-HIGH_P_mx"]) == (0, None)  # absent combo
+
+
+def test_pivot_multi_column_group_by(engine):
+    kind, df = engine.run_statement(
+        "PIVOT pv ON pri, status USING count(*) AS n GROUP BY price"
+    )
+    got = {
+        tuple(r)
+        for r in df.select("price", "`2-HIGH_F_n`", "`2-HIGH_O_n`").collect()
+    }
+    assert (5.0, 1, 0) in got  # present combo counts 1, absent combo 0

@@ -376,11 +376,25 @@ def test_window_frame_exclude(spark):
         "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS x FROM t_excl ORDER BY i"
     )).collect()
     assert [r.x for r in rows] == [80, 80, 80, 40, 40]
-    # min can't decompose by subtraction
-    with _pytest.raises(UnsupportedDialect, match="sum/count/avg"):
+    # min/max EXCLUDE CURRENT ROW with ROWS frames: frame split + least/
+    # greatest (round 6) — values checked here, oracle-checked in
+    # win_exclude_frame
+    rows = spark.sql(translate(
+        "SELECT i, min(v) OVER (ORDER BY v, i ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE CURRENT ROW) AS x FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [10, 10, 10, 20, 30]
+    rows = spark.sql(translate(
+        "SELECT i, max(v) OVER (ORDER BY v, i ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS x "
+        "FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [None, 10, 10, 20, 30]
+    # ...but GROUP/TIES and RANGE frames still can't split by row position
+    with _pytest.raises(UnsupportedDialect, match="peer-group join"):
         translate(
-            "SELECT min(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
-            "FOLLOWING EXCLUDE CURRENT ROW) FROM t_excl"
+            "SELECT min(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t_excl"
         )
     # ROWS frame may cut the peer group
     with _pytest.raises(UnsupportedDialect, match="ROWS frame"):
