@@ -820,3 +820,33 @@ def fn_battery_r7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_FN_R7_SQL))
+
+
+_FN_R8_SQL = """
+SELECT n_nationkey,
+       gcd(n_nationkey * 6, 21)                  AS g1,
+       gcd(-(n_nationkey + 4), 6)                AS g2,
+       gcd(0, n_nationkey)                       AS g3,
+       greatest_common_divisor(1071, 462)        AS g4,
+       lcm(n_nationkey + 1, 6)                   AS l1,
+       lcm(0, n_nationkey)                       AS l2,
+       least_common_multiple(4, n_nationkey + 2) AS l3,
+       hamming(n_name, n_name)                   AS h0,
+       mismatches('NATION_X', 'NATION_0')        AS h1
+FROM nation
+"""
+
+
+@query("fn_battery_r8", oracle=_FN_R8_SQL)
+def fn_battery_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 battery — gcd/lcm/hamming (VERDICT r05 missing #5: absent
+    from Spark's built-ins). gcd is Euclid's algorithm as a bounded
+    expression fold (96 steps covers the 64-bit worst case), lcm divides
+    before multiplying to stay in range, hamming is a positional fold that
+    reproduces DuckDB's equal-length/non-empty error contract
+    (service/dialect.py::_emit_gcd/_emit_lcm/_emit_hamming). Verbatim SQL
+    both sides; negative/zero edges included."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_FN_R8_SQL))

@@ -124,6 +124,13 @@ FUNCTION_ALIASES = {
     "date_diff": "__duck_date_diff",
     "datediff": "__duck_date_diff",
     "epoch_ms": "__duck_epoch_ms",
+    # round-8 battery additions (each verified against DuckDB 1.x output)
+    "gcd": "__duck_gcd",
+    "greatest_common_divisor": "__duck_gcd",
+    "lcm": "__duck_lcm",
+    "least_common_multiple": "__duck_lcm",
+    "hamming": "__duck_hamming",
+    "mismatches": "__duck_hamming",
     # round-7 battery additions (each verified against DuckDB 1.x output)
     "regexp_split_to_array": "split",
     "list_cosine_similarity": "__duck_list_cos",
@@ -1536,6 +1543,56 @@ def _emit_histogram(args: list[str]) -> str:
     )
 
 
+def _emit_gcd(args: list[str]) -> str:
+    """Euclid's algorithm as a bounded expression fold (no Spark built-in).
+    96 iterations covers the 64-bit worst case (consecutive Fibonacci
+    numbers need ~92 steps); each step is a cheap codegen struct swap and
+    the fold short-circuits semantically once b = 0. gcd(0,0) = 0 and
+    negative inputs take |x|, matching DuckDB."""
+    if len(args) != 2:
+        raise UnsupportedDialect("gcd expects (a, b)")
+    a, b = args
+    return (
+        f"aggregate(sequence(1, 96), "
+        f"named_struct('a', abs(CAST(({a}) AS BIGINT)), "
+        f"'b', abs(CAST(({b}) AS BIGINT))), "
+        f"(acc, i) -> IF(acc.b = 0, acc, "
+        f"named_struct('a', acc.b, 'b', acc.a % acc.b)), "
+        f"acc -> acc.a)"
+    )
+
+
+def _emit_lcm(args: list[str]) -> str:
+    """lcm = |a| / gcd * |b| (divide FIRST so the product stays in range);
+    lcm with any zero argument is 0, matching DuckDB."""
+    if len(args) != 2:
+        raise UnsupportedDialect("lcm expects (a, b)")
+    a, b = args
+    aa = f"abs(CAST(({a}) AS BIGINT))"
+    bb = f"abs(CAST(({b}) AS BIGINT))"
+    return (
+        f"(CASE WHEN {aa} = 0 OR {bb} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE ({aa} div {_emit_gcd(args)}) * {bb} END)"
+    )
+
+
+def _emit_hamming(args: list[str]) -> str:
+    """hamming/mismatches: positional differences of two EQUAL-length
+    strings. DuckDB raises on length mismatch and on empty strings —
+    reproduced with raise_error so the contract is identical."""
+    if len(args) != 2:
+        raise UnsupportedDialect("hamming expects (s1, s2)")
+    a, b = args
+    return (
+        f"(CASE WHEN length({a}) <> length({b}) THEN "
+        f"CAST(raise_error('Mismatch Function: Strings must be of equal length!') AS BIGINT) "
+        f"WHEN length({a}) = 0 THEN "
+        f"CAST(raise_error('Mismatch Function: Strings must be of length > 0!') AS BIGINT) "
+        f"ELSE aggregate(sequence(1, length({a})), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(substring({a}, i, 1) = substring({b}, i, 1), 0, 1)) END)"
+    )
+
+
 _ROUND5_EMITTERS = {
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
@@ -1557,6 +1614,9 @@ _ROUND5_EMITTERS = {
     "__duck_list_cos": _emit_list_cos,
     "__duck_quantile_disc": _emit_quantile_disc,
     "__duck_histogram": _emit_histogram,
+    "__duck_gcd": _emit_gcd,
+    "__duck_lcm": _emit_lcm,
+    "__duck_hamming": _emit_hamming,
 }
 
 

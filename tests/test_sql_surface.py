@@ -598,3 +598,27 @@ def test_comment_on(engine):
     assert c["column:cmt.v"] == "the 'value'"
     engine.execute("COMMENT ON TABLE cmt IS NULL")
     assert "table:cmt" not in engine.catalog.load_comments()
+
+
+def test_gcd_lcm_hamming(spark):
+    from duckdb_service_spark.service.dialect import translate
+
+    row = spark.sql(translate(
+        "SELECT gcd(1071, 462) AS g, gcd(-4, 6) AS gn, gcd(0, 0) AS gz, "
+        "lcm(4, 6) AS l, lcm(0, 5) AS lz, lcm(-4, 6) AS ln, "
+        "hamming('karolin', 'kathrin') AS h"
+    )).collect()[0]
+    assert (row.g, row.gn, row.gz, row.l, row.lz, row.ln, row.h) == (
+        21, 2, 0, 12, 0, 12, 3
+    )
+    # worst-case Euclid depth: consecutive Fibonacci numbers are coprime
+    row = spark.sql(translate(
+        "SELECT gcd(7540113804746346429, 4660046610375530309) AS fib"
+    )).collect()[0]
+    assert row.fib == 1
+    # DuckDB's error contract on length mismatch / empty strings
+    import pytest as _pytest
+
+    for bad in ("hamming('ab', 'abc')", "hamming('', '')"):
+        with _pytest.raises(Exception, match="Mismatch Function"):
+            spark.sql(translate(f"SELECT {bad} AS x")).collect()
