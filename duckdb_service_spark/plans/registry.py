@@ -47,67 +47,72 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-5 rotation (VERDICT r03 "Next round" item 9: no green row
-# should be more than ~2 rounds stale): (a) every query new or changed in
-# round 5 — the TPC-H suite expansion, SQL-surface routings, and the
-# mm_decode_features fix — then (b) as many of the r01-era stale rows
-# (joins, aggregates, scalar families, dedup: code rewritten since their
-# only green row) as fit the 50-slot window. The remainder of the stale
-# set is covered by the local exact harness (tools/diffcheck.py, all
-# registered queries green on HEAD) and rotates in next round. 34 + 16 = 50.
+# order. Round-6 rotation: (a) every query new or changed in round 6, then
+# (b) the stalest r01-era rows, then (c) r02-era rows on the most-churned
+# code paths. 9 + 21 + 20 = 50. The ~24 remaining r02-era rows (relational
+# misc, similarity, text/stream singles, the r05-checked TPC-H suite) are
+# green on the local exact harness (tools/diffcheck.py, all registered
+# queries on HEAD) and rotate in next round.
 PRIORITY: list[str] = [
-    # (a) new/changed in round 5
-    "mm_decode_features",  # r03/r04 red row: vector now serialized as JSON
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
-    "sql_dml_returning",
+    # (a) new or changed in round 6: the five partsupp TPC-H queries, the
+    # multi-aggregate/multi-column PIVOT compile (sql_pivot_routing shares
+    # the changed code path), min/max frame EXCLUDE, gcd/lcm/hamming
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relation",
+    "q20_potential_promotion",
+    "sql_pivot_multi",
     "sql_pivot_routing",
-    "sql_unpivot_routing",
-    "sql_from_first_routing",
-    "sql_columns_expr",
-    "sql_list_comprehension",
-    "sql_unnest_select",
-    "sql_lateral_unnest",
-    "sql_pattern_operators",
-    "sql_bare_path_from",
-    "sql_order_by_all",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "mm_frame_sample",
-    "fn_battery_r5",
-    "fn_battery_r6",
     "win_exclude_frame",
-    "fn_battery_r7",
-    "win_ignore_nulls",
-    "dedup_incremental_lsh",
-    # (b) r01-era green rows, never rechecked since
-    "join_inner_equi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi_exists",
-    "join_in_subquery",
-    "join_asof",
-    "agg_bool_bit",
-    "agg_group_by_all",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_median_percentile",
-    "fn_string",
-    "fn_regex",
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    "fn_battery_r8",
+    # (b) rotation debt, stalest first (VERDICT r05 next #2): r01-era rows
+    # whose only driver-green check predates three rounds of code churn
+    "agg_rollup",
+    "agg_approx_count_distinct",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_longest",
+    "fn_math",
+    "fn_datetime",
+    "fn_timestamp_parts",
+    "fn_array_agg_lambda",
+    "fn_json",
+    "fn_hash",
+    "fn_bit",
+    "fn_format",
+    "fn_interval",
+    "fn_try_arithmetic",
+    "join_anti_not_exists",
+    "join_cross",
+    "join_theta_nonequi",
+    "join_range_interval",
+    "join_using_natural",
+    # (c) r02-era rows sitting on the most-churned code paths: the window
+    # family (frame EXCLUDE/IGNORE NULLS rewrites landed nearby), the
+    # plan-level pivot/unpivot (compile changed this round), setops, CTEs,
+    # io round-trips
+    "win_ranks",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_range_frame",
+    "win_first_last_nth",
+    "win_partition_agg",
+    "win_qualify",
+    "window_named_sql",
+    "pivot_status_by_priority",
+    "unpivot_part_measures",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_union_by_name",
+    "setop_intersect",
+    "setop_except",
+    "cte_nested",
+    "cte_recursive_series",
+    "cte_recursive_graph",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
 ]
 
 
