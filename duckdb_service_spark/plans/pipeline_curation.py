@@ -125,7 +125,13 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" zq yq xq")).alias("text"),
         )
     )
+    return curate_corpus(corpus)
 
+
+def curate_corpus(corpus: DataFrame) -> DataFrame:
+    """The curation pipeline proper, parameterized on the input corpus
+    (doc_id, lang, text) so the 10x scale harness (tools/scale_curation.py)
+    drives the IDENTICAL plan the registry query runs."""
     # stage 1: quality filter
     quality = corpus.withColumn("n_tokens", F.size(tokens_expr(F.col("text")))).filter(
         F.col("n_tokens") >= MIN_TOKENS
