@@ -49,7 +49,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # The driver's correctness run covers the FIRST 50 queries in registration
 # order. Round-6 rotation: (a) every query new or changed in round 6, then
 # (b) the stalest r01-era rows, then (c) r02-era rows on the most-churned
-# code paths. 9 + 21 + 20 = 50. The ~24 remaining r02-era rows (relational
+# code paths. 10 + 21 + 20 = 51; the driver checks the first 50. The ~24
+# remaining r02-era rows (relational
 # misc, similarity, text/stream singles, the r05-checked TPC-H suite) are
 # green on the local exact harness (tools/diffcheck.py, all registered
 # queries on HEAD) and rotate in next round.
@@ -57,6 +58,7 @@ PRIORITY: list[str] = [
     # (a) new or changed in round 6: the five partsupp TPC-H queries, the
     # multi-aggregate/multi-column PIVOT compile (sql_pivot_routing shares
     # the changed code path), min/max frame EXCLUDE, gcd/lcm/hamming
+    "text_line_dedup",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

@@ -694,3 +694,126 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("all_tokens").cast("double") / F.col("n_sources")) / F.col("n_tokens"), 6
         ).alias("resample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level (chunk) dedup — CCNet-style boilerplate removal
+# ---------------------------------------------------------------------------
+
+_LD_CHUNK = 3  # tokens per "line" (fixture text has no newlines; real corpora
+# would split on '\n' — the topology below is identical either way)
+_LD_MIN_DOCS = 3  # a chunk present in >= this many distinct docs is boilerplate
+
+
+def _line_dedup_oracle() -> str:
+    cs, md = _LD_CHUNK, _LD_MIN_DOCS
+    h = hash64_sql("chunk")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, lang, t,
+             unnest(range(0, CAST(ceil(len(t) / {cs}.0) AS BIGINT))) AS i
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+             array_to_string(t[i*{cs}+1 : i*{cs}+{cs}], ' ') AS chunk
+      FROM idx
+    ),
+    boiler AS (
+      SELECT {h} AS h
+      FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= {md}
+    ),
+    kept AS (
+      SELECT c.doc_id, c.lang,
+             count(*) AS kept_chunks,
+             string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS cleaned_text
+      FROM chunks c ANTI JOIN boiler b ON {hash64_sql("c.chunk")} = b.h
+      GROUP BY c.doc_id, c.lang
+    ),
+    totals AS (
+      SELECT doc_id, lang, CAST(ceil(len(t) / {cs}.0) AS BIGINT) AS n_chunks FROM toks
+    )
+    SELECT t.doc_id, t.lang, t.n_chunks,
+           coalesce(k.kept_chunks, 0)               AS kept_chunks,
+           t.n_chunks - coalesce(k.kept_chunks, 0)  AS removed_chunks,
+           round(coalesce(k.kept_chunks, 0) / CAST(t.n_chunks AS DOUBLE), 4) AS kept_ratio,
+           coalesce(k.cleaned_text, '')             AS cleaned_text,
+           coalesce(k.kept_chunks, 0) * 2 >= t.n_chunks AS keep
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """
+
+
+@query("text_line_dedup", oracle=_line_dedup_oracle(), bench=True)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al., 2020): split every doc
+    into fixed {3}-token chunks (the fixture's stand-in for lines), hash each
+    chunk, count DISTINCT docs per chunk hash across the corpus, strip chunks
+    that appear in >= 3 docs (boilerplate: headers, navigation, license
+    blurbs), reassemble the surviving chunks in order, and flag docs that
+    keep >= half their content.
+
+    100 TB design: one explode of the corpus into chunks; the boilerplate
+    frequency count is a map-side-combinable groupBy on a 64-bit hash (not
+    the chunk string — shuffle carries 8 bytes/chunk, not the text); the
+    boilerplate set is the head of the chunk-frequency Zipf (tiny vs corpus)
+    so the removal join broadcasts; reassembly is one shuffle keyed by
+    doc_id. Nothing all-pairs, nothing driver-side.
+
+    Reference parity: reference has no pipeline ops at all (serves SQL via
+    linked DuckDB, db/db.go:67-117); this is part of the LLM-curation
+    extension surface."""
+    t = load_tables(spark, sf_dir)
+    cs, md = _LD_CHUNK, _LD_MIN_DOCS
+    toks = _docs_parallel(t).select(
+        "doc_id", "lang", tokens_expr(F.col("text")).alias("t")
+    )
+    chunked = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(t)/{cs}.0) as int) - 1),"
+            f" i -> array_join(slice(t, i*{cs}+1, {cs}), ' '))"
+        ).alias("chunks"),
+    )
+    totals = chunked.select(
+        "doc_id", "lang", F.size("chunks").cast("long").alias("n_chunks")
+    )
+    ch = chunked.select(
+        "doc_id", "lang", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    ).withColumn("h", hash64(F.col("chunk")))
+    boiler = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= md)
+        .select("h")
+    )
+    kept = (
+        ch.join(F.broadcast(boiler), "h", "left_anti")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return totals.join(kept.drop("lang"), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chunks",
+        F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+        (F.col("n_chunks") - F.coalesce("kept_chunks", F.lit(0))).alias("removed_chunks"),
+        F.round(
+            F.coalesce("kept_chunks", F.lit(0)) / F.col("n_chunks").cast("double"), 4
+        ).alias("kept_ratio"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        (F.coalesce("kept_chunks", F.lit(0)) * 2 >= F.col("n_chunks")).alias("keep"),
+    )
