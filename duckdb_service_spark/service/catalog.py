@@ -140,6 +140,7 @@ class Catalog:
             )
 
     def _load_existing(self) -> None:
+        self._recover_txn()
         if os.path.exists(self._seq_path()):
             with open(self._seq_path()) as f:
                 self.sequences.update(json.load(f))
@@ -543,6 +544,7 @@ class Catalog:
             "tables": sorted(self.tables),
             "views": sorted(self.views),
             "indexes": {n: dict(d) for n, d in sorted(self.indexes.items())},
+            "transaction_active": self.in_txn,
             "spark_app_id": self.spark.sparkContext.applicationId,
             "spark_version": self.spark.version,
         }
@@ -577,3 +579,154 @@ class Catalog:
                 with open(self._comments_path()) as f:
                     self.comments.update(_json.load(f))
         return self.comments
+
+    # -- transactions (BEGIN / COMMIT / ROLLBACK) --------------------------
+    #
+    # Single-writer snapshot transactions. BEGIN captures the warehouse
+    # state; ROLLBACK restores it; COMMIT discards the snapshot. Data dirs
+    # are captured as HARDLINK trees: parquet files are immutable here
+    # (copy-on-write DML writes new files and swaps directories), so a link
+    # tree pins the old inodes at file-count cost, not byte cost — the
+    # local-FS stand-in for snapshot isolation via manifest re-pointing
+    # (Iceberg/Delta style) that a 100 TB object-store deployment would use.
+    #
+    # Scope/parity: the reference shares one DuckDB connection across HTTP
+    # clients (db/db.go:32), so a BEGIN there is service-global too; like
+    # DuckDB's own auto-commit connection, concurrent readers see writes as
+    # they land (no cross-client isolation — single-writer discipline,
+    # SURVEY §1.4). ATTACHed databases and PREPAREd statements are not
+    # transactional in DuckDB and are not snapshotted.
+
+    def _txn_dir(self) -> str:
+        return os.path.join(self.dir, "_txn_snapshot")
+
+    @property
+    def in_txn(self) -> bool:
+        return getattr(self, "_txn_state", None) is not None
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Copy a directory tree using hardlinks for regular files."""
+        os.makedirs(dst, exist_ok=True)
+        for root, dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = os.path.join(dst, rel) if rel != "." else dst
+            for d in dirs:
+                os.makedirs(os.path.join(troot, d), exist_ok=True)
+            for f in files:
+                s = os.path.join(root, f)
+                t = os.path.join(troot, f)
+                try:
+                    os.link(s, t)
+                except OSError:
+                    shutil.copy2(s, t)  # cross-device fallback
+
+    _SIDECARS = ("_sequences.json", "_macros.json", "_indexes.json", "_comments.json")
+
+    def begin_txn(self) -> None:
+        import copy
+
+        if self.in_txn:
+            raise ValueError("cannot start a transaction within a transaction")
+        snap = self._txn_dir()
+        shutil.rmtree(snap, ignore_errors=True)
+        data = os.path.join(snap, "data")
+        os.makedirs(data, exist_ok=True)
+        for name, meta in self.tables.items():
+            if os.path.exists(meta.path):
+                self._link_tree(meta.path, os.path.join(data, name))
+            shutil.copy2(self._meta_path(name), os.path.join(snap, f"{name}.meta.json"))
+        for fn in self._SIDECARS:
+            p = os.path.join(self.dir, fn)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(snap, fn))
+        self.load_comments()
+        self._txn_state = {
+            "tables": copy.deepcopy(self.tables),
+            "views": dict(self.views),
+            "sequences": dict(self.sequences),
+            "macros": dict(self.macros),
+            "indexes": copy.deepcopy(self.indexes),
+            "comments": dict(self.comments),
+        }
+
+    def commit_txn(self) -> None:
+        if not self.in_txn:
+            raise ValueError("cannot commit - no transaction is active")
+        self._txn_state = None
+        shutil.rmtree(self._txn_dir(), ignore_errors=True)
+
+    def rollback_txn(self) -> None:
+        if not self.in_txn:
+            raise ValueError("cannot rollback - no transaction is active")
+        snap, state = self._txn_dir(), self._txn_state
+
+        # drop everything the transaction created (views + tables), then
+        # clear live table data/meta so the snapshot restore is a clean swap
+        for name in set(self.views) - set(state["views"]):
+            self.spark.catalog.dropTempView(name)
+        for name, meta in list(self.tables.items()):
+            shutil.rmtree(meta.path, ignore_errors=True)
+            try:
+                os.remove(self._meta_path(name))
+            except FileNotFoundError:
+                pass
+            if name not in state["tables"]:
+                self.spark.catalog.dropTempView(name)
+
+        data = os.path.join(snap, "data")
+        for name, meta in state["tables"].items():
+            src = os.path.join(data, name)
+            if os.path.exists(src):
+                os.rename(src, meta.path)
+            shutil.copy2(os.path.join(snap, f"{name}.meta.json"), self._meta_path(name))
+        for fn in self._SIDECARS:
+            live = os.path.join(self.dir, fn)
+            saved = os.path.join(snap, fn)
+            if os.path.exists(saved):
+                shutil.copy2(saved, live)
+            elif os.path.exists(live):
+                os.remove(live)
+
+        self.tables = state["tables"]
+        self.views = state["views"]
+        self.sequences = state["sequences"]
+        self.macros = state["macros"]
+        self.indexes = state["indexes"]
+        self.comments = state["comments"]
+        for meta in self.tables.values():
+            self._register(meta)
+        for name, select_sql in self.views.items():
+            self.spark.sql(select_sql).createOrReplaceTempView(name)
+        self._txn_state = None
+        shutil.rmtree(snap, ignore_errors=True)
+
+    def _recover_txn(self) -> None:
+        """Crash recovery: a leftover ``_txn_snapshot`` means the process
+        died mid-transaction — the live tree holds uncommitted writes. Roll
+        them back from the snapshot before loading (DuckDB's WAL-replay
+        equivalent for our dir-swap commit protocol)."""
+        snap = self._txn_dir()
+        if not os.path.isdir(snap):
+            return
+        data = os.path.join(snap, "data")
+        suffix = ".meta.json"
+        snap_tables = {fn[: -len(suffix)] for fn in os.listdir(snap) if fn.endswith(suffix)}
+        for fn in list(os.listdir(self.dir)):
+            if fn.endswith(suffix) and fn[: -len(suffix)] not in snap_tables:
+                shutil.rmtree(os.path.join(self.dir, fn[: -len(suffix)]), ignore_errors=True)
+                os.remove(os.path.join(self.dir, fn))
+        for nm in snap_tables:
+            live = os.path.join(self.dir, nm)
+            shutil.rmtree(live, ignore_errors=True)
+            src = os.path.join(data, nm)
+            if os.path.exists(src):
+                os.rename(src, live)
+            shutil.copy2(os.path.join(snap, nm + suffix), os.path.join(self.dir, nm + suffix))
+        for fn in self._SIDECARS:
+            saved, live = os.path.join(snap, fn), os.path.join(self.dir, fn)
+            if os.path.exists(saved):
+                shutil.copy2(saved, live)
+            elif os.path.exists(live):
+                os.remove(live)
+        shutil.rmtree(snap, ignore_errors=True)
