@@ -199,6 +199,81 @@ def jaccard_verify(
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sh_arr, n_sh): per-doc array of distinct-shingle 60-bit hashes
+    plus its size — the COMPACT per-doc form of explode_shingles.
+
+    Why arrays instead of an exploded relation: every downstream consumer
+    (signatures, Jaccard verification) is per-doc, so keeping shingles as
+    one array row per document lets the whole MinHash signature run as a
+    narrow projection (zero shuffle, whole-stage codegen) and verification
+    as an ``array_intersect`` expression over candidate pairs. At 100 TB
+    this removes the two largest shuffles of the exploded topology: the
+    signature groupBy (full shingle relation through an Exchange) and the
+    shingle-side joins of the verification step. Same 2^-60-per-pair
+    hash-collision trade as explode_shingles (distinct is taken on the
+    n-gram STRINGS, then hashed — identical to the exploded path and the
+    DuckDB oracle formula)."""
+    arr = F.transform(
+        shingles_expr(F.col(text_col), shingle_n), lambda s: hash64(s)
+    )
+    # Two-step select so CollapseProject doesn't duplicate the (expensive)
+    # shingle transform into the size() expression.
+    return df.select(F.col(id_col), arr.alias("sh_arr")).select(
+        id_col, "sh_arr", F.size("sh_arr").alias("n_sh")
+    )
+
+
+def minhash_sig_cols(arr: Column, num_perms: int = 64) -> list[Column]:
+    """mh0..mh{k-1} as PER-ROW expressions over a shingle-hash array: each
+    signature slot is ``array_min(transform(arr, s -> (a*(s mod p)+b) mod
+    p))``. Bit-identical to minhash_signatures' aggregate form (min over the
+    same value set) but needs NO explode, NO groupBy and NO Exchange — the
+    signature is computed map-side inside one codegen stage, which is the
+    shape that survives 100 TB (signature cost scales with data, shuffle
+    cost stays zero)."""
+    def _perm(a: int, b: int):
+        # closure factory, NOT lambda-with-default-args: PySpark counts a
+        # Python lambda's parameters (defaults included) to pick the HOF
+        # arity, so `lambda s, a=a, b=b` would request a 3-arg transform.
+        return lambda s: (F.lit(a) * (s % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
+    cols = []
+    for i in range(num_perms):
+        a, b = perm_coeffs(i)
+        cols.append(F.array_min(F.transform(arr, _perm(a, b))).alias(f"mh{i}"))
+    return cols
+
+
+def jaccard_pairs_from_arrays(
+    pairs: DataFrame, per_doc: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs from per-doc hash
+    arrays: two id-equi joins (the candidate side is O(dups) and broadcasts
+    at any realistic dup rate) and one ``array_intersect`` per pair — no
+    exploded shingle relation, no per-pair groupBy. Equal to the exploded
+    join-count form absent 60-bit collisions (arrays hold hashes of
+    DISTINCT shingle strings, so intersect-then-size == join-then-count)."""
+    a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("__a"), F.col("n_sh").alias("__na")
+    )
+    b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("sh_arr").alias("__b"), F.col("n_sh").alias("__nb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__ni", F.size(F.array_intersect("__a", "__b")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))).alias("jaccard"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): classic sign-of-weighted-bit-sums fingerprint over
     token hashes. Expressed as `bits` conditional-sum aggregates over one

@@ -16,12 +16,12 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     MINHASH_PRIME,
+    doc_shingle_arrays,
     exact_dedup,
-    explode_shingles,
-    jaccard_verify,
+    jaccard_pairs_from_arrays,
     lsh_bands,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_sig_cols,
     perm_coeffs,
     shingles_expr,
     simhash,
@@ -144,33 +144,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Repartition the (small) doc corpus BEFORE shingling: the source scans
     # are 1-row-group files (serial), and shingling is the CPU-heavy step —
-    # shuffling raw docs is cheap. Hash by doc_id so the signature groupBy
-    # and per-doc verify joins are already co-partitioned. Then materialize
-    # the shingle relation once (localCheckpoint): it feeds the signature
-    # aggregate AND both verification joins — 3 consumers that would
-    # otherwise each recompute the explode.
+    # shuffling raw docs is cheap.
     corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
-    # persist (NOT eager localCheckpoint): a cached InMemoryRelation is
-    # computed once per action even when referenced from several subtrees
-    # (the band self-join + both verification sides), keeps the plan's
-    # outputPartitioning (checkpointing erases it, forcing the signature
-    # groupBy to re-shuffle), and costs zero extra Spark jobs — the whole
-    # pipeline stays one action. Measured at sf0.1: 3.1s vs 3.9s warm and
-    # 4.9s vs 14.4s cold against the two-eager-checkpoint form.
-    sh = explode_shingles(corpus, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
-    # Persist the signature relation too (docs × 65 longs — tiny): the LSH
-    # band self-join otherwise RECOMPUTES the whole 64-min aggregate for
-    # both sides (verified in the executed plan: two Exchange+partial_min
-    # subtrees), and with_size rides the per-doc shingle count on the same
-    # groupBy so verification doesn't re-aggregate the shingle relation.
-    sig = minhash_signatures(
-        corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ARRAY topology (round 6): shingle hashes stay as ONE array row per doc
+    # (doc_shingle_arrays) instead of an exploded relation. The signature is
+    # then a pure per-row projection (array_min over 64 permuted transforms
+    # — zero Exchange, one codegen stage) and verification is an
+    # array_intersect over candidate pairs. vs the exploded form this
+    # removes the signature groupBy shuffle AND both shingle-side
+    # verification joins; the only remaining shuffles are the band
+    # self-join + pair distinct. per_doc persists MEMORY_AND_DISK because
+    # it feeds the signature AND both verification sides.
+    per_doc = doc_shingle_arrays(corpus, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Persist the signature too (docs × 64 longs — tiny): the band
+    # self-join would otherwise re-run the 64 array transforms per side.
+    # Docs with zero shingles (<3 tokens) produced no aggregate row in the
+    # exploded form; filter them for identical semantics.
+    sig = (
+        per_doc.filter(F.col("n_sh") > 0)
+        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify(
-        corpus, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
-    )
+    verified = jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
     return (
         verified.filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -247,7 +246,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = corpus.filter(F.col("doc_id") < TWIN_OFFSET).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + TWIN_OFFSET).alias("id_b")
     )
-    out = jaccard_verify(corpus, pairs, "doc_id", "text")
+    per_doc = doc_shingle_arrays(corpus, "doc_id", "text")
+    out = jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
     return out.select(F.col("id_a").alias("doc_id"), F.round("jaccard", 6).alias("twin_jaccard"))
 
 
@@ -422,14 +422,22 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.reverse(F.col("text"))).alias("text"),
     )
 
-    sh_b = explode_shingles(base.repartition(F.col("doc_id")), "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ARRAY topology (round 6): per-doc shingle-hash arrays + zero-shuffle
+    # per-row signatures; at production scale the corpus side (pd_b +
+    # bands_b) is the precomputed artifact — only the batch side is new
+    # work per increment.
+    pd_b = doc_shingle_arrays(
+        base.repartition(F.col("doc_id")), "doc_id", "text"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pd_n = doc_shingle_arrays(
+        batch.repartition(F.col("doc_id")), "doc_id", "text"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_b = pd_b.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
     )
-    sh_n = explode_shingles(batch.repartition(F.col("doc_id")), "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig_n = pd_n.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
     )
-    sig_b = minhash_signatures(base, "doc_id", "text", num_perms=64, shingles=sh_b, with_size=True)
-    sig_n = minhash_signatures(batch, "doc_id", "text", num_perms=64, shingles=sh_n, with_size=True)
     bands_b = lsh_bands(sig_b, "doc_id")
     bands_n = lsh_bands(sig_n, "doc_id")
     cand = (
@@ -441,16 +449,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "old_id")
         .distinct()
     )
-    sh_all = sh_n.unionByName(sh_b)
-    sizes = sig_n.select("doc_id", "n_sh").unionByName(sig_b.select("doc_id", "n_sh"))
+    pd_all = pd_n.unionByName(pd_b)
     dropped = (
-        jaccard_verify(
-            None,
+        jaccard_pairs_from_arrays(
             cand.select(F.col("old_id").alias("id_a"), F.col("new_id").alias("id_b")),
+            pd_all,
             "doc_id",
-            "text",
-            shingles=sh_all,
-            sizes=sizes,
         )
         .filter(F.col("jaccard") >= 0.5)
         .select(F.col("id_b").alias("new_id"))

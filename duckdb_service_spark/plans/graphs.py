@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 from ..operators.components import connected_components
 from ..operators.dedup import (
     MINHASH_PRIME,
-    explode_shingles,
-    jaccard_verify,
+    doc_shingle_arrays,
+    jaccard_pairs_from_arrays,
     lsh_bands,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_sig_cols,
 )
 from ..session import default_parallelism
 from ..sources import load_tables
@@ -184,19 +184,23 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs all fail verification) stay as 1-doc clusters via the nodes
     relation."""
     corpus = _corpus3(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
+    # ARRAY topology (round 6, operators/dedup.py): per-doc shingle-hash
+    # arrays, zero-shuffle per-row signatures, array_intersect verify.
     # persist (not eager checkpoint) — computed once per action, keeps
     # partitioning, adds no jobs; see plans/dedup.py for the measured delta.
     # The component loop itself still localCheckpoints per round (lineage
     # cutting across iterations is checkpoint's legitimate job).
-    sh = explode_shingles(corpus, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(
-        corpus, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = doc_shingle_arrays(corpus, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = (
+        per_doc.filter(F.col("n_sh") > 0)
+        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     edges = (
-        jaccard_verify(
-            corpus, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
-        )
+        jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
         .filter(F.col("jaccard") >= 0.3)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )

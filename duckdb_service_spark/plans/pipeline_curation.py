@@ -17,11 +17,11 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     MINHASH_PRIME,
-    explode_shingles,
-    jaccard_verify,
+    doc_shingle_arrays,
+    jaccard_pairs_from_arrays,
     lsh_bands,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_sig_cols,
     normalize_text,
     tokens_expr,
 )
@@ -161,21 +161,27 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
     )
 
     # stage 3: near-dup removal (drop higher id of each verified pair).
-    # persist, not eager localCheckpoint: cached relations are computed once
-    # per action even with multiple consumers, keep outputPartitioning, and
-    # add no extra jobs — the whole pipeline runs as ONE action (see
-    # plans/dedup.py for the measured delta).
-    sh = explode_shingles(exact_kept, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
-    # sig persist: the band self-join would otherwise recompute the
-    # 64-min aggregate twice; with_size shares the per-doc shingle count.
-    sig = minhash_signatures(
-        exact_kept, "doc_id", "text", num_perms=64, shingles=sh, with_size=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ARRAY topology (round 6, see operators/dedup.py): shingle hashes stay
+    # one array row per doc, the 64-slot signature is a zero-shuffle
+    # projection (array_min over permuted transforms), verification is an
+    # array_intersect over candidate pairs — removes the signature groupBy
+    # Exchange and both exploded-shingle verification joins. persist, not
+    # eager localCheckpoint: cached relations are computed once per action
+    # even with multiple consumers, keep outputPartitioning, and add no
+    # extra jobs — the whole pipeline runs as ONE action.
+    per_doc = doc_shingle_arrays(exact_kept, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # sig persist: the band self-join would otherwise re-run the 64 array
+    # transforms per side.
+    sig = (
+        per_doc.filter(F.col("n_sh") > 0)
+        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     dup_ids = (
-        jaccard_verify(
-            exact_kept, pairs, "doc_id", "text", shingles=sh, sizes=sig.select("doc_id", "n_sh")
-        )
+        jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
         .filter(F.col("jaccard") >= JACCARD_CUT)
         .select(F.col("id_b").alias("drop_id"))
         .distinct()

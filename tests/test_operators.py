@@ -83,6 +83,58 @@ def test_minhash_finds_twins(spark, sf_dir):
     assert all(r.jaccard >= 0.3 for r in pairs)
 
 
+def test_array_minhash_equals_exploded_form(spark, sf_dir):
+    """The round-6 array topology (doc_shingle_arrays + minhash_sig_cols +
+    jaccard_pairs_from_arrays) must be value-identical to the original
+    exploded form (explode_shingles + minhash_signatures + jaccard_verify)
+    — same minima over the same shingle-hash sets, same Jaccard — and the
+    signature projection must contain NO Exchange (the whole point: the
+    signature is map-side work at any scale)."""
+    from duckdb_service_spark.operators.dedup import (
+        doc_shingle_arrays,
+        explode_shingles,
+        jaccard_pairs_from_arrays,
+        jaccard_verify,
+        minhash_sig_cols,
+        minhash_signatures,
+    )
+    from duckdb_service_spark.sources import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text").limit(200)
+    per_doc = doc_shingle_arrays(docs, "doc_id", "text")
+    sig_arr = per_doc.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=8)
+    )
+    sig_exp = minhash_signatures(docs, "doc_id", "text", num_perms=8)
+    a = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in sig_arr.collect()}
+    b = {r.doc_id: tuple(r[i] for i in range(1, 9)) for r in sig_exp.collect()}
+    assert a == b and len(a) > 0
+
+    ids = sorted(a)[:50]
+    pairs = spark.createDataFrame(
+        [(x, y) for x, y in zip(ids[:25], ids[25:])], "id_a long, id_b long"
+    )
+    j_arr = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs_from_arrays(pairs, per_doc, "doc_id").collect()
+    }
+    j_exp = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_verify(docs, pairs, "doc_id", "text").collect()
+    }
+    # exploded form drops zero-intersection pairs (inner join); compare on
+    # its domain and require the array form to cover it
+    assert j_exp and all(j_arr.get(k) == v for k, v in j_exp.items())
+
+    # the test's limit(200) adds a SinglePartition exchange of its own;
+    # what matters is that the SIGNATURE adds no hash-partitioned shuffle
+    # and no aggregate — it is a pure projection
+    plan = sig_arr._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "HashAggregate" not in plan, (
+        f"array signature should be a shuffle-free projection:\n{plan}"
+    )
+
+
 def test_simhash_twin_distance(spark, sf_dir):
     from duckdb_service_spark.plans import QUERIES, load_all
 
