@@ -756,64 +756,69 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blurbs), reassemble the surviving chunks in order, and flag docs that
     keep >= half their content.
 
-    100 TB design: one explode of the corpus into chunks; the boilerplate
-    frequency count is a map-side-combinable groupBy on a 64-bit hash (not
-    the chunk string — shuffle carries 8 bytes/chunk, not the text); the
-    boilerplate set is the head of the chunk-frequency Zipf (tiny vs corpus)
-    so the removal join broadcasts; reassembly is one shuffle keyed by
-    doc_id. Nothing all-pairs, nothing driver-side.
+    100 TB design (round-6 array form): the chunk + 64-bit hash arrays are
+    computed ONCE per doc and persisted; the boilerplate frequency count
+    explodes per-doc-DISTINCT hashes only (a plain map-side-combinable
+    count — 8 bytes/chunk through the shuffle, never the text); the
+    boilerplate set is the head of the chunk-frequency Zipf so the removal
+    anti-join broadcasts; reassembly ships only kept chunk INDICES (ints)
+    back through the doc_id shuffle and rebuilds cleaned_text per-row from
+    the persisted chunk array — document text never enters a shuffle or a
+    collect_list. Nothing all-pairs, nothing driver-side.
 
     Reference parity: reference has no pipeline ops at all (serves SQL via
     linked DuckDB, db/db.go:67-117); this is part of the LLM-curation
     extension surface."""
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
     cs, md = _LD_CHUNK, _LD_MIN_DOCS
     toks = _docs_parallel(t).select(
         "doc_id", "lang", tokens_expr(F.col("text")).alias("t")
     )
-    chunked = toks.select(
-        "doc_id",
-        "lang",
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(t)/{cs}.0) as int) - 1),"
-            f" i -> array_join(slice(t, i*{cs}+1, {cs}), ' '))"
-        ).alias("chunks"),
+    chunked = (
+        toks.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t)/{cs}.0) as int) - 1),"
+                f" i -> array_join(slice(t, i*{cs}+1, {cs}), ' '))"
+            ).alias("chunks"),
+        )
+        .withColumn("h_arr", F.transform("chunks", lambda c: hash64(c)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    totals = chunked.select(
-        "doc_id", "lang", F.size("chunks").cast("long").alias("n_chunks")
-    )
-    ch = chunked.select(
-        "doc_id", "lang", F.posexplode("chunks").alias("chunk_idx", "chunk")
-    ).withColumn("h", hash64(F.col("chunk")))
+    # count(*) over per-doc-distinct hashes == count(DISTINCT doc_id) over
+    # all chunk instances, but gets map-side partial aggregation
     boiler = (
-        ch.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        chunked.select(F.explode(F.array_distinct("h_arr")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
         .filter(F.col("ndocs") >= md)
         .select("h")
     )
-    kept = (
-        ch.join(F.broadcast(boiler), "h", "left_anti")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("kept_chunks"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
+    slim = chunked.select("doc_id", F.posexplode("h_arr").alias("chunk_idx", "h"))
+    kept_idx = (
+        slim.join(F.broadcast(boiler), "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kidx"))
     )
-    return totals.join(kept.drop("lang"), "doc_id", "left").select(
+    n_kept = F.when(F.col("kidx").isNull(), F.lit(0)).otherwise(F.size("kidx"))
+    return chunked.join(kept_idx, "doc_id", "left").select(
         "doc_id",
         "lang",
-        "n_chunks",
-        F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
-        (F.col("n_chunks") - F.coalesce("kept_chunks", F.lit(0))).alias("removed_chunks"),
-        F.round(
-            F.coalesce("kept_chunks", F.lit(0)) / F.col("n_chunks").cast("double"), 4
-        ).alias("kept_ratio"),
-        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        (F.coalesce("kept_chunks", F.lit(0)) * 2 >= F.col("n_chunks")).alias("keep"),
+        F.size("chunks").cast("long").alias("n_chunks"),
+        n_kept.cast("long").alias("kept_chunks"),
+        (F.size("chunks") - n_kept).cast("long").alias("removed_chunks"),
+        F.round(n_kept / F.size("chunks").cast("double"), 4).alias("kept_ratio"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    "kidx", lambda i: F.element_at(F.col("chunks"), i + F.lit(1))
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+        (n_kept * 2 >= F.size("chunks")).alias("keep"),
     )
