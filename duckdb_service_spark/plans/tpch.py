@@ -872,12 +872,37 @@ _PARTSUPP_CTE = """partsupp AS (
     )"""
 
 
-def _partsupp(t: dict) -> DataFrame:
-    """Derived partsupp — Spark twin of _PARTSUPP_CTE (same formula)."""
+def _partsupp(
+    t: dict,
+    part_keys: DataFrame | None = None,
+    supp_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Derived partsupp — Spark twin of _PARTSUPP_CTE (same formula).
+
+    ``part_keys`` / ``supp_keys`` (single-column DataFrames) semi-prune the
+    pair relation BEFORE the distinct: the pair-distinct is the expensive
+    step (a fact-wide shuffle where nearly every pair is unique), and each
+    query's own dimension filter bounds which partsupp rows it can use —
+    pruning first makes the distinct's shuffle proportional to the
+    SURVIVING pairs, which is exactly the partition/DPP pruning a real
+    partsupp table would get from the same filter. Results are identical:
+    rows outside the key set cannot survive the query's later join."""
+    src = t["lineitem"].select("l_partkey", "l_suppkey")
+    if part_keys is not None:
+        src = src.join(
+            part_keys.select(F.col(part_keys.columns[0]).alias("__prune_pk")),
+            F.col("l_partkey") == F.col("__prune_pk"),
+            "left_semi",
+        )
+    if supp_keys is not None:
+        src = src.join(
+            supp_keys.select(F.col(supp_keys.columns[0]).alias("__prune_sk")),
+            F.col("l_suppkey") == F.col("__prune_sk"),
+            "left_semi",
+        )
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")
     return (
-        t["lineitem"]
-        .select("l_partkey", "l_suppkey")
+        src
         .distinct()
         .select(
             pk.alias("ps_partkey"),
@@ -931,7 +956,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_brand substitutes in the projection; BRASS-type LIKE becomes the
     in-domain equality p_type = 'LARGE'; the size range keeps the result set non-trivial on the reduced fixture.)"""
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t)
     eu_nations = (
         t["nation"]
         .join(
@@ -943,6 +967,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_supp = t["supplier"].join(
         F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    # EU-supplier semi prune before the pair-distinct (~1/5 survives)
+    ps = _partsupp(t, supp_keys=eu_supp.select("s_suppkey"))
     europe = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey).select(
         "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name"
     )
@@ -1010,8 +1036,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation broadcasts. Decimal-stable profit sum (order-independent
     across 1000 executors)."""
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t)
     p = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    # promoted-part semi prune before the pair-distinct (~1/25 survives)
+    ps = _partsupp(t, part_keys=p)
     l = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey"))
     l = l.join(
         ps,
@@ -1071,11 +1098,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (no second scan). Exact-unit sums so the > threshold
     comparison is bit-identical cross-engine."""
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t)
     nsupp = t["supplier"].join(
         F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
+    # one-nation semi prune before the pair-distinct (~1/25 survives)
+    ps = _partsupp(t, supp_keys=nsupp)
     g = ps.join(nsupp, ps.ps_suppkey == F.col("s_suppkey")).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
@@ -1120,13 +1148,14 @@ def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a two-phase agg (partial distinct within the bucket's partitions,
     then final) — no row explosion at scale."""
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t)
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     p = t["part"].filter(
         (F.col("p_brand") != "Brand#4")
         & (F.col("p_type") != "MEDIUM")
         & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
     )
+    # surviving-part semi prune before the pair-distinct
+    ps = _partsupp(t, part_keys=p.select("p_partkey"))
     return (
         ps.join(F.broadcast(bad), ps.ps_suppkey == F.col("s_suppkey"), "left_anti")
         .join(p, F.col("ps_partkey") == F.col("p_partkey"))
@@ -1179,8 +1208,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast nation/region). Everything above the fact agg is
     dimension-sized."""
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t)
     promo = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    # promoted-part semi prune moved INTO the derivation (before the
+    # pair-distinct); the surplus chain below keeps its own semi shape
+    ps = _partsupp(t, part_keys=promo)
     qty = (
         t["lineitem"]
         .filter(
