@@ -49,12 +49,22 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # The driver's correctness run covers the FIRST 50 queries in registration
 # order. Round-6 rotation: (a) every query new or changed in round 6, then
 # (b) the stalest r01-era rows, then (c) r02-era rows on the most-churned
-# code paths. 10 + 21 + 20 = 51; the driver checks the first 50. The ~24
+# code paths. 6 + 10 + 21 + 20 = 57; the driver checks the first 50. The ~31
 # remaining r02-era rows (relational
 # misc, similarity, text/stream singles, the r05-checked TPC-H suite) are
 # green on the local exact harness (tools/diffcheck.py, all registered
 # queries on HEAD) and rotate in next round.
 PRIORITY: list[str] = [
+    # (a0) new or re-planned late in round 6: the two new curation
+    # operators, and the queries whose execution topology changed (array
+    # MinHash, index-only line dedup, prune-first partsupp) — their last
+    # driver-green rows predate the rewrite
+    "text_gopher_rules",
+    "text_unigram_fc_buckets",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "dedup_cluster_components",
+    "pipeline_corpus_curation",
     # (a) new or changed in round 6: the five partsupp TPC-H queries, the
     # multi-aggregate/multi-column PIVOT compile (sql_pivot_routing shares
     # the changed code path), min/max frame EXCLUDE, gcd/lcm/hamming

@@ -822,3 +822,178 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cleaned_text"),
         (n_kept * 2 >= F.size("chunks")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Appendix A) — the published heuristic document filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_REQ_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_oracle() -> str:
+    req = ", ".join(f"'{w}'" for w in _GOPHER_REQ_WORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_words,
+        round(CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum') AS DOUBLE)
+              / greatest(len(t), 1), 4) AS mean_word_len,
+        round(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+              / greatest(len(t), 1), 6) AS alpha_ratio,
+        CAST(len(list_intersect(t, [{req}])) AS INTEGER) AS n_req_stopwords,
+        round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+               + (length(text) - length(replace(text, '...', ''))) / 3)
+              / greatest(len(t), 1), 6) AS symbol_ratio
+      FROM base
+    )
+    SELECT *,
+      n_words BETWEEN 50 AND 100000                 AS ok_word_count,
+      mean_word_len BETWEEN 3 AND 10                AS ok_mean_len,
+      alpha_ratio >= 0.8                            AS ok_alpha,
+      n_req_stopwords >= 2                          AS ok_stopwords,
+      symbol_ratio <= 0.1                           AS ok_symbols,
+      (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        AND alpha_ratio >= 0.8 AND n_req_stopwords >= 2 AND symbol_ratio <= 0.1
+                                                    AS gopher_pass
+    FROM feats
+    """
+
+
+@query("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule document filter (Rae et al. 2021, Appendix A):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    required-stopword presence, symbol(#/ellipsis)-to-word ratio — each
+    rule emitted as a flag plus the conjunctive gopher_pass.
+
+    100 TB design: every feature is a per-row column expression over the
+    token array (whole-stage codegen, zero shuffle, zero UDF) — the filter
+    is map-side and composes in front of any dedup/mix stage for free."""
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t)
+    toks = tokens_expr(F.col("text"))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = F.round(sum_len.cast("double") / F.greatest(n_words, F.lit(1)), 4)
+    alpha = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    req = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _GOPHER_REQ_WORDS]))
+    )
+    hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ellipses = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol = F.round(
+        (hashes.cast("double") + ellipses) / F.greatest(n_words, F.lit(1)), 6
+    )
+    out = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_ratio"),
+        req.cast("int").alias("n_req_stopwords"),
+        symbol.alias("symbol_ratio"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_ml = F.col("mean_word_len").between(3, 10)
+    ok_al = F.col("alpha_ratio") >= 0.8
+    ok_sw = F.col("n_req_stopwords") >= 2
+    ok_sy = F.col("symbol_ratio") <= 0.1
+    return out.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_al.alias("ok_alpha"),
+        ok_sw.alias("ok_stopwords"),
+        ok_sy.alias("ok_symbols"),
+        (ok_wc & ok_ml & ok_al & ok_sw & ok_sy).alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram frequency-class scoring — the integer-exact stand-in for CCNet's
+# LM-perplexity bucketing (Wenzek et al. 2020): score docs by how rare
+# their tokens are under the corpus's own unigram distribution, bucket
+# into head/middle/tail
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_unigram_fc_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    cnts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    scored AS (
+      SELECT t.doc_id, length(bin(c.cnt)) AS fc
+      FROM toks t JOIN cnts c ON t.w = c.w
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             count(*)                          AS n_tok,
+             CAST(SUM(fc) AS BIGINT)           AS sum_fc,
+             round(CAST(SUM(fc) AS DOUBLE) / count(*), 6) AS avg_fc,
+             round(CAST(SUM(CASE WHEN fc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6)              AS rare_ratio
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, sum_fc, avg_fc, rare_ratio,
+           ntile(3) OVER (ORDER BY avg_fc DESC, doc_id) AS bucket
+    FROM per_doc
+    """,
+)
+def text_unigram_fc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing without the external LM: per-token
+    frequency class fc = floor(log2(corpus_count)) + 1, computed EXACTLY as
+    length(bin(cnt)) (integer in both engines — no float log at all), then
+    per-doc average and an ntile(3) head/middle/tail split (bucket 1 =
+    common-token docs, 3 = rare-token docs).
+
+    100 TB design: one token explode feeds a map-side-combinable unigram
+    count (the shuffle carries words once per map partition, not per
+    occurrence); the count relation is Zipf-headed and broadcasts back onto
+    the exploded tokens (AQE picks broadcast from real stats — at web scale
+    you'd cap the vocabulary the same way CCNet's SentencePiece does); the
+    per-doc aggregate is one doc_id shuffle of three ints. The integer
+    frequency class keeps the score bit-identical across engines and across
+    any execution order — no float-accumulation drift at 1000 executors.
+
+    Reference parity: extension surface (reference serves SQL only,
+    db/db.go:67-117). Published basis: Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = _docs_parallel(t).select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("w")
+    )
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = toks.join(cnts, "w").select(
+        "doc_id", F.length(F.bin("cnt")).alias("fc")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("fc").cast("bigint").alias("sum_fc"),
+        F.round(F.sum("fc").cast("double") / F.count(F.lit(1)), 6).alias("avg_fc"),
+        F.round(
+            F.sum(F.when(F.col("fc") <= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rare_ratio"),
+    )
+    w = Window.orderBy(F.col("avg_fc").desc(), "doc_id")
+    return per_doc.select("*", F.ntile(3).over(w).alias("bucket"))
