@@ -997,3 +997,71 @@ def text_unigram_fc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("avg_fc").desc(), "doc_id")
     return per_doc.select("*", F.ntile(3).over(w).alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic two-level corpus statistic
+# (Sparck Jones 1972), the standard keyword-extraction primitive
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    100 TB design: term frequency is one map-side-combinable groupBy on
+    (doc_id, term); document frequency derives FROM the tf relation (it is
+    already distinct doc-term, so df is a second combinable groupBy — the
+    raw token stream is shuffled exactly once); the df table is the Zipf
+    vocabulary, broadcast back onto tf; the top-5 cut is a per-doc window
+    after one doc_id exchange. Float use is confined to the final
+    tf·ln(N/df), rounded to 1e-6, with every input an exact integer — both
+    engines compute ln on identical doubles."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = _docs_parallel(t)
+    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
