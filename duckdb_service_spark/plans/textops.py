@@ -972,10 +972,17 @@ def text_unigram_fc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency class keeps the score bit-identical across engines and across
     any execution order — no float-accumulation drift at 1000 executors.
 
+    The head/middle/tail split is a GLOBAL ranking — the naive
+    ``ntile(3) OVER (ORDER BY ...)`` plans a single-partition window (the
+    100 TB scale-killer), so the bucket is computed instead from a
+    two-phase range-partitioned global row number (operators/prefix) plus
+    the closed-form ntile arithmetic on (row_number, N) — bit-identical to
+    DuckDB's ntile, never funnelling rows through one task.
+
     Reference parity: extension surface (reference serves SQL only,
     db/db.go:67-117). Published basis: Wenzek et al., "CCNet: Extracting
     High Quality Monolingual Datasets from Web Crawl Data", LREC 2020."""
-    from pyspark.sql import Window
+    from ..operators.prefix import prefix_sum
 
     t = load_tables(spark, sf_dir)
     toks = _docs_parallel(t).select(
@@ -995,8 +1002,27 @@ def text_unigram_fc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rare_ratio"),
     )
-    w = Window.orderBy(F.col("avg_fc").desc(), "doc_id")
-    return per_doc.select("*", F.ntile(3).over(w).alias("bucket"))
+    ranked = prefix_sum(
+        per_doc, [F.col("avg_fc").desc(), F.col("doc_id")], F.lit(1), "__rn"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    rn, n, k = F.col("__rn"), F.col("__n"), F.lit(3)
+    base, rem = F.floor(n / k), n % k
+    # exact ntile semantics: the first (N mod k) buckets hold ceil(N/k) rows
+    bucket = F.when(
+        rn <= rem * (base + 1), F.floor((rn + base) / (base + 1))
+    ).otherwise(rem + F.floor((rn - rem * (base + 1) + base - 1) / base))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_fc",
+            "avg_fc",
+            "rare_ratio",
+            bucket.cast("long").alias("bucket"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
