@@ -507,3 +507,33 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried-forward, the canonical time-series idiom). Verbatim oracle."""
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_IGNORE_NULLS_SQL))
+
+
+_WIN_DISTINCT_SQL = """
+SELECT o_orderkey,
+       CAST(count(DISTINCT o_orderstatus)
+            OVER (PARTITION BY o_orderpriority) AS BIGINT)       AS n_statuses,
+       CAST(sum(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                                                 AS run_distinct_cents,
+       round(CAST(avg(DISTINCT CAST(ROUND(o_totalprice) AS BIGINT))
+             OVER (PARTITION BY o_orderpriority) AS DOUBLE), 6)  AS avg_distinct_price,
+       CAST(min(DISTINCT o_custkey)
+            OVER (PARTITION BY o_orderpriority) AS BIGINT)       AS min_cust
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@query("win_distinct_agg", oracle=_WIN_DISTINCT_SQL)
+def win_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates as WINDOW functions (count/sum/avg/min DISTINCT
+    ... OVER) — DuckDB surface Spark's grammar rejects; the dialect rewrites
+    them over the per-frame distinct set (collect_set): size() for count,
+    a NULL-seeded aggregate() fold for sum/avg, plain min/max for the
+    no-op DISTINCTs. The query keeps summed values integer-scaled so the
+    fold is order-independent (collect_set has no defined order — float
+    inputs would drift in the last ulp). Verbatim DuckDB SQL as oracle."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_WIN_DISTINCT_SQL))

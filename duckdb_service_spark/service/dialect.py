@@ -1137,6 +1137,72 @@ def _rewrite_ignore_nulls(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
+_WIN_DISTINCT_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(\s*DISTINCT\b", re.IGNORECASE)
+
+
+def _rewrite_window_distinct(sql: str) -> str:
+    """DuckDB allows DISTINCT aggregates as window functions
+    (``count(DISTINCT x) OVER (...)``); Spark's grammar rejects them.
+    Rewrite over the per-frame distinct set:
+
+      count(DISTINCT x) OVER w -> size(collect_set(x) OVER w)
+      sum(DISTINCT x)   OVER w -> aggregate(collect_set(x) OVER w,
+                                            CAST(NULL AS DOUBLE),
+                                            (a, v) -> coalesce(a, 0D) + v)
+      avg(DISTINCT x)   OVER w -> sum-form / size-form
+      min/max(DISTINCT) OVER w -> DISTINCT dropped (identical semantics)
+
+    collect_set skips NULLs exactly as DISTINCT aggregation does, and the
+    NULL seed makes an all-NULL/empty frame yield NULL like SQL sum/avg.
+    Numeric results ride DOUBLE (documented divergence from DuckDB's
+    HUGEINT for integer sums — same trade as the stats family). Non-window
+    DISTINCT aggregates (no OVER) are left for Spark, which supports them
+    natively."""
+    while True:
+        replaced = False
+        # literal spans (recomputed per pass — offsets shift on rewrite);
+        # a match starting inside a string literal must not be rewritten
+        lit_spans, pos = [], 0
+        for is_lit, chunk in _split_literals(sql):
+            if is_lit:
+                lit_spans.append((pos, pos + len(chunk)))
+            pos += len(chunk)
+        for m in _WIN_DISTINCT_RE.finditer(sql):
+            if any(a <= m.start() < b for a, b in lit_spans):
+                continue
+            open_at = sql.index("(", m.end(1))
+            close = _scan_balanced(sql, open_at, "(", ")")
+            if close == -1:
+                break
+            om = re.match(r"\s*OVER\s*\(", sql[close:], re.IGNORECASE)
+            if not om:
+                continue  # plain DISTINCT aggregate — Spark handles it
+            spec_open = close + om.end() - 1
+            spec_close = _scan_balanced(sql, spec_open, "(", ")")
+            if spec_close == -1:
+                break
+            fname = m.group(1).lower()
+            inner = sql[open_at + 1 : close - 1]
+            expr = re.sub(r"^\s*DISTINCT\b", "", inner, flags=re.IGNORECASE).strip()
+            spec = sql[spec_open + 1 : spec_close - 1]
+            cs = f"collect_set({expr}) OVER ({spec})"
+            if fname == "count":
+                repl = f"size({cs})"
+            elif fname in ("min", "max"):
+                repl = f"{fname}({expr}) OVER ({spec})"
+            else:
+                ssum = (
+                    f"aggregate({cs}, CAST(NULL AS DOUBLE),"
+                    f" (__a, __v) -> coalesce(__a, 0D) + __v)"
+                )
+                repl = ssum if fname == "sum" else f"({ssum} / size({cs}))"
+            sql = sql[: m.start()] + repl + sql[spec_close:]
+            replaced = True
+            break
+        if not replaced:
+            return sql
+
+
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
     avg} into subtraction form. Other aggregates (min/max/rank/...) can't
@@ -1312,6 +1378,7 @@ def translate(sql: str) -> str:
         r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
     )
     sql = _rewrite_ignore_nulls(sql)
+    sql = _rewrite_window_distinct(sql)
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)

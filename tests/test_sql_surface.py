@@ -622,3 +622,36 @@ def test_gcd_lcm_hamming(spark):
     for bad in ("hamming('ab', 'abc')", "hamming('', '')"):
         with _pytest.raises(Exception, match="Mismatch Function"):
             spark.sql(translate(f"SELECT {bad} AS x")).collect()
+
+
+def test_window_distinct_rewrite_edges(spark):
+    """count/sum/avg(DISTINCT) OVER rewrite: nested call args, literals
+    containing the keyword, and plain (non-window) DISTINCT aggregates."""
+    from duckdb_service_spark.service.dialect import translate
+
+    spark.range(0, 10).selectExpr(
+        "id", "id % 3 AS g", "CAST(id % 4 AS BIGINT) AS v"
+    ).createOrReplaceTempView("t_wd")
+    rows = spark.sql(translate(
+        "SELECT g, count(DISTINCT coalesce(v, 0)) OVER (PARTITION BY g) AS n "
+        "FROM t_wd ORDER BY g, n"
+    )).collect()
+    # g=0: ids 0,3,6,9 -> v 0,3,2,1 -> 4 distinct; g=1: 1,4,7 -> 1,0,3 -> 3
+    assert {(r.g, r.n) for r in rows} == {(0, 4), (1, 3), (2, 3)}
+    row = spark.sql(translate(
+        "SELECT sum(DISTINCT v) OVER () AS s, avg(DISTINCT v) OVER () AS a, "
+        "min(DISTINCT v) OVER () AS m FROM t_wd LIMIT 1"
+    )).collect()[0]
+    assert (row.s, row.a, row.m) == (6.0, 1.5, 0)
+    # empty-after-NULL-skip frame yields NULL, like SQL sum
+    row = spark.sql(translate(
+        "SELECT sum(DISTINCT CAST(NULL AS BIGINT)) OVER () AS s FROM t_wd LIMIT 1"
+    )).collect()[0]
+    assert row.s is None
+    # plain DISTINCT aggregate (no OVER) must be left untouched
+    out = translate("SELECT count(DISTINCT v) AS n FROM t_wd")
+    assert "collect_set" not in out
+    assert spark.sql(out).collect()[0].n == 4
+    # a string literal containing 'DISTINCT (' must not be rewritten
+    out2 = translate("SELECT 'count(DISTINCT x) OVER (w)' AS s")
+    assert spark.sql(out2).collect()[0].s == "count(DISTINCT x) OVER (w)"
