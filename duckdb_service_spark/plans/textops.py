@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.portable import hash64, hash64_sql
-from ..operators.dedup import explode_shingles, ngrams_expr, tokens_expr
+from ..operators.dedup import explode_shingles, ngrams_expr, normalize_text, tokens_expr
 from ..operators.text import (
     PII_PATTERNS,
     STOPWORDS,
@@ -1090,4 +1090,143 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-mix assembly pipeline: quality -> exact dedup ->
+# uniform-target source weights -> deterministic hash-bucket downsampling ->
+# per-source accounting (the data-mix half of a training-data build, as ONE
+# oracle-checked declarative plan; pipeline_corpus_curation is the other)
+# ---------------------------------------------------------------------------
+
+_MIX_MIN_TOKENS = 30
+_MIX_SEQ_LEN = 512
+
+
+@query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok, text
+      FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= {_MIX_MIN_TOKENS}
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      FROM deduped GROUP BY source
+    ),
+    tot AS (SELECT SUM(src_tokens) AS all_tokens, COUNT(*) AS n_sources FROM src),
+    weighted AS (
+      SELECT s.source, s.n_docs, s.src_tokens,
+             least(1.0, (CAST(t.all_tokens AS DOUBLE) / t.n_sources) / s.src_tokens)
+               AS keep_rate,
+             CAST(floor(least(1.0, (CAST(t.all_tokens AS DOUBLE) / t.n_sources)
+                                   / s.src_tokens) * 1000000) AS BIGINT) AS thr
+      FROM src s CROSS JOIN tot t
+    ),
+    kept AS (
+      SELECT d.source, d.n_tok
+      FROM deduped d JOIN weighted w ON d.source = w.source
+      WHERE {hash64_sql("CAST(d.doc_id AS VARCHAR)")} % 1000000 < w.thr
+    )
+    SELECT w.source, w.n_docs, w.src_tokens,
+           round(w.keep_rate, 6)                          AS keep_rate,
+           COUNT(k.n_tok)                                 AS n_kept,
+           CAST(coalesce(SUM(k.n_tok), 0) AS BIGINT)      AS tokens_kept,
+           CAST(coalesce(SUM(CAST(ceil(CAST(k.n_tok AS DOUBLE) / {_MIX_SEQ_LEN})
+                                  AS BIGINT)), 0) AS BIGINT) AS n_sequences
+    FROM weighted w LEFT JOIN kept k ON w.source = k.source
+    GROUP BY w.source, w.n_docs, w.src_tokens, w.keep_rate
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: quality filter -> exact dedup -> uniform-
+    target per-source resample rates -> deterministic hash-bucket
+    downsampling -> per-source accounting (docs/tokens kept, packed
+    {_MIX_SEQ_LEN}-token sequence count).
+
+    100 TB design: quality is a map-side filter; dedup is the min_by hash
+    aggregate (one content-hash shuffle, map-side partials); the source
+    weight table is sources-sized and BROADCASTS onto the corpus, so
+    sampling is a map-side filter against a per-source integer threshold —
+    hash-bucket, not rand(), so the mix is reproducible across retries and
+    partitionings; the final accounting is one groupBy(source). The only
+    corpus-wide shuffles are the dedup hash and the last accounting
+    groupBy. The float keep_rate is floored to an integer threshold in
+    BOTH engines, so the kept set is bit-identical — no float comparison
+    decides membership."""
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "source", "text")
+    quality = d.withColumn("n_tok", F.size(tokens_expr(F.col("text")))).filter(
+        F.col("n_tok") >= _MIX_MIN_TOKENS
+    )
+    deduped = (
+        quality.groupBy(F.md5(normalize_text(F.col("text"))).alias("__h"))
+        .agg(
+            F.min_by(F.struct("doc_id", "source", "n_tok"), F.col("doc_id")).alias(
+                "__row"
+            )
+        )
+        .select("__row.*")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("src_tokens"),
+    )
+    tot = src.agg(
+        F.sum("src_tokens").alias("all_tokens"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("all_tokens").cast("double") / F.col("n_sources")) / F.col("src_tokens"),
+    )
+    weighted = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        rate.alias("keep_rate"),
+        F.floor(rate * 1000000).cast("bigint").alias("thr"),
+    )
+    kept = (
+        deduped.join(F.broadcast(weighted.select("source", "thr")), "source")
+        .filter(hash64(F.col("doc_id").cast("string")) % 1000000 < F.col("thr"))
+        .select("source", "n_tok")
+    )
+    return (
+        weighted.join(kept, "source", "left")
+        .groupBy("source", "n_docs", "src_tokens", "keep_rate")
+        .agg(
+            F.count("n_tok").alias("n_kept"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.coalesce(
+                F.sum(
+                    F.ceil(F.col("n_tok").cast("double") / _MIX_SEQ_LEN).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_sequences"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_kept",
+            "tokens_kept",
+            "n_sequences",
+        )
     )
