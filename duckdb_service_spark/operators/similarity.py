@@ -204,3 +204,163 @@ def lsh_bucket_np(df: DataFrame, id_col: str, vec_col: str, n_planes: int = N_PL
             )
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split each vector into M
+# subvectors, learn a small per-subspace codebook, encode the corpus as M
+# small codes, and answer queries by Asymmetric Distance Computation (ADC)
+# — table lookups instead of full-vector arithmetic.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                 # subspaces
+PQ_K = 16                # codes per subspace
+PQ_SUB = DIM // PQ_M     # dims per subspace
+
+
+def pq_subvectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, s, sub): M rows per vector, each an 8-dim double subarray.
+    Pure expressions — the split is map-side everywhere it is used."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    subs = F.array(
+        *[F.slice(v, s * PQ_SUB + 1, PQ_SUB) for s in range(PQ_M)]
+    )
+    return df.select(F.col(id_col), F.posexplode(subs).alias("s", "sub"))
+
+
+def _l2sq(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _assign_codes(sv: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per (id, s): corpus × broadcast(M*K centroids)
+    is map-side; the argmin is a min_by keyed (distance, code) so ties are
+    deterministic."""
+    return (
+        sv.join(F.broadcast(codebook.select("s", "code", "centroid")), "s")
+        .withColumn("__d", _l2sq(F.col("sub"), F.col("centroid")))
+        .groupBy(id_col, "s")
+        .agg(
+            F.min_by("code", F.struct("__d", "code")).alias("code"),
+            F.first("sub").alias("sub"),  # identical across the group
+        )
+    )
+
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic PQ codebook: init = subvectors of the K lowest-id
+    vectors, then ONE distributed Lloyd refinement (assign via broadcast
+    argmin, re-center via posexplode decimal-exact means — vectors are
+    never collected). At 100 TB you'd train on a fixed hash-bucket sample;
+    the topology is identical. Returns (s, code, centroid, cnorm2)."""
+    sv = pq_subvectors(df, id_col, vec_col)
+    ids = [r[0] for r in df.select(id_col).orderBy(id_col).limit(PQ_K).collect()]
+    init = (
+        sv.filter(F.col(id_col).isin(ids))
+        .join(
+            df.sparkSession.createDataFrame(
+                [(v, c) for c, v in enumerate(sorted(ids))], f"{id_col} long, code int"
+            ),
+            id_col,
+        )
+        .select("s", "code", F.col("sub").alias("centroid"))
+    )
+    assigned = _assign_codes(sv, init, id_col)
+    dims = assigned.select(
+        "s", "code", F.posexplode("sub").alias("i", "v")
+    )
+    means = dims.groupBy("s", "code", "i").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    cb = (
+        means.groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select(
+            "s",
+            "code",
+            F.transform("pairs", lambda p: p.getField("c")).alias("centroid"),
+        )
+    )
+    return cb.withColumn(
+        "cnorm2",
+        F.aggregate(
+            F.transform("centroid", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ),
+    )
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebook: DataFrame) -> DataFrame:
+    """(id, s, code): the M-byte representation of each vector — the only
+    per-vector state the ADC scan needs (the 8x-64x memory cut that lets a
+    100 TB corpus's index live in RAM)."""
+    return _assign_codes(pq_subvectors(df, id_col, vec_col), codebook, id_col).select(
+        id_col, "s", "code"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ADC search: each query precomputes dot(q_sub, centroid) for all M*K
+    codebook entries (a tiny broadcast-sized table), then the corpus codes
+    stream through a broadcast join and a (query, vec) sum — approx cosine
+    = sum(dot) / (|q| * sqrt(sum(cnorm2))). No corpus vector is ever read
+    at query time; the scan touches M ints per vector."""
+    qsub = pq_subvectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "s", F.col("sub").alias("qsub")
+    )
+    qnorm = (
+        qsub.select("query_id", F.explode("qsub").alias("v"))
+        .groupBy("query_id")
+        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"))
+    )
+    dtable = (
+        qsub.join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.aggregate(
+                F.zip_with("qsub", "centroid", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dot"),
+            "cnorm2",
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("dot").alias("adot"), F.sum("cnorm2").alias("rnorm2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("adot")
+                / (F.col("qn") * F.sqrt(F.greatest(F.col("rnorm2"), F.lit(1e-12)))),
+                4,
+            ).alias("approx_cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), "neighbor_id"
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

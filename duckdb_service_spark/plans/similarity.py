@@ -265,3 +265,24 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("q", lambda x: F.abs(x))).alias("q_amax"),
         F.round(recon_err, 6).alias("max_abs_err"),
     )
+
+
+@query("sim_pq_search")  # rows-only: float centroid means are engine-specific
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., TPAMI 2011): deterministic
+    codebook (K lowest-id seeds + one distributed Lloyd step), M=8 x K=16
+    encoding, Asymmetric Distance Computation top-10. The full pipeline —
+    train, encode, search — runs as DataFrame ops with the codebook and the
+    per-query distance table broadcast; corpus vectors are read once at
+    encode time and never at query time. Recall vs the oracle-checked
+    brute-force twin is asserted in tests/test_operators.py."""
+    from pyspark import StorageLevel
+
+    from ..operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    cb = pq_train(e, "vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    codes = pq_encode(e, "vec_id", "embedding", cb)
+    q = e.filter(F.col("vec_id") < 20)
+    return pq_adc_topk(q, codes, cb, "vec_id", "embedding", k=10)

@@ -192,3 +192,33 @@ def test_bruteforce_expr_and_numpy_paths_agree(spark, sf_dir):
     b = {(r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
          for r in brute_force_topk_np(e, q, "vec_id", "embedding", k=5).collect()}
     assert a == b
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC top-10 must recover a meaningful share of true neighbours
+    (M=8 x K=16 on 64-dim near-uniform vectors: coarse, but far above the
+    ~2% random-chance floor), and the reconstruction pipeline must emit
+    exactly M codes per vector from the [0, K) range."""
+    from duckdb_service_spark.operators.similarity import PQ_K, PQ_M, pq_encode, pq_train
+    from duckdb_service_spark.plans import QUERIES, load_all
+    from duckdb_service_spark.sources import load_tables
+
+    load_all()
+    brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    pq = QUERIES["sim_pq_search"](spark, sf_dir).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in pq}
+    qids = {q for q, _ in truth} & {q for q, _ in got}
+    assert qids, "PQ produced no overlapping query ids"
+    truth_q = {(q, n) for q, n in truth if q in qids}
+    overlap = len(truth_q & got) / max(len(truth_q), 1)
+    assert overlap > 0.15, f"PQ recall too low: {overlap:.2%}"
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cb = pq_train(e, "vec_id", "embedding")
+    codes = pq_encode(e.limit(50), "vec_id", "embedding", cb).collect()
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r.vec_id, []).append(r.code)
+        assert 0 <= r.code < PQ_K
+    assert all(len(v) == PQ_M for v in per_vec.values())
