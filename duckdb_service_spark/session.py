@@ -32,6 +32,17 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # TIME type (SURVEY §1.3 edge): feature-flagged in Spark 4.1
     spark.conf.set("spark.sql.timeType.enabled", "true")
+    # Scan-split size. The local fixtures are SINGLE parquet files (10 MB
+    # lineitem), so Spark's 128 MB default plans a ONE-task scan — scan-
+    # bound queries then run serial while 31 cores idle (measured: agg_core
+    # 0.51s -> 0.30s, q1 1.31s -> 1.03s at 2 MB, splits bounded by row
+    # groups). On a real cluster the dataset is thousands of >=128 MB
+    # files; set SPARK_GRAFT_MAX_PARTITION_BYTES=128m there — the env
+    # default only emulates the multi-split scan production data has.
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+    )
     # Match DuckDB's ANSI-ish cast/overflow behaviour is NOT desired here:
     # the oracle comparison needs permissive casts (try_cast semantics are
     # exercised explicitly), so keep ANSI off.
