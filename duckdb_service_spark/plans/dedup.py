@@ -473,3 +473,101 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+                  FROM documents),
+    batch AS (
+      SELECT doc_id + {TWIN_OFFSET} AS doc_id, lang,
+             md5(regexp_replace(trim(lower(CASE WHEN doc_id % 2 = 0 THEN text
+                                               ELSE text || ' fresh {TWIN_SUFFIX}' END)),
+                 '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    vs_corpus AS (
+      SELECT b.doc_id, b.lang, b.h,
+             EXISTS (SELECT 1 FROM base c WHERE c.h = b.h) AS in_corpus
+      FROM batch b
+    ),
+    first_in_batch AS (
+      SELECT doc_id, lang, in_corpus,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM vs_corpus
+    )
+    SELECT lang,
+           COUNT(*)                                                     AS n_batch,
+           CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)   AS dup_of_corpus,
+           CAST(SUM(CASE WHEN NOT in_corpus AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                        AS dup_within_batch,
+           CAST(SUM(CASE WHEN NOT in_corpus AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                        AS n_new
+    FROM first_in_batch
+    GROUP BY lang
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup — the first tier of the production
+    daily-increment pipeline (dedup_incremental_lsh is the near-dup tier):
+    a new batch (half verbatim corpus copies, half fresh) is classified
+    per-language into corpus-duplicate / within-batch-duplicate / new.
+
+    100 TB design: the corpus side reduces to its content-hash set (at
+    scale a precomputed, bucketed artifact); the batch semi-joins that set
+    on the 128-bit hash — increment cost scales with the BATCH, never the
+    corpus; the within-batch first-copy pick is a min-per-hash aggregate
+    over batch-sized data only. Text never shuffles — hashes do."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    base_h = d.select(
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("h")
+    ).distinct()
+    batch = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        "lang",
+        F.md5(
+            F.regexp_replace(
+                F.trim(
+                    F.lower(
+                        F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+                            F.concat(F.col("text"), F.lit(" fresh " + TWIN_SUFFIX.strip()))
+                        )
+                    )
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("h"),
+    )
+    in_corpus = batch.join(base_h, "h", "left_semi").select("doc_id")
+    tagged = batch.join(
+        in_corpus.withColumn("__in", F.lit(True)), "doc_id", "left"
+    ).withColumn("in_corpus", F.coalesce("__in", F.lit(False)))
+    first = (
+        tagged.filter(~F.col("in_corpus"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    classified = tagged.join(
+        first.select(F.col("first_id").alias("doc_id"), F.lit(True).alias("__first")),
+        "doc_id",
+        "left",
+    )
+    return classified.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).cast("bigint").alias("dup_of_corpus"),
+        F.sum(
+            F.when(~F.col("in_corpus") & F.col("__first").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dup_within_batch"),
+        F.sum(
+            F.when(~F.col("in_corpus") & F.col("__first").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+    )
