@@ -110,3 +110,58 @@ def frame_sample(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def audio_window_energy(
+    df: DataFrame, id_col: str, payload_col: str, window: int = 64
+) -> DataFrame:
+    """Windowed audio energy over a binary payload treated as unsigned
+    8-bit PCM: one row per ``window``-sample window with n_samples, peak,
+    RMS and mean level. Arrow-batched mapInPandas, no shuffle — at scale
+    this is the per-clip feature pass of an audio-curation pipeline.
+
+    REAL IMPLEMENTATION POINT: swap the byte interpretation for a real
+    codec (soundfile/librosa) — the (payload) -> (windows of samples)
+    contract is unchanged. Deterministic byte math keeps this stub
+    oracle-checkable (DuckDB reproduces it with ord(substr(...)))."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("peak", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("mean_level", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for vid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                for w in range((len(p) + window - 1) // window):
+                    s = p[w * window : (w + 1) * window]
+                    n = len(s)
+                    rows.append(
+                        (
+                            vid,
+                            w,
+                            n,
+                            max(s),
+                            round(math.sqrt(sum(x * x for x in s) / n), 6),
+                            round(sum(s) / n, 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "window_idx", "n_samples", "peak", "rms", "mean_level"]
+            )
+
+    return df.mapInPandas(run, schema)

@@ -1230,3 +1230,45 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sequences",
         )
     )
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 50),
+    win AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS w
+      FROM d
+    ),
+    samp AS (
+      SELECT doc_id, CAST(w AS INT) AS window_idx,
+             list_transform(
+               generate_series(1, least(64, length(text) - CAST(w AS INT) * 64)),
+               j -> ord(substr(text, CAST(w * 64 + j AS INT), 1))) AS s
+      FROM win
+    )
+    SELECT doc_id, window_idx,
+           CAST(len(s) AS BIGINT)                      AS n_samples,
+           CAST(list_aggregate(s, 'max') AS BIGINT)    AS peak,
+           round(sqrt(CAST(list_aggregate(list_transform(s, x -> x * x), 'sum')
+                           AS DOUBLE) / len(s)), 6)    AS rms,
+           round(CAST(list_aggregate(s, 'sum') AS DOUBLE) / len(s), 6) AS mean_level
+    FROM samp
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation feature pass: binary payload as unsigned 8-bit PCM ->
+    per-64-sample-window peak / RMS / mean level through Arrow-batched
+    mapInPandas (operators.multimodal.audio_window_energy). Deterministic
+    byte math makes the pandas-UDF path ORACLE-EXACT (DuckDB reproduces
+    every window with ord(substr(...)) — integer sums, IEEE sqrt). The
+    fixture payload is the utf-8 text (ASCII, so bytes == codepoints);
+    a real codec drops into the operator without touching the plumbing."""
+    t = load_tables(spark, sf_dir)
+    from ..operators.multimodal import audio_window_energy
+
+    d = t["documents"].filter(F.col("doc_id") <= 50).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_window_energy(d, "doc_id", "payload", window=64)

@@ -140,3 +140,27 @@ def test_bracket_expressions_match_duckdb(expr, _duck_spark):
     want = duck.execute(f"SELECT {expr} AS r").fetchone()[0]
     got = spark.sql(translate(f"SELECT {expr} AS r")).collect()[0].r
     assert got == want, (expr, translate(f"SELECT {expr} AS r"))
+
+
+# ---- closed-form ntile (plans/textops.py bucket arithmetic) ---------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(n=st.integers(min_value=1, max_value=400), k=st.integers(min_value=1, max_value=7))
+def test_closed_form_ntile_matches_duckdb(n, k):
+    """The prefix-sum bucket formula (used instead of a single-partition
+    ntile window) must equal DuckDB's ntile for every (row, N, k)."""
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+        ).fetchall()
+    ]
+    base, rem = n // k, n % k
+    got = []
+    for rn in range(1, n + 1):
+        if rn <= rem * (base + 1):
+            got.append((rn + base) // (base + 1))
+        else:
+            got.append(rem + (rn - rem * (base + 1) + base - 1) // base)
+    assert got == want, (n, k)
