@@ -165,3 +165,57 @@ def audio_window_energy(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def image_resize_pool(
+    df: DataFrame, id_col: str, payload_col: str, width: int = 32, factor: int = 2
+) -> DataFrame:
+    """2D average-pool "resize" over a binary payload laid out as a
+    ``width``-pixel-wide 8-bit grayscale image (rows = len // width): each
+    ``factor x factor`` block becomes one output pixel (integer-sum mean).
+    One row per image with the pooled pixel array + output dims —
+    Arrow-batched mapInPandas, no shuffle; the downsample every vision
+    pipeline runs before feature extraction.
+
+    REAL IMPLEMENTATION POINT: swap the byte layout for a real decoder
+    (PIL.Image.open -> numpy) — the (payload) -> (H x W array -> pooled
+    array) contract is unchanged. Integer block sums keep the stub
+    oracle-checkable."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("in_w", IntegerType()),
+            StructField("in_h", IntegerType()),
+            StructField("out_w", IntegerType()),
+            StructField("out_h", IntegerType()),
+            StructField("pooled", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for vid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                h = len(p) // width
+                if h < factor:
+                    continue
+                img = np.frombuffer(p[: h * width], dtype=np.uint8).reshape(h, width)
+                oh, ow = h // factor, width // factor
+                img = img[: oh * factor, : ow * factor].astype(np.int64)
+                pooled = (
+                    img.reshape(oh, factor, ow, factor).sum(axis=(1, 3))
+                    / float(factor * factor)
+                ).round(6)
+                rows.append((vid, width, h, ow, oh, [float(x) for x in pooled.ravel()]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "in_w", "in_h", "out_w", "out_h", "pooled"]
+            )
+
+    return df.mapInPandas(run, schema)

@@ -1272,3 +1272,57 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return audio_window_energy(d, "doc_id", "payload", window=64)
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) // 32 AS INT) AS h
+      FROM documents WHERE doc_id <= 30
+    ),
+    dims AS (SELECT doc_id, text, h, h // 2 AS oh FROM d WHERE h >= 2),
+    pooled AS (
+      SELECT doc_id,
+             CAST(32 AS INT) AS in_w, h AS in_h,
+             CAST(16 AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+             list_transform(generate_series(0, oh * 16 - 1), k ->
+                 ord(substr(text, CAST((k // 16) * 2 * 32 + (k % 16) * 2 + 1 AS INT), 1))
+               + ord(substr(text, CAST((k // 16) * 2 * 32 + (k % 16) * 2 + 2 AS INT), 1))
+               + ord(substr(text, CAST(((k // 16) * 2 + 1) * 32 + (k % 16) * 2 + 1 AS INT), 1))
+               + ord(substr(text, CAST(((k // 16) * 2 + 1) * 32 + (k % 16) * 2 + 2 AS INT), 1))
+             ) AS s4
+      FROM dims
+    )
+    SELECT doc_id, in_w, in_h, out_w, out_h,
+           array_to_string(list_transform(s4, x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',')
+             AS pooled_sums
+    FROM pooled
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (2x2 average pooling) over binary payloads laid out as
+    32-px-wide 8-bit grayscale images — the downsample step of a vision
+    curation pipeline, through Arrow-batched mapInPandas
+    (operators.multimodal.image_resize_pool). The pooled block means ride
+    as x4 integer sums at the comparison boundary, so the pandas-UDF path
+    is oracle-EXACT (DuckDB rebuilds each 2x2 block with ord(substr));
+    a real decoder (PIL -> numpy) swaps in without touching the plumbing."""
+    from ..operators.multimodal import image_resize_pool
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") <= 30).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = image_resize_pool(d, "doc_id", "payload", width=32, factor=2)
+    return out.select(
+        "doc_id",
+        "in_w",
+        "in_h",
+        "out_w",
+        "out_h",
+        F.array_join(
+            F.transform("pooled", lambda x: F.round(x * 4).cast("bigint").cast("string")),
+            ",",
+        ).alias("pooled_sums"),
+    )
