@@ -286,3 +286,87 @@ def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(e, "vec_id", "embedding", cb)
     q = e.filter(F.col("vec_id") < 20)
     return pq_adc_topk(q, codes, cb, "vec_id", "embedding", k=10)
+
+
+def _semantic_lsh_oracle(n_planes: int = 6, cut: float = 0.5) -> str:
+    planes_sql = ", ".join(
+        "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in PLANES[j]) + "]"
+        for j in range(n_planes)
+    )
+    dots = " + ".join(
+        f"(CASE WHEN list_dot_product(planes[{j + 1}], embedding) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH p AS (SELECT [{planes_sql}] AS planes),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                     generate_series(1, len(embedding))),
+                            z -> z[1] + ((vec_id + z[2]) % 7 - 3) * 0.01)
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding, CAST({dots} AS BIGINT) AS bucket
+      FROM corpus, p
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+             round(list_cosine_similarity(a.embedding, c.embedding), 4) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM pairs WHERE cos_sim >= {cut}
+    """
+
+
+@query("dedup_semantic_lsh", oracle=_semantic_lsh_oracle())
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings are blocked by a random-hyperplane LSH bucket (6 planes ->
+    64 buckets; the published method blocks by k-means cluster — same
+    topology) and exact cosine runs only WITHIN buckets — the pair space is
+    O(sum of bucket^2), never corpus^2, and the bucket assignment is a
+    map-side expression. Deterministic integer plane weights make the whole
+    pipeline oracle-exact."""
+    from ..operators.similarity import dot as _dot
+    from ..operators.similarity import norm as _norm
+
+    t = load_tables(spark, sf_dir)
+    base = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twin = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i0) ->"
+            " x + CAST((vec_id + i0 + 1) % 7 - 3 AS DOUBLE) * 0.01)"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+    e = corpus.select(
+        "vec_id", "embedding", lsh_bucket("embedding", n_planes=6).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    va = F.transform("va", lambda x: x.cast("double"))
+    vb = F.transform("vb", lambda x: x.cast("double"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            F.round(
+                _dot(va, vb) / (_norm(va) * _norm(vb)), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.5)
+    )
