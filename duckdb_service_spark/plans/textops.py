@@ -1326,3 +1326,60 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("pooled_sums"),
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT tok[CAST(i AS INT)] AS w1, tok[CAST(i AS INT) + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)
+    ),
+    bi AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+    pref AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt FROM bi GROUP BY w1)
+    SELECT b.w1, b.w2, b.cnt, p.prefix_cnt,
+           round(CAST(b.cnt AS DOUBLE) / p.prefix_cnt, 6) AS cond_p
+    FROM bi b JOIN pref p ON b.w1 = p.w1
+    ORDER BY b.cnt DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts (the count-collection pass of
+    KenLM-style n-gram LM training): bigram frequencies plus the
+    conditional probability P(w2|w1) = c(w1,w2)/c(w1-prefix), top-20 with
+    a total deterministic order.
+
+    100 TB design: ONE bigram explode feeds a map-side-combinable pair
+    count; the prefix counts derive FROM the bigram relation (a second
+    combinable groupBy — the token stream is never re-read); the join back
+    is Zipf-headed and broadcastable. Counts are exact integers, so the
+    only float is the final rounded division."""
+    t = load_tables(spark, sf_dir)
+    toks = _docs_parallel(t).select(tokens_expr(F.col("text")).alias("tok"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tok", 1, F.greatest(F.size("tok") - 1, F.lit(0))),
+                F.slice("tok", 2, F.greatest(F.size("tok") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    pref = bi.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("prefix_cnt"))
+    return (
+        bi.join(pref, "w1")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "prefix_cnt",
+            F.round(F.col("cnt").cast("double") / F.col("prefix_cnt"), 6).alias("cond_p"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
