@@ -208,3 +208,106 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("node").alias("max_doc")
     ).select(F.col("component").alias("cluster_rep"), "n_docs", "max_doc")
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the third iterative-algorithm demonstration (components and
+# WITH RECURSIVE are the other two), in ALL-INTEGER arithmetic so five
+# fixed iterations are bit-identical across engines and execution orders
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Supplier -> customer bipartite graph from lineitem x orders; 5
+    unrolled iterations of m' = floor(0.15*S/N) + sum(m_u*85 // (100*deg_u))
+    (integer floor division in both engines; dangling mass dropped — the
+    standard simplified variant, applied identically on both sides)."""
+    S = _PR_SCALE
+    cte = f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT n, CAST({S} AS BIGINT) // (SELECT n_nodes FROM nn) AS m FROM nodes)
+    """
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        cte += f""",
+    r{i} AS (
+      SELECT nodes.n,
+             CAST(15 * {S} // (100 * (SELECT n_nodes FROM nn)) AS BIGINT)
+             + CAST(COALESCE(SUM(({prev}.m * 85) // (100 * deg.d)), 0) AS BIGINT) AS m
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.n
+      LEFT JOIN deg   ON deg.src = edges.src
+      LEFT JOIN {prev} ON {prev}.n = edges.src
+      GROUP BY nodes.n
+    )"""
+        prev = f"r{i}"
+    return cte + f"""
+    SELECT n AS node, m AS rank_micro
+    FROM {prev}
+    ORDER BY m DESC, n
+    LIMIT 20
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->customer graph, 5 fixed iterations in
+    integer micro-units: contribution = (m*85) DIV (100*deg) — floor
+    division both engines, so every iteration is bit-identical under ANY
+    partitioning/order (no float accumulation at 1000 executors).
+
+    100 TB design: each iteration is one shuffle (contributions grouped by
+    dst) against a static, re-used edge relation; lineage is cut per round
+    with localCheckpoint exactly like the components fixpoint. Top-20 via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = nodes.count()  # scalar; O(1) driver data
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+    ranks = nodes.select("n", F.lit(_PR_SCALE // n_nodes).alias("m"))
+    contrib_edges = edges.join(deg, "src")  # (src, dst, d) — static, reused
+    for _ in range(_PR_ITERS):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.n)
+            .select("dst", F.expr("(m * 85) DIV (100 * d)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.n == contribs.dst, "left")
+            .select("n", (F.lit(base) + F.coalesce("s", F.lit(0))).alias("m"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(F.col("n").alias("node"), F.col("m").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "node")
+        .limit(20)
+    )
