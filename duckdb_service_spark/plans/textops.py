@@ -769,13 +769,18 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: reference has no pipeline ops at all (serves SQL via
     linked DuckDB, db/db.go:67-117); this is part of the LLM-curation
     extension surface."""
+    t = load_tables(spark, sf_dir)
+    return line_dedup_corpus(_docs_parallel(t).select("doc_id", "lang", "text"))
+
+
+def line_dedup_corpus(docs: DataFrame) -> DataFrame:
+    """The line-dedup plan proper, parameterized on (doc_id, lang, text) so
+    the 10x scale harness (tools/scale_line_dedup.py) drives the IDENTICAL
+    plan the registry query runs."""
     from pyspark import StorageLevel
 
-    t = load_tables(spark, sf_dir)
     cs, md = _LD_CHUNK, _LD_MIN_DOCS
-    toks = _docs_parallel(t).select(
-        "doc_id", "lang", tokens_expr(F.col("text")).alias("t")
-    )
+    toks = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
     chunked = (
         toks.select(
             "doc_id",
