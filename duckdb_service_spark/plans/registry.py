@@ -49,7 +49,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # The driver's correctness run covers the FIRST 50 queries in registration
 # order. Round-6 rotation: (a) every query new or changed in round 6, then
 # (b) the stalest r01-era rows, then (c) r02-era rows on the most-churned
-# code paths. 16 + 10 + 21 + 20 = 67; the driver checks the first 50. The ~31
+# code paths. 17 + 10 + 21 + 20 = 68; the driver checks the first 50. The ~31
 # remaining r02-era rows (relational
 # misc, similarity, text/stream singles, the r05-checked TPC-H suite) are
 # green on the local exact harness (tools/diffcheck.py, all registered
@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "dedup_semantic_lsh",
     "text_bigram_lm",
     "graph_pagerank",
+    "pipeline_multimodal_curation",
     "dedup_minhash_lsh",
     "dedup_incremental_lsh",
     "dedup_cluster_components",

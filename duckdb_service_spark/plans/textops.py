@@ -1388,3 +1388,101 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_multimodal_curation",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id <= 300
+      UNION ALL
+      SELECT doc_id + 1000, lang, text FROM documents WHERE doc_id <= 300
+    ),
+    win AS (
+      SELECT doc_id, lang, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS w
+      FROM clips
+    ),
+    samp AS (
+      SELECT doc_id, lang, text, CAST(w AS INT) AS window_idx,
+             list_transform(
+               generate_series(1, least(64, length(text) - CAST(w AS INT) * 64)),
+               j -> ord(substr(text, CAST(w * 64 + j AS INT), 1))) AS s
+      FROM win
+    ),
+    per_clip AS (
+      SELECT doc_id, lang,
+             count(*)                                             AS n_windows,
+             CAST(max(list_aggregate(s, 'max')) AS BIGINT)        AS max_peak,
+             CAST(SUM(CAST(list_aggregate(s, 'sum') AS BIGINT)) AS BIGINT) AS sum_level,
+             CAST(SUM(len(s)) AS BIGINT)                          AS n_samples
+      FROM samp GROUP BY doc_id, lang
+    ),
+    quality AS (
+      SELECT * FROM per_clip WHERE n_windows >= 3 AND max_peak <= 126
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM clips GROUP BY md5(text)
+    )
+    SELECT q.lang,
+           COUNT(*)                                   AS n_clips,
+           CAST(SUM(q.n_windows) AS BIGINT)           AS total_windows,
+           round(CAST(SUM(q.sum_level) AS DOUBLE) / SUM(q.n_samples), 6) AS mean_level
+    FROM quality q JOIN keep k ON k.doc_id = q.doc_id
+    GROUP BY q.lang
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal curation: Arrow-batched energy pass
+    (mapInPandas) -> per-clip quality gate -> exact payload dedup (each
+    clip has a planted exact duplicate) -> per-language accounting — the
+    audio half of a multimodal data build as ONE plan mixing the pandas-UDF
+    operator with relational stages.
+
+    100 TB design: the energy pass is map-side (no shuffle in the UDF
+    path); per-clip aggregation and the payload-hash dedup are the only
+    corpus shuffles, both map-side-combinable; accounting is one tiny
+    groupBy(lang). Integer sample sums keep the mapInPandas output
+    oracle-exact end to end."""
+    from ..operators.multimodal import audio_window_energy
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].filter(F.col("doc_id") <= 300).select("doc_id", "lang", "text")
+    clips = base.unionByName(
+        base.select((F.col("doc_id") + 1000).alias("doc_id"), "lang", "text")
+    )
+    d = clips.select(
+        "doc_id", "lang", F.encode("text", "utf-8").alias("payload")
+    )
+    energy = audio_window_energy(d, "doc_id", "payload", window=64)
+    per_clip = (
+        energy.withColumn(
+            "sum_level", F.round(F.col("mean_level") * F.col("n_samples")).cast("bigint")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("peak").alias("max_peak"),
+            F.sum("sum_level").cast("bigint").alias("sum_level"),
+            F.sum("n_samples").cast("bigint").alias("n_samples"),
+        )
+    )
+    quality = per_clip.filter((F.col("n_windows") >= 3) & (F.col("max_peak") <= 126))
+    keep = (
+        d.groupBy(F.md5("payload").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(keep, "doc_id", "left_semi")
+        .join(clips.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_windows").cast("bigint").alias("total_windows"),
+            F.round(
+                F.sum("sum_level").cast("double") / F.sum("n_samples"), 6
+            ).alias("mean_level"),
+        )
+    )
