@@ -120,6 +120,7 @@ class Catalog:
         self.macros: dict = {}  # name -> macros.MacroDef
         self.attached: dict[str, str] = {}  # alias -> warehouse path
         self.indexes: dict[str, dict] = {}  # name -> {table, columns, unique}
+        self.types: dict[str, list[str]] = {}  # ENUM name -> allowed values
         self._load_existing()
 
     # -- persistence -------------------------------------------------------
@@ -147,6 +148,9 @@ class Catalog:
         if os.path.exists(self._indexes_path()):
             with open(self._indexes_path()) as f:
                 self.indexes.update(json.load(f))
+        if os.path.exists(self._types_path()):
+            with open(self._types_path()) as f:
+                self.types.update(json.load(f))
         if os.path.exists(self._macros_path()):
             from .macros import MacroDef
 
@@ -281,6 +285,36 @@ class Catalog:
     def create_sequence(self, name: str, start: int = 1) -> None:
         self.sequences[name] = start - 1
         self._save_sequences()
+
+    def _types_path(self) -> str:
+        return os.path.join(self.dir, "_types.json")
+
+    def _save_types(self) -> None:
+        with open(self._types_path(), "w") as f:
+            json.dump(self.types, f)
+
+    def create_type(self, name: str, values: list[str]) -> None:
+        if name in self.types:
+            raise ValueError(f"type {name!r} already exists")
+        self.types[name] = values
+        self._save_types()
+
+    def drop_type(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.types:
+            if if_exists:
+                return
+            raise ValueError(f"type {name!r} does not exist")
+        used_by = [
+            t.name
+            for t in self.tables.values()
+            if any(c.get("enum_type") == name for c in t.columns)
+        ]
+        if used_by:
+            raise ValueError(
+                f"cannot drop type {name!r}: used by table(s) {', '.join(used_by)}"
+            )
+        del self.types[name]
+        self._save_types()
 
     def _macros_path(self) -> str:
         return os.path.join(self.dir, "_macros.json")

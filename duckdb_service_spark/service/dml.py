@@ -110,6 +110,16 @@ def _check_constraints(engine: "Engine", table: str, incoming: DataFrame) -> Non
         n_null = incoming.filter(F.col(col).isNull()).limit(1).count()
         if n_null:
             raise ConstraintViolation(f"NOT NULL constraint failed: {table}.{col}")
+    for c in meta.columns:
+        vals = c.get("enum_values")
+        if vals:
+            col = F.col(c["name"])
+            bad = incoming.filter(col.isNotNull() & ~col.isin(vals)).limit(1).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"could not convert string {bad[0][c['name']]!r} to enum "
+                    f"{c.get('enum_type')} (allowed: {', '.join(vals)})"
+                )
     pk = meta.pk_cols
     if pk:
         n_in = incoming.count()
@@ -151,8 +161,71 @@ def _aligned(engine: "Engine", table: str, cols_spec: str | None, src: DataFrame
         if name in src_cols:
             out = out.withColumn(name, F.col(name).cast(field.dataType))
         else:
-            out = out.withColumn(name, F.lit(None).cast(field.dataType))
+            out = out.withColumn(name, _default_expr(meta, name).cast(field.dataType))
     return out.select(*target_cols)
+
+
+def _default_expr(meta, name: str):
+    """Declared column DEFAULT (NULL when none) — omitted INSERT columns
+    must fill it like DuckDB does, not silently NULL."""
+    for c in meta.columns:
+        if c["name"] == name:
+            d = c.get("default")
+            return F.expr(translate(d)) if d else F.lit(None)
+    return F.lit(None)
+
+
+def _replace_default_tokens(values_clause: str, src_cols: list[str], meta) -> str:
+    """Rewrite bare DEFAULT items inside VALUES rows to the column's
+    declared default (or NULL) by position — Spark has no DEFAULT keyword
+    in inline tables."""
+    if not re.search(r"\bDEFAULT\b", values_clause, re.IGNORECASE):
+        return values_clause
+    body = values_clause.strip()
+    head = re.match(r"^VALUES\s*", body, re.IGNORECASE)
+    rows_text = body[head.end():]
+    # split top-level parenthesized rows
+    rows, depth, start, in_str = [], 0, None, False
+    for i, ch in enumerate(rows_text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                rows.append(rows_text[start + 1 : i])
+    out_rows = []
+    for row in rows:
+        items = split_top_level(row)
+        new_items = []
+        for j, item in enumerate(items):
+            if item.strip().upper() == "DEFAULT":
+                if j >= len(src_cols):
+                    raise ValueError("DEFAULT in VALUES beyond the column list")
+                d = None
+                for c in meta.columns:
+                    if c["name"] == src_cols[j]:
+                        d = c.get("default")
+                new_items.append(f"CAST({d} AS {_col_type(meta, src_cols[j])})" if d else "NULL")
+            else:
+                new_items.append(item)
+        out_rows.append("(" + ", ".join(new_items) + ")")
+    return "VALUES " + ", ".join(out_rows)
+
+
+def _col_type(meta, name: str) -> str:
+    for c in meta.columns:
+        if c["name"] == name:
+            t = c["type"].upper()
+            return {"INTEGER": "INT", "VARCHAR": "STRING"}.get(t, t)
+    return "STRING"
 
 
 _ON_CONFLICT_NOTHING_RE = re.compile(
@@ -200,10 +273,28 @@ def insert_values(engine: "Engine", sql: str, returning: str | None = None):
 
     stripped, n_sub = _ON_CONFLICT_NOTHING_RE.subn(_capture, sql.strip())
     on_conflict_nothing = bool(n_sub)
+    dv = re.match(
+        r"^INSERT\s+INTO\s+(\w+)\s+DEFAULT\s+VALUES$", stripped, re.IGNORECASE
+    )
+    if dv:
+        # one row of declared defaults (NULL where none)
+        meta0 = engine.catalog.tables[dv.group(1)]
+        items = []
+        for c in meta0.columns:
+            d = c.get("default")
+            items.append(f"CAST({d} AS {_col_type(meta0, c['name'])})" if d else "NULL")
+        stripped = f"INSERT INTO {dv.group(1)} VALUES ({', '.join(items)})"
     m = _INSERT_VALUES_RE.match(stripped)
     if not m:
         raise ValueError(f"cannot parse INSERT: {sql[:80]}")
     table, cols_spec, values_clause = m.groups()
+    meta = engine.catalog.tables[table]
+    src_cols_for_defaults = (
+        [c.strip() for c in cols_spec.split(",")]
+        if cols_spec
+        else [c["name"] for c in meta.columns]
+    )
+    values_clause = _replace_default_tokens(values_clause, src_cols_for_defaults, meta)
     src = engine.spark.sql(f"SELECT * FROM ({translate(values_clause)})")
     aligned = _aligned(engine, table, cols_spec, src)
     if on_conflict_nothing:
@@ -371,7 +462,10 @@ def update_rows(engine: "Engine", sql: str, returning: str | None = None):
         if "=" not in part:
             raise ValueError(f"cannot parse UPDATE assignment (missing '='): {part!r}")
         col, expr = part.split("=", 1)
-        assignments[col.strip()] = F.expr(translate(expr.strip()))
+        if expr.strip().upper() == "DEFAULT":
+            assignments[col.strip()] = _default_expr(meta, col.strip())
+        else:
+            assignments[col.strip()] = F.expr(translate(expr.strip()))
     if meta.partition_cols and any(c in meta.partition_cols for c in assignments):
         raise ValueError("UPDATE of a partition column is not supported; DELETE+INSERT instead")
 

@@ -97,7 +97,20 @@ def _strip_outer_parens(text: str) -> str:
     return text
 
 
-def parse_create_table(sql: str):
+_DEFAULT_CLAUSE_RE = re.compile(
+    # DEFAULT <literal | parenthesized expr | call | bare token>, lazily up
+    # to the next constraint keyword or end of the column definition
+    r"\bDEFAULT\s+("
+    r"'(?:[^']|'')*'"          # string literal ('' escapes)
+    r"|\([^()]*(?:\([^()]*\)[^()]*)*\)"  # (expr) one nesting level
+    r"|[A-Za-z_][\w.]*\s*\([^()]*\)"     # call like now()
+    r"|[^\s,]+"               # bare token (number, TRUE, NULL, ident)
+    r")",
+    re.IGNORECASE,
+)
+
+
+def parse_create_table(sql: str, enums: dict | None = None):
     m = _CREATE_TABLE_PART_RE.match(sql)
     partition_spec = m.group(4) if m else None
     if m is None:
@@ -115,15 +128,25 @@ def parse_create_table(sql: str):
         cm = _COLUMN_RE.match(part)
         if not cm:
             raise ValueError(f"cannot parse column definition: {part!r}")
-        cname, ctype, rest = cm.group(1), cm.group(2), cm.group(3).upper()
-        columns.append(
-            {
-                "name": cname,
-                "type": ctype,
-                "not_null": "NOT NULL" in rest,
-                "primary_key": "PRIMARY KEY" in rest,
-            }
-        )
+        cname, ctype, rest_raw = cm.group(1), cm.group(2), cm.group(3)
+        rest = rest_raw.upper()
+        col = {
+            "name": cname,
+            "type": ctype,
+            "not_null": "NOT NULL" in rest,
+            "primary_key": "PRIMARY KEY" in rest,
+        }
+        dm = _DEFAULT_CLAUSE_RE.search(rest_raw)
+        if dm:
+            col["default"] = dm.group(1).strip()
+        if enums and ctype in enums:
+            # user-defined ENUM type: stored as VARCHAR with a value-set
+            # constraint checked on write (DuckDB stores a dictionary; the
+            # relational semantics are identical)
+            col["type"] = "VARCHAR"
+            col["enum_type"] = ctype
+            col["enum_values"] = list(enums[ctype])
+        columns.append(col)
     for c in columns:
         if c["name"] in table_pk:
             c["primary_key"] = True
@@ -389,7 +412,27 @@ class Engine:
                 raise
             return ExecuteOutcome(n)
 
-        parsed = parse_create_table(stripped)
+        m = re.match(
+            r"^CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\(([^)]*)\)$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            vals = [
+                v.strip()[1:-1].replace("''", "'")
+                for v in m.group(2).split(",")
+                if v.strip()
+            ]
+            self.catalog.create_type(m.group(1), vals)
+            return ExecuteOutcome(0)
+        m = re.match(
+            r"^DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE
+        )
+        if m:
+            self.catalog.drop_type(m.group(2), if_exists=bool(m.group(1)))
+            return ExecuteOutcome(0)
+
+        parsed = parse_create_table(stripped, enums=self.catalog.types)
         if parsed is not None:
             if_not_exists, name, columns, partition_cols = parsed
             self.catalog.create_table(
