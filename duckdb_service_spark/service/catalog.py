@@ -82,6 +82,11 @@ class TableMeta:
     # copy-on-write DML — at 100 TB an UPDATE touching one day must not
     # rewrite three years
     partition_cols: list[str] = field(default_factory=list)
+    # table-level constraints (r06): CHECK expressions and UNIQUE column
+    # sets declared in the CREATE body; column-level check/unique/fk live
+    # in the column dicts
+    table_checks: list[str] = field(default_factory=list)
+    unique_sets: list = field(default_factory=list)
 
     def spark_schema(self) -> T.StructType:
         return T.StructType(
@@ -168,6 +173,8 @@ class Catalog:
                     path=os.path.join(self.dir, d["name"]),
                     created_at=d.get("created_at", 0),
                     partition_cols=d.get("partition_cols", []),
+                    table_checks=d.get("table_checks", []),
+                    unique_sets=d.get("unique_sets", []),
                 )
                 self.tables[meta.name] = meta
                 if os.path.exists(meta.path):
@@ -184,6 +191,8 @@ class Catalog:
         columns: list[dict],
         if_not_exists: bool = False,
         partition_cols: list[str] | None = None,
+        table_checks: list[str] | None = None,
+        unique_sets: list | None = None,
     ) -> None:
         if name in self.tables:
             if if_not_exists:
@@ -199,6 +208,8 @@ class Catalog:
             columns=columns,
             path=os.path.join(self.dir, name),
             partition_cols=partition_cols,
+            table_checks=table_checks or [],
+            unique_sets=unique_sets or [],
         )
         os.makedirs(meta.path, exist_ok=True)
         if not partition_cols:
@@ -245,9 +256,22 @@ class Catalog:
             if any(c["name"] == kw["column"] for c in meta.columns):
                 raise ValueError(f"column {kw['column']} already exists")
             parse_type(kw["type"])  # validate
-            meta.columns.append(
-                {"name": kw["column"], "type": kw["type"], "not_null": False, "primary_key": False}
-            )
+            col = {"name": kw["column"], "type": kw["type"], "not_null": False, "primary_key": False}
+            if kw.get("default"):
+                col["default"] = kw["default"]
+            meta.columns.append(col)
+            if kw.get("default"):
+                # DuckDB fills EXISTING rows with the default too — a
+                # metadata-only add would null-fill them (divergence), so
+                # this one case materializes (one rewrite; plain ADD stays
+                # metadata-only/free)
+                from pyspark.sql import functions as F
+
+                df = self.read(name).withColumn(
+                    kw["column"],
+                    F.expr(kw["default"]).cast(parse_type(kw["type"])),
+                )
+                self.overwrite(name, df)
         elif action == "drop":
             if all(c["name"] != kw["column"] for c in meta.columns):
                 raise ValueError(f"column {kw['column']} does not exist")

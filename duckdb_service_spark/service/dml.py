@@ -104,6 +104,110 @@ def split_top_level(body: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _unique_col_sets(meta) -> list[list[str]]:
+    sets = [list(u) for u in getattr(meta, "unique_sets", [])]
+    sets += [[c["name"]] for c in meta.columns if c.get("unique")]
+    return sets
+
+
+def _check_checks(engine: "Engine", table: str, df: DataFrame) -> None:
+    """CHECK constraints: a row violates when the expression is FALSE
+    (NULL passes — SQL three-valued CHECK semantics, same as DuckDB)."""
+    meta = engine.catalog.tables[table]
+    checks = [(c["name"], c["check"]) for c in meta.columns if c.get("check")]
+    checks += [(None, x) for x in getattr(meta, "table_checks", [])]
+    for cname, expr in checks:
+        if df.filter(F.expr(translate(expr)) == F.lit(False)).limit(1).count():
+            where = f"{table}.{cname}" if cname else table
+            raise ConstraintViolation(f"CHECK constraint failed: {where} ({expr})")
+
+
+def _check_fk_children(engine: "Engine", table: str, incoming: DataFrame) -> None:
+    """Child-side FOREIGN KEY: every non-NULL fk value must exist in the
+    parent (unnamed target column defaults to the parent's PK)."""
+    meta = engine.catalog.tables[table]
+    for c in meta.columns:
+        fk = c.get("fk")
+        if not fk:
+            continue
+        ref = engine.catalog.tables.get(fk["table"])
+        if ref is None:
+            raise ConstraintViolation(f"FOREIGN KEY references unknown table {fk['table']}")
+        ref_col = fk.get("column") or (ref.pk_cols[0] if ref.pk_cols else None)
+        if ref_col is None:
+            raise ConstraintViolation(
+                f"FOREIGN KEY on {table}.{c['name']}: {fk['table']} has no PRIMARY KEY"
+            )
+        parent = engine.catalog.read(fk["table"]).select(F.col(ref_col).alias("__pv"))
+        bad = (
+            incoming.select(F.col(c["name"]).alias("__cv"))
+            .filter(F.col("__cv").isNotNull())
+            .join(parent, F.col("__cv") == F.col("__pv"), "left_anti")
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"FOREIGN KEY constraint failed: {table}.{c['name']} -> "
+                f"{fk['table']}.{ref_col}"
+            )
+
+
+def _check_fk_parents(engine: "Engine", table: str, new_state: DataFrame) -> None:
+    """Parent-side FOREIGN KEY: after a DELETE/UPDATE of ``table``, every
+    child row referencing it must still resolve against the new state."""
+    for child_name, child_meta in engine.catalog.tables.items():
+        for c in child_meta.columns:
+            fk = c.get("fk")
+            if not fk or fk["table"] != table:
+                continue
+            meta = engine.catalog.tables[table]
+            ref_col = fk.get("column") or (meta.pk_cols[0] if meta.pk_cols else None)
+            if ref_col is None:
+                continue
+            parent = new_state.select(F.col(ref_col).alias("__pv"))
+            bad = (
+                engine.catalog.read(child_name)
+                .select(F.col(c["name"]).alias("__cv"))
+                .filter(F.col("__cv").isNotNull())
+                .join(parent, F.col("__cv") == F.col("__pv"), "left_anti")
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"FOREIGN KEY constraint failed: {child_name}.{c['name']} still "
+                    f"references deleted/updated rows of {table}.{ref_col}"
+                )
+
+
+def _check_unique_insert(engine: "Engine", table: str, incoming: DataFrame) -> None:
+    meta = engine.catalog.tables[table]
+    for cols in _unique_col_sets(meta):
+        # NULLs are distinct for UNIQUE (DuckDB/SQL): only fully-non-null
+        # tuples participate
+        nn = incoming
+        for c in cols:
+            nn = nn.filter(F.col(c).isNotNull())
+        if nn.dropDuplicates(cols).count() != nn.count():
+            raise ConstraintViolation(
+                f"UNIQUE constraint failed in inserted rows: {table} ({', '.join(cols)})"
+            )
+        existing = engine.catalog.read(table).select(*cols)
+        if nn.select(*cols).join(existing, cols, "left_semi").limit(1).count():
+            raise ConstraintViolation(
+                f"UNIQUE constraint failed: {table} ({', '.join(cols)})"
+            )
+
+
+def _has_extra_constraints(meta) -> bool:
+    return bool(
+        getattr(meta, "table_checks", [])
+        or getattr(meta, "unique_sets", [])
+        or any(c.get("check") or c.get("unique") or c.get("fk") for c in meta.columns)
+    )
+
+
 def _check_constraints(engine: "Engine", table: str, incoming: DataFrame) -> None:
     meta = engine.catalog.tables[table]
     for col in meta.not_null_cols:
@@ -120,6 +224,9 @@ def _check_constraints(engine: "Engine", table: str, incoming: DataFrame) -> Non
                     f"could not convert string {bad[0][c['name']]!r} to enum "
                     f"{c.get('enum_type')} (allowed: {', '.join(vals)})"
                 )
+    _check_checks(engine, table, incoming)
+    _check_fk_children(engine, table, incoming)
+    _check_unique_insert(engine, table, incoming)
     pk = meta.pk_cols
     if pk:
         n_in = incoming.count()
@@ -496,7 +603,14 @@ def update_rows(engine: "Engine", sql: str, returning: str | None = None):
                 engine, table, scoped.unionByName(df.filter(~F.coalesce(member, F.lit(False))))
             )
         else:
-            _check_constraints_update(engine, table, scoped)
+            if _has_extra_constraints(meta):
+                _check_constraints_update(
+                    engine,
+                    table,
+                    scoped.unionByName(df.filter(~F.coalesce(member, F.lit(False)))),
+                )
+            else:
+                _check_constraints_update(engine, table, scoped)
         engine.catalog.overwrite_partitions(table, scoped)
         return (n, _apply_returning(ret_df, returning)) if ret_df is not None else n
     out = apply_set(df)
@@ -513,6 +627,17 @@ def _check_constraints_update(engine: "Engine", table: str, updated: DataFrame) 
     pk = meta.pk_cols
     if pk and updated.groupBy(*pk).count().filter(F.col("count") > 1).limit(1).count():
         raise ConstraintViolation(f"PRIMARY KEY constraint failed: {table} ({', '.join(pk)})")
+    _check_checks(engine, table, updated)
+    _check_fk_children(engine, table, updated)
+    _check_fk_parents(engine, table, updated)
+    for cols in _unique_col_sets(meta):
+        nn = updated
+        for c in cols:
+            nn = nn.filter(F.col(c).isNotNull())
+        if nn.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).count():
+            raise ConstraintViolation(
+                f"UNIQUE constraint failed: {table} ({', '.join(cols)})"
+            )
 
 
 _DELETE_RE = re.compile(r"^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$", re.IGNORECASE | re.DOTALL)
@@ -535,6 +660,10 @@ def delete_rows(engine: "Engine", sql: str, returning: str | None = None):
     # TRUE; rows where it evaluates NULL are retained (filter(~pred) would
     # silently drop them).
     keep = ~F.coalesce(pred, F.lit(False))
+    if n:
+        # parent-side FOREIGN KEY: refuse while child rows reference the
+        # doomed keys (DuckDB's delete-order contract)
+        _check_fk_parents(engine, table, df.filter(keep))
     if meta.partition_cols:
         parts = _affected_partitions(engine, table, df, pred)
         if not parts:

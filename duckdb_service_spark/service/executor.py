@@ -110,6 +110,21 @@ _DEFAULT_CLAUSE_RE = re.compile(
 )
 
 
+def _extract_check(rest: str) -> str | None:
+    """Balanced-paren CHECK (...) body from a column-definition tail."""
+    m = re.search(r"\bCHECK\s*\(", rest, re.IGNORECASE)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(rest) and depth:
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    return rest[m.end() : i - 1].strip()
+
+
 def parse_create_table(sql: str, enums: dict | None = None):
     m = _CREATE_TABLE_PART_RE.match(sql)
     partition_spec = m.group(4) if m else None
@@ -120,10 +135,28 @@ def parse_create_table(sql: str, enums: dict | None = None):
     if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
     partition_cols = [c.strip() for c in (partition_spec or "").split(",") if c.strip()]
     columns, table_pk = [], []
+    table_checks: list[str] = []
+    unique_sets: list[list[str]] = []
+    fk_clauses: list[tuple[str, str, str | None]] = []
     for part in _split_columns(body):
         pk_m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", part, re.IGNORECASE)
         if pk_m:
             table_pk = [c.strip() for c in pk_m.group(1).split(",")]
+            continue
+        um = re.match(r"^UNIQUE\s*\(([^)]*)\)$", part, re.IGNORECASE)
+        if um:
+            unique_sets.append([c.strip() for c in um.group(1).split(",")])
+            continue
+        if re.match(r"^CHECK\s*\(", part, re.IGNORECASE):
+            table_checks.append(_extract_check(part))
+            continue
+        fm = re.match(
+            r"^FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s*REFERENCES\s+(\w+)\s*(?:\(\s*(\w+)\s*\))?$",
+            part,
+            re.IGNORECASE,
+        )
+        if fm:
+            fk_clauses.append((fm.group(1), fm.group(2), fm.group(3)))
             continue
         cm = _COLUMN_RE.match(part)
         if not cm:
@@ -139,6 +172,16 @@ def parse_create_table(sql: str, enums: dict | None = None):
         dm = _DEFAULT_CLAUSE_RE.search(rest_raw)
         if dm:
             col["default"] = dm.group(1).strip()
+        ck = _extract_check(rest_raw)
+        if ck:
+            col["check"] = ck
+        if re.search(r"\bUNIQUE\b", rest):
+            col["unique"] = True
+        rm = re.search(
+            r"\bREFERENCES\s+(\w+)\s*(?:\(\s*(\w+)\s*\))?", rest_raw, re.IGNORECASE
+        )
+        if rm:
+            col["fk"] = {"table": rm.group(1), "column": rm.group(2)}
         if enums and ctype in enums:
             # user-defined ENUM type: stored as VARCHAR with a value-set
             # constraint checked on write (DuckDB stores a dictionary; the
@@ -150,7 +193,10 @@ def parse_create_table(sql: str, enums: dict | None = None):
     for c in columns:
         if c["name"] in table_pk:
             c["primary_key"] = True
-    return if_not_exists, name, columns, partition_cols
+        for fk_col, fk_table, fk_ref in fk_clauses:
+            if c["name"] == fk_col:
+                c["fk"] = {"table": fk_table, "column": fk_ref}
+    return if_not_exists, name, columns, partition_cols, table_checks, unique_sets
 
 
 class Engine:
@@ -434,19 +480,27 @@ class Engine:
 
         parsed = parse_create_table(stripped, enums=self.catalog.types)
         if parsed is not None:
-            if_not_exists, name, columns, partition_cols = parsed
+            if_not_exists, name, columns, partition_cols, table_checks, unique_sets = parsed
             self.catalog.create_table(
-                name, columns, if_not_exists=if_not_exists, partition_cols=partition_cols
+                name,
+                columns,
+                if_not_exists=if_not_exists,
+                partition_cols=partition_cols,
+                table_checks=table_checks,
+                unique_sets=unique_sets,
             )
             return ExecuteOutcome(0)
 
         m = re.match(
-            r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)$",
+            r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)(?:\s+DEFAULT\s+(.+))?$",
             stripped,
             re.IGNORECASE,
         )
         if m:
-            self.catalog.alter_table(m.group(1), "add", column=m.group(2), type=m.group(3))
+            self.catalog.alter_table(
+                m.group(1), "add", column=m.group(2), type=m.group(3),
+                default=(m.group(4) or "").strip() or None,
+            )
             return ExecuteOutcome(0)
         m = re.match(
             r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+(?:COLUMN\s+)?(\w+)$", stripped, re.IGNORECASE

@@ -69,3 +69,69 @@ def test_types_survive_reopen(spark, engine):
     eng2.execute("INSERT INTO td (b) VALUES ('p4')")
     row = [r for r in eng2.query_df("SELECT * FROM td").collect() if r.b == "p4"][0]
     assert (row.a, row.m, row.s) == (7, "ok", "XY")
+
+
+# ---- CHECK / UNIQUE / FOREIGN KEY (r06) -----------------------------------
+
+
+def test_check_unique_fk_match_duckdb_accept_reject(spark):
+    """Statement-by-statement differential: each write must succeed or
+    fail exactly where DuckDB succeeds or fails."""
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_constraints_"))
+    con = duckdb.connect()
+    stmts = [
+        "CREATE TABLE p (id INTEGER PRIMARY KEY, name VARCHAR)",
+        "CREATE TABLE c1 (a INTEGER CHECK (a > 0), b VARCHAR UNIQUE, "
+        " pid INTEGER REFERENCES p(id))",
+        "INSERT INTO p VALUES (1, 'one'), (2, 'two')",
+        "INSERT INTO c1 VALUES (5, 'x', 1)",
+        "INSERT INTO c1 VALUES (-5, 'y', 1)",   # CHECK violation
+        "INSERT INTO c1 VALUES (5, 'x', 2)",    # UNIQUE violation
+        "INSERT INTO c1 VALUES (5, 'z', 99)",   # FK violation
+        "INSERT INTO c1 VALUES (5, NULL, NULL)",  # NULLs pass UNIQUE + FK
+        "INSERT INTO c1 VALUES (6, NULL, NULL)",  # second NULL still passes
+        "DELETE FROM p WHERE id = 1",           # parent still referenced
+        "DELETE FROM p WHERE id = 2",           # unreferenced: ok
+    ]
+    for stmt in stmts:
+        ours = theirs = "ok"
+        try:
+            eng.execute(stmt)
+        except Exception:
+            ours = "err"
+        try:
+            con.execute(stmt)
+        except Exception:
+            theirs = "err"
+        assert ours == theirs, f"divergence on {stmt!r}: engine={ours} duckdb={theirs}"
+    want = sorted(map(tuple, con.execute("SELECT a, b, pid FROM c1").fetchall()),
+                  key=str)
+    got = sorted([(r.a, r.b, r.pid) for r in
+                  eng.query_df("SELECT a, b, pid FROM c1").collect()], key=str)
+    assert got == want
+
+
+def test_table_level_constraints_and_alter_default(spark):
+    import tempfile
+
+    from duckdb_service_spark.service.dml import ConstraintViolation
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_tlc_"))
+    eng.execute(
+        "CREATE TABLE t (a INTEGER, b INTEGER, UNIQUE (a, b), CHECK (a + b < 100))"
+    )
+    eng.execute("INSERT INTO t VALUES (1, 2), (1, 3)")
+    with pytest.raises(ConstraintViolation, match="UNIQUE"):
+        eng.execute("INSERT INTO t VALUES (1, 2)")
+    with pytest.raises(ConstraintViolation, match="CHECK"):
+        eng.execute("INSERT INTO t VALUES (60, 60)")
+    # ALTER ADD with DEFAULT fills existing rows (DuckDB semantics)
+    eng.execute("ALTER TABLE t ADD COLUMN z INTEGER DEFAULT 9")
+    assert {r.z for r in eng.query_df("SELECT z FROM t").collect()} == {9}
+    eng.execute("INSERT INTO t (a, b) VALUES (2, 5)")
+    assert {r.z for r in eng.query_df("SELECT z FROM t").collect()} == {9}
