@@ -505,11 +505,28 @@ class Catalog:
         df = self.spark.read.parquet(meta.path)
         return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
+    def _apply_generated(self, meta: "TableMeta", df: DataFrame) -> DataFrame:
+        """Recompute GENERATED ALWAYS AS columns — the ONE chokepoint every
+        write path (insert, upsert, merge, update, restore) flows through,
+        so a generated value can never go stale regardless of which DML
+        constructed the frame."""
+        gen = [(c["name"], c["generated"], c["type"]) for c in meta.columns if c.get("generated")]
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        from .dialect import translate
+
+        for name_, expr, typ in gen:
+            df = df.withColumn(name_, F.expr(translate(expr)).cast(parse_type(typ)))
+        return df.select(*[c["name"] for c in meta.columns])
+
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Atomic-ish copy-on-write: write to temp dir, swap, re-register.
         (On a real deployment this is a commit-log/rename on object storage;
         single-writer discipline is assumed, SURVEY §1.4.)"""
         meta = self.tables[name]
+        df = self._apply_generated(meta, df)
         tmp = meta.path + ".tmp"
         w = df.write.mode("overwrite")
         if meta.partition_cols:
@@ -527,6 +544,7 @@ class Catalog:
         swapped — every other partition's files are never read or written.
         (Dir-level rename stands in for the object-store commit protocol.)"""
         meta = self.tables[name]
+        df = self._apply_generated(meta, df)
         assert meta.partition_cols, "overwrite_partitions needs a partitioned table"
         tmp = meta.path + ".ptmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -555,6 +573,7 @@ class Catalog:
 
     def append(self, name: str, df: DataFrame) -> None:
         meta = self.tables[name]
+        df = self._apply_generated(meta, df)
         w = df.write.mode("append")
         if meta.partition_cols:
             w = w.partitionBy(*meta.partition_cols)

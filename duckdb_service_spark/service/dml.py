@@ -254,12 +254,18 @@ def _aligned(engine: "Engine", table: str, cols_spec: str | None, src: DataFrame
     meta = engine.catalog.tables[table]
     schema = meta.spark_schema()
     target_cols = [c["name"] for c in meta.columns]
+    generated = {c["name"] for c in meta.columns if c.get("generated")}
+    insertable = [n for n in target_cols if n not in generated]
     src_cols = (
-        [c.strip() for c in cols_spec.split(",")] if cols_spec else target_cols[: len(src.columns)]
+        [c.strip() for c in cols_spec.split(",")] if cols_spec else insertable[: len(src.columns)]
     )
+    bad_gen = [c for c in src_cols if c in generated]
+    if bad_gen:
+        raise ValueError(f"cannot insert into generated column(s): {', '.join(bad_gen)}")
     if len(src.columns) != len(src_cols):
         raise ValueError(
-            f"INSERT column count mismatch: {len(src.columns)} values for {len(src_cols)} columns"
+            f"table {table} has {len(insertable)} insertable columns but "
+            f"{len(src.columns)} values were supplied"
         )
     renamed = src.toDF(*src_cols)
     out = renamed
@@ -569,6 +575,8 @@ def update_rows(engine: "Engine", sql: str, returning: str | None = None):
         if "=" not in part:
             raise ValueError(f"cannot parse UPDATE assignment (missing '='): {part!r}")
         col, expr = part.split("=", 1)
+        if any(c["name"] == col.strip() and c.get("generated") for c in meta.columns):
+            raise ValueError(f"cannot UPDATE generated column {col.strip()}")
         if expr.strip().upper() == "DEFAULT":
             assignments[col.strip()] = _default_expr(meta, col.strip())
         else:

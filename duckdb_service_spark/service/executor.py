@@ -158,6 +158,32 @@ def parse_create_table(sql: str, enums: dict | None = None):
         if fm:
             fk_clauses.append((fm.group(1), fm.group(2), fm.group(3)))
             continue
+        gm = re.match(
+            r"^(\w+)(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?))?"
+            r"\s+GENERATED\s+ALWAYS\s+AS\s*\(",
+            part,
+            re.IGNORECASE,
+        )
+        if gm:
+            depth, i = 1, gm.end()
+            while i < len(part) and depth:
+                if part[i] == "(":
+                    depth += 1
+                elif part[i] == ")":
+                    depth -= 1
+                i += 1
+            columns.append(
+                {
+                    "name": gm.group(1),
+                    # untyped generated columns get their type inferred by
+                    # the executor (needs a SparkSession) — marker for now
+                    "type": gm.group(2) or "__INFER__",
+                    "not_null": False,
+                    "primary_key": False,
+                    "generated": part[gm.end() : i - 1].strip(),
+                }
+            )
+            continue
         cm = _COLUMN_RE.match(part)
         if not cm:
             raise ValueError(f"cannot parse column definition: {part!r}")
@@ -207,6 +233,45 @@ class Engine:
         self.catalog = Catalog(spark, warehouse_dir)
         self._pragmas: dict[str, str] = {}
         self._prepared: dict[str, str] = {}
+
+    def _infer_generated_types(self, columns: list[dict]) -> None:
+        """Type an untyped GENERATED column from its expression, evaluated
+        against an empty frame of the base columns (DuckDB infers too)."""
+        from .catalog import parse_type
+        from .dialect import translate
+
+        pending = [c for c in columns if c.get("generated") and c["type"] == "__INFER__"]
+        if not pending:
+            return
+        from pyspark.sql import types as T
+
+        base = T.StructType(
+            [
+                T.StructField(c["name"], parse_type(c["type"]), True)
+                for c in columns
+                if not c.get("generated")
+            ]
+        )
+        empty = self.spark.createDataFrame([], base)
+        spark_to_duck = {
+            "int": "INTEGER", "bigint": "BIGINT", "smallint": "SMALLINT",
+            "double": "DOUBLE", "float": "FLOAT", "string": "VARCHAR",
+            "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+        }
+        from pyspark.sql import functions as F
+
+        for c in pending:
+            dt = empty.select(F.expr(translate(c["generated"]))).schema[0].dataType
+            simple = dt.simpleString()
+            if simple.startswith("decimal"):
+                c["type"] = simple.upper().replace("DECIMAL", "DECIMAL")
+            elif simple in spark_to_duck:
+                c["type"] = spark_to_duck[simple]
+            else:
+                raise ValueError(
+                    f"cannot infer a storable type for generated column "
+                    f"{c['name']} ({simple}); declare the type explicitly"
+                )
 
     def _bind_execute_stmt(self, stripped: str):
         """If `stripped` is EXECUTE name(args), return the bound SQL text;
@@ -481,6 +546,7 @@ class Engine:
         parsed = parse_create_table(stripped, enums=self.catalog.types)
         if parsed is not None:
             if_not_exists, name, columns, partition_cols, table_checks, unique_sets = parsed
+            self._infer_generated_types(columns)
             self.catalog.create_table(
                 name,
                 columns,

@@ -135,3 +135,40 @@ def test_table_level_constraints_and_alter_default(spark):
     assert {r.z for r in eng.query_df("SELECT z FROM t").collect()} == {9}
     eng.execute("INSERT INTO t (a, b) VALUES (2, 5)")
     assert {r.z for r in eng.query_df("SELECT z FROM t").collect()} == {9}
+
+
+def test_generated_columns_match_duckdb(spark):
+    """GENERATED ALWAYS AS: excluded from positional INSERT, recomputed on
+    UPDATE, un-SET-able; typed and type-inferred variants. Differential on
+    the statement sequence DuckDB accepts."""
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_gen_"))
+    con = duckdb.connect()
+    stmts = [
+        "CREATE TABLE g (a INTEGER, b INTEGER GENERATED ALWAYS AS (a * 2))",
+        "INSERT INTO g (a) VALUES (3)",
+        "INSERT INTO g VALUES (4)",
+        "INSERT INTO g VALUES (5, 99)",   # positional into generated: error
+        "UPDATE g SET a = 10 WHERE a = 3",
+    ]
+    for stmt in stmts:
+        ours = theirs = "ok"
+        try:
+            eng.execute(stmt)
+        except Exception:
+            ours = "err"
+        try:
+            con.execute(stmt)
+        except Exception:
+            theirs = "err"
+        assert ours == theirs, f"divergence on {stmt!r}: engine={ours} duckdb={theirs}"
+    assert sorted((r.a, r.b) for r in eng.query_df("SELECT * FROM g").collect()) == sorted(
+        map(tuple, con.execute("SELECT * FROM g").fetchall())
+    )
+    # untyped generated column: type inferred from the expression
+    eng.execute("CREATE TABLE g2 (a INTEGER, t GENERATED ALWAYS AS (a || '!'))")
+    eng.execute("INSERT INTO g2 VALUES (7)")
+    assert eng.query_df("SELECT t FROM g2").collect()[0].t == "7!"
