@@ -698,7 +698,7 @@ class Catalog:
                 except OSError:
                     shutil.copy2(s, t)  # cross-device fallback
 
-    _SIDECARS = ("_sequences.json", "_macros.json", "_indexes.json", "_comments.json")
+    _SIDECARS = ("_sequences.json", "_macros.json", "_indexes.json", "_comments.json", "_types.json")
 
     def begin_txn(self) -> None:
         import copy
@@ -725,6 +725,7 @@ class Catalog:
             "macros": dict(self.macros),
             "indexes": copy.deepcopy(self.indexes),
             "comments": dict(self.comments),
+            "types": copy.deepcopy(self.types),
         }
 
     def commit_txn(self) -> None:
@@ -771,6 +772,7 @@ class Catalog:
         self.macros = state["macros"]
         self.indexes = state["indexes"]
         self.comments = state["comments"]
+        self.types = state.get("types", {})
         for meta in self.tables.values():
             self._register(meta)
         for name, select_sql in self.views.items():

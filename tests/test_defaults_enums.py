@@ -172,3 +172,23 @@ def test_generated_columns_match_duckdb(spark):
     eng.execute("CREATE TABLE g2 (a INTEGER, t GENERATED ALWAYS AS (a || '!'))")
     eng.execute("INSERT INTO g2 VALUES (7)")
     assert eng.query_df("SELECT t FROM g2").collect()[0].t == "7!"
+
+
+def test_enum_types_roll_back(spark):
+    """ENUM types created inside a transaction disappear on ROLLBACK
+    (the _types.json sidecar is part of the snapshot)."""
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_types_txn_"))
+    eng.execute("CREATE TYPE keepme AS ENUM ('a')")
+    eng.execute("BEGIN")
+    eng.execute("CREATE TYPE gone AS ENUM ('x', 'y')")
+    eng.execute("ROLLBACK")
+    assert "gone" not in eng.catalog.types
+    assert eng.catalog.types["keepme"] == ["a"]
+    eng.execute("BEGIN")
+    eng.execute("CREATE TYPE stays AS ENUM ('z')")
+    eng.execute("COMMIT")
+    assert eng.catalog.types["stays"] == ["z"]
