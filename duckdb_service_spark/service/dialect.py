@@ -98,6 +98,7 @@ FUNCTION_ALIASES = {
     "isodow": "__duck_isodow",
     "to_base": "__duck_to_base",
     "even": "__duck_even",
+    "sign": "__duck_sign",
     "signbit": "__duck_signbit",
     "isfinite": "__duck_isfinite",
     "isinf": "__duck_isinf",
@@ -759,6 +760,58 @@ def _rewrite_call_subscripts(sql: str) -> str:
         sql = sql[:base_start] + repl + sql[end_br:]
 
 
+def _rewrite_division_double(code: str) -> str:
+    """DuckDB's binary `/` ALWAYS returns DOUBLE (even 7/2 = 3.5 and
+    DECIMAL/DECIMAL); Spark keeps DECIMAL result types for decimal
+    operands, whose bounded scale drifts from the double result. Force the
+    LEFT operand of every division to DOUBLE (one double operand makes the
+    whole division double; no-op when it already is). Runs per code chunk
+    AFTER `//` became ` div ` so only true divisions remain."""
+    i = 0
+    while True:
+        j = code.find("/", i)
+        if j == -1:
+            return code
+        # scan the left operand backwards: skip spaces, then take a
+        # balanced paren group / call / identifier-number token chain
+        k = j - 1
+        while k >= 0 and code[k].isspace():
+            k -= 1
+        if k < 0:
+            i = j + 1
+            continue
+        end = k + 1
+        if code[k] == ")":
+            depth = 0
+            while k >= 0:
+                if code[k] == ")":
+                    depth += 1
+                elif code[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if depth:
+                i = j + 1
+                continue
+            # include a preceding function name
+            m = re.search(r"[\w.]+$", code[:k])
+            start = m.start() if m else k
+        elif code[k].isalnum() or code[k] in "._":
+            m = re.search(r"[\w.]+$", code[: k + 1])
+            start = m.start()
+        else:
+            i = j + 1
+            continue
+        lhs = code[start:end]
+        if lhs.upper().startswith("CAST(") and lhs.upper().rstrip().endswith("DOUBLE)"):
+            i = j + 1
+            continue
+        repl = f"CAST({lhs} AS DOUBLE)"
+        code = code[:start] + repl + code[end:]
+        i = j + (len(repl) - len(lhs)) + 1
+
+
 def _rewrite_functions(code: str) -> str:
     code = _rewrite_subscripts(code)
     # bare VARCHAR/TEXT as a cast-suffix type: Spark demands a length for
@@ -775,6 +828,7 @@ def _rewrite_functions(code: str) -> str:
         code = re.sub(rf"\b{duck}\s*\(", f"{spark}(", code, flags=re.IGNORECASE)
     # DuckDB integer division operator
     code = code.replace("//", " div ")
+    code = _rewrite_division_double(code)
     return code
 
 
@@ -852,6 +906,71 @@ def _emit_bitstring(args: list[str]) -> str:
         raise UnsupportedDialect("bitstring expects (bits, length)")
     s, n = args
     return f"lpad({_emit_bit([s])}, {n}, '0')"
+
+
+_INT_CAST_TYPES = {
+    "INTEGER": "INT", "INT": "INT", "INT4": "INT", "SIGNED": "INT",
+    "BIGINT": "BIGINT", "INT8": "BIGINT", "LONG": "BIGINT",
+    "SMALLINT": "SMALLINT", "INT2": "SMALLINT", "SHORT": "SMALLINT",
+    "TINYINT": "TINYINT", "INT1": "TINYINT",
+}
+
+
+def _rewrite_int_casts(sql: str) -> str:
+    """DuckDB CAST(x AS INTEGER) ROUNDS half away from zero (1.5 -> 2,
+    -2.5 -> -3); Spark's cast truncates. Rewrite integral-target casts to
+    CAST(ROUND(CAST(x AS DECIMAL(38,9)), 0) AS <type>): DECIMAL(38,9)
+    carries 64-bit integers exactly (no double round-trip corruption for
+    values past 2^53), Spark's ROUND(decimal, 0) is HALF_UP (away from
+    zero — DuckDB's policy), strings and booleans coerce the same way.
+    DuckDB's policy is actually split: DECIMAL sources round HALF_UP,
+    DOUBLE/FLOAT sources round HALF_EVEN (rint). A literal decimal operand
+    is detectable at the text layer and gets HALF_UP (ROUND); every other
+    expression gets HALF_EVEN (BROUND), matching the double path exactly —
+    the residual divergence is a DECIMAL-typed column hitting an exact .5
+    tie, documented in COVERAGE.md. TRY_CAST keeps its null-on-failure
+    contract via an inner TRY_CAST."""
+    if not re.search(r"\bCAST\s*\(", sql, re.IGNORECASE):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        changed = False
+        for m in _CAST_OPEN_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if not mask[i]:
+                    if sql[i] == "(":
+                        depth += 1
+                    elif sql[i] == ")":
+                        depth -= 1
+                i += 1
+            if depth:
+                continue
+            inner = sql[m.end() : i - 1]
+            tm = re.search(r"\s+AS\s+(\w+)\s*$", inner, re.IGNORECASE)
+            if not tm or tm.group(1).upper() not in _INT_CAST_TYPES:
+                continue
+            expr = inner[: tm.start()]
+            # skip already-rewritten forms (the marker DECIMAL(38,9) round)
+            up = expr.lstrip().upper()
+            if up.startswith(("ROUND(CAST(", "ROUND(TRY_CAST(", "BROUND(CAST(", "BROUND(TRY_CAST(")):
+                continue
+            target = _INT_CAST_TYPES[tm.group(1).upper()]
+            is_try = m.group(0).upper().startswith("TRY")
+            inner_cast = "TRY_CAST" if is_try else "CAST"
+            is_literal_decimal = re.fullmatch(r"\s*-?\d+\.\d+\s*", expr) is not None
+            rnd = "ROUND" if is_literal_decimal else "BROUND"
+            repl = (
+                f"{inner_cast}({rnd}({inner_cast}({expr} AS DECIMAL(38,9)), 0)"
+                f" AS {target})"
+            )
+            sql = sql[: m.start()] + repl + sql[i:]
+            changed = True
+            break
+        if not changed:
+            return sql
 
 
 def _rewrite_bit_casts(sql: str) -> str:
@@ -1390,6 +1509,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
+    sql = _rewrite_int_casts(sql)
     sql = _rewrite_cast_string_types(sql)
     sql = _rewrite_code(sql, _rewrite_using_sample)
     sql = _convert_strftime_formats(sql)
@@ -1433,6 +1553,13 @@ def _emit_to_base(args: list[str]) -> str:
     if len(args) != 2:
         raise UnsupportedDialect("to_base expects (number, radix)")
     return f"conv(CAST(({args[0]}) AS BIGINT), 10, {args[1]})"
+
+
+def _emit_sign(args: list[str]) -> str:
+    # DuckDB sign() returns an INTEGER (TINYINT) for every numeric input;
+    # Spark returns DOUBLE — the type leaks into arithmetic (int division,
+    # string casts render '1.0'), so align it
+    return f"CAST(SIGN({args[0]}) AS INT)"
 
 
 def _emit_even(args: list[str]) -> str:
@@ -1667,6 +1794,7 @@ _ROUND5_EMITTERS = {
     "__duck_isodow": _emit_isodow,
     "__duck_to_base": _emit_to_base,
     "__duck_even": _emit_even,
+    "__duck_sign": _emit_sign,
     "__duck_signbit": _emit_signbit,
     "__duck_isfinite": _emit_isfinite,
     "__duck_isinf": _emit_isinf,

@@ -164,3 +164,38 @@ def test_closed_form_ntile_matches_duckdb(n, k):
         else:
             got.append(rem + (rn - rem * (base + 1) + base - 1) // base)
     assert got == want, (n, k)
+
+
+# ---- integral CAST rounds half away from zero (r06) ------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+def test_int_cast_double_rounding_matches_duckdb(x):
+    """Non-literal (double) operands: the BROUND/HALF_EVEN emit must agree
+    with DuckDB's CAST(double AS INTEGER)."""
+    import decimal as _d
+
+    want = _duck("SELECT CAST(CAST(? AS DOUBLE) AS INTEGER)", float(x))
+    got = int(
+        _d.Decimal(float(x)).quantize(_d.Decimal(1), rounding=_d.ROUND_HALF_EVEN)
+    )
+    assert got == want, (x, got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    whole=st.integers(min_value=-9999, max_value=9999),
+    frac=st.integers(min_value=0, max_value=999),
+)
+def test_int_cast_literal_decimal_rounding_matches_duckdb(whole, frac):
+    """Literal decimal operands: the ROUND/HALF_UP emit must agree with
+    DuckDB's CAST(decimal AS INTEGER) (half away from zero)."""
+    import decimal as _d
+
+    lit = f"{whole}.{frac:03d}"
+    want = _duck(f"SELECT CAST({lit} AS INTEGER)")
+    got = int(
+        _d.Decimal(lit).quantize(_d.Decimal(1), rounding=_d.ROUND_HALF_UP)
+    )
+    assert got == want, (lit, got, want)

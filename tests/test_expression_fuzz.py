@@ -1,0 +1,147 @@
+"""Seeded random-expression differential: expressions drawn from a grammar
+both dialects share (arithmetic, modulo/int-div with nullif guards, CASE,
+string ops, date intervals, LIKE/IN/BETWEEN), evaluated on DuckDB verbatim
+and on Spark through translate(), row-for-row. Seeded so failures reproduce;
+400 expressions per run. This is the net that caught the round-6 dialect
+fixes (sign() result type, integral-cast rounding, always-double division)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import duckdb
+import pytest
+
+
+ROWS = [
+    (1, "ab", 2.5, None, datetime.date(2024, 2, 28)),
+    (-3, "XyZ", -0.5, 7, datetime.date(2023, 12, 31)),
+    (0, "", 4.0, -2, datetime.date(2024, 3, 1)),
+    (42, "hello world", 0.0, 0, datetime.date(2020, 2, 29)),
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "(1, 'ab', CAST(2.5 AS DOUBLE), NULL, DATE '2024-02-28'), "
+        "(-3, 'XyZ', CAST(-0.5 AS DOUBLE), 7, DATE '2023-12-31'), "
+        "(0, '', CAST(4.0 AS DOUBLE), -2, DATE '2024-03-01'), "
+        "(42, 'hello world', CAST(0.0 AS DOUBLE), 0, DATE '2020-02-29')"
+        ") v(i, s, d, n, dt)"
+    )
+    sdf = spark.createDataFrame(ROWS, "i int, s string, d double, n int, dt date")
+    sdf.createOrReplaceTempView("t")
+    return spark, con
+
+
+def _grammar(rng):
+    def gi(dd):
+        if dd <= 0:
+            return rng.choice(["i", "n", "3", "-2", "0"])
+        c = rng.randint(0, 9)
+        if c == 0:
+            return f"({gi(dd-1)} % nullif({gi(dd-1)}, 0))"
+        if c == 1:
+            return f"({gi(dd-1)} // nullif({gi(dd-1)}, 0))"
+        if c == 2:
+            return f"CAST({gd(dd-1)} AS INTEGER)"
+        if c == 3:
+            return f"length({gs(dd-1)})"
+        if c == 4:
+            return f"CAST({gi(dd-1)} AS BIGINT)"
+        if c == 5:
+            return f"sign({gi(dd-1)})"
+        if c == 6:
+            return f"(CASE {gi(dd-1)} WHEN 1 THEN 10 WHEN 0 THEN 20 ELSE 30 END)"
+        if c == 7:
+            return f"datepart('day', {gdt(dd-1)})"
+        if c == 8:
+            return f"position({gs(dd-1)} IN {gs(dd-1)})"
+        return f"instr({gs(dd-1)}, 'a')"
+
+    def gd(dd):
+        if dd <= 0:
+            return rng.choice(["d", "1.5", "-0.25"])
+        c = rng.randint(0, 4)
+        if c == 0:
+            return f"({gd(dd-1)} / nullif({gd(dd-1)}, 0))"
+        if c == 1:
+            return f"round({gd(dd-1)}, {rng.randint(0, 3)})"
+        if c == 2:
+            return f"({gd(dd-1)} * {gd(dd-1)})"
+        if c == 3:
+            return f"floor({gd(dd-1)})"
+        return f"ceil({gd(dd-1)})"
+
+    def gs(dd):
+        if dd <= 0:
+            return rng.choice(["s", "'ab'", "'%b%'"])
+        c = rng.randint(0, 5)
+        if c == 0:
+            return f"replace({gs(dd-1)}, 'a', 'Z')"
+        if c == 1:
+            return f"left({gs(dd-1)}, {rng.randint(0, 3)})"
+        if c == 2:
+            return f"right({gs(dd-1)}, {rng.randint(0, 3)})"
+        if c == 3:
+            return f"substr({gs(dd-1)}, {rng.choice([-2, -1, 1, 2])})"
+        if c == 4:
+            return f"lpad({gs(dd-1)}, {rng.randint(0, 5)}, '.')"
+        return f"CAST({gi(dd-1)} AS VARCHAR)"
+
+    def gdt(dd):
+        if dd <= 0:
+            return "dt"
+        c = rng.randint(0, 2)
+        if c == 0:
+            return f"({gdt(dd-1)} + INTERVAL {rng.randint(1, 40)} DAY)"
+        if c == 1:
+            return f"date_trunc('month', {gdt(dd-1)})"
+        return f"({gdt(dd-1)} - INTERVAL {rng.randint(1, 3)} MONTH)"
+
+    def gb(dd):
+        if dd <= 0:
+            return rng.choice(
+                ["i > 0", "s LIKE '%b%'", "n IN (7, 0)", "dt > DATE '2023-06-01'"]
+            )
+        c = rng.randint(0, 3)
+        if c == 0:
+            return f"({gi(dd-1)} <> {gi(dd-1)})"
+        if c == 1:
+            return f"({gs(dd-1)} LIKE '%a%')"
+        if c == 2:
+            return f"({gi(dd-1)} BETWEEN {gi(dd-1)} AND {gi(dd-1)})"
+        return f"({gb(dd-1)} AND {gb(dd-1)})"
+
+    return lambda dd: [gi, gd, gs, gb, gdt][rng.randint(0, 4)](dd)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_random_expressions_match_duckdb(engines, seed):
+    from duckdb_service_spark.service.dialect import translate
+
+    spark, con = engines
+    rng = random.Random(seed)
+    gen = _grammar(rng)
+    norm = lambda v: (  # noqa: E731
+        round(v, 9)
+        if isinstance(v, float)
+        else (v.date() if isinstance(v, datetime.datetime) else v)
+    )
+    checked = 0
+    for _ in range(200):
+        q = f"SELECT i, {gen(rng.randint(1, 4))} AS x FROM t ORDER BY i"
+        try:
+            want = con.execute(q).fetchall()
+        except Exception:
+            continue  # invalid in the oracle too — out of scope
+        checked += 1
+        got = [tuple(r) for r in spark.sql(translate(q)).collect()]
+        assert [tuple(map(norm, r)) for r in want] == [
+            tuple(map(norm, r)) for r in got
+        ], q
+    assert checked > 100  # the grammar must mostly generate valid SQL
