@@ -1256,6 +1256,46 @@ def _rewrite_ignore_nulls(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
+_AGG_ORDER_OPEN_RE = re.compile(r"\b(string_agg|listagg)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_agg_inline_order(sql: str) -> str:
+    """DuckDB writes the aggregate sort INSIDE the call —
+    ``string_agg(x, ',' ORDER BY k)`` — Spark wants the SQL-standard
+    ``listagg(x, ',') WITHIN GROUP (ORDER BY k)``. Balanced, literal-aware;
+    only the top-level ORDER BY of the call is moved."""
+    while True:
+        mask = _literal_mask(sql)
+        changed = False
+        for m in _AGG_ORDER_OPEN_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            depth, i = 1, m.end()
+            order_at = None
+            while i < len(sql) and depth:
+                if not mask[i]:
+                    ch = sql[i]
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif depth == 1 and order_at is None:
+                        om = re.match(r"\s+ORDER\s+BY\s+", sql[i:], re.IGNORECASE)
+                        if om:
+                            order_at = (i, i + om.end())
+                i += 1
+            if depth or order_at is None:
+                continue
+            args = sql[m.end() : order_at[0]]
+            keys = sql[order_at[1] : i - 1]
+            repl = f"listagg({args}) WITHIN GROUP (ORDER BY {keys})"
+            sql = sql[: m.start()] + repl + sql[i:]
+            changed = True
+            break
+        if not changed:
+            return sql
+
+
 _WIN_DISTINCT_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(\s*DISTINCT\b", re.IGNORECASE)
 
 
@@ -1497,6 +1537,7 @@ def translate(sql: str) -> str:
         r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
     )
     sql = _rewrite_ignore_nulls(sql)
+    sql = _rewrite_agg_inline_order(sql)
     sql = _rewrite_window_distinct(sql)
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle

@@ -145,3 +145,105 @@ def test_random_expressions_match_duckdb(engines, seed):
             tuple(map(norm, r)) for r in got
         ], q
     assert checked > 100  # the grammar must mostly generate valid SQL
+
+
+@pytest.fixture(scope="module")
+def agg_engines(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ta AS SELECT * FROM (VALUES (1,'a',10,2),(2,'a',-5,NULL),"
+        "(3,'b',7,0),(4,'b',7,5),(5,'c',NULL,1),(6,'c',0,-3),(7,'a',3,2)"
+        ") v(id, g, x, y)"
+    )
+    rows = [(1, "a", 10, 2), (2, "a", -5, None), (3, "b", 7, 0), (4, "b", 7, 5),
+            (5, "c", None, 1), (6, "c", 0, -3), (7, "a", 3, 2)]
+    spark.createDataFrame(rows, "id int, g string, x int, y int").createOrReplaceTempView("ta")
+    return spark, con
+
+
+@pytest.mark.parametrize("seed", [11, 99])
+def test_random_aggregates_and_windows_match_duckdb(agg_engines, seed):
+    """Grouped aggregates (sum/count/min/max, DISTINCT, FILTER, bool_and,
+    inline-ORDER-BY string_agg) and window functions (ranks, lag/lead,
+    framed first_value, running sums) — random compositions, both engines."""
+    from duckdb_service_spark.service.dialect import translate
+
+    spark, con = agg_engines
+    rng = random.Random(seed)
+
+    def gi(d):
+        if d <= 0:
+            return rng.choice(["x", "y", "id", "2"])
+        c = rng.randint(0, 3)
+        if c == 0:
+            return f"({gi(d-1)} + {gi(d-1)})"
+        if c == 1:
+            return f"abs({gi(d-1)})"
+        if c == 2:
+            return f"coalesce({gi(d-1)}, {gi(d-1)})"
+        return f"(CASE WHEN {gi(d-1)} > 0 THEN {gi(d-1)} ELSE {gi(d-1)} END)"
+
+    def gagg(d):
+        c = rng.randint(0, 7)
+        e = gi(d)
+        if c == 0:
+            return f"sum({e})"
+        if c == 1:
+            return f"count({e})"
+        if c == 2:
+            return f"min({e})"
+        if c == 3:
+            return f"max({e})"
+        if c == 4:
+            return f"count(DISTINCT {e})"
+        if c == 5:
+            return f"sum({e}) FILTER (WHERE {gi(d-1)} > 0)"
+        if c == 6:
+            return f"bool_and({gi(d-1)} > 0)"
+        return f"string_agg(CAST({e} AS VARCHAR), ',' ORDER BY id)"
+
+    def gwin(d):
+        c = rng.randint(0, 6)
+        e = gi(d)
+        spec = rng.choice([
+            "PARTITION BY g ORDER BY id",
+            "ORDER BY id",
+            "PARTITION BY g ORDER BY x NULLS FIRST, id",
+        ])
+        if c == 0:
+            return f"row_number() OVER ({spec})"
+        if c == 1:
+            return f"rank() OVER ({spec})"
+        if c == 2:
+            return f"sum({e}) OVER ({spec})"
+        if c == 3:
+            return f"lag({e}) OVER ({spec})"
+        if c == 4:
+            return f"lead({e}, 2, -1) OVER ({spec})"
+        if c == 5:
+            return (
+                f"first_value({e}) OVER ({spec} "
+                f"ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+            )
+        return f"dense_rank() OVER ({spec})"
+
+    norm = lambda v: (  # noqa: E731
+        round(float(v), 9) if type(v).__name__ in ("float", "Decimal") else v
+    )
+    checked = 0
+    for _ in range(150):
+        if rng.random() < 0.5:
+            q = (f"SELECT g, {gagg(rng.randint(1, 3))} AS a1, "
+                 f"{gagg(rng.randint(1, 2))} AS a2 FROM ta GROUP BY g ORDER BY g")
+        else:
+            q = f"SELECT id, {gwin(rng.randint(1, 2))} AS w FROM ta ORDER BY id"
+        try:
+            want = con.execute(q).fetchall()
+        except Exception:
+            continue
+        checked += 1
+        got = [tuple(r) for r in spark.sql(translate(q)).collect()]
+        assert [tuple(map(norm, r)) for r in want] == [
+            tuple(map(norm, r)) for r in got
+        ], q
+    assert checked > 100
