@@ -1256,7 +1256,66 @@ def _rewrite_ignore_nulls(sql: str) -> str:
         pos = m.start() + len(repl)
 
 
-_AGG_ORDER_OPEN_RE = re.compile(r"\b(string_agg|listagg)\s*\(", re.IGNORECASE)
+_AGG_ORDER_OPEN_RE = re.compile(
+    r"\b(string_agg|listagg|array_agg|list)\s*\(", re.IGNORECASE
+)
+
+
+def _emit_ordered_list(args: str, keys: str) -> str:
+    """list/array_agg(v ORDER BY k1 [DESC] [NULLS FIRST|LAST], ...) →
+    transform(array_sort(collect_list(struct(keys..., v)), comparator), s
+    -> s.v). collect_list drops NULL elements but the wrapping struct is
+    never NULL, so NULL values survive like DuckDB's; the comparator chain
+    reproduces per-key direction with DuckDB's NULLS LAST default."""
+    key_specs = []
+    for part in _split_top_level_commas(keys):
+        km = re.match(
+            r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+            part.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        expr = km.group(1).strip()
+        desc = (km.group(2) or "").upper() == "DESC"
+        nf = (km.group(3) or "LAST").upper() == "FIRST"
+        key_specs.append((expr, desc, nf))
+    fields = ", ".join(
+        f"({e}) AS __k{j}" for j, (e, _, _) in enumerate(key_specs)
+    )
+    cmp_expr = "0"
+    for j, (_, desc, nf) in reversed(list(enumerate(key_specs))):
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        a_null = "-1" if nf else "1"
+        b_null = "1" if nf else "-1"
+        cmp_expr = (
+            f"CASE WHEN a.__k{j} IS NULL AND b.__k{j} IS NULL THEN {cmp_expr} "
+            f"WHEN a.__k{j} IS NULL THEN {a_null} "
+            f"WHEN b.__k{j} IS NULL THEN {b_null} "
+            f"WHEN a.__k{j} < b.__k{j} THEN {lt} "
+            f"WHEN a.__k{j} > b.__k{j} THEN {gt} ELSE {cmp_expr} END"
+        )
+    return (
+        f"transform(array_sort(collect_list(struct({fields}, ({args}) AS __v)),"
+        f" (a, b) -> {cmp_expr}), s -> s.__v)"
+    )
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    out, depth, start, in_str = [], 0, 0, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(text[start:i])
+            start = i + 1
+    out.append(text[start:])
+    return [p for p in out if p.strip()]
 
 
 def _rewrite_agg_inline_order(sql: str) -> str:
@@ -1288,7 +1347,11 @@ def _rewrite_agg_inline_order(sql: str) -> str:
                 continue
             args = sql[m.end() : order_at[0]]
             keys = sql[order_at[1] : i - 1]
-            repl = f"listagg({args}) WITHIN GROUP (ORDER BY {keys})"
+            fn = m.group(1).lower()
+            if fn in ("array_agg", "list"):
+                repl = _emit_ordered_list(args, keys)
+            else:
+                repl = f"listagg({args}) WITHIN GROUP (ORDER BY {keys})"
             sql = sql[: m.start()] + repl + sql[i:]
             changed = True
             break

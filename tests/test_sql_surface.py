@@ -655,3 +655,23 @@ def test_window_distinct_rewrite_edges(spark):
     # a string literal containing 'DISTINCT (' must not be rewritten
     out2 = translate("SELECT 'count(DISTINCT x) OVER (w)' AS s")
     assert spark.sql(out2).collect()[0].s == "count(DISTINCT x) OVER (w)"
+
+
+def test_ordered_list_aggregates(spark):
+    """DuckDB's inline-ORDER-BY list/array_agg/string_agg: direction, multi
+    key, NULLS FIRST, NULL values preserved in lists (struct wrapping
+    protects them from collect_list's null-dropping)."""
+    from duckdb_service_spark.service.dialect import translate
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 10), (2, 'a', NULL), (3, 'b', 5) t(id, g, v)"
+    ).createOrReplaceTempView("t_ola")
+    r = spark.sql(translate(
+        "SELECT g, list(v ORDER BY id DESC) AS l, "
+        "string_agg(CAST(id AS VARCHAR), '-' ORDER BY id) AS sa "
+        "FROM t_ola GROUP BY g ORDER BY g"
+    )).collect()
+    assert [(x.g, x.l, x.sa) for x in r] == [("a", [None, 10], "1-2"), ("b", [5], "3")]
+    # a string literal containing the idiom is untouched
+    out = translate("SELECT 'list(v ORDER BY id)' AS s")
+    assert spark.sql(out).collect()[0].s == "list(v ORDER BY id)"
