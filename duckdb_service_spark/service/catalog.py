@@ -126,6 +126,7 @@ class Catalog:
         self.attached: dict[str, str] = {}  # alias -> warehouse path
         self.indexes: dict[str, dict] = {}  # name -> {table, columns, unique}
         self.types: dict[str, list[str]] = {}  # ENUM name -> allowed values
+        self.schemas: set[str] = set()  # user schemas (tables keyed schema__name)
         self._load_existing()
 
     # -- persistence -------------------------------------------------------
@@ -153,6 +154,9 @@ class Catalog:
         if os.path.exists(self._indexes_path()):
             with open(self._indexes_path()) as f:
                 self.indexes.update(json.load(f))
+        if os.path.exists(self._schemas_path()):
+            with open(self._schemas_path()) as f:
+                self.schemas.update(json.load(f))
         if os.path.exists(self._types_path()):
             with open(self._types_path()) as f:
                 self.types.update(json.load(f))
@@ -309,6 +313,37 @@ class Catalog:
     def create_sequence(self, name: str, start: int = 1) -> None:
         self.sequences[name] = start - 1
         self._save_sequences()
+
+    def _schemas_path(self) -> str:
+        return os.path.join(self.dir, "_schemas.json")
+
+    def _save_schemas(self) -> None:
+        with open(self._schemas_path(), "w") as f:
+            json.dump(sorted(self.schemas), f)
+
+    def create_schema(self, name: str, if_not_exists: bool = False) -> None:
+        if name in self.schemas:
+            if if_not_exists:
+                return
+            raise ValueError(f"schema {name!r} already exists")
+        self.schemas.add(name)
+        self._save_schemas()
+
+    def drop_schema(self, name: str, if_exists: bool = False, cascade: bool = False) -> None:
+        if name not in self.schemas:
+            if if_exists:
+                return
+            raise ValueError(f"schema {name!r} does not exist")
+        contained = [t for t in self.tables if t.startswith(f"{name}__")]
+        if contained and not cascade:
+            raise ValueError(
+                f"cannot drop schema {name!r}: contains table(s) "
+                f"{', '.join(t.split('__', 1)[1] for t in contained)} (use CASCADE)"
+            )
+        for t in contained:
+            self.drop_table(t)
+        self.schemas.discard(name)
+        self._save_schemas()
 
     def _types_path(self) -> str:
         return os.path.join(self.dir, "_types.json")
@@ -698,7 +733,7 @@ class Catalog:
                 except OSError:
                     shutil.copy2(s, t)  # cross-device fallback
 
-    _SIDECARS = ("_sequences.json", "_macros.json", "_indexes.json", "_comments.json", "_types.json")
+    _SIDECARS = ("_sequences.json", "_macros.json", "_indexes.json", "_comments.json", "_types.json", "_schemas.json")
 
     def begin_txn(self) -> None:
         import copy
@@ -726,6 +761,7 @@ class Catalog:
             "indexes": copy.deepcopy(self.indexes),
             "comments": dict(self.comments),
             "types": copy.deepcopy(self.types),
+            "schemas": set(self.schemas),
         }
 
     def commit_txn(self) -> None:
@@ -773,6 +809,7 @@ class Catalog:
         self.indexes = state["indexes"]
         self.comments = state["comments"]
         self.types = state.get("types", {})
+        self.schemas = state.get("schemas", set())
         for meta in self.tables.values():
             self._register(meta)
         for name, select_sql in self.views.items():

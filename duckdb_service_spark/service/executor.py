@@ -234,6 +234,37 @@ class Engine:
         self._pragmas: dict[str, str] = {}
         self._prepared: dict[str, str] = {}
 
+    def _resolve_schemas(self, sql: str) -> str:
+        """schema-qualified names: `sch.tbl` flattens to the catalog's
+        `sch__tbl` key for every registered schema; DuckDB's default
+        schema prefix `main.` strips to the bare name. Literal-masked so
+        string contents survive; table ALIASES shadowing a schema name are
+        the documented edge (alias your tables something else)."""
+        from .dialect import _literal_mask
+
+        names = set(self.catalog.schemas) | {"main"}
+        if not any(
+            re.search(rf"\b{re.escape(n)}\s*\.", sql, re.IGNORECASE) for n in names
+        ):
+            return sql
+        mask = _literal_mask(sql)
+        out = []
+        pos = 0
+        rx = re.compile(
+            r"\b(" + "|".join(re.escape(n) for n in sorted(names)) + r")\s*\.\s*(\w+)",
+            re.IGNORECASE,
+        )
+        for m in rx.finditer(sql):
+            if mask[m.start()]:
+                continue
+            sch = m.group(1)
+            repl = m.group(2) if sch.lower() == "main" else f"{sch}__{m.group(2)}"
+            out.append(sql[pos : m.start()])
+            out.append(repl)
+            pos = m.end()
+        out.append(sql[pos:])
+        return "".join(out)
+
     def _infer_generated_types(self, columns: list[dict]) -> None:
         """Type an untyped GENERATED column from its expression, evaluated
         against an empty frame of the base columns (DuckDB infers too)."""
@@ -347,6 +378,7 @@ class Engine:
         return _resolve_relation(self, name)
 
     def query_df(self, sql: str) -> DataFrame:
+        sql = self._resolve_schemas(sql)
         sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
         if sub is not None:
             return self.query_df(sub)
@@ -401,8 +433,25 @@ class Engine:
             for s in stmts:
                 total += self.execute(s).rows_affected
             return ExecuteOutcome(total)
-        stripped = sql.strip().rstrip(";")
+        stripped = self._resolve_schemas(sql.strip().rstrip(";"))
         upper = stripped.upper()
+
+        m = re.match(
+            r"^CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$", stripped, re.IGNORECASE
+        )
+        if m:
+            self.catalog.create_schema(m.group(2), if_not_exists=bool(m.group(1)))
+            return ExecuteOutcome(0)
+        m = re.match(
+            r"^DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?(\w+)(\s+CASCADE)?$",
+            stripped,
+            re.IGNORECASE,
+        )
+        if m:
+            self.catalog.drop_schema(
+                m.group(2), if_exists=bool(m.group(1)), cascade=bool(m.group(3))
+            )
+            return ExecuteOutcome(0)
 
         # -- macros / prepared statements / attach (bind-time surface) -----
         from .macros import expand_macros, parse_create_macro, parse_drop_macro

@@ -192,3 +192,38 @@ def test_enum_types_roll_back(spark):
     eng.execute("CREATE TYPE stays AS ENUM ('z')")
     eng.execute("COMMIT")
     assert eng.catalog.types["stays"] == ["z"]
+
+
+def test_schemas(spark):
+    """CREATE/DROP SCHEMA, schema-qualified DDL/DML/queries, the main.
+    default-schema prefix, and the non-empty drop guard with CASCADE."""
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_schemas_"))
+    eng.execute("CREATE SCHEMA analytics")
+    eng.execute("CREATE TABLE analytics.t1 (a INTEGER)")
+    eng.execute("INSERT INTO analytics.t1 VALUES (1), (2)")
+    eng.execute("CREATE TABLE base (b INTEGER)")
+    eng.execute("INSERT INTO main.base VALUES (9)")
+    assert [r.a for r in eng.query_df(
+        "SELECT a FROM analytics.t1 ORDER BY a").collect()] == [1, 2]
+    assert eng.query_df("SELECT b FROM main.base").collect()[0].b == 9
+    # cross-schema join
+    rows = eng.query_df(
+        "SELECT t.a, m.b FROM analytics.t1 t JOIN main.base m ON t.a < m.b "
+        "ORDER BY t.a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 9), (2, 9)]
+    with pytest.raises(ValueError, match="CASCADE"):
+        eng.execute("DROP SCHEMA analytics")
+    eng.execute("DROP SCHEMA analytics CASCADE")
+    with pytest.raises(Exception):
+        eng.query_df("SELECT * FROM analytics.t1").collect()
+    # a string literal mentioning a schema name is untouched
+    assert eng.query_df("SELECT 'analytics.t1' AS s").collect()[0].s == "analytics.t1"
+    # schemas survive reopen
+    eng.execute("CREATE SCHEMA keep")
+    eng2 = Engine(spark, eng.catalog.dir)
+    assert "keep" in eng2.catalog.schemas
