@@ -656,6 +656,8 @@ class Catalog:
             "tables": sorted(self.tables),
             "views": sorted(self.views),
             "indexes": {n: dict(d) for n, d in sorted(self.indexes.items())},
+            "schemas": sorted(self.schemas),
+            "types": {n: list(v) for n, v in sorted(self.types.items())},
             "transaction_active": self.in_txn,
             "spark_app_id": self.spark.sparkContext.applicationId,
             "spark_version": self.spark.version,
