@@ -320,37 +320,56 @@ def pq_adc_topk(
     qsub = pq_subvectors(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "s", F.col("sub").alias("qsub")
     )
-    qnorm = (
-        qsub.select("query_id", F.explode("qsub").alias("v"))
-        .groupBy("query_id")
-        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qn"))
+    # ordered-fold norm over the FULL query vector (not an explode+sum,
+    # whose accumulation order varies run to run) — deterministic and
+    # reproducible bit-for-bit by the DuckDB oracle
+    qnorm = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(F.transform(vec_col, lambda x: x.cast("double"))).alias("qn"),
     )
+    # per-(query, s, code) dot and per-(s, code) centroid norm as 1e-6
+    # micro-unit BIGINTs: the ADC groupBy then sums INTEGERS, so the result
+    # is independent of partial-aggregation order — the property that makes
+    # this oracle-checkable (and deterministic at 1000 executors)
     dtable = (
         qsub.join(F.broadcast(codebook), "s")
         .select(
             "query_id",
             "s",
             "code",
-            F.aggregate(
-                F.zip_with("qsub", "centroid", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("dot"),
-            "cnorm2",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qsub", "centroid", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("dot_u"),
+            F.round(F.col("cnorm2") * 1000000, 0).cast("bigint").alias("cn2_u"),
         )
     )
     approx = (
         codes.join(F.broadcast(dtable), ["s", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("dot").alias("adot"), F.sum("cnorm2").alias("rnorm2"))
+        .agg(F.sum("dot_u").alias("adot_u"), F.sum("cn2_u").alias("rn2_u"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qnorm), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                F.col("adot")
-                / (F.col("qn") * F.sqrt(F.greatest(F.col("rnorm2"), F.lit(1e-12)))),
+                (F.col("adot_u") / F.lit(1000000.0))
+                / (
+                    F.col("qn")
+                    * F.sqrt(
+                        F.greatest(
+                            F.col("rn2_u") / F.lit(1000000.0), F.lit(1e-12)
+                        )
+                    )
+                ),
                 4,
             ).alias("approx_cos"),
         )

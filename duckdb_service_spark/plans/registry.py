@@ -47,97 +47,69 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-6 rotation: (a) every query new or changed in round 6, then
-# (b) the stalest r01-era rows, then (c) r02-era rows on the most-churned
-# code paths. 17 + 10 + 21 + 20 = 68; the driver checks the first 50. The ~31
-# remaining r02-era rows (relational
-# misc, similarity, text/stream singles, the r05-checked TPC-H suite) are
-# green on the local exact harness (tools/diffcheck.py, all registered
-# queries on HEAD) and rotate in next round.
+# order. Round-7 rotation (VERDICT r06 task 2 — burn down rotation debt):
+# (a) queries new or code-changed in round 7 (ANN recall conversion, window
+# EXCLUDE extension, int-cast rounding path, MinHash band-join re-plan,
+# TIMESTAMP_NS, PREPARE/EXECUTE), then (b) ALL 45 r02-era rows — the stalest
+# driver evidence in the repo. 8 + 45 = 53; the driver checks the first 50,
+# the tail rotates in r08 together with the r04-era rows.
 PRIORITY: list[str] = [
-    # (a0) new or re-planned late in round 6: the two new curation
-    # operators, and the queries whose execution topology changed (array
-    # MinHash, index-only line dedup, prune-first partsupp) — their last
-    # driver-green rows predate the rewrite
-    "text_gopher_rules",
-    "text_unigram_fc_buckets",
-    "text_tfidf_top_terms",
-    "win_distinct_agg",
-    "pipeline_training_mix",
-    "sim_pq_search",
-    "dedup_incremental_exact",
-    "mm_audio_energy",
-    "mm_image_resize",
-    "dedup_semantic_lsh",
-    "text_bigram_lm",
-    "graph_pagerank",
-    "pipeline_multimodal_curation",
-    "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "dedup_cluster_components",
-    "pipeline_corpus_curation",
-    # (a) new or changed in round 6: the five partsupp TPC-H queries, the
-    # multi-aggregate/multi-column PIVOT compile (sql_pivot_routing shares
-    # the changed code path), min/max frame EXCLUDE, gcd/lcm/hamming
-    "text_line_dedup",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_relation",
-    "q20_potential_promotion",
-    "sql_pivot_multi",
-    "sql_pivot_routing",
+    # (a) new or changed in round 7
+    "sql_prepare_execute",
+    "fn_timestamp_ns",
     "win_exclude_frame",
-    "fn_battery_r8",
-    # (b) rotation debt, stalest first (VERDICT r05 next #2): r01-era rows
-    # whose only driver-green check predates three rounds of code churn
-    "agg_rollup",
-    "agg_approx_count_distinct",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_longest",
-    "fn_math",
-    "fn_datetime",
-    "fn_timestamp_parts",
-    "fn_array_agg_lambda",
-    "fn_json",
-    "fn_hash",
-    "fn_bit",
-    "fn_format",
-    "fn_interval",
-    "fn_try_arithmetic",
-    "join_anti_not_exists",
-    "join_cross",
-    "join_theta_nonequi",
-    "join_range_interval",
-    "join_using_natural",
-    # (c) r02-era rows sitting on the most-churned code paths: the window
-    # family (frame EXCLUDE/IGNORE NULLS rewrites landed nearby), the
-    # plan-level pivot/unpivot (compile changed this round), setops, CTEs,
-    # io round-trips
-    "win_ranks",
-    "win_lag_lead",
+    "sim_pq_search",
+    "sim_ivf_search",
+    "sim_lsh_topk",
+    "cast_try_cast",
+    "dedup_minhash_lsh",
+    # (b) r02-era rotation debt, the stalest driver rows in the repo
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "win_running_sum",
+    "win_partition_agg",
     "win_range_frame",
     "win_first_last_nth",
-    "win_partition_agg",
     "win_qualify",
     "window_named_sql",
-    "pivot_status_by_priority",
-    "unpivot_part_measures",
+    "agg_filter_clause",
+    "agg_cube",
+    "fn_array",
+    "fn_struct_map",
+    "fn_json_struct",
+    "fn_type_fidelity",
+    "fn_time",
+    "fn_variant",
+    "fn_union_type",
+    "case_coalesce_nullif",
+    "range_series",
+    "sample_deterministic",
+    "cte_nested",
+    "cte_recursive_series",
+    "cte_recursive_graph",
     "setop_union_all",
     "setop_union_distinct",
     "setop_union_by_name",
     "setop_intersect",
     "setop_except",
-    "cte_nested",
-    "cte_recursive_series",
-    "cte_recursive_graph",
+    "pivot_status_by_priority",
+    "unpivot_part_measures",
+    "join_positional",
+    "join_lateral_correlated",
+    "join_asof_left",
+    "sql_asof_routing",
+    "sql_recursive_routing",
+    "sim_centroid_per_label",
     "io_csv_roundtrip",
     "io_json_roundtrip",
+    "stream_sessionization",
+    "stream_user_activity_windows",
+    "text_stratified_sample",
+    "pipeline_shard_assignment",
+    "text_langid",
 ]
-
 
 
 def load_all() -> None:

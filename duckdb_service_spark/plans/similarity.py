@@ -85,7 +85,57 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_topk")  # rows-only: recall-vs-brute-force is checked in pytest
+def _lsh_topk_oracle() -> str:
+    """DuckDB twin of the multi-table LSH search: 8 per-table buckets from
+    the same integer hyperplanes, same-bucket candidate union, exact cosine
+    rounded at 4 before ranking. Only the SIGN of each projection feeds the
+    bucket id, so list_dot_product vs the Spark fold cannot diverge (the
+    precedent is the oracle-exact sim_lsh_buckets)."""
+    from ..operators.similarity import N_TABLES, PLANES_PER_TABLE
+
+    n_planes = N_TABLES * PLANES_PER_TABLE
+    planes_sql = ", ".join(
+        "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in PLANES[j]) + "]"
+        for j in range(n_planes)
+    )
+    per_table = []
+    for t in range(N_TABLES):
+        dots = " + ".join(
+            f"(CASE WHEN list_dot_product(planes[{t * PLANES_PER_TABLE + j + 1}], "
+            f"embedding) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(PLANES_PER_TABLE)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id, CAST({dots} AS BIGINT) AS bucket "
+            f"FROM c, p"
+        )
+    union = " UNION ALL ".join(per_table)
+    return f"""
+    WITH p AS (SELECT [{planes_sql}] AS planes),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    b AS ({union}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS neighbor_id
+      FROM b q JOIN b x ON q.table_id = x.table_id AND q.bucket = x.bucket
+      WHERE q.vec_id < 50 AND x.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(cq.embedding, cx.embedding), 4) AS cos_sim
+      FROM cand
+      JOIN c cq ON cq.vec_id = cand.query_id
+      JOIN c cx ON cx.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("sim_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search through multi-table LSH (8 tables × 4 hyperplanes):
     candidates = union of same-bucket rows across tables, then exact cosine
@@ -177,11 +227,64 @@ def centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_search")  # rows-only: composition of centroid + bucket search
+def _ivf_oracle() -> str:
+    """DuckDB twin of the IVF search: label centroids from the same
+    decimal-exact means (the oracle-exact sim_centroid_per_label recipe),
+    query→cell assignment by cosine rounded at 6 (both engines round the
+    same IEEE value — the fold vs list_cosine_similarity difference is
+    ~1e-16), then exact cosine top-10 within the assigned cell."""
+    return f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    expanded AS (
+      SELECT e.label, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    cent AS (
+      SELECT label, i,
+             round(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c
+      FROM expanded GROUP BY label, i
+    ),
+    cent_arr AS (
+      SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    qc AS (
+      SELECT q.query_id, q.qv, ca.label,
+             round(list_cosine_similarity(q.qv, ca.centroid), 6) AS sim
+      FROM q CROSS JOIN cent_arr ca
+    ),
+    assign AS (
+      SELECT query_id, qv, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, label) AS r
+        FROM qc
+      ) WHERE r = 1
+    ),
+    scored AS (
+      SELECT a.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.qv, CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings e JOIN assign a ON e.label = a.label
+      WHERE e.vec_id <> a.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("sim_ivf_search", oracle=_ivf_oracle())
 def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign each query to its nearest label-centroid, then
     search only that cell. Demonstrates the two-stage (coarse quantize →
-    fine search) pattern; recall is asserted against brute force in tests."""
+    fine search) pattern; recall is asserted against brute force in tests.
+    The cell-assignment similarity is rounded at 6 BEFORE the argmax so the
+    assignment is reproducible bit-for-bit across engines."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     cent = centroids_per_label(spark, sf_dir)
@@ -191,7 +294,12 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest centroid per query (tiny cross join: queries × labels)
     qc = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("sim"))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("label"))
     assign = qc.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1).select(
@@ -267,7 +375,107 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_pq_search")  # rows-only: float centroid means are engine-specific
+def _pq_oracle() -> str:
+    """DuckDB twin of the full PQ pipeline (train → encode → ADC). Exactness
+    levers mirrored from the Spark side: seeds = 16 lowest ids; argmin ties
+    break on code; centroid means are decimal-exact rounded at 6; dot/cnorm2
+    enter the ADC as 1e-6 micro-unit BIGINTs so the per-neighbor sums are
+    integer (order-free); the query norm is one left-associative fold. Every
+    float expression below is written left-associative to match the Spark
+    fold bit-for-bit."""
+    from ..operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    def _l2sq(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, PQ_SUB + 1)
+        )
+
+    def _dot(a: str, b: str) -> str:
+        return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, PQ_SUB + 1))
+
+    qn_sum = " + ".join(f"(qv[{i}] * qv[{i}])" for i in range(1, DIM + 1))
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    svals AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    sv AS (
+      SELECT vec_id, s, list_slice(v, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB}) AS sub
+      FROM c CROSS JOIN svals
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    init AS (
+      SELECT sv.s, seeds.code, sv.sub AS centroid
+      FROM sv JOIN seeds ON sv.vec_id = seeds.vec_id
+    ),
+    a1 AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, i.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                                  ORDER BY ({_l2sq('sv.sub', 'i.centroid')}), i.code) AS r
+        FROM sv JOIN init i ON sv.s = i.s
+      ) WHERE r = 1
+    ),
+    dims8 AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS i),
+    m1 AS (
+      SELECT a1.s, a1.code, d8.i,
+             round(CAST(SUM(CAST(sv.sub[d8.i] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS cval
+      FROM a1 JOIN sv ON sv.vec_id = a1.vec_id AND sv.s = a1.s
+      CROSS JOIN dims8 d8
+      GROUP BY a1.s, a1.code, d8.i
+    ),
+    cb AS (
+      SELECT s, code, list(cval ORDER BY i) AS centroid FROM m1 GROUP BY s, code
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                                  ORDER BY ({_l2sq('sv.sub', 'cb.centroid')}), cb.code) AS r
+        FROM sv JOIN cb ON sv.s = cb.s
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 20),
+    qsub AS (
+      SELECT query_id, s,
+             list_slice(qv, s * {PQ_SUB} + 1, s * {PQ_SUB} + {PQ_SUB}) AS qs
+      FROM q CROSS JOIN svals
+    ),
+    dt AS (
+      SELECT qsub.query_id, qsub.s, cb.code,
+             CAST(round(({_dot('qsub.qs', 'cb.centroid')}) * 1000000) AS BIGINT) AS dot_u,
+             CAST(round(({_dot('cb.centroid', 'cb.centroid')}) * 1000000) AS BIGINT) AS cn2_u
+      FROM qsub JOIN cb ON qsub.s = cb.s
+    ),
+    qn AS (SELECT query_id, sqrt({qn_sum}) AS qn FROM q),
+    approx AS (
+      SELECT dt.query_id, enc.vec_id AS neighbor_id,
+             CAST(SUM(dt.dot_u) AS BIGINT) AS adot_u,
+             CAST(SUM(dt.cn2_u) AS BIGINT) AS rn2_u
+      FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+      GROUP BY dt.query_id, enc.vec_id
+    ),
+    scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             round((a.adot_u / 1000000.0)
+                   / (qn.qn * sqrt(greatest(a.rn2_u / 1000000.0, 1e-12))), 4)
+               AS approx_cos
+      FROM approx a JOIN qn ON a.query_id = qn.query_id
+      WHERE a.neighbor_id <> a.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, approx_cos, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("sim_pq_search", oracle=_pq_oracle())
 def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al., TPAMI 2011): deterministic
     codebook (K lowest-id seeds + one distributed Lloyd step), M=8 x K=16

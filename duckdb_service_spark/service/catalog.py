@@ -271,9 +271,11 @@ class Catalog:
                 # metadata-only/free)
                 from pyspark.sql import functions as F
 
+                from .dialect import translate
+
                 df = self.read(name).withColumn(
                     kw["column"],
-                    F.expr(kw["default"]).cast(parse_type(kw["type"])),
+                    F.expr(translate(kw["default"])).cast(parse_type(kw["type"])),
                 )
                 self.overwrite(name, df)
         elif action == "drop":

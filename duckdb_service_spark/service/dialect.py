@@ -760,27 +760,48 @@ def _rewrite_call_subscripts(sql: str) -> str:
         sql = sql[:base_start] + repl + sql[end_br:]
 
 
-def _rewrite_division_double(code: str) -> str:
-    """DuckDB's binary `/` ALWAYS returns DOUBLE (even 7/2 = 3.5 and
-    DECIMAL/DECIMAL); Spark keeps DECIMAL result types for decimal
-    operands, whose bounded scale drifts from the double result. Force the
-    LEFT operand of every division to DOUBLE (one double operand makes the
-    whole division double; no-op when it already is). Runs per code chunk
-    AFTER `//` became ` div ` so only true divisions remain."""
-    i = 0
+_DIV_LHS_KEYWORDS = {
+    "WHEN", "THEN", "ELSE", "CASE", "AND", "OR", "NOT", "IN", "IS",
+    "BY", "AS", "ON", "FROM", "WHERE", "SELECT", "HAVING", "BETWEEN",
+    "LIKE", "ILIKE", "ESCAPE", "ALL", "ANY", "SOME", "DISTINCT",
+    "RETURN", "RETURNING", "SET", "VALUES", "LIMIT", "OFFSET", "JOIN",
+    "UNION", "EXCEPT", "INTERSECT", "OVER", "FILTER", "WITHIN", "GROUP",
+    "ORDER", "PARTITION", "ROWS", "RANGE", "GROUPS", "PRECEDING",
+    "FOLLOWING", "CURRENT", "ROW", "UNBOUNDED", "EXCLUDE", "TIES",
+    "WINDOW", "INTERVAL", "USING", "CROSS", "LATERAL",
+}
+
+
+def _case_expr_start(code: str, end_kw_start: int) -> "int | None":
+    """Given the start offset of a terminating END keyword, walk backwards
+    through CASE/END nesting to the matching CASE. None when unbalanced."""
+    depth = 1
+    for m in reversed(
+        list(re.finditer(r"\b(CASE|END)\b", code[:end_kw_start], re.IGNORECASE))
+    ):
+        if m.group().upper() == "END":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return m.start()
+    return None
+
+
+def _div_lhs_start(code: str, j: int) -> "int | None":
+    """Start offset of the complete left operand of the ``/`` at ``j``:
+    an identifier/number chain, a call or paren group, a full
+    ``CASE .. END`` expression, or a window expression ``fn(..) OVER (..)``
+    / ``fn(..) OVER w``.  None when the operand cannot be identified
+    safely — then the division is left untouched rather than risk wrapping
+    a non-expression (the bug class ADVICE r06 flagged: ``END / 3`` →
+    ``CAST(END AS DOUBLE)``)."""
+    k = j - 1
+    while k >= 0 and code[k].isspace():
+        k -= 1
+    if k < 0:
+        return None
     while True:
-        j = code.find("/", i)
-        if j == -1:
-            return code
-        # scan the left operand backwards: skip spaces, then take a
-        # balanced paren group / call / identifier-number token chain
-        k = j - 1
-        while k >= 0 and code[k].isspace():
-            k -= 1
-        if k < 0:
-            i = j + 1
-            continue
-        end = k + 1
         if code[k] == ")":
             depth = 0
             while k >= 0:
@@ -791,20 +812,73 @@ def _rewrite_division_double(code: str) -> str:
                     if depth == 0:
                         break
                 k -= 1
-            if depth:
-                i = j + 1
+            if k < 0:
+                return None
+            start = k
+            m = re.search(r"[\w.]+\s*$", code[:start])
+            if not m:
+                return start
+            word = m.group().strip().upper()
+            if word == "OVER":
+                # `(window spec)` — the operand is the whole windowed call:
+                # keep scanning left past OVER to consume `fn(args)`
+                k = m.start() - 1
+                while k >= 0 and code[k].isspace():
+                    k -= 1
+                if k < 0 or code[k] != ")":
+                    return None
                 continue
-            # include a preceding function name
-            m = re.search(r"[\w.]+$", code[:k])
-            start = m.start() if m else k
-        elif code[k].isalnum() or code[k] in "._":
+            if word in _DIV_LHS_KEYWORDS:
+                return start  # keyword before group: the group IS the operand
+            return m.start()  # function call: include its name
+        if code[k].isalnum() or code[k] in "._":
             m = re.search(r"[\w.]+$", code[: k + 1])
-            start = m.start()
-        else:
+            word = m.group().upper()
+            if word == "END":
+                return _case_expr_start(code, m.start())
+            if word in _DIV_LHS_KEYWORDS:
+                return None
+            # identifier / number / NULL — unless preceded by OVER, in
+            # which case it's a named-window reference `fn(..) OVER w`
+            m2 = re.search(r"[\w.]+\s*$", code[: m.start()])
+            if m2 and m2.group().strip().upper() == "OVER":
+                k = m2.start() - 1
+                while k >= 0 and code[k].isspace():
+                    k -= 1
+                if k < 0 or code[k] != ")":
+                    return None
+                continue
+            return m.start()
+        return None
+
+
+def _rewrite_division_double(code: str) -> str:
+    """DuckDB's binary `/` ALWAYS returns DOUBLE (even 7/2 = 3.5 and
+    DECIMAL/DECIMAL); Spark keeps DECIMAL result types for decimal
+    operands, whose bounded scale drifts from the double result. Force the
+    LEFT operand of every division to DOUBLE (one double operand makes the
+    whole division double; no-op when it already is). Runs per code chunk
+    AFTER `//` became ` div ` so only true divisions remain. Comment
+    delimiters (`/*`, `*/`) and operands that can't be identified safely
+    (keyword on the left) are skipped, never mangled."""
+    i = 0
+    while True:
+        j = code.find("/", i)
+        if j == -1:
+            return code
+        if code[j + 1 : j + 2] == "*" or (j > 0 and code[j - 1] == "*"):
+            i = j + 1  # comment delimiter, not a division
+            continue
+        start = _div_lhs_start(code, j)
+        if start is None:
             i = j + 1
             continue
+        end = j
+        while end > start and code[end - 1].isspace():
+            end -= 1
         lhs = code[start:end]
-        if lhs.upper().startswith("CAST(") and lhs.upper().rstrip().endswith("DOUBLE)"):
+        u = lhs.upper()
+        if u.startswith("CAST(") and u.rstrip().endswith("DOUBLE)"):
             i = j + 1
             continue
         repl = f"CAST({lhs} AS DOUBLE)"
@@ -916,6 +990,60 @@ _INT_CAST_TYPES = {
 }
 
 
+_INT_SUFFIX_RE = re.compile(
+    r"::\s*(INTEGER|INT4|INT8|INT2|INT1|INT|SIGNED|BIGINT|LONG"
+    r"|SMALLINT|SHORT|TINYINT)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_postfix_int_casts(sql: str) -> str:
+    """`expr::INTEGER` → `CAST(expr AS INTEGER)` so both cast spellings
+    take the DuckDB rounding path in _rewrite_int_casts (ADVICE r06:
+    `2.5::INTEGER` passed through to Spark's truncating cast → 2, while
+    `CAST(2.5 AS INTEGER)` rounded → 3). Base scan mirrors ::BIT: string
+    literal, balanced paren group (plus its call name), or identifier."""
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _INT_SUFFIX_RE.finditer(sql) if not mask[c.start()]), None
+        )
+        if m is None:
+            return sql
+        j = m.start()
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j > 0 and sql[j - 1] == "'":
+            lit = next((a for a, b in _spans(sql) if b == j), None)
+            if lit is None:
+                raise UnsupportedDialect("postfix cast on an unparsable literal")
+            k = lit
+        elif j > 0 and sql[j - 1] == ")":
+            depth, k = 0, j
+            while k > 0:
+                k -= 1
+                if not mask[k]:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+            fm = re.search(r"[\w.]+$", sql[:k])
+            if fm and fm.group().upper() not in _DIV_LHS_KEYWORDS:
+                k = fm.start()  # include the call name: foo(x)::INT
+        else:
+            k = j
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            if k == j:
+                raise UnsupportedDialect(
+                    "postfix int cast needs a literal/identifier/paren base"
+                )
+        base = sql[k:j]
+        sql = sql[:k] + f"CAST({base} AS {m.group(1).upper()})" + sql[m.end() :]
+
+
 def _rewrite_int_casts(sql: str) -> str:
     """DuckDB CAST(x AS INTEGER) ROUNDS half away from zero (1.5 -> 2,
     -2.5 -> -3); Spark's cast truncates. Rewrite integral-target casts to
@@ -960,7 +1088,22 @@ def _rewrite_int_casts(sql: str) -> str:
             target = _INT_CAST_TYPES[tm.group(1).upper()]
             is_try = m.group(0).upper().startswith("TRY")
             inner_cast = "TRY_CAST" if is_try else "CAST"
-            is_literal_decimal = re.fullmatch(r"\s*-?\d+\.\d+\s*", expr) is not None
+            lit_probe = expr.strip()
+            while lit_probe.startswith("(") and lit_probe.endswith(")"):
+                lit_probe = lit_probe[1:-1].strip()
+            # DECIMAL and VARCHAR sources round HALF_UP in DuckDB; only
+            # DOUBLE/FLOAT sources are HALF_EVEN
+            # a +/-/* arithmetic over numeric literals stays DECIMAL too
+            # ('/' is gone by now — the division pass made it DOUBLE-cast,
+            # which introduces letters and fails this match)
+            is_literal_decimal = (
+                re.fullmatch(r"-?\d+\.\d+", lit_probe) is not None
+                or re.fullmatch(r"'-?\d+(\.\d+)?'", lit_probe) is not None
+                or (
+                    "." in lit_probe
+                    and re.fullmatch(r"[\d\s.+*()-]+", lit_probe) is not None
+                )
+            )
             rnd = "ROUND" if is_literal_decimal else "BROUND"
             repl = (
                 f"{inner_cast}({rnd}({inner_cast}({expr} AS DECIMAL(38,9)), 0)"
@@ -1613,6 +1756,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
+    sql = _rewrite_postfix_int_casts(sql)
     sql = _rewrite_int_casts(sql)
     sql = _rewrite_cast_string_types(sql)
     sql = _rewrite_code(sql, _rewrite_using_sample)

@@ -139,6 +139,12 @@ def _check_fk_children(engine: "Engine", table: str, incoming: DataFrame) -> Non
                 f"FOREIGN KEY on {table}.{c['name']}: {fk['table']} has no PRIMARY KEY"
             )
         parent = engine.catalog.read(fk["table"]).select(F.col(ref_col).alias("__pv"))
+        if fk["table"] == table and ref_col in incoming.columns:
+            # DuckDB validates against END-of-statement state: a batch row
+            # may reference another row of the same batch (self-ref FK)
+            parent = parent.unionByName(
+                incoming.select(F.col(ref_col).alias("__pv"))
+            )
         bad = (
             incoming.select(F.col(c["name"]).alias("__cv"))
             .filter(F.col("__cv").isNotNull())
@@ -393,7 +399,11 @@ def insert_values(engine: "Engine", sql: str, returning: str | None = None):
         # one row of declared defaults (NULL where none)
         meta0 = engine.catalog.tables[dv.group(1)]
         items = []
+        # generated columns are computed downstream, never inserted —
+        # emitting a value for them would break _aligned's count check
         for c in meta0.columns:
+            if c.get("generated"):
+                continue
             d = c.get("default")
             items.append(f"CAST({d} AS {_col_type(meta0, c['name'])})" if d else "NULL")
         stripped = f"INSERT INTO {dv.group(1)} VALUES ({', '.join(items)})"
@@ -402,10 +412,13 @@ def insert_values(engine: "Engine", sql: str, returning: str | None = None):
         raise ValueError(f"cannot parse INSERT: {sql[:80]}")
     table, cols_spec, values_clause = m.groups()
     meta = engine.catalog.tables[table]
+    # positional VALUES map to insertable (non-generated) columns only —
+    # the same list _aligned uses, so a bare DEFAULT token after a
+    # generated column resolves against the right column's default
     src_cols_for_defaults = (
         [c.strip() for c in cols_spec.split(",")]
         if cols_spec
-        else [c["name"] for c in meta.columns]
+        else [c["name"] for c in meta.columns if not c.get("generated")]
     )
     values_clause = _replace_default_tokens(values_clause, src_cols_for_defaults, meta)
     src = engine.spark.sql(f"SELECT * FROM ({translate(values_clause)})")
