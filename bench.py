@@ -5,13 +5,24 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 BENCH_r{N}.json and compares against BASELINE.md (within 2x of DuckDB
 wall-clock on the same query set at the same sf).
 
-Methodology: one warm-up execution per query (to exclude one-off JVM/codegen
-and parquet footer reads — the reference's `took` field likewise measures
-per-request execution, not process startup, http/service.go:241), then the
-median of 5 timed runs, each fully materializing the result via a collect.
-(5, not 3: SCALING.md's round-5 variance measurement saw ±40% run-to-run on
-sub-second queries from machine load alone; the median of 5 discards two
-outliers instead of one.)
+Measurement protocol (VERDICT r06 task 1 — make the artifact trustworthy):
+the earlier protocol timed all Spark queries in one phase and all DuckDB
+oracles in a later phase, so a load spike inflated one engine's session and
+the aggregate ratio carried machine noise, not plan signal. Now:
+
+1. ONE untimed full-suite warm pass (Spark + DuckDB) absorbs JVM/codegen
+   settling and parquet footer reads before anything is timed — the
+   reference's `took` likewise excludes process startup (http/service.go:241).
+2. PASSES (default 3) timed passes; within a pass each query runs
+   Spark-then-DuckDB back to back, so the per-query ratio compares runs
+   taken seconds apart under the same machine load.
+3. `os.getloadavg()` is recorded at suite start and per pass; every pass's
+   raw numbers are embedded in the JSON so a load spike is visible in the
+   artifact instead of silently polluting the headline.
+4. Headline per-query time = MINIMUM across passes (the standard
+   noise-robust wall-clock estimator: load only ever adds time); the
+   aggregate ratio uses the same minima for both engines. The
+   minimum-load pass is also identified for cross-checking.
 """
 
 from __future__ import annotations
@@ -24,6 +35,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
 
 def _materialize(df):
     # collect() on the final (small) result mirrors what the service layer
@@ -31,63 +44,11 @@ def _materialize(df):
     return df.collect()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from duckdb_service_spark.plans import BENCH, QUERIES, load_all
-    from duckdb_service_spark.session import get_spark
-
-    load_all()
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    names = [n for n in BENCH if n in QUERIES]
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = QUERIES[name]
-        _materialize(fn(spark, sf_dir))  # warm-up
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
-
-    # DuckDB wall-clock on the same queries' oracle SQL at the same sf, so
-    # the spark/duck ratio is tracked automatically per round.
-    oracle_timings = _oracle_timings(sf_dir, names)
-
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-    total = round(sum(timings.values()), 4)
-    oracle_total = round(sum(oracle_timings.values()), 4) if oracle_timings else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall-clock (median of 3, warm)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "oracle_duckdb_sec": oracle_total,
-                "oracle_queries": oracle_timings,
-                "spark_over_duckdb": (
-                    round(total / oracle_total, 3) if oracle_total else None
-                ),
-            }
-        )
-    )
-
-
-def _oracle_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Median-of-3 warm DuckDB timings for each bench query's oracle SQL."""
+def _duck_connect(sf_dir: str):
     try:
         import duckdb
     except ImportError:
-        return {}
-    from duckdb_service_spark.plans import ORACLES
+        return None
     from duckdb_service_spark.sources import TABLES, table_path
 
     con = duckdb.connect()
@@ -95,22 +56,103 @@ def _oracle_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    out: dict[str, float] = {}
+    return con
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from duckdb_service_spark.plans import BENCH, ORACLES, QUERIES, load_all
+    from duckdb_service_spark.session import get_spark
+
+    load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = _duck_connect(sf_dir)
+
+    names = [n for n in BENCH if n in QUERIES]
+    load_start = os.getloadavg()
+
+    # 1. untimed warm pass, full suite, both engines
     for name in names:
+        _materialize(QUERIES[name](spark, sf_dir))
         sql = ORACLES.get(name)
-        if sql is None:
-            continue
-        try:
-            con.execute(sql).fetchall()  # warm-up
-            runs = []
-            for _ in range(5):
-                t0 = time.perf_counter()
+        if con is not None and sql is not None:
+            try:
                 con.execute(sql).fetchall()
-                runs.append(time.perf_counter() - t0)
-            out[name] = round(statistics.median(runs), 4)
-        except Exception:  # noqa: BLE001 — oracle timing is informational
-            continue
-    return out
+            except Exception:  # noqa: BLE001 — oracle timing is informational
+                pass
+
+    # 2. timed passes, Spark and DuckDB interleaved per query
+    passes: list[dict] = []
+    for _ in range(PASSES):
+        rec = {"loadavg": os.getloadavg(), "spark": {}, "duck": {}}
+        for name in names:
+            t0 = time.perf_counter()
+            _materialize(QUERIES[name](spark, sf_dir))
+            rec["spark"][name] = round(time.perf_counter() - t0, 4)
+            sql = ORACLES.get(name)
+            if con is not None and sql is not None:
+                try:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    rec["duck"][name] = round(time.perf_counter() - t0, 4)
+                except Exception:  # noqa: BLE001
+                    pass
+        passes.append(rec)
+
+    # 3. headline = per-query minimum across passes, both engines
+    timings = {
+        n: round(min(p["spark"][n] for p in passes), 4) for n in names
+    }
+    oracle_timings = {
+        n: round(min(p["duck"][n] for p in passes), 4)
+        for n in names
+        if all(n in p["duck"] for p in passes)
+    }
+    ratios = {
+        n: round(timings[n] / oracle_timings[n], 3)
+        for n in oracle_timings
+        if oracle_timings[n] > 0
+    }
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 4)
+    shared_total = round(sum(timings[n] for n in oracle_timings), 4)
+    oracle_total = round(sum(oracle_timings.values()), 4) if oracle_timings else None
+    min_load_pass = min(
+        range(len(passes)), key=lambda i: passes[i]["loadavg"][0]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"headline-query wall-clock (min of {PASSES} interleaved "
+                    "passes, warm)"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "oracle_duckdb_sec": oracle_total,
+                "oracle_queries": oracle_timings,
+                "spark_over_duckdb": (
+                    round(shared_total / oracle_total, 3) if oracle_total else None
+                ),
+                "per_query_ratio": ratios,
+                "per_query_ratio_median": (
+                    round(statistics.median(ratios.values()), 3) if ratios else None
+                ),
+                "loadavg_start": load_start,
+                "loadavg_end": os.getloadavg(),
+                "min_load_pass": min_load_pass,
+                "passes": passes,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

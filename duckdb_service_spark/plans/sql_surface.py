@@ -468,7 +468,16 @@ SELECT o_orderkey,
        max(o_totalprice) OVER (PARTITION BY o_orderpriority
                                ORDER BY o_orderdate, o_orderkey
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                               EXCLUDE CURRENT ROW)      AS prior_max
+                               EXCLUDE CURRENT ROW)      AS prior_max,
+       min(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                               EXCLUDE GROUP)            AS min_other_days,
+       max(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               EXCLUDE TIES)             AS max_upto_no_ties,
+       min(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                               EXCLUDE CURRENT ROW)      AS min_upto_no_self
 FROM orders
 WHERE o_orderkey <= 2000
 """

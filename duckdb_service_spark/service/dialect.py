@@ -1662,11 +1662,59 @@ def _rewrite_frame_exclude(sql: str) -> str:
                     repl = f"(CASE WHEN 1=0 THEN {fname}({args}) OVER ({base_spec}) END)"
                 sql = sql[:call_start] + repl + sql[close_at:]
                 continue
-            raise UnsupportedDialect(
-                f"window frame EXCLUDE for {fname} is supported only as "
-                f"EXCLUDE CURRENT ROW with a ROWS frame (frame split); "
-                f"GROUP/TIES and RANGE frames need a peer-group join rewrite"
+            frame_is_rows = frame is not None and frame.upper().lstrip().startswith(
+                "ROWS"
             )
+            if frame_is_rows:
+                # a ROWS frame may cut the peer group mid-way — peer
+                # membership is then row-position-dependent and the
+                # peer-set rewrite below would remove out-of-frame peers
+                raise UnsupportedDialect(
+                    f"EXCLUDE {kind} for {fname} with a ROWS frame may cut "
+                    f"the peer group; use a RANGE frame"
+                )
+            if not _frame_includes_current(frame):
+                # RANGE frame that excludes the current row's value also
+                # excludes every peer — EXCLUDE is a no-op
+                repl = f"{fname}({args}) OVER ({base_spec})"
+                sql = sql[:call_start] + repl + sql[close_at:]
+                continue
+            # RANGE (or default) frame including the current row: the frame
+            # contains the WHOLE peer group, so frame\group is one windowed
+            # collect_list filtered on the order key — min/max recompose as
+            #   GROUP:       agg(frame \ group)
+            #   TIES:        comb(agg(frame \ group), x)
+            #   CURRENT ROW: comb(agg(frame \ group), agg(group \ me))
+            # comb = least/greatest (both skip NULLs, so an empty side
+            # drops out exactly as DuckDB's exclusion does).
+            x = args
+            comb = "least" if fname == "min" else "greatest"
+            kexpr = f"struct({', '.join(order)})" if order else "1"
+            cl = f"collect_list(named_struct('k', {kexpr}, 'x', ({x}))) OVER ({base_spec})"
+            arr_agg = "array_min" if fname == "min" else "array_max"
+            m_out = (
+                f"{arr_agg}(transform(filter({cl}, "
+                f"__s -> NOT (__s.k <=> {kexpr})), __s -> __s.x))"
+            )
+            if kind == "GROUP":
+                repl = m_out
+            elif kind == "TIES":
+                repl = f"{comb}({m_out}, ({x}))"
+            else:  # CURRENT ROW under a RANGE frame
+                peers = ", ".join(part + order) if (part or order) else ""
+                pspec = f"PARTITION BY {peers}" if peers else ""
+                ga = f"array_sort(collect_list({x}) OVER ({pspec}))"
+                if fname == "max":
+                    ga = f"reverse({ga})"
+                m_grp_excl_me = (
+                    f"(CASE WHEN ({x}) IS NULL "
+                    f"OR NOT (try_element_at({ga}, 1) <=> ({x})) "
+                    f"THEN try_element_at({ga}, 1) "
+                    f"ELSE try_element_at({ga}, 2) END)"
+                )
+                repl = f"{comb}({m_out}, {m_grp_excl_me})"
+            sql = sql[:call_start] + repl + sql[close_at:]
+            continue
         if fname not in ("sum", "count", "avg"):
             raise UnsupportedDialect(
                 f"window frame EXCLUDE is supported for sum/count/avg only "
