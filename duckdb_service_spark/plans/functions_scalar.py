@@ -850,3 +850,35 @@ def fn_battery_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_FN_R8_SQL))
+
+
+_TS_PRECISION_SQL = """
+SELECT event_id,
+       CAST(tt AS TIMESTAMP_S)   AS ts_s,
+       CAST(tt AS TIMESTAMP_MS)  AS ts_ms,
+       CAST(tt AS TIMESTAMP_NS)  AS ts_ns,
+       tt::TIMESTAMP_MS          AS ts_ms_postfix,
+       TIMESTAMP_NS '2021-06-01 10:30:00.123456' AS ns_literal,
+       CAST(epoch_us(CAST(tt AS TIMESTAMP_MS)) AS BIGINT) AS us_of_ms
+FROM (
+  SELECT event_id,
+         ts + to_microseconds(CAST((event_id * 333667) % 1000000 AS BIGINT)) AS tt
+  FROM events WHERE event_id <= 500
+) src
+"""
+
+
+@query("fn_timestamp_ns", oracle=_TS_PRECISION_SQL)
+def fn_timestamp_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_S / TIMESTAMP_MS / TIMESTAMP_NS type surface (SURVEY §1.3;
+    reference reach via full passthrough, db/db.go:89-93): CAST, postfix
+    `::`, and type-literal spellings, all mapped onto Spark's µs
+    TIMESTAMP_NTZ. _S/_MS casts ROUND half-away-from-zero on the epoch
+    (measured DuckDB behaviour — '…00.5'→:01, pre-epoch −0.5s→−1s), so µs
+    storage is lossless for them; TIMESTAMP_NS is the one DECLARED
+    DIVERGENCE (ns truncates to µs, COVERAGE.md) — sub-µs inputs cannot
+    occur here, so the query is oracle-exact. Verbatim SQL as oracle."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("events")
+    return spark.sql(translate(_TS_PRECISION_SQL))

@@ -546,3 +546,40 @@ def win_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs would drift in the last ulp). Verbatim DuckDB SQL as oracle."""
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_WIN_DISTINCT_SQL))
+
+
+_PREPARE_BODY_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderdate >= $1 AND o_orderdate < $2 AND o_totalprice > $3
+GROUP BY o_orderpriority
+"""
+
+_PREPARE_ARGS = ["DATE '1995-01-01'", "DATE '1995-07-01'", "1000.0"]
+
+
+@query(
+    "sql_prepare_execute",
+    oracle=f"""
+    PREPARE r7_prio AS {_PREPARE_BODY_SQL};
+    EXECUTE r7_prio({", ".join(_PREPARE_ARGS)})
+    """,
+)
+def sql_prepare_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE/EXECUTE through the service executor (VERDICT r06 task 7):
+    the statement is prepared once (session-scoped, like DuckDB's — the
+    reference reaches it via full passthrough, db/db.go:70) and executed
+    with $1/$2/$3 arguments bound at EXECUTE time. Binding inlines literal
+    argument expressions (macros.bind_prepared) — the same bind-time move
+    DuckDB makes, minus the plan cache (Catalyst re-plans per call; plan
+    time is not the bottleneck at analytics latencies). The DuckDB oracle
+    runs the VERBATIM PREPARE + EXECUTE script."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    load_tables(spark, sf_dir).view("orders")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_prepare_"))
+    eng.execute(f"PREPARE r7_prio AS {_PREPARE_BODY_SQL}")
+    return eng.query_df(f"EXECUTE r7_prio({', '.join(_PREPARE_ARGS)})")

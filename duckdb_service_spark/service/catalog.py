@@ -49,6 +49,15 @@ _DUCK_TO_SPARK = {
     "DATE": T.DateType(),
     "TIME": T.TimeType(),
     "TIMESTAMP": T.TimestampNTZType(),
+    # sub-/super-precision timestamp aliases (SURVEY §1.3): all stored at
+    # Spark's µs precision. TIMESTAMP_NS is a DECLARED DIVERGENCE — ns
+    # fractions truncate to µs (documented in COVERAGE.md; the serializer
+    # reports the declared DuckDB name via column metadata). _S/_MS values
+    # are rounded to their precision at INSERT/cast time by the dialect,
+    # so µs storage is lossless for them.
+    "TIMESTAMP_S": T.TimestampNTZType(),
+    "TIMESTAMP_MS": T.TimestampNTZType(),
+    "TIMESTAMP_NS": T.TimestampNTZType(),
     "UUID": T.StringType(),
     # BIT (bitstring): Spark has no bitstring type — stored as a '0'/'1'
     # STRING; the serializer reports BIT via per-column metadata (SURVEY
@@ -96,7 +105,14 @@ class TableMeta:
                     parse_type(c["type"]),
                     not c["not_null"],
                     metadata={"duckdb_type": c["type"].upper()}
-                    if c["type"].upper() in ("BIT", "BITSTRING")
+                    if c["type"].upper()
+                    in (
+                        "BIT",
+                        "BITSTRING",
+                        "TIMESTAMP_S",
+                        "TIMESTAMP_MS",
+                        "TIMESTAMP_NS",
+                    )
                     else {},
                 )
                 for c in self.columns

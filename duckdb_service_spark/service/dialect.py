@@ -125,6 +125,15 @@ FUNCTION_ALIASES = {
     "date_diff": "__duck_date_diff",
     "datediff": "__duck_date_diff",
     "epoch_ms": "__duck_epoch_ms",
+    "epoch_us": "__duck_epoch_us",
+    "to_days": "__duck_to_days",
+    "to_hours": "__duck_to_hours",
+    "to_minutes": "__duck_to_minutes",
+    "to_seconds": "__duck_to_seconds",
+    "to_milliseconds": "__duck_to_millis",
+    "to_microseconds": "__duck_to_micros",
+    "to_years": "__duck_to_years",
+    "to_months": "__duck_to_months",
     # round-8 battery additions (each verified against DuckDB 1.x output)
     "gcd": "__duck_gcd",
     "greatest_common_divisor": "__duck_gcd",
@@ -990,6 +999,129 @@ _INT_CAST_TYPES = {
 }
 
 
+_TS_PREC_SUFFIX_RE = re.compile(r"::\s*(TIMESTAMP_(?:NS|MS|S))\b", re.IGNORECASE)
+_TS_PREC_LITERAL_RE = re.compile(r"\b(TIMESTAMP_(?:NS|MS|S))\s+(?=')", re.IGNORECASE)
+
+
+def _emit_ts_precision(expr: str, tname: str) -> str:
+    """DuckDB sub-/super-precision timestamp cast semantics at Spark's µs
+    storage: TIMESTAMP_NS is the identity (ns truncates to µs — the
+    documented SURVEY §1.3 divergence); TIMESTAMP_S/_MS ROUND the value to
+    their precision, half away from zero on the epoch (measured: DuckDB
+    '…00.5'→:01, '…59.5' pre-epoch→:59 i.e. −0.5→−1)."""
+    t = tname.upper()
+    if t == "TIMESTAMP_NS":
+        return f"CAST({expr} AS TIMESTAMP_NTZ)"
+    unit = 1000000 if t == "TIMESTAMP_S" else 1000
+    rebuild = "timestamp_seconds" if t == "TIMESTAMP_S" else "timestamp_millis"
+    m = f"unix_micros(CAST(({expr}) AS TIMESTAMP))"
+    half = unit // 2
+    rounded = (
+        f"(CASE WHEN {m} >= 0 THEN ({m} + {half}) div {unit} "
+        f"ELSE ({m} - {half}) div {unit} END)"
+    )
+    return f"CAST({rebuild}({rounded}) AS TIMESTAMP_NTZ)"
+
+
+def _rewrite_ts_precision_casts(sql: str) -> str:
+    """TIMESTAMP_S / TIMESTAMP_MS / TIMESTAMP_NS in all three spellings —
+    `CAST(x AS T)`, `x::T`, and the type-literal `T '...'` — mapped onto
+    Spark TIMESTAMP_NTZ via _emit_ts_precision."""
+    if not re.search(r"\bTIMESTAMP_(?:NS|MS|S)\b", sql, re.IGNORECASE):
+        return sql
+    # type literal: TIMESTAMP_NS '2020-01-01 ...' → cast of the string
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _TS_PREC_LITERAL_RE.finditer(sql) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        lit = next((b for a, b in _spans(sql) if a == m.end()), None)
+        if lit is None:
+            raise UnsupportedDialect("unterminated timestamp literal")
+        repl = _emit_ts_precision(sql[m.end() : lit], m.group(1))
+        sql = sql[: m.start()] + repl + sql[lit:]
+    # postfix: expr::TIMESTAMP_S — same base scan as the int-cast pass
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _TS_PREC_SUFFIX_RE.finditer(sql) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            break
+        j = m.start()
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if j > 0 and sql[j - 1] == "'":
+            k = next((a for a, b in _spans(sql) if b == j), None)
+            if k is None:
+                raise UnsupportedDialect("postfix cast on an unparsable literal")
+            # typed literal base: TIMESTAMP '...'::TIMESTAMP_MS etc.
+            tk = re.search(
+                r"(TIMESTAMP|TIMESTAMPTZ|DATE|TIME)\s*$",
+                sql[:k],
+                re.IGNORECASE,
+            )
+            if tk:
+                k = tk.start()
+        elif j > 0 and sql[j - 1] == ")":
+            depth, k = 0, j
+            while k > 0:
+                k -= 1
+                if not mask[k]:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+            fm = re.search(r"[\w.]+$", sql[:k])
+            if fm and fm.group().upper() not in _DIV_LHS_KEYWORDS:
+                k = fm.start()
+        else:
+            k = j
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            if k == j:
+                raise UnsupportedDialect(
+                    "postfix timestamp cast needs a literal/identifier/paren base"
+                )
+        repl = _emit_ts_precision(sql[k:j], m.group(1))
+        sql = sql[:k] + repl + sql[m.end() :]
+    # CAST(expr AS TIMESTAMP_S) — balanced, literal-aware
+    while True:
+        mask = _literal_mask(sql)
+        changed = False
+        for m in _CAST_OPEN_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if not mask[i]:
+                    if sql[i] == "(":
+                        depth += 1
+                    elif sql[i] == ")":
+                        depth -= 1
+                i += 1
+            if depth:
+                continue
+            inner = sql[m.end() : i - 1]
+            tm = re.search(
+                r"\s+AS\s+(TIMESTAMP_(?:NS|MS|S))\s*$", inner, re.IGNORECASE
+            )
+            if not tm:
+                continue
+            repl = _emit_ts_precision(inner[: tm.start()], tm.group(1))
+            sql = sql[: m.start()] + repl + sql[i:]
+            changed = True
+            break
+        if not changed:
+            return sql
+
+
 _INT_SUFFIX_RE = re.compile(
     r"::\s*(INTEGER|INT4|INT8|INT2|INT1|INT|SIGNED|BIGINT|LONG"
     r"|SMALLINT|SHORT|TINYINT)\b",
@@ -1804,6 +1936,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
+    sql = _rewrite_ts_precision_casts(sql)
     sql = _rewrite_postfix_int_casts(sql)
     sql = _rewrite_int_casts(sql)
     sql = _rewrite_cast_string_types(sql)
@@ -1983,6 +2116,31 @@ def _emit_epoch_ms(args: list[str]) -> str:
     return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
 
 
+def _emit_epoch_us(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("epoch_us expects (timestamp)")
+    return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
+
+
+def _emit_interval_builder(kind: str, args: list[str]) -> str:
+    """DuckDB to_days/to_hours/.../to_microseconds(n) interval constructors
+    → Spark make_dt_interval / make_ym_interval."""
+    if len(args) != 1:
+        raise UnsupportedDialect(f"to_{kind} expects one argument")
+    (n,) = args
+    forms = {
+        "years": f"make_ym_interval({n})",
+        "months": f"make_ym_interval(0, {n})",
+        "days": f"make_dt_interval({n})",
+        "hours": f"make_dt_interval(0, {n})",
+        "minutes": f"make_dt_interval(0, 0, {n})",
+        "seconds": f"make_dt_interval(0, 0, 0, {n})",
+        "millis": f"make_dt_interval(0, 0, 0, ({n}) / 1000.0)",
+        "micros": f"make_dt_interval(0, 0, 0, ({n}) / 1000000.0)",
+    }
+    return forms[kind]
+
+
 def _emit_list_dot(args: list[str]) -> str:
     """list_dot_product: left-fold in element order — the same
     accumulation order DuckDB uses, so doubles are bit-identical."""
@@ -2101,6 +2259,15 @@ _ROUND5_EMITTERS = {
     "__duck_regexp_extract": _emit_regexp_extract,
     "__duck_date_diff": _emit_date_diff,
     "__duck_epoch_ms": _emit_epoch_ms,
+    "__duck_epoch_us": _emit_epoch_us,
+    "__duck_to_days": lambda a: _emit_interval_builder("days", a),
+    "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),
+    "__duck_to_minutes": lambda a: _emit_interval_builder("minutes", a),
+    "__duck_to_seconds": lambda a: _emit_interval_builder("seconds", a),
+    "__duck_to_millis": lambda a: _emit_interval_builder("millis", a),
+    "__duck_to_micros": lambda a: _emit_interval_builder("micros", a),
+    "__duck_to_years": lambda a: _emit_interval_builder("years", a),
+    "__duck_to_months": lambda a: _emit_interval_builder("months", a),
     "__duck_list_dot": _emit_list_dot,
     "__duck_list_cos": _emit_list_cos,
     "__duck_quantile_disc": _emit_quantile_disc,
