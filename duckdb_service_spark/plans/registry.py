@@ -55,6 +55,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # the tail rotates in r08 together with the r04-era rows.
 PRIORITY: list[str] = [
     # (a) new or changed in round 7
+    "text_lm_perplexity",
+    "sim_kmeans",
     "sql_prepare_execute",
     "fn_timestamp_ns",
     "win_exclude_frame",

@@ -578,3 +578,135 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.5)
     )
+
+
+_KMEANS_K = 8
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the deterministic k-means pass: seeds = K lowest-id
+    vectors, ONE distributed Lloyd refinement (argmin ties break on
+    cluster id; decimal-exact means rounded at 6), final assignment with
+    L2^2 rounded at 4. All distance sums are generated LEFT-ASSOCIATIVE so
+    they are bit-identical to the Spark fold."""
+
+    def _l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, DIM + 1)
+        )
+
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    init AS (
+      SELECT seeds.cluster, c.v AS centroid FROM c JOIN seeds USING (vec_id)
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT c.vec_id, i.cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY ({_l2('c.v', 'i.centroid')}), i.cluster) AS r
+        FROM c CROSS JOIN init i
+      ) WHERE r = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    m1 AS (
+      SELECT a1.cluster, d.i,
+             round(CAST(SUM(CAST(c.v[d.i] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1 JOIN c USING (vec_id) CROSS JOIN dims d
+      GROUP BY a1.cluster, d.i
+    ),
+    cent AS (SELECT cluster, list(cv ORDER BY i) AS centroid FROM m1 GROUP BY cluster),
+    final AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT c.vec_id, ct.cluster, ({_l2('c.v', 'ct.centroid')}) AS d2,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY ({_l2('c.v', 'ct.centroid')}), ct.cluster) AS r
+        FROM c CROSS JOIN cent ct
+      ) WHERE r = 1
+    )
+    SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM final
+    """
+
+
+@query("sim_kmeans", oracle=_kmeans_oracle())
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embeddings table (the
+    clustering pass SemDeDup/"cluster-then-dedup" curation pipelines need;
+    also the IVF coarse-quantizer trainer for unlabeled corpora): K lowest-
+    id seeds, one Lloyd refinement, per-vector (cluster, L2^2) out.
+
+    Exactness levers (same recipe as the oracle-exact PQ pipeline):
+    centroid means are decimal-exact rounded at 6, argmin distances are the
+    ordered 64-term fold (bit-identical across engines), ties break on
+    cluster id, final distance rounded at 4.
+
+    100 TB design: vectors are NEVER collected — seeds come from a bounded
+    id lookup, centroids broadcast (K x 64 doubles), assignment is map-side
+    argmin, re-centering is one posexplode groupBy with map-side partials.
+    More Lloyd iterations = more of the same step, cost linear per pass."""
+    from ..operators.similarity import _l2sq
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").limit(_KMEANS_K).collect()]
+    init = (
+        e.filter(F.col("vec_id").isin(ids))
+        .join(
+            spark.createDataFrame(
+                [(v, c) for c, v in enumerate(sorted(ids))], "vec_id long, cluster int"
+            ),
+            "vec_id",
+        )
+        .select("cluster", F.col("v").alias("centroid"))
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("__d", _l2sq(F.col("v"), F.col("centroid")))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
+                F.first("v").alias("v"),
+            )
+        )
+
+    a1 = assign(e, init)
+    means = (
+        a1.select("cluster", F.posexplode("v").alias("i", "val"))
+        .groupBy("cluster", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cv")
+        )
+    )
+    cent = (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
+        .select("cluster", F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"))
+    )
+    final = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("__d", _l2sq(F.col("v"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.struct("cluster", "__d"), F.struct("__d", "cluster")).alias("__w")
+        )
+        .select(
+            "vec_id",
+            F.col("__w.cluster").alias("cluster"),
+            F.round(F.col("__w.__d"), 4).alias("dist2"),
+        )
+    )
+    return final

@@ -1486,3 +1486,100 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_level"),
         )
     )
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, tok[CAST(i AS INT)] AS w1, tok[CAST(i AS INT) + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)
+    ),
+    bi AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+    pref AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt FROM bi GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS vsz FROM pairs),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln((b.cnt + 1.0) / (p.prefix_cnt + v.vsz)) * 1000000)
+                  AS BIGINT) AS logp_u
+      FROM bi b JOIN pref p ON b.w1 = p.w1 CROSS JOIN v
+    ),
+    scored AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams,
+             CAST(SUM(lp.logp_u) AS BIGINT) AS lsum
+      FROM pairs pr JOIN lp ON pr.w1 = lp.w1 AND pr.w2 = lp.w2
+      GROUP BY pr.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(-(lsum / 1000000.0) / n_bigrams, 4) AS nll
+    FROM scored
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, arXiv:1911.00359
+    score docs by LM perplexity; here the LM is the corpus's own add-one-
+    smoothed bigram model, so the pass is self-contained): per-doc average
+    negative log-likelihood over its bigrams. High nll = improbable word
+    sequences = the candidate-removal tail of the quality distribution.
+
+    Exactness: per-bigram-TYPE log-prob is rounded to 1e-6 micro-units as a
+    BIGINT once (ln of identical IEEE doubles; the rounding absorbs any
+    last-ulp libm difference between engines), and the per-doc reduction is
+    an INTEGER sum — order-free, so the result is identical under any
+    partitioning and hash-exact vs the DuckDB oracle.
+
+    100 TB design: one bigram explode feeds three map-side-combinable
+    groupBys (type counts, prefix counts, doc reduction); the model relation
+    (distinct bigram types — Zipf-bounded vocab^2, NOT corpus-sized)
+    broadcasts onto the doc-bigram stream; the token stream is read once."""
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t).select("doc_id", tokens_expr(F.col("text")).alias("tok"))
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tok", 1, F.greatest(F.size("tok") - 1, F.lit(0))),
+                F.slice("tok", 2, F.greatest(F.size("tok") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    pref = bi.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("prefix_cnt"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("vsz"))
+    lp = (
+        bi.join(pref, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1.0))
+                    / (F.col("prefix_cnt") + F.col("vsz"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_u"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_u").cast("bigint").alias("lsum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -(F.col("lsum") / F.lit(1000000.0)) / F.col("n_bigrams"), 4
+            ).alias("nll"),
+        )
+    )

@@ -39,10 +39,27 @@ def engines(spark):
 
 
 def _grammar(rng):
+    def gts(dd):
+        """timestamp-valued: a fixed base plus to_*() interval builders
+        (round-7 surface); consumed only under epoch_us so the comparison
+        stays integer-exact."""
+        base = "TIMESTAMP '2024-03-05 10:20:30.123456'"
+        if dd <= 0:
+            return base
+        b = rng.choice(["to_minutes", "to_seconds", "to_hours", "to_microseconds"])
+        return f"({gts(dd-1)} + {b}({rng.randint(1, 500)}))"
+
     def gi(dd):
         if dd <= 0:
             return rng.choice(["i", "n", "3", "-2", "0"])
-        c = rng.randint(0, 9)
+        c = rng.randint(0, 11)
+        if c == 10:
+            prec = rng.choice(["TIMESTAMP_S", "TIMESTAMP_MS", "TIMESTAMP_NS"])
+            return (
+                f"CAST(epoch_us(CAST({gts(dd-1)} AS {prec})) % 1000000 AS INTEGER)"
+            )
+        if c == 11:
+            return f"({gd(dd-1)})::INTEGER"
         if c == 0:
             return f"({gi(dd-1)} % nullif({gi(dd-1)}, 0))"
         if c == 1:
@@ -66,7 +83,14 @@ def _grammar(rng):
     def gd(dd):
         if dd <= 0:
             return rng.choice(["d", "1.5", "-0.25"])
-        c = rng.randint(0, 4)
+        c = rng.randint(0, 5)
+        if c == 5:
+            # division whose left operand is a CASE..END — the round-7
+            # operand-scan fix (ADVICE r06 high)
+            return (
+                f"(CASE WHEN {gb(dd-1)} THEN {gi(dd-1)} ELSE {gi(dd-1)} END"
+                f" / nullif({gi(dd-1)}, 0))"
+            )
         if c == 0:
             return f"({gd(dd-1)} / nullif({gd(dd-1)}, 0))"
         if c == 1:
