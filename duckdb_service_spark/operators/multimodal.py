@@ -17,6 +17,7 @@ memory, and feature extraction is embarrassingly parallel (no shuffle).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -44,7 +45,11 @@ def decode_batch(payloads: "list[bytes]", n_features: int) -> "list[list[float]]
         for b in p:
             buckets[b % n_features] += 1
         total = max(len(p), 1)
-        out.append([round(c / total, 6) for c in buckets])
+        # round half AWAY from zero (floor(x+0.5) on the 1e6 scale), not
+        # Python's banker's round: DuckDB/Spark SQL round() are half-away,
+        # and matching them keeps the feature values oracle-reproducible
+        # (ties are real: c/total = 1/128 has a 7th decimal digit of 5)
+        out.append([math.floor(c / total * 1e6 + 0.5) / 1e6 for c in buckets])
     return out
 
 

@@ -57,6 +57,7 @@ PRIORITY: list[str] = [
     # (a) new or changed in round 7
     "text_lm_perplexity",
     "sim_kmeans",
+    "mm_decode_features",
     "sql_prepare_execute",
     "fn_timestamp_ns",
     "win_exclude_frame",

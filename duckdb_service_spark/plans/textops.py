@@ -189,17 +189,51 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_features")  # rows-only: decode stage is a pandas-UDF path
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 200),
+    chars AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % 8 AS bkt
+      FROM d, UNNEST(generate_series(1, length(text))) AS g(i)
+    ),
+    counts AS (
+      SELECT c.doc_id, b.bkt,
+             count(ch.bkt) AS c
+      FROM (SELECT DISTINCT doc_id FROM chars) c
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bkt) b
+      LEFT JOIN chars ch ON ch.doc_id = c.doc_id AND ch.bkt = b.bkt
+      GROUP BY c.doc_id, b.bkt
+    ),
+    tot AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM d),
+    feats AS (
+      SELECT counts.doc_id,
+             list(CAST(round(CAST(counts.c AS DOUBLE)
+                             / greatest(tot.n_bytes, 1), 6) * 1000000 AS BIGINT)
+                  ORDER BY counts.bkt) AS f
+      FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+      GROUP BY counts.doc_id
+    )
+    SELECT feats.doc_id, tot.n_bytes,
+           array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)), '|')
+             AS features_u
+    FROM feats JOIN tot ON feats.doc_id = tot.doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract pipeline via mapInPandas
     (operators.multimodal): binary payload → deterministic fake 'decoder' →
     fixed-length feature vector. Arrow-batched; the real image/audio decoder
     drops into decode_batch without touching the Spark plumbing.
 
-    The feature vector is emitted as a JSON string (not array<float>) at the
-    query boundary so the driver's pandas canonicalizer can sort/hash the
-    column — same serialization rule as the centroid query in
-    plans/similarity.py. The array-valued form stays available through
+    r07: oracle-EXACT. The fake decoder is a byte histogram with half-away
+    rounding at 1e-6, so DuckDB reproduces every feature from
+    ord(substr(...)) counts; the query boundary serializes the float32
+    features back to their 1e6-scaled integers ('|'-joined — array cells
+    are unhashable in the driver's pandas canonicalizer). The float32
+    round-trip is lossless: |float32(v)−v|·1e6 ≤ 0.06 and v·1e6 is an
+    integer by construction, so round() recovers it exactly. The
+    array<float> form stays available through
     operators.multimodal.extract_features for internal composition."""
     from ..operators.multimodal import extract_features
 
@@ -209,7 +243,17 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(d, id_col="doc_id", payload_col="payload", n_features=8)
     return feats.select(
-        "doc_id", "n_bytes", F.to_json(F.col("features")).alias("features_json")
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda f: F.round(f.cast("double") * 1000000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("features_u"),
     )
 
 

@@ -1702,8 +1702,10 @@ def _rewrite_window_distinct(sql: str) -> str:
 
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
-    avg} into subtraction form. Other aggregates (min/max/rank/...) can't
-    decompose — raise with the workaround named."""
+    avg} into subtraction form; min/max via frame split / peer-set
+    collect. Frame EXCLUDE hiding inside a NAMED WINDOW clause is not
+    reachable by this rewrite (the aggregate is elsewhere) — raise with
+    the workaround instead of letting Spark emit a cryptic parse error."""
     while True:
         m = None
         for cand in re.finditer(r"\bOVER\s*\(", sql, re.IGNORECASE):
@@ -1716,6 +1718,18 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 m = (cand.start(), sql.index("(", cand.end() - 1), end, spec, em)
                 break
         if m is None:
+            code_only = "".join(
+                ch for is_lit, ch in _split_literals(sql) if not is_lit
+            )
+            if re.search(
+                r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)",
+                code_only,
+                re.IGNORECASE,
+            ):
+                raise UnsupportedDialect(
+                    "frame EXCLUDE inside a named WINDOW clause is not "
+                    "supported; inline the window spec in OVER (...)"
+                )
             return sql
         over_at, open_at, close_at, spec, em = m
         kind = re.sub(r"\s+", " ", em.group(1).upper())
