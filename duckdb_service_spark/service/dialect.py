@@ -1761,146 +1761,237 @@ def _rewrite_frame_exclude(sql: str) -> str:
             repl = f"{sql[call_start:k]}({args}) OVER ({base_spec})"
             sql = sql[:call_start] + repl + sql[close_at:]
             continue
-        if fname in ("min", "max"):
-            # min/max don't decompose by subtraction; for EXCLUDE CURRENT
-            # ROW under a ROWS frame the frame SPLITS instead: the part
-            # before the current row and the part after it, combined with
-            # least/greatest (both skip NULLs, so an empty side drops out
-            # exactly as DuckDB's exclusion does). RANGE frames keep the
-            # current row's peers in-frame, so a row-position split would
-            # be wrong — those still raise below.
-            part, order, frame = _split_window_spec(base_spec)
-            if (
-                kind == "CURRENT ROW"
-                and frame is not None
-                and frame.upper().lstrip().startswith("ROWS")
-            ):
-                if not _frame_includes_current(frame):
-                    # frame never contains the current row — EXCLUDE is a no-op
-                    repl = f"{fname}({args}) OVER ({base_spec})"
-                    sql = sql[:call_start] + repl + sql[close_at:]
-                    continue
-                ft = frame.strip()
-                bm = re.match(
-                    r"ROWS\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", ft, re.IGNORECASE | re.DOTALL
-                )
-                if bm:
-                    lo, hi = bm.group(1).strip(), bm.group(2).strip()
-                else:
-                    lo = re.match(r"ROWS\s+(.+)$", ft, re.IGNORECASE).group(1).strip()
-                    hi = "CURRENT ROW"
-                prefix = base_spec[: base_spec.upper().find("ROWS")].strip()
-                comb = "least" if fname == "min" else "greatest"
-                parts = []
-                if lo.upper() != "CURRENT ROW":
-                    parts.append(
-                        f"{fname}({args}) OVER ({prefix} ROWS BETWEEN {lo} AND 1 PRECEDING)"
-                    )
-                if hi.upper() != "CURRENT ROW":
-                    parts.append(
-                        f"{fname}({args}) OVER ({prefix} ROWS BETWEEN 1 FOLLOWING AND {hi})"
-                    )
-                if len(parts) == 2:
-                    repl = f"{comb}({parts[0]}, {parts[1]})"
-                elif parts:
-                    repl = parts[0]
-                else:  # single-row frame minus the row: typed empty result
-                    repl = f"(CASE WHEN 1=0 THEN {fname}({args}) OVER ({base_spec}) END)"
-                sql = sql[:call_start] + repl + sql[close_at:]
-                continue
-            frame_is_rows = frame is not None and frame.upper().lstrip().startswith(
-                "ROWS"
-            )
-            if frame_is_rows:
-                # a ROWS frame may cut the peer group mid-way — peer
-                # membership is then row-position-dependent and the
-                # peer-set rewrite below would remove out-of-frame peers
-                raise UnsupportedDialect(
-                    f"EXCLUDE {kind} for {fname} with a ROWS frame may cut "
-                    f"the peer group; use a RANGE frame"
-                )
-            if not _frame_includes_current(frame):
-                # RANGE frame that excludes the current row's value also
-                # excludes every peer — EXCLUDE is a no-op
-                repl = f"{fname}({args}) OVER ({base_spec})"
-                sql = sql[:call_start] + repl + sql[close_at:]
-                continue
-            # RANGE (or default) frame including the current row: the frame
-            # contains the WHOLE peer group, so frame\group is one windowed
-            # collect_list filtered on the order key — min/max recompose as
-            #   GROUP:       agg(frame \ group)
-            #   TIES:        comb(agg(frame \ group), x)
-            #   CURRENT ROW: comb(agg(frame \ group), agg(group \ me))
-            # comb = least/greatest (both skip NULLs, so an empty side
-            # drops out exactly as DuckDB's exclusion does).
-            x = args
-            comb = "least" if fname == "min" else "greatest"
-            kexpr = f"struct({', '.join(order)})" if order else "1"
-            cl = f"collect_list(named_struct('k', {kexpr}, 'x', ({x}))) OVER ({base_spec})"
-            arr_agg = "array_min" if fname == "min" else "array_max"
-            m_out = (
-                f"{arr_agg}(transform(filter({cl}, "
-                f"__s -> NOT (__s.k <=> {kexpr})), __s -> __s.x))"
-            )
-            if kind == "GROUP":
-                repl = m_out
-            elif kind == "TIES":
-                repl = f"{comb}({m_out}, ({x}))"
-            else:  # CURRENT ROW under a RANGE frame
-                peers = ", ".join(part + order) if (part or order) else ""
-                pspec = f"PARTITION BY {peers}" if peers else ""
-                ga = f"array_sort(collect_list({x}) OVER ({pspec}))"
-                if fname == "max":
-                    ga = f"reverse({ga})"
-                m_grp_excl_me = (
-                    f"(CASE WHEN ({x}) IS NULL "
-                    f"OR NOT (try_element_at({ga}, 1) <=> ({x})) "
-                    f"THEN try_element_at({ga}, 1) "
-                    f"ELSE try_element_at({ga}, 2) END)"
-                )
-                repl = f"{comb}({m_out}, {m_grp_excl_me})"
-            sql = sql[:call_start] + repl + sql[close_at:]
-            continue
-        if fname not in ("sum", "count", "avg"):
+        # ---- measured DuckDB exclusion model (probed against straddling
+        # peer groups AND frames that do not contain the current row):
+        # exclusion yields ROW-space segments NOT clamped to the frame —
+        #   CURRENT ROW: [fstart, cur-1] u [cur+1, fend]
+        #   GROUP:       [fstart, gs-1] u [ge+1, fend]
+        #   TIES:        [fstart, gs-1] u {cur} u [ge+1, fend]
+        # (gs/ge = first/last peer row). For frames CONTAINING the current
+        # row these reduce to textbook EXCLUDE semantics; otherwise the
+        # segment ends EXTEND toward the current row/peer group (e.g.
+        # `ROWS 4 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW` behaves
+        # as `ROWS 4 PRECEDING AND 1 PRECEDING`).
+        if fname not in ("sum", "count", "avg", "min", "max"):
             raise UnsupportedDialect(
-                f"window frame EXCLUDE is supported for sum/count/avg only "
-                f"(got {fname or '?'}); rewrite min/max-style aggregates with "
-                f"peer-group joins"
+                f"window frame EXCLUDE is supported for "
+                f"sum/count/avg/min/max (got {fname or '?'})"
             )
         part, order, frame = _split_window_spec(base_spec)
-        if not _frame_includes_current(frame):
-            raise UnsupportedDialect(
-                "window frame EXCLUDE over a frame not containing the "
-                "current row is not supported"
+        fm2 = re.search(r"\b(ROWS|RANGE)\b", base_spec, re.IGNORECASE)
+        prefix = (base_spec[: fm2.start()] if fm2 else base_spec).strip()
+        if frame is None:
+            mode, lo, hi = "RANGE", "UNBOUNDED PRECEDING", "CURRENT ROW"
+        else:
+            ft = frame.strip()
+            bm = re.match(
+                r"(ROWS|RANGE)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+                ft,
+                re.IGNORECASE | re.DOTALL,
             )
-        if kind in ("GROUP", "TIES") and frame is not None and frame.upper().startswith("ROWS"):
-            raise UnsupportedDialect(
-                "EXCLUDE GROUP/TIES with a ROWS frame may cut the peer "
-                "group; use a RANGE frame"
-            )
+            if bm:
+                mode = bm.group(1).upper()
+                lo, hi = bm.group(2).strip(), bm.group(3).strip()
+            else:
+                sm = re.match(r"(ROWS|RANGE)\s+(.+)$", ft, re.IGNORECASE | re.DOTALL)
+                mode, lo, hi = sm.group(1).upper(), sm.group(2).strip(), "CURRENT ROW"
+
+        def _bkind(b: str) -> str:
+            u = re.sub(r"\s+", " ", b.upper())
+            if u == "UNBOUNDED PRECEDING":
+                return "UP"
+            if u == "CURRENT ROW":
+                return "C"
+            if u == "UNBOUNDED FOLLOWING":
+                return "UF"
+            if u.endswith("PRECEDING"):
+                return "P"
+            if u.endswith("FOLLOWING"):
+                return "F"
+            raise UnsupportedDialect(f"unparsable frame bound {b!r}")
+
+        lk, hk = _bkind(lo), _bkind(hi)
+        includes_cur = lk in ("UP", "P", "C") and hk in ("C", "F", "UF")
         star = args.strip() == "*"
-        x = args
-        b = base_spec
-        peers = ", ".join(part + order) if (part or order) else None
-        pspec = f"PARTITION BY {peers}" if peers else ""
-        cnt_b = f"count({x}) OVER ({b})"
-        sum_b = f"sum({x}) OVER ({b})"
-        if kind == "CURRENT ROW":
-            has = "1" if star else f"(CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
-            val = "NULL" if star else f"COALESCE({x}, 0)"
-            cnt_excl = f"({cnt_b} - {has})"
-            sum_excl = f"({sum_b} - {val})"
-        else:  # GROUP or TIES
-            cnt_p = f"count({x}) OVER ({pspec})"
-            sum_p = f"sum({x}) OVER ({pspec})"
-            if kind == "GROUP":
-                cnt_excl = f"({cnt_b} - {cnt_p})"
-                sum_excl = f"({sum_b} - COALESCE({sum_p}, 0))"
-            else:  # TIES: remove peers, keep current row
-                has = "1" if star else f"(CASE WHEN ({x}) IS NOT NULL THEN 1 ELSE 0 END)"
-                val = "0" if star else f"COALESCE({x}, 0)"
-                cnt_excl = f"({cnt_b} - {cnt_p} + {has})"
-                sum_excl = f"({sum_b} - COALESCE({sum_p}, 0) + {val})"
+        if star and fname != "count":
+            raise UnsupportedDialect(f"{fname}(*) is not a valid aggregate")
+        x = "1" if star else args
+        kexpr = f"struct({', '.join(order)})" if order else "1"
+        comb = "least" if fname == "min" else "greatest"
+        arr_agg = "array_min" if fname == "min" else "array_max"
+
+        if mode == "RANGE" and not includes_cur:
+            if kind == "CURRENT ROW":
+                raise UnsupportedDialect(
+                    "EXCLUDE CURRENT ROW over a RANGE frame not containing "
+                    "the current row depends on arbitrary tie order "
+                    "(measured DuckDB behavior is row-position-dependent "
+                    "within the peer group); not supported"
+                )
+            # GROUP/TIES: the surviving segment extends to the peer-group
+            # edge — for RANGE frames that equals extending the frame to
+            # CURRENT ROW (peers are value-equal) and removing peers
+            if hk == "P":
+                hi, hk = "CURRENT ROW", "C"
+            else:  # frame entirely after the current row
+                lo, lk = "CURRENT ROW", "C"
+            base_spec = f"{prefix} RANGE BETWEEN {lo} AND {hi}".strip()
+            includes_cur = True
+
+        if mode == "RANGE":
+            # current row (hence the WHOLE peer group) is in frame
+            if fname in ("min", "max"):
+                cl = (
+                    f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
+                    f" OVER ({base_spec})"
+                )
+                m_out = (
+                    f"{arr_agg}(transform(filter({cl}, "
+                    f"__s -> NOT (__s.k <=> {kexpr})), __s -> __s.x))"
+                )
+                if kind == "GROUP":
+                    repl = m_out
+                elif kind == "TIES":
+                    repl = f"{comb}({m_out}, ({x}))"
+                else:  # CURRENT ROW: comb with peer-group-minus-self
+                    peers = ", ".join(part + order) if (part or order) else ""
+                    pspec = f"PARTITION BY {peers}" if peers else ""
+                    ga = f"array_sort(collect_list({x}) OVER ({pspec}))"
+                    if fname == "max":
+                        ga = f"reverse({ga})"
+                    m_grp_excl_me = (
+                        f"(CASE WHEN ({x}) IS NULL "
+                        f"OR NOT (try_element_at({ga}, 1) <=> ({x})) "
+                        f"THEN try_element_at({ga}, 1) "
+                        f"ELSE try_element_at({ga}, 2) END)"
+                    )
+                    repl = f"{comb}({m_out}, {m_grp_excl_me})"
+                sql = sql[:call_start] + repl + sql[close_at:]
+                continue
+            # sum/count/avg: subtraction form — exact native types
+            xs = args
+            b = base_spec
+            peers = ", ".join(part + order) if (part or order) else None
+            pspec = f"PARTITION BY {peers}" if peers else ""
+            cnt_b = f"count({xs}) OVER ({b})"
+            sum_b = f"sum({xs}) OVER ({b})"
+            if kind == "CURRENT ROW":
+                has = (
+                    "1"
+                    if star
+                    else f"(CASE WHEN ({xs}) IS NOT NULL THEN 1 ELSE 0 END)"
+                )
+                val = "NULL" if star else f"COALESCE({xs}, 0)"
+                cnt_excl = f"({cnt_b} - {has})"
+                sum_excl = f"({sum_b} - {val})"
+            else:  # GROUP or TIES
+                cnt_p = f"count({xs}) OVER ({pspec})"
+                sum_p = f"sum({xs}) OVER ({pspec})"
+                if kind == "GROUP":
+                    cnt_excl = f"({cnt_b} - {cnt_p})"
+                    sum_excl = f"({sum_b} - COALESCE({sum_p}, 0))"
+                else:  # TIES: remove peers, keep current row
+                    has = (
+                        "1"
+                        if star
+                        else f"(CASE WHEN ({xs}) IS NOT NULL THEN 1 ELSE 0 END)"
+                    )
+                    val = "0" if star else f"COALESCE({xs}, 0)"
+                    cnt_excl = f"({cnt_b} - {cnt_p} + {has})"
+                    sum_excl = f"({sum_b} - COALESCE({sum_p}, 0) + {val})"
+        else:
+            # ---- ROWS frame: the two surviving row-space segments
+            segA = (
+                f"{prefix} ROWS BETWEEN {lo} AND 1 PRECEDING".strip()
+                if lk in ("UP", "P")
+                else None
+            )
+            segB = (
+                f"{prefix} ROWS BETWEEN 1 FOLLOWING AND {hi}".strip()
+                if hk in ("F", "UF")
+                else None
+            )
+            if fname in ("min", "max"):
+                if kind == "CURRENT ROW":
+                    parts = [
+                        f"{fname}({args}) OVER ({s})" for s in (segA, segB) if s
+                    ]
+                else:
+
+                    def _seg_agg(seg: str) -> str:
+                        cl = (
+                            f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
+                            f" OVER ({seg})"
+                        )
+                        return (
+                            f"{arr_agg}(transform(filter({cl}, "
+                            f"__s -> NOT (__s.k <=> {kexpr})), __s -> __s.x))"
+                        )
+
+                    parts = [_seg_agg(s) for s in (segA, segB) if s]
+                    if kind == "TIES":
+                        # the current row is ALWAYS retained (measured: it
+                        # is added back even when the frame excludes it)
+                        parts.append(f"({args})")
+                if len(parts) > 1:
+                    repl = f"{comb}({', '.join(parts)})"
+                elif parts:
+                    repl = parts[0]
+                else:  # nothing survives: typed empty result
+                    repl = (
+                        f"(CASE WHEN 1=0 THEN {fname}({args})"
+                        f" OVER ({base_spec}) END)"
+                    )
+                sql = sql[:call_start] + repl + sql[close_at:]
+                continue
+            # sum/count/avg over ROWS segments. CURRENT ROW keeps native
+            # types via plain segment windows; GROUP/TIES need the
+            # peer-filtered collect (count exact BIGINT; sum/avg ride
+            # DOUBLE — the documented DISTINCT-window-aggregate trade).
+            if kind == "CURRENT ROW":
+                cnts = [
+                    f"COALESCE(count({args}) OVER ({s}), 0)"
+                    for s in (segA, segB)
+                    if s
+                ]
+                sums = [
+                    f"COALESCE(sum({args}) OVER ({s}), 0)"
+                    for s in (segA, segB)
+                    if s
+                ]
+                cnt_excl = "(" + (" + ".join(cnts) if cnts else "0") + ")"
+                sum_excl = "(" + (" + ".join(sums) if sums else "0") + ")"
+            else:
+                sizes, folds = [], []
+                for s in (segA, segB):
+                    if s is None:
+                        continue
+                    cl = (
+                        f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
+                        f" OVER ({s})"
+                    )
+                    nn = (
+                        f"filter(transform(filter({cl}, "
+                        f"__s -> NOT (__s.k <=> {kexpr})), __s -> __s.x), "
+                        f"__v -> __v IS NOT NULL)"
+                    )
+                    sizes.append(f"CAST(size({nn}) AS BIGINT)")
+                    folds.append(
+                        f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                        f"(__a, __v) -> __a + CAST(__v AS DOUBLE))"
+                    )
+                if kind == "TIES":  # current row always added back (measured)
+                    sizes.append(
+                        "1"
+                        if star
+                        else f"(CASE WHEN ({args}) IS NOT NULL THEN 1 ELSE 0 END)"
+                    )
+                    if not star:
+                        folds.append(f"COALESCE(CAST(({args}) AS DOUBLE), 0D)")
+                cnt_excl = "(" + (" + ".join(sizes) if sizes else "0") + ")"
+                sum_excl = (
+                    "(" + (" + ".join(folds) if folds else "CAST(0 AS DOUBLE)") + ")"
+                )
         if fname == "count":
             repl = cnt_excl
         elif fname == "sum":

@@ -390,18 +390,23 @@ def test_window_frame_exclude(spark):
         "FROM t_excl ORDER BY i"
     )).collect()
     assert [r.x for r in rows] == [None, 10, 10, 20, 30]
-    # ...but GROUP/TIES and RANGE frames still can't split by row position
-    with _pytest.raises(UnsupportedDialect, match="peer-group join"):
-        translate(
-            "SELECT min(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING "
-            "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) FROM t_excl"
-        )
-    # ROWS frame may cut the peer group
-    with _pytest.raises(UnsupportedDialect, match="ROWS frame"):
-        translate(
-            "SELECT sum(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND 1 "
-            "FOLLOWING EXCLUDE GROUP) FROM t_excl"
-        )
+    # round 7: min/max GROUP/TIES under RANGE frames and the sum family
+    # under ROWS GROUP/TIES rewrite through the frame-scoped collect
+    # (differential coverage in tests/test_window_exclude_r07.py)
+    rows = spark.sql(translate(
+        "SELECT i, min(v) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS x FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [20, 20, 10, 10, 10]
+    # ORDER BY v, i makes every row its own peer group, so EXCLUDE GROUP
+    # here equals EXCLUDE CURRENT ROW (verified against DuckDB); the ROWS
+    # GROUP path rides DOUBLE (the documented fold trade)
+    rows = spark.sql(translate(
+        "SELECT i, sum(v) OVER (ORDER BY v, i ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE GROUP) AS x FROM t_excl ORDER BY i"
+    )).collect()
+    assert [r.x for r in rows] == [10.0, 30.0, 40.0, 50.0, 30.0]
+    _ = UnsupportedDialect, _pytest  # raise-paths covered in r07 test module
 
 
 def test_dialect_ignore_nulls_position():

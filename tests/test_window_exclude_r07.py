@@ -17,6 +17,28 @@ ROWS = [
 
 RB = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
+# ROWS-frame specs (round 7 late): the unified row-space segment model —
+# [fstart, gs-1] / {cur} / [ge+1, fend], unclamped to the frame — including
+# the frames that do NOT contain the current row, where DuckDB's segments
+# EXTEND the frame toward the current row/peer group. rid breaks ties so
+# both engines see the same row order.
+ROWS_SPECS = [
+    "min(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+    "max(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+    "count(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)",
+    "count(*) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+    "CAST(sum(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS DOUBLE)",
+    "avg(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)",
+    "min(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE TIES)",
+    "min(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING EXCLUDE CURRENT ROW)",
+    "max(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING EXCLUDE CURRENT ROW)",
+    "CAST(sum(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING EXCLUDE GROUP) AS DOUBLE)",
+    "CAST(sum(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 3 PRECEDING AND 2 PRECEDING EXCLUDE TIES) AS DOUBLE)",
+    "count(x) OVER (PARTITION BY g ORDER BY k, rid ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING EXCLUDE TIES)",
+    "min(x) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING EXCLUDE TIES)",
+    "CAST(sum(x) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 5 PRECEDING EXCLUDE GROUP) AS DOUBLE)",
+]
+
 SPECS = [
     f"min(x) OVER (PARTITION BY g ORDER BY k {RB} EXCLUDE GROUP)",
     f"max(x) OVER (PARTITION BY g ORDER BY k {RB} EXCLUDE GROUP)",
@@ -52,9 +74,31 @@ def test_minmax_exclude_matches_duckdb(spark, fixtures, spec):
     assert got == want
 
 
-def test_minmax_exclude_rows_group_still_raises():
+@pytest.fixture(scope="module")
+def fixtures_rid(spark):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr (g INT, k INT, x INT, rid INT)")
+    rid_rows = [(g, k, x, i + 1) for i, (g, k, x) in enumerate(ROWS)]
+    con.executemany("INSERT INTO tr VALUES (?,?,?,?)", rid_rows)
+    spark.createDataFrame(
+        rid_rows, "g int, k int, x int, rid int"
+    ).createOrReplaceTempView("tr")
+    return con
+
+
+@pytest.mark.parametrize("spec", ROWS_SPECS)
+def test_rows_frame_exclude_matches_duckdb(spark, fixtures_rid, spec):
+    q = f"SELECT rid, {spec} AS v FROM tr ORDER BY rid"
+    want = fixtures_rid.execute(q).fetchall()
+    got = [tuple(r) for r in spark.sql(translate(q)).collect()]
+    assert got == want
+
+
+def test_range_ecr_not_including_current_raises():
+    """EXCLUDE CURRENT ROW over a value-bounded RANGE frame that excludes
+    the current row is tie-order-dependent in DuckDB (measured) — raise."""
     with pytest.raises(UnsupportedDialect):
         translate(
-            "SELECT min(x) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND "
-            "2 FOLLOWING EXCLUDE GROUP) FROM t"
+            "SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND "
+            "1 PRECEDING EXCLUDE CURRENT ROW) FROM t"
         )
