@@ -1700,6 +1700,47 @@ def _rewrite_window_distinct(sql: str) -> str:
             return sql
 
 
+def _frame_bound_rank(b: str) -> "float | None":
+    """Comparable position of a frame bound (None if not statically
+    rankable, e.g. an expression bound)."""
+    u = re.sub(r"\s+", " ", b.strip().upper())
+    if u == "UNBOUNDED PRECEDING":
+        return float("-inf")
+    if u == "CURRENT ROW":
+        return 0.0
+    if u == "UNBOUNDED FOLLOWING":
+        return float("inf")
+    m = re.match(r"(\d+(?:\.\d+)?)\s+PRECEDING$", u)
+    if m:
+        return -float(m.group(1))
+    m = re.match(r"(\d+(?:\.\d+)?)\s+FOLLOWING$", u)
+    if m:
+        return float(m.group(1))
+    return None
+
+
+def _frame_inverted(base_spec: str) -> "str | None":
+    """If the spec's frame has statically inverted bounds (lower > upper —
+    DuckDB: empty frame; Spark: analysis error), return the spec text
+    WITHOUT the frame clause (for a typed empty emission); else None."""
+    fm = re.search(r"\b(ROWS|RANGE)\b", base_spec, re.IGNORECASE)
+    if not fm:
+        return None
+    ft = base_spec[fm.start() :].strip()
+    bm = re.match(
+        r"(?:ROWS|RANGE)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$",
+        ft,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not bm:
+        return None
+    lo_r = _frame_bound_rank(bm.group(1))
+    hi_r = _frame_bound_rank(bm.group(2))
+    if lo_r is None or hi_r is None or lo_r <= hi_r:
+        return None
+    return base_spec[: fm.start()].strip()
+
+
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
     avg} into subtraction form; min/max via frame split / peer-set
@@ -1758,7 +1799,22 @@ def _rewrite_frame_exclude(sql: str) -> str:
         call_start = fm.start(1) if fm else k
 
         if kind == "NO OTHERS":
-            repl = f"{sql[call_start:k]}({args}) OVER ({base_spec})"
+            # DuckDB tolerates INVERTED frame bounds (`1 PRECEDING AND
+            # 3 PRECEDING`) as an empty frame; Spark rejects them — emit
+            # the empty-frame result directly (count 0, others NULL)
+            inv = _frame_inverted(base_spec)
+            if inv:
+                prefix0 = inv
+                repl = (
+                    "CAST(0 AS BIGINT)"
+                    if fname == "count"
+                    else (
+                        f"(CASE WHEN 1=0 THEN {fname}({args})"
+                        f" OVER ({prefix0}) END)"
+                    )
+                )
+            else:
+                repl = f"{sql[call_start:k]}({args}) OVER ({base_spec})"
             sql = sql[:call_start] + repl + sql[close_at:]
             continue
         # ---- measured DuckDB exclusion model (probed against straddling
