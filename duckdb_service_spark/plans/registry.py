@@ -58,6 +58,7 @@ PRIORITY: list[str] = [
     "text_lm_perplexity",
     "sim_kmeans",
     "mm_decode_features",
+    "agg_approx_count_distinct",
     "sql_prepare_execute",
     "fn_timestamp_ns",
     "win_exclude_frame",
