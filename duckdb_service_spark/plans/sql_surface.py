@@ -477,7 +477,19 @@ SELECT o_orderkey,
                                EXCLUDE TIES)             AS max_upto_no_ties,
        min(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                               EXCLUDE CURRENT ROW)      AS min_upto_no_self
+                               EXCLUDE CURRENT ROW)      AS min_upto_no_self,
+       count(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                                 EXCLUDE GROUP)          AS rows_group_cnt,
+       min(o_totalprice) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                               EXCLUDE TIES)             AS rows_ties_min,
+       max(o_totalprice) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING
+                               EXCLUDE CURRENT ROW)      AS rows_ext_max
 FROM orders
 WHERE o_orderkey <= 2000
 """
