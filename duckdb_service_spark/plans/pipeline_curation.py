@@ -196,3 +196,88 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel (round 7): the FineWeb/RefinedWeb-style ensemble of
+# published document filters applied sequentially, with per-stage survivor
+# accounting — the "how much does each rule cost me" diagnostic every
+# curation run starts with.
+# ---------------------------------------------------------------------------
+
+NLL_CUT = 3.40  # ~median of the corpus nll distribution — splits meaningfully
+
+
+def _funnel_oracle() -> str:
+    from .textops import _LM_PERPLEXITY_ORACLE, _REPETITION_ORACLE, _gopher_oracle, _langid_oracle
+
+    return f"""
+    WITH gph AS (SELECT doc_id, gopher_pass FROM ({_gopher_oracle()}) g),
+    rep AS (SELECT doc_id, repetitive FROM ({_REPETITION_ORACLE}) r),
+    lng AS (SELECT doc_id, pred_lang = lang AS lang_ok FROM ({_langid_oracle()}) l),
+    ppl AS (SELECT doc_id, nll <= {NLL_CUT} AS ppl_ok FROM ({_LM_PERPLEXITY_ORACLE}) p)
+    SELECT
+      CAST(COUNT(*) AS BIGINT)                                   AS docs_total,
+      CAST(COUNT(*) FILTER (WHERE gopher_pass) AS BIGINT)        AS after_gopher,
+      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive)
+           AS BIGINT)                                            AS after_repetition,
+      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive
+                            AND lang_ok) AS BIGINT)              AS after_langid,
+      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive
+                            AND lang_ok AND COALESCE(ppl_ok, FALSE))
+           AS BIGINT)                                            AS after_perplexity
+    FROM gph
+    JOIN rep USING (doc_id)
+    JOIN lng USING (doc_id)
+    LEFT JOIN ppl USING (doc_id)
+    """
+
+
+@query("pipeline_quality_funnel", oracle=_funnel_oracle())
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL: Gopher heuristics (Rae et al. 2021) →
+    repetition rules (ibid. §A1.1) → language-ID agreement → bigram-LM
+    perplexity cut (CCNet, Wenzek et al. 2020), applied conjunctively with
+    per-stage survivor counts. Composes four independently-oracle-proven
+    operators into one Catalyst plan; the output is the 1-row funnel every
+    curation run reads first.
+
+    100 TB design: gopher/langid flags are map-side column expressions;
+    repetition and perplexity are the two aggregation families (n-gram
+    rollups, Zipf-bounded model join); the four flag relations join on
+    doc_id and collapse into ONE conditional-count aggregate — no
+    intermediate materialization, and every stage's shuffle is keyed the
+    same way (doc_id), so Catalyst reuses the partitioning."""
+    from .textops import text_gopher_rules, text_langid, text_lm_perplexity, text_repetition_filter
+
+    g = text_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    r = text_repetition_filter(spark, sf_dir).select("doc_id", "repetitive")
+    lg = text_langid(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("lang_ok")
+    )
+    p = text_lm_perplexity(spark, sf_dir).select(
+        "doc_id", (F.col("nll") <= NLL_CUT).alias("ppl_ok")
+    )
+    flags = (
+        g.join(r, "doc_id")
+        .join(lg, "doc_id")
+        .join(p, "doc_id", "left")
+        .select(
+            "gopher_pass",
+            "repetitive",
+            "lang_ok",
+            F.coalesce("ppl_ok", F.lit(False)).alias("ppl_ok"),
+        )
+    )
+    gp = F.col("gopher_pass")
+    s2 = gp & ~F.col("repetitive")
+    s3 = s2 & F.col("lang_ok")
+    s4 = s3 & F.col("ppl_ok")
+    cnt = lambda c: F.count_if(c).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        cnt(gp).alias("after_gopher"),
+        cnt(s2).alias("after_repetition"),
+        cnt(s3).alias("after_langid"),
+        cnt(s4).alias("after_perplexity"),
+    )

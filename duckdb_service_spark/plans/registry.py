@@ -55,6 +55,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # the tail rotates in r08 together with the r04-era rows.
 PRIORITY: list[str] = [
     # (a) new or changed in round 7
+    "pipeline_quality_funnel",
     "text_lm_perplexity",
     "sim_kmeans",
     "mm_decode_features",

@@ -1532,9 +1532,7 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_lm_perplexity",
-    oracle=r"""
+_LM_PERPLEXITY_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tok
       FROM documents
@@ -1560,8 +1558,10 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_bigrams, round(-(lsum / 1000000.0) / n_bigrams, 4) AS nll
     FROM scored
-    """,
-)
+    """
+
+
+@query("text_lm_perplexity", oracle=_LM_PERPLEXITY_ORACLE)
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (Wenzek et al. 2020, arXiv:1911.00359
     score docs by LM perplexity; here the LM is the corpus's own add-one-
