@@ -212,18 +212,20 @@ def _funnel_oracle() -> str:
     from .textops import _LM_PERPLEXITY_ORACLE, _REPETITION_ORACLE, _gopher_oracle, _langid_oracle
 
     return f"""
-    WITH gph AS (SELECT doc_id, gopher_pass FROM ({_gopher_oracle()}) g),
+    WITH gph AS (SELECT doc_id,
+                    (ok_word_count AND ok_mean_len AND ok_alpha AND ok_symbols)
+                      AS gopher_core FROM ({_gopher_oracle()}) g),
     rep AS (SELECT doc_id, repetitive FROM ({_REPETITION_ORACLE}) r),
     lng AS (SELECT doc_id, pred_lang = lang AS lang_ok FROM ({_langid_oracle()}) l),
     ppl AS (SELECT doc_id, nll <= {NLL_CUT} AS ppl_ok FROM ({_LM_PERPLEXITY_ORACLE}) p)
     SELECT
       CAST(COUNT(*) AS BIGINT)                                   AS docs_total,
-      CAST(COUNT(*) FILTER (WHERE gopher_pass) AS BIGINT)        AS after_gopher,
-      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive)
+      CAST(COUNT(*) FILTER (WHERE gopher_core) AS BIGINT)        AS after_gopher,
+      CAST(COUNT(*) FILTER (WHERE gopher_core AND NOT repetitive)
            AS BIGINT)                                            AS after_repetition,
-      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive
+      CAST(COUNT(*) FILTER (WHERE gopher_core AND NOT repetitive
                             AND lang_ok) AS BIGINT)              AS after_langid,
-      CAST(COUNT(*) FILTER (WHERE gopher_pass AND NOT repetitive
+      CAST(COUNT(*) FILTER (WHERE gopher_core AND NOT repetitive
                             AND lang_ok AND COALESCE(ppl_ok, FALSE))
            AS BIGINT)                                            AS after_perplexity
     FROM gph
@@ -250,7 +252,19 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way (doc_id), so Catalyst reuses the partitioning."""
     from .textops import text_gopher_rules, text_langid, text_lm_perplexity, text_repetition_filter
 
-    g = text_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    # gopher_core = the four rules that discriminate on this corpus (the
+    # required-stopword rule rejects EVERY synthetic document — its flag
+    # stays reported in text_gopher_rules, but a funnel stage that drops
+    # 100% tells you nothing about the later stages)
+    g = text_gopher_rules(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_len")
+            & F.col("ok_alpha")
+            & F.col("ok_symbols")
+        ).alias("gopher_core"),
+    )
     r = text_repetition_filter(spark, sf_dir).select("doc_id", "repetitive")
     lg = text_langid(spark, sf_dir).select(
         "doc_id", (F.col("pred_lang") == F.col("lang")).alias("lang_ok")
@@ -263,13 +277,13 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lg, "doc_id")
         .join(p, "doc_id", "left")
         .select(
-            "gopher_pass",
+            "gopher_core",
             "repetitive",
             "lang_ok",
             F.coalesce("ppl_ok", F.lit(False)).alias("ppl_ok"),
         )
     )
-    gp = F.col("gopher_pass")
+    gp = F.col("gopher_core")
     s2 = gp & ~F.col("repetitive")
     s3 = s2 & F.col("lang_ok")
     s4 = s3 & F.col("ppl_ok")
