@@ -1,0 +1,146 @@
+"""Seeded DML-sequence differential fuzzer (round 7): the same random
+CREATE/INSERT/UPDATE/DELETE script executes on this engine and on DuckDB
+verbatim, with full-table content compared after every mutating statement.
+Statements that violate constraints must fail on BOTH engines (outcome
+compared as a boolean; error classes differ by design).
+
+This exercises the hand-written DML surface as a SEQUENCE — default fill,
+explicit column lists, DEFAULT tokens, ON CONFLICT DO NOTHING, predicate
+UPDATE/DELETE, PK enforcement — where individual-statement tests can't see
+state-dependent interactions.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import duckdb
+import pytest
+
+
+@pytest.fixture()
+def pair(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_dmlfuzz_"))
+    con = duckdb.connect()
+    ddl = (
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, "
+        "b TEXT DEFAULT 'x', c DOUBLE DEFAULT 1.5)"
+    )
+    eng.execute(ddl)
+    con.execute(ddl)
+    return eng, con
+
+
+def _rows(eng):
+    return [
+        tuple(r)
+        for r in eng.query_df("SELECT id, a, b, c FROM t ORDER BY id").collect()
+    ]
+
+
+def _duck_rows(con):
+    return con.execute("SELECT id, a, b, c FROM t ORDER BY id").fetchall()
+
+
+def _gen_statement(rng, used_ids):
+    kind = rng.randint(0, 9)
+    if kind <= 3:  # INSERT (sometimes conflicting, sometimes partial columns)
+        n = rng.randint(1, 3)
+        ids = []
+        for _ in range(n):
+            if used_ids and rng.random() < 0.25:
+                ids.append(rng.choice(sorted(used_ids)))  # provoke PK conflict
+            else:
+                i = rng.randint(1, 60)
+                while i in ids:
+                    i = rng.randint(1, 60)
+                ids.append(i)
+        form = rng.randint(0, 3)
+        if form == 0:
+            vals = ", ".join(
+                f"({i}, {rng.randint(-5, 5)}, 'v{rng.randint(0, 9)}', "
+                f"{rng.randint(0, 20)} / 4.0)"
+                for i in ids
+            )
+            return f"INSERT INTO t VALUES {vals}", ids
+        if form == 1:  # DEFAULT tokens in positional values
+            vals = ", ".join(
+                f"({i}, DEFAULT, DEFAULT, {rng.randint(0, 8)}.25)" for i in ids
+            )
+            return f"INSERT INTO t VALUES {vals}", ids
+        if form == 2:  # explicit column list, defaults fill the rest
+            vals = ", ".join(f"({i}, {rng.randint(-9, 9)})" for i in ids)
+            return f"INSERT INTO t (id, a) VALUES {vals}", ids
+        vals = ", ".join(
+            f"({i}, {rng.randint(-5, 5)}, 'c{rng.randint(0, 3)}', "
+            f"{rng.randint(1, 9)}.5)"
+            for i in ids
+        )
+        return (
+            f"INSERT INTO t VALUES {vals} ON CONFLICT DO NOTHING",
+            ids,
+        )
+    if kind <= 6:  # UPDATE
+        pred = rng.choice(
+            [
+                f"id % {rng.randint(2, 5)} = 0",
+                f"id > {rng.randint(5, 40)}",
+                f"a < {rng.randint(-2, 4)}",
+                "b = 'x'",
+            ]
+        )
+        setter = rng.choice(
+            [
+                f"a = a + {rng.randint(1, 3)}",
+                f"a = -a",
+                f"b = b || '{rng.randint(0, 9)}'",
+                f"c = c * 2",
+                "a = DEFAULT",
+            ]
+        )
+        return f"UPDATE t SET {setter} WHERE {pred}", []
+    if kind <= 8:  # DELETE
+        pred = rng.choice(
+            [
+                f"id % {rng.randint(3, 7)} = 1",
+                f"id BETWEEN {rng.randint(1, 20)} AND {rng.randint(21, 50)}",
+                f"c > {rng.randint(1, 4)}",
+            ]
+        )
+        return f"DELETE FROM t WHERE {pred}", []
+    # DEFAULT VALUES needs a fresh id? table has PK without default —
+    # DuckDB errors (NULL pk), ours must too: exercised as a both-fail op
+    return "INSERT INTO t DEFAULT VALUES", []
+
+
+@pytest.mark.parametrize("seed", [5, 21, 63])
+def test_random_dml_sequences_match_duckdb(pair, seed):
+    eng, con = pair
+    rng = random.Random(seed)
+    used: set[int] = set()
+    mutations = 0
+    for step in range(30):
+        stmt, ids = _gen_statement(rng, used)
+        ok_spark = ok_duck = True
+        err_s = err_d = None
+        try:
+            eng.execute(stmt)
+        except Exception as e:  # noqa: BLE001 — outcome-compared below
+            ok_spark, err_s = False, e
+        try:
+            con.execute(stmt)
+        except Exception as e:  # noqa: BLE001
+            ok_duck, err_d = False, e
+        assert ok_spark == ok_duck, (
+            f"step {step}: outcome mismatch for {stmt!r}: "
+            f"spark={err_s!r} duck={err_d!r}"
+        )
+        if ok_spark:
+            mutations += 1
+            used.update(ids)
+            got, want = _rows(eng), _duck_rows(con)
+            assert got == want, f"step {step} after {stmt!r}"
+    assert mutations >= 10  # the script must mostly execute
