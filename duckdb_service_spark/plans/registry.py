@@ -60,6 +60,8 @@ PRIORITY: list[str] = [
     "sim_kmeans",
     "mm_decode_features",
     "agg_approx_count_distinct",
+    "agg_stats_native",
+    "sample_native",
     "sql_prepare_execute",
     "fn_timestamp_ns",
     "win_exclude_frame",

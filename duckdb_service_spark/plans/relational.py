@@ -416,15 +416,57 @@ def fn_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_native")  # rows-only: rand()-based sampling is seeded per-task,
-# not reproducible across engines — the oracle-checked stand-in is
-# sample_deterministic (md5 hash-bucket)
+@query(
+    "sample_native",
+    oracle="""
+    WITH src AS (SELECT COUNT(*) AS total, MIN(o_orderkey) AS lo,
+                        MAX(o_orderkey) AS hi FROM orders),
+    s AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nd,
+             MIN(o_orderkey) AS smin, MAX(o_orderkey) AS smax
+      FROM (SELECT o_orderkey FROM orders USING SAMPLE 10% (bernoulli, 42))
+    )
+    SELECT
+      src.total,
+      s.n BETWEEN CAST(0.05 * src.total AS BIGINT)
+              AND CAST(0.15 * src.total AS BIGINT)  AS n_in_bounds,
+      s.nd = s.n                                    AS no_duplicates,
+      s.smin >= src.lo AND s.smax <= src.hi         AS keys_in_range
+    FROM src, s
+    """,
+)
 def sample_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native USING SAMPLE equivalent: df.sample(fraction, seed) — Bernoulli
-    row sampling pushed into the scan."""
+    """Native Bernoulli sampling: df.sample(fraction, seed) — pushed into
+    the scan. The sampled ROWS are engine-specific (per-task RNG streams;
+    the oracle-exact stand-in is sample_deterministic's md5 hash-bucket),
+    so the driver-checkable relation is the statistical CONTRACT both
+    engines' samplers satisfy deterministically for a fixed seed: sample
+    size within [0.5f, 1.5f]·N (±5σ at these N), no duplicate rows
+    (Bernoulli, not with-replacement), and keys within the source range."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["orders"]
-        .sample(fraction=0.1, seed=42)
-        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
+    o = t["orders"]
+    src = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    )
+    s = (
+        o.sample(fraction=0.1, seed=42)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("nd"),
+            F.min("o_orderkey").alias("smin"),
+            F.max("o_orderkey").alias("smax"),
+        )
+    )
+    return src.crossJoin(s).select(
+        "total",
+        F.col("n").between(
+            (0.05 * F.col("total")).cast("bigint"),
+            (0.15 * F.col("total")).cast("bigint"),
+        ).alias("n_in_bounds"),
+        (F.col("nd") == F.col("n")).alias("no_duplicates"),
+        ((F.col("smin") >= F.col("lo")) & (F.col("smax") <= F.col("hi"))).alias(
+            "keys_in_range"
+        ),
     )
