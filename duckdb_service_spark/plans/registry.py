@@ -56,6 +56,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 PRIORITY: list[str] = [
     # (a) new or changed in round 7
     "pipeline_quality_funnel",
+    "stream_neardup_lsh",
     "text_lm_perplexity",
     "sim_kmeans",
     "mm_decode_features",

@@ -258,3 +258,90 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("l.user_id")).alias("n_users"),
         )
     )
+
+
+@query(
+    "stream_neardup_lsh",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+    ),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' zq yq xq'
+                  ELSE reverse(text) END AS text
+      FROM documents
+    ),
+    allc AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id, text FROM batch
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tok FROM allc
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, s
+      FROM toks, UNNEST(list_transform(
+             generate_series(1, greatest(len(tok) - 2, 0)),
+             i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS u(s)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM shingles
+    ),
+    perms AS (SELECT unnest(generate_series(0, 63)) AS pi),
+    mh AS (
+      SELECT doc_id, pi,
+             MIN(((1103515245 * (pi + 1) + 12345) % 2147483647 * h
+                  + (69069 * (pi + 1) + 362437) % 2147483647) % 2147483647) AS v
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, pi
+    ),
+    bands AS (
+      SELECT doc_id, pi // 4 AS band_id,
+             md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi)) AS band_hash
+      FROM mh GROUP BY doc_id, pi // 4
+    )
+    SELECT nb.doc_id AS doc_id, ob.doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands nb JOIN bands ob
+      ON nb.band_id = ob.band_id AND nb.band_hash = ob.band_hash
+     AND nb.doc_id >= 100000 AND ob.doc_id < 100000
+    GROUP BY 1, 2
+    """,
+)
+def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup detection — the BATCH TWIN of
+    streaming.pipeline.neardup_band_matches (same code object; the
+    streaming execution over a documents file-stream is exercised in
+    tests/test_streaming_stateful.py with an availableNow drain and
+    asserted row-identical to this batch result). Incoming docs are
+    mutated twins of the corpus; each is matched against the STATIC
+    corpus band artifact and reported with its shared-band count.
+
+    100 TB design: corpus bands are a precomputed bucketed artifact; an
+    arriving micro-batch pays shingle+signature cost proportional to its
+    own size, probes the artifact with a stream-static join, and the only
+    stateful step is the per-pair band count."""
+    from ..operators.dedup import doc_shingle_arrays, lsh_bands, minhash_sig_cols
+    from ..streaming.pipeline import neardup_band_matches
+    from .dedup import TWIN_OFFSET, TWIN_SUFFIX
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    incoming = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(TWIN_SUFFIX))
+        ).otherwise(F.reverse(F.col("text"))).alias("text"),
+    )
+    corpus_pd = doc_shingle_arrays(d.select("doc_id", "text"), "doc_id", "text")
+    corpus_sig = corpus_pd.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+    )
+    corpus_bands = lsh_bands(corpus_sig, "doc_id", num_perms=64, bands=16)
+    return neardup_band_matches(incoming, corpus_bands).select(
+        "doc_id", "corpus_id", "n_shared_bands"
+    )

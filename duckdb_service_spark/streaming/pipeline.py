@@ -123,3 +123,43 @@ def join_event_streams(
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {max_lag}")),
         "inner",
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (micro-batched)."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+def neardup_band_matches(docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """(doc_id, corpus_id, n_shared_bands): incoming documents matched
+    against a STATIC corpus LSH-band artifact. Works identically on a
+    streaming or batch `docs` relation (the batch/stream parity contract):
+    shingle arrays and MinHash signatures are map-side projections, band
+    explosion is stateless, the stream-static join probes the bucketed
+    corpus artifact, and the per-pair band count is the only stateful step.
+
+    This is the INGESTION-TIME near-dup detector: at 100 TB the corpus
+    bands are a precomputed bucketed table and each arriving micro-batch
+    pays cost proportional to ITS size — the same topology as the batch
+    dedup_incremental_lsh, swapped source."""
+    from ..operators.dedup import doc_shingle_arrays, lsh_bands, minhash_sig_cols
+
+    pd = doc_shingle_arrays(docs, "doc_id", "text")
+    sig = pd.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+    )
+    bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
+    cb = corpus_bands.select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    return (
+        bands.join(cb, ["band_id", "band_hash"])
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )

@@ -190,3 +190,60 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_neardup_matches_batch(spark, sf_dir):
+    """Ingestion-time near-dup detection: the STREAMING execution of
+    neardup_band_matches (documents file-stream vs static corpus bands,
+    availableNow drain, complete mode) must be row-identical to the batch
+    twin — same code object, swapped source."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from duckdb_service_spark.operators.dedup import (
+        doc_shingle_arrays,
+        lsh_bands,
+        minhash_sig_cols,
+    )
+    from duckdb_service_spark.plans import QUERIES, load_all
+    from duckdb_service_spark.plans.dedup import TWIN_OFFSET, TWIN_SUFFIX
+    from duckdb_service_spark.sources import load_tables
+    from duckdb_service_spark.streaming.pipeline import (
+        neardup_band_matches,
+        read_documents_stream,
+    )
+
+    load_all()
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    corpus_pd = doc_shingle_arrays(d.select("doc_id", "text"), "doc_id", "text")
+    corpus_sig = corpus_pd.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+    )
+    corpus_bands = lsh_bands(corpus_sig, "doc_id", num_perms=64, bands=16)
+    # static side materialized once — the precomputed-artifact posture
+    corpus_bands = corpus_bands.localCheckpoint(eager=True)
+
+    incoming_stream = read_documents_stream(spark, sf_dir).select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(TWIN_SUFFIX))
+        ).otherwise(F.reverse(F.col("text"))).alias("text"),
+    )
+    out = neardup_band_matches(incoming_stream, corpus_bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.corpus_id, r.n_shared_bands)
+        for r in spark.table("t_neardup").collect()
+    }
+    want = {
+        (r.doc_id, r.corpus_id, r.n_shared_bands)
+        for r in QUERIES["stream_neardup_lsh"](spark, sf_dir).collect()
+    }
+    assert got == want and got, f"stream/batch mismatch: {len(got)} vs {len(want)}"
