@@ -947,6 +947,12 @@ class Engine:
         # / version / database_size return result sets (DuckDB behavior)
         if head[0].upper() == "PRAGMA" and "=" not in stripped:
             return True
+        # EXECUTE classifies as whatever its PREPAREd template is — a
+        # prepared SELECT queried over HTTP must return a result set
+        if head[0].upper() == "EXECUTE":
+            m = re.match(r"EXECUTE\s+(\w+)", stripped, re.IGNORECASE)
+            tmpl = self._prepared.get(m.group(1).lower()) if m else None
+            return tmpl is not None and self.is_query(tmpl)
         return head[0].upper() in {
             "SELECT",
             "WITH",

@@ -443,3 +443,32 @@ def test_cte_materialized_hint(spark):
     assert spark.sql(out).collect()[0].a == 1
     out = translate("WITH x AS NOT MATERIALIZED (SELECT 2 AS a) SELECT a FROM x")
     assert spark.sql(out).collect()[0].a == 2
+
+
+def test_round7_surfaces_over_http(server):
+    """Round-7 dialect surfaces end-to-end through the HTTP contract:
+    sub-precision timestamp types in DDL + query, frame EXCLUDE, postfix
+    int casts, and PREPARE/EXECUTE."""
+    r = _post(server, "/db/execute",
+              "CREATE TABLE r7_ts (id INTEGER PRIMARY KEY, t TIMESTAMP_NS)")
+    assert r["result"]["rows_affected"] == 0, r
+    r = _post(server, "/db/execute",
+              "INSERT INTO r7_ts VALUES (1, TIMESTAMP '2024-01-01 00:00:00.123456')")
+    assert r["result"]["rows_affected"] == 1, r
+    r = _post(server, "/db/query", "SELECT id, t FROM r7_ts")
+    assert r["result"]["types"] == ["INTEGER", "TIMESTAMP_NS"], r
+    assert r["result"]["values"][0][1].startswith("2024-01-01 00:00:00.123456")
+    r = _post(server, "/db/query",
+              "SELECT CAST(t AS TIMESTAMP_S) AS ts_s, 2.5::INTEGER AS i FROM r7_ts")
+    assert r["result"]["values"] == [["2024-01-01 00:00:00", 3]], r
+    # frame EXCLUDE through HTTP (the full surface incl. ROWS GROUP)
+    r = _post(server, "/db/query",
+              "SELECT id, count(id) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING "
+              "AND 1 FOLLOWING EXCLUDE GROUP) AS n FROM r7_ts")
+    assert r["result"]["values"] == [[1, 0]], r
+    # PREPARE / EXECUTE through HTTP
+    r = _post(server, "/db/execute",
+              "PREPARE r7p AS SELECT id + $1 AS v FROM r7_ts")
+    assert "error" not in r, r
+    r = _post(server, "/db/query", "EXECUTE r7p(41)")
+    assert r["result"]["values"] == [[42]], r
