@@ -57,6 +57,7 @@ PRIORITY: list[str] = [
     # (a) new or changed in round 7
     "pipeline_quality_funnel",
     "stream_neardup_lsh",
+    "pipeline_semdedup",
     "text_lm_perplexity",
     "sim_kmeans",
     "mm_decode_features",

@@ -650,13 +650,22 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     id lookup, centroids broadcast (K x 64 doubles), assignment is map-side
     argmin, re-centering is one posexplode groupBy with map-side partials.
     More Lloyd iterations = more of the same step, cost linear per pass."""
-    from ..operators.similarity import _l2sq
-
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").limit(_KMEANS_K).collect()]
+    return kmeans_assign(e)
+
+
+def kmeans_assign(e: DataFrame, k: int = _KMEANS_K) -> DataFrame:
+    """(vec_id, cluster, dist2) for any (vec_id, v: array<double>) relation —
+    the deterministic k-means core sim_kmeans and pipeline_semdedup share:
+    K lowest-id seeds, one Lloyd refinement with decimal-exact means,
+    per-vector argmin with cluster-id tie-break, L2^2 rounded at 4."""
+    from ..operators.similarity import _l2sq
+
+    spark = e.sparkSession
+    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").limit(k).collect()]
     init = (
         e.filter(F.col("vec_id").isin(ids))
         .join(
@@ -710,3 +719,153 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+_SEMDEDUP_CUT = 0.5
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of the faithful SemDeDup pipeline: the mutated-twin
+    corpus, the deterministic k-means assignment (same CTE recipe as the
+    oracle-exact sim_kmeans, sourced on the corpus), in-cluster exact
+    cosine, and per-cluster dedup accounting."""
+
+    def _l2(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+            for i in range(1, DIM + 1)
+        )
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                     generate_series(1, len(embedding))),
+                            z -> z[1] + ((vec_id + z[2]) % 7 - 3) * 0.01)
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id FROM c ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    init AS (
+      SELECT seeds.cluster, c.v AS centroid FROM c JOIN seeds USING (vec_id)
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT c.vec_id, i.cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY ({_l2('c.v', 'i.centroid')}), i.cluster) AS r
+        FROM c CROSS JOIN init i
+      ) WHERE r = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    m1 AS (
+      SELECT a1.cluster, d.i,
+             round(CAST(SUM(CAST(c.v[d.i] AS DECIMAL(20,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS cv
+      FROM a1 JOIN c USING (vec_id) CROSS JOIN dims d
+      GROUP BY a1.cluster, d.i
+    ),
+    cent AS (SELECT cluster, list(cv ORDER BY i) AS centroid FROM m1 GROUP BY cluster),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT c.vec_id, ct.cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY ({_l2('c.v', 'ct.centroid')}), ct.cluster) AS r
+        FROM c CROSS JOIN cent ct
+      ) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(ca.v, cb.v), 4) AS cos_sim
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb ON cb.vec_id = b.vec_id
+    ),
+    dups AS (SELECT * FROM pairs WHERE cos_sim >= {_SEMDEDUP_CUT})
+    SELECT a.cluster,
+           CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_vectors,
+           CAST(COALESCE(d.n_pairs, 0) AS BIGINT)   AS n_dup_pairs,
+           CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COUNT(DISTINCT a.vec_id) - COALESCE(d.n_dropped, 0) AS BIGINT)
+             AS n_kept
+    FROM assign a
+    LEFT JOIN (
+      SELECT cluster, COUNT(*) AS n_pairs, COUNT(DISTINCT id_b) AS n_dropped
+      FROM dups GROUP BY cluster
+    ) d ON a.cluster = d.cluster
+    GROUP BY a.cluster, d.n_pairs, d.n_dropped
+    """
+
+
+@query("pipeline_semdedup", oracle=_semdedup_oracle())
+def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAITHFUL SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus with k-means, then remove near-duplicates by exact
+    cosine WITHIN clusters only — the published cluster-then-dedup
+    topology (dedup_semantic_lsh is the LSH-blocked variant of the same
+    idea). Corpus = embeddings plus deterministic mutated twins, so every
+    cluster contains real near-duplicates to find.
+
+    100 TB design: the k-means pass never collects vectors (seeds by id,
+    centroids broadcast, means via posexplode groupBy); the dedup
+    pair-space is per-cluster, not corpus-wide — candidate cost is
+    sum(|cluster|^2) instead of n^2, tunable by K exactly as published.
+    Per-cluster accounting (vectors, dup pairs, dropped, kept) is the
+    1-row-per-cluster diagnostic a curation run reads."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # two-step select: in one select, Spark's LATERAL column-alias
+    # resolution would bind the lambda's vec_id to the ALIASED +10000 id
+    twins = (
+        t["embeddings"]
+        .select(
+            F.col("vec_id").alias("orig_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + ((F.col("vec_id") + i + 1) % 7 - 3) * 0.01,
+            ).alias("v"),
+        )
+        .select((F.col("orig_id") + 10000).alias("vec_id"), "v")
+    )
+    corpus = e.unionByName(twins)
+    assign = kmeans_assign(corpus).select("vec_id", "cluster")
+    withv = assign.join(corpus, "vec_id")
+    a = withv.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = withv.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+    )
+    dups = pairs.filter(F.col("cos_sim") >= _SEMDEDUP_CUT)
+    dstats = dups.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"),
+        F.countDistinct("id_b").cast("bigint").alias("n_dropped"),
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(F.countDistinct("vec_id").cast("bigint").alias("n_vectors"))
+        .join(dstats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
