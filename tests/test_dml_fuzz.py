@@ -144,3 +144,106 @@ def test_random_dml_sequences_match_duckdb(pair, seed):
             got, want = _rows(eng), _duck_rows(con)
             assert got == want, f"step {step} after {stmt!r}"
     assert mutations >= 10  # the script must mostly execute
+
+
+@pytest.fixture()
+def pair_fk(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_dmlfuzz_fk_"))
+    con = duckdb.connect()
+    ddls = [
+        "CREATE TABLE parent (id INTEGER PRIMARY KEY, "
+        "cap INTEGER CHECK (cap >= 0), tag TEXT UNIQUE)",
+        "CREATE TABLE child (id INTEGER PRIMARY KEY, "
+        "pid INTEGER REFERENCES parent(id), q INTEGER, "
+        "d INTEGER GENERATED ALWAYS AS (q * 2))",
+    ]
+    for ddl in ddls:
+        eng.execute(ddl)
+        con.execute(ddl)
+    return eng, con
+
+
+def _content(eng, con):
+    g = [
+        tuple(r)
+        for r in eng.query_df(
+            "SELECT id, cap, tag FROM parent ORDER BY id"
+        ).collect()
+    ], [
+        tuple(r)
+        for r in eng.query_df(
+            "SELECT id, pid, q, d FROM child ORDER BY id"
+        ).collect()
+    ]
+    w = (
+        con.execute("SELECT id, cap, tag FROM parent ORDER BY id").fetchall(),
+        con.execute("SELECT id, pid, q, d FROM child ORDER BY id").fetchall(),
+    )
+    return (tuple(g[0]), tuple(g[1])), (tuple(w[0]), tuple(w[1]))
+
+
+def _gen_fk_statement(rng, pids, cids):
+    kind = rng.randint(0, 9)
+    if kind <= 2:  # parent insert (sometimes dup id / dup tag / bad CHECK)
+        i = rng.randint(1, 25)
+        cap = rng.randint(-2, 9)  # negative → CHECK violation on both
+        tag = f"t{rng.randint(1, 12)}"  # small space → UNIQUE collisions
+        return f"INSERT INTO parent VALUES ({i}, {cap}, '{tag}')", ("p", i)
+    if kind <= 5:  # child insert (sometimes dangling pid)
+        i = rng.randint(1, 40)
+        pid = rng.randint(1, 28)  # may dangle → FK violation on both
+        q = rng.randint(0, 9)
+        return f"INSERT INTO child (id, pid, q) VALUES ({i}, {pid}, {q})", ("c", i)
+    if kind == 6:  # parent delete (referenced → both must refuse)
+        return f"DELETE FROM parent WHERE id = {rng.randint(1, 25)}", None
+    if kind == 7:  # parent update incl. CHECK-violating
+        return (
+            f"UPDATE parent SET cap = cap - {rng.randint(1, 4)} "
+            f"WHERE id % {rng.randint(2, 4)} = 0",
+            None,
+        )
+    if kind == 8:  # child update — generated column must recompute
+        return (
+            f"UPDATE child SET q = q + {rng.randint(1, 3)} "
+            f"WHERE pid % {rng.randint(2, 3)} = 0",
+            None,
+        )
+    return f"DELETE FROM child WHERE q > {rng.randint(3, 8)}", None
+
+
+@pytest.mark.parametrize("seed", [9, 48])
+def test_random_constraint_sequences_match_duckdb(pair_fk, seed):
+    """CHECK / UNIQUE / FOREIGN KEY / GENERATED columns as a random
+    STATEMENT SEQUENCE: every statement must succeed-or-fail identically
+    on both engines, and table contents (incl. the recomputed generated
+    column) must match after every successful mutation."""
+    eng, con = pair_fk
+    rng = random.Random(seed)
+    pids, cids = set(), set()
+    mutations = failures = 0
+    for step in range(28):
+        stmt, new = _gen_fk_statement(rng, pids, cids)
+        ok_s = ok_d = True
+        err_s = err_d = None
+        try:
+            eng.execute(stmt)
+        except Exception as e:  # noqa: BLE001
+            ok_s, err_s = False, e
+        try:
+            con.execute(stmt)
+        except Exception as e:  # noqa: BLE001
+            ok_d, err_d = False, e
+        assert ok_s == ok_d, (
+            f"step {step}: outcome mismatch for {stmt!r}: "
+            f"spark={err_s!r} duck={err_d!r}"
+        )
+        if ok_s:
+            mutations += 1
+            got, want = _content(eng, con)
+            assert got == want, f"step {step} after {stmt!r}"
+        else:
+            failures += 1
+    # the script must exercise BOTH paths meaningfully
+    assert mutations >= 8 and failures >= 4, (mutations, failures)
