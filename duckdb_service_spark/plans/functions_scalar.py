@@ -882,3 +882,37 @@ def fn_timestamp_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("events")
     return spark.sql(translate(_TS_PRECISION_SQL))
+
+
+_R9_BATTERY_SQL = """
+SELECT n_regionkey,
+       last(n_name ORDER BY n_nationkey)                    AS last_nation,
+       first(n_name ORDER BY n_nationkey DESC)              AS first_desc,
+       arg_max(n_name, n_nationkey)                         AS argmax_name,
+       string_agg(n_name)                                   AS names_csv,
+       group_concat(n_name, '|')                            AS names_bar,
+       round(product(1.0 + n_nationkey / 100.0), 6)         AS prod_factor,
+       round(kahan_sum(n_nationkey / 7.0), 6)               AS ksum,
+       fdiv(CAST(max(n_nationkey) AS DOUBLE), 4)            AS fd,
+       fmod(CAST(max(n_nationkey) AS DOUBLE), 4)            AS fm,
+       count(*) FILTER (n_nationkey % 2 = 0)                AS n_even,
+       strip_accents('naïve café Ñandú')                    AS folded,
+       array_to_string(list_grade_up([3, 1, 2]), ',')       AS grades
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("fn_battery_r9", oracle=_R9_BATTERY_SQL)
+def fn_battery_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 idiom-sweep battery (verbatim SQL through the dialect):
+    positional first/last with inline ORDER BY (struct-wrapped min_by/
+    max_by), NULL-skipping arg_max, 1-arg string_agg / group_concat
+    default separators, product / kahan_sum, the floored fdiv/fmod pair,
+    aggregate FILTER shorthand without WHERE, strip_accents, and
+    list_grade_up. Every rewrite is differential-tested in
+    tests/test_idioms_r07.py; this query makes them driver-visible."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("nation")
+    return spark.sql(translate(_R9_BATTERY_SQL))

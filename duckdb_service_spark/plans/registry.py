@@ -58,6 +58,7 @@ PRIORITY: list[str] = [
     "pipeline_quality_funnel",
     "stream_neardup_lsh",
     "pipeline_semdedup",
+    "fn_battery_r9",
     "text_lm_perplexity",
     "sim_kmeans",
     "mm_decode_features",

@@ -76,7 +76,17 @@ FUNCTION_ALIASES = {
     "arg_min": "min_by",
     "arg_max": "max_by",
     "list": "collect_list",
-    "string_agg": "string_agg",  # Spark 4 supports string_agg
+    "string_agg": "__duck_string_agg",  # arity-aware: 1-arg defaults ','
+    "group_concat": "__duck_string_agg",
+    "arg_min": "__duck_arg_min",
+    "arg_max": "__duck_arg_max",
+    "product": "__duck_product",
+    "kahan_sum": "__duck_kahan_sum",
+    "fsum": "__duck_kahan_sum",
+    "fdiv": "__duck_fdiv",
+    "fmod": "__duck_fmod",
+    "strip_accents": "__duck_strip_accents",
+    "list_grade_up": "__duck_grade_up",
     "epoch": "unix_timestamp",
     "to_timestamp": "to_timestamp",
     "nextval": "nextval",  # handled by executor (sequences)
@@ -909,6 +919,15 @@ def _rewrite_functions(code: str) -> str:
         if duck == spark:
             continue
         code = re.sub(rf"\b{duck}\s*\(", f"{spark}(", code, flags=re.IGNORECASE)
+    # aggregate FILTER shorthand: DuckDB allows FILTER (cond); Spark needs
+    # FILTER (WHERE cond). Only after a closing paren (an aggregate call) —
+    # the filter() HOF never follows one.
+    code = re.sub(
+        r"(\))\s*FILTER\s*\(\s*(?!WHERE\b)",
+        r"\1 FILTER (WHERE ",
+        code,
+        flags=re.IGNORECASE,
+    )
     # DuckDB integer division operator
     code = code.replace("//", " div ")
     code = _rewrite_division_double(code)
@@ -1532,8 +1551,41 @@ def _rewrite_ignore_nulls(sql: str) -> str:
 
 
 _AGG_ORDER_OPEN_RE = re.compile(
-    r"\b(string_agg|listagg|array_agg|list)\s*\(", re.IGNORECASE
+    r"\b(string_agg|listagg|array_agg|list|first|last)\s*\(", re.IGNORECASE
 )
+
+
+def _emit_ordered_first_last(fn: str, args: str, keys: str) -> str:
+    """DuckDB first/last with inline ORDER BY → min_by/max_by over a
+    struct-wrapped value (the wrap keeps a NULL value from being skipped —
+    first/last are POSITIONAL, unlike arg_min/arg_max). DESC swaps the
+    extremum; mixed directions / NULLS placement raise."""
+    from .dml import split_top_level
+
+    parts = [k.strip() for k in split_top_level(keys)]
+    dirs = set()
+    bare = []
+    for k in parts:
+        if re.search(r"\bNULLS\s+(FIRST|LAST)\b", k, re.IGNORECASE):
+            raise UnsupportedDialect(
+                f"{fn}(... ORDER BY ... NULLS FIRST/LAST) is not supported"
+            )
+        m = re.search(r"\s+(ASC|DESC)\s*$", k, re.IGNORECASE)
+        if m:
+            dirs.add(m.group(1).upper())
+            k = k[: m.start()]
+        else:
+            dirs.add("ASC")
+        bare.append(k.strip())
+    if len(dirs) > 1:
+        raise UnsupportedDialect(
+            f"{fn}(... ORDER BY ...) with mixed ASC/DESC keys is not supported"
+        )
+    desc = dirs == {"DESC"}
+    want_max = (fn.lower() == "last") != desc
+    by = "max_by" if want_max else "min_by"
+    key = bare[0] if len(bare) == 1 else f"struct({', '.join(bare)})"
+    return f"{by}(named_struct('v', ({args.strip()})), {key}).v"
 
 
 def _emit_ordered_list(args: str, keys: str) -> str:
@@ -1625,6 +1677,8 @@ def _rewrite_agg_inline_order(sql: str) -> str:
             fn = m.group(1).lower()
             if fn in ("array_agg", "list"):
                 repl = _emit_ordered_list(args, keys)
+            elif fn in ("first", "last"):
+                repl = _emit_ordered_first_last(fn, args, keys)
             else:
                 repl = f"listagg({args}) WITHIN GROUP (ORDER BY {keys})"
             sql = sql[: m.start()] + repl + sql[i:]
@@ -1739,6 +1793,57 @@ def _frame_inverted(base_spec: str) -> "str | None":
     if lo_r is None or hi_r is None or lo_r <= hi_r:
         return None
     return base_spec[: fm.start()].strip()
+
+
+_WIN_FILTER_RE = re.compile(r"\)\s*FILTER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_window_filter(sql: str) -> str:
+    """`agg(x) FILTER (WHERE c) OVER (...)`: DuckDB supports FILTER on
+    window aggregates, Spark does not — fold the predicate into the
+    argument (`agg(CASE WHEN c THEN x END) OVER (...)`; `count(*)` counts
+    a CASE-1). Plain aggregate FILTER (no OVER) stays for Spark."""
+    while True:
+        mask = _literal_mask(sql)
+        done = True
+        for m in _WIN_FILTER_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            close = m.start()  # the aggregate call's ')'
+            depth, k = 0, close
+            while k >= 0:
+                if not mask[k]:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                k -= 1
+            if k < 0:
+                continue
+            fm = re.search(r"(\w+)\s*$", sql[:k])
+            if not fm:
+                continue
+            fopen = sql.index("(", m.end() - 1)
+            fclose = _scan_balanced(sql, fopen, "(", ")")
+            if fclose == -1:
+                continue
+            om = re.match(r"\s*OVER\b", sql[fclose:], re.IGNORECASE)
+            if not om:
+                continue  # plain aggregate FILTER — Spark handles it
+            fname = fm.group(1)
+            args = sql[k + 1 : close]
+            cond = re.sub(
+                r"^\s*WHERE\b", "", sql[fopen + 1 : fclose - 1], flags=re.IGNORECASE
+            ).strip()
+            inner = "1" if args.strip() == "*" else args
+            repl = f"{fname}(CASE WHEN {cond} THEN {inner} END)"
+            sql = sql[: fm.start(1)] + repl + sql[fclose:]
+            done = False
+            break
+        if done:
+            return sql
 
 
 def _rewrite_frame_exclude(sql: str) -> str:
@@ -2095,6 +2200,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
+    sql = _rewrite_window_filter(sql)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_ts_precision_casts(sql)
@@ -2302,6 +2408,79 @@ def _emit_interval_builder(kind: str, args: list[str]) -> str:
     return forms[kind]
 
 
+_ACCENTS_FROM = 'àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ'
+_ACCENTS_TO = 'aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY'
+
+
+def _emit_string_agg(args: list[str]) -> str:
+    """string_agg / group_concat: DuckDB's 1-arg form defaults the
+    separator to ',' (Spark's defaults to none)."""
+    if len(args) == 1:
+        return f"string_agg({args[0]}, ',')"
+    if len(args) == 2:
+        return f"string_agg({args[0]}, {args[1]})"
+    raise UnsupportedDialect("string_agg expects 1 or 2 arguments")
+
+
+def _emit_arg_minmax(fn: str, args: list[str]) -> str:
+    """DuckDB arg_min/arg_max SKIP rows where either the value or the
+    ordering key is NULL (measured); Spark's min_by/max_by would happily
+    return a NULL value sitting at the extreme key — mask the key so those
+    rows drop out of the extremum."""
+    if len(args) != 2:
+        raise UnsupportedDialect(f"{fn} expects (value, ordering)")
+    a, b = args
+    masked = f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE ({b}) END)"
+    return f"{fn}({a}, {masked})"
+
+
+def _emit_product(args: list[str]) -> str:
+    (x,) = args
+    return (
+        f"aggregate(collect_list(CAST(({x}) AS DOUBLE)), CAST(1.0 AS DOUBLE),"
+        f" (__a, __v) -> __a * __v)"
+    )
+
+
+def _emit_kahan_sum(args: list[str]) -> str:
+    (x,) = args
+    return f"sum(CAST(({x}) AS DOUBLE))"
+
+
+def _emit_fdiv(args: list[str]) -> str:
+    a, b = args
+    return f"CAST(floor(CAST(({a}) AS DOUBLE) / ({b})) AS DOUBLE)"
+
+
+def _emit_fmod(args: list[str]) -> str:
+    # DuckDB fmod is FLOORED modulo (sign follows the divisor, paired with
+    # fdiv's floor division — measured: fmod(-7.5, 2) = 0.5); Spark's %
+    # truncates, so emit a - floor(a/b)*b
+    a, b = args
+    return (
+        f"(CAST(({a}) AS DOUBLE) - floor(CAST(({a}) AS DOUBLE) / ({b})) * ({b}))"
+    )
+
+
+def _emit_strip_accents(args: list[str]) -> str:
+    """Latin-1 accent folding via translate() — covers the à..ÿ range
+    (DuckDB does full Unicode NFD; beyond-Latin-1 codepoints pass through
+    unchanged here, a documented approximation)."""
+    (x,) = args
+    return f"translate({x}, '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+
+
+def _emit_grade_up(args: list[str]) -> str:
+    """list_grade_up: 1-based indices that would sort the list ascending,
+    NULLs last (DuckDB order) — struct sort on (is-null, value, index)."""
+    (x,) = args
+    return (
+        f"transform(array_sort(zip_with(({x}), sequence(1, size({x})),"
+        f" (__v, __i) -> struct((__v IS NULL) AS nl, __v AS v, __i AS i))),"
+        f" __s -> __s.i)"
+    )
+
+
 def _emit_list_dot(args: list[str]) -> str:
     """list_dot_product: left-fold in element order — the same
     accumulation order DuckDB uses, so doubles are bit-identical."""
@@ -2421,6 +2600,15 @@ _ROUND5_EMITTERS = {
     "__duck_date_diff": _emit_date_diff,
     "__duck_epoch_ms": _emit_epoch_ms,
     "__duck_epoch_us": _emit_epoch_us,
+    "__duck_string_agg": _emit_string_agg,
+    "__duck_arg_min": lambda a: _emit_arg_minmax("min_by", a),
+    "__duck_arg_max": lambda a: _emit_arg_minmax("max_by", a),
+    "__duck_product": _emit_product,
+    "__duck_kahan_sum": _emit_kahan_sum,
+    "__duck_fdiv": _emit_fdiv,
+    "__duck_fmod": _emit_fmod,
+    "__duck_strip_accents": _emit_strip_accents,
+    "__duck_grade_up": _emit_grade_up,
     "__duck_to_days": lambda a: _emit_interval_builder("days", a),
     "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),
     "__duck_to_minutes": lambda a: _emit_interval_builder("minutes", a),
