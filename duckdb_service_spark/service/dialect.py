@@ -52,6 +52,23 @@ FUNCTION_ALIASES = {
     "string_split": "split",
     "str_split": "split",
     "list_transform": "transform",
+    "list_apply": "transform",
+    "array_apply": "transform",
+    "array_length": "size",
+    "json_keys": "json_object_keys",
+    "list_zip": "__duck_list_zip",
+    "list_has_any": "arrays_overlap",
+    "list_has_all": "__duck_list_has_all",
+    "list_any_value": "__duck_list_any_value",
+    "array_pop_back": "__duck_pop_back",
+    "array_pop_front": "__duck_pop_front",
+    "list_select": "__duck_list_select",
+    "list_where": "__duck_list_where",
+    "list_reduce": "__duck_list_reduce",
+    "json_valid": "__duck_json_valid",
+    "json_array_length": "__duck_json_arr_len",
+    "map": "__duck_map_ctor",
+    "struct_pack": "__duck_struct_pack",
     "list_filter": "filter",
     "list_aggregate_sum": "aggregate",  # placeholder; see special cases
     "list_contains": "array_contains",
@@ -631,7 +648,10 @@ def _rewrite_struct_literals(sql: str) -> str:
         head = sql[:open_at]
         hm = re.search(r"\bMAP\s*$", head, re.IGNORECASE)
         if hm:
-            repl = f"map({', '.join(pairs)})"
+            # __spark_map: marker so the per-chunk map-constructor alias
+            # (DuckDB 2-list map()) does not re-interpret the VARIADIC
+            # form this literal rewrite produces
+            repl = f"__spark_map({', '.join(pairs)})"
             sql = head[: hm.start()] + repl + sql[end:]
             i = hm.start() + len(repl)
         else:
@@ -2332,7 +2352,11 @@ def _emit_list_aggregate(args: list[str]) -> str:
 
 
 def _emit_list_unique(args: list[str]) -> str:
-    return f"size(array_distinct({args[0]}))"
+    # DuckDB counts distinct NON-NULL elements (measured:
+    # list_unique([1,1,2,NULL]) = 2)
+    return (
+        f"size(array_distinct(filter({args[0]}, __v -> __v IS NOT NULL)))"
+    )
 
 
 def _emit_regexp_extract(args: list[str]) -> str:
@@ -2481,6 +2505,96 @@ def _emit_grade_up(args: list[str]) -> str:
     )
 
 
+def _emit_list_zip(args: list[str]) -> str:
+    """DuckDB list_zip: struct fields named list_1, list_2 (2-arg form)."""
+    if len(args) != 2:
+        raise UnsupportedDialect("list_zip: only the 2-list form is supported")
+    a, b = args
+    return (
+        f"zip_with({a}, {b}, (__x, __y) ->"
+        f" struct(__x AS list_1, __y AS list_2))"
+    )
+
+
+def _emit_list_has_all(args: list[str]) -> str:
+    a, b = args
+    return f"(size(array_except({b}, {a})) = 0)"
+
+
+def _emit_list_any_value(args: list[str]) -> str:
+    (x,) = args
+    return f"element_at(filter({x}, __v -> __v IS NOT NULL), 1)"
+
+
+def _emit_pop_back(args: list[str]) -> str:
+    (x,) = args
+    return f"slice({x}, 1, greatest(size({x}) - 1, 0))"
+
+
+def _emit_pop_front(args: list[str]) -> str:
+    (x,) = args
+    return f"slice({x}, 2, greatest(size({x}) - 1, 0))"
+
+
+def _emit_list_select(args: list[str]) -> str:
+    l, idx = args
+    return f"transform({idx}, __i -> element_at({l}, __i))"
+
+
+def _emit_list_where(args: list[str]) -> str:
+    l, m = args
+    return (
+        f"transform(filter(zip_with({l}, {m}, (__v, __m) ->"
+        f" struct(__v AS v, __m AS m)), __s -> __s.m), __s -> __s.v)"
+    )
+
+
+def _emit_list_reduce(args: list[str]) -> str:
+    """DuckDB list_reduce seeds with the FIRST element and folds the rest."""
+    if len(args) != 2:
+        raise UnsupportedDialect("list_reduce expects (list, lambda)")
+    l, lam = args
+    return (
+        f"aggregate(slice({l}, 2, greatest(size({l}) - 1, 0)),"
+        f" element_at({l}, 1), {lam})"
+    )
+
+
+def _emit_json_valid(args: list[str]) -> str:
+    (x,) = args
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN NULL"
+        f" ELSE get_json_object({x}, '$') IS NOT NULL END)"
+    )
+
+
+def _emit_json_arr_len(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"json_array_length({args[0]})"
+    s2, path = args
+    return f"json_array_length(get_json_object({s2}, {path}))"
+
+
+def _emit_map_ctor(args: list[str]) -> str:
+    """DuckDB map(keys_list, values_list); Spark's variadic map() differs —
+    route the 2-list form to map_from_arrays. Bare map() stays empty."""
+    if len(args) == 2:
+        return f"map_from_arrays({args[0]}, {args[1]})"
+    if len(args) == 0 or (len(args) == 1 and not args[0].strip()):
+        return "map()"
+    raise UnsupportedDialect("map(): only the (keys, values) list form is supported")
+
+
+def _emit_struct_pack(args: list[str]) -> str:
+    parts = []
+    for a in args:
+        m = re.match(r"\s*(\w+)\s*:=\s*(.+)$", a, re.DOTALL)
+        if not m:
+            raise UnsupportedDialect("struct_pack expects name := expr arguments")
+        parts.append(f"'{m.group(1)}', {m.group(2).strip()}")
+    return f"named_struct({', '.join(parts)})"
+
+
 def _emit_list_dot(args: list[str]) -> str:
     """list_dot_product: left-fold in element order — the same
     accumulation order DuckDB uses, so doubles are bit-identical."""
@@ -2609,6 +2723,19 @@ _ROUND5_EMITTERS = {
     "__duck_fmod": _emit_fmod,
     "__duck_strip_accents": _emit_strip_accents,
     "__duck_grade_up": _emit_grade_up,
+    "__duck_list_zip": _emit_list_zip,
+    "__duck_list_has_all": _emit_list_has_all,
+    "__duck_list_any_value": _emit_list_any_value,
+    "__duck_pop_back": _emit_pop_back,
+    "__duck_pop_front": _emit_pop_front,
+    "__duck_list_select": _emit_list_select,
+    "__duck_list_where": _emit_list_where,
+    "__duck_list_reduce": _emit_list_reduce,
+    "__duck_json_valid": _emit_json_valid,
+    "__duck_json_arr_len": _emit_json_arr_len,
+    "__duck_map_ctor": _emit_map_ctor,
+    "__duck_struct_pack": _emit_struct_pack,
+    "__spark_map": lambda a: f"map({', '.join(a)})",
     "__duck_to_days": lambda a: _emit_interval_builder("days", a),
     "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),
     "__duck_to_minutes": lambda a: _emit_interval_builder("minutes", a),

@@ -51,12 +51,32 @@ CASES = [
     "SELECT i, count(*) FILTER (WHERE s IS NOT NULL) OVER (ORDER BY i) AS w FROM t",
     "SELECT avg(d) FILTER (WHERE i <> 2) OVER (PARTITION BY i % 2) AS w FROM t",
     "SELECT quantile_cont(d, [0.25, 0.5, 0.75]) AS q FROM t",
+    # list/map/json batch (round-7 second sweep)
+    "SELECT list_any_value([NULL, 3, 1]) AS x",
+    "SELECT array_pop_back([1,2,3]) AS x, array_pop_front([1,2,3]) AS y",
+    "SELECT list_select([10,20,30], [3,1]) AS x",
+    "SELECT list_where([10,20,30], [true,false,true]) AS x",
+    "SELECT list_has_any([1,2],[2,9]) AS x, list_has_all([1,2,3],[1,3]) AS y",
+    "SELECT json_array_length('[1,2,3]') AS x",
+    "SELECT json_keys('{\"a\":1,\"b\":2}') AS x",
+    "SELECT json_valid('{\"a\": 1}') AS a, json_valid('nope{') AS b",
+    "SELECT map_keys(map(['a','b'],[1,2])) AS x",
+    "SELECT cardinality(map(['a'],[1])) AS x",
+    "SELECT struct_pack(a := 1, b := 'x') AS x",
+    "SELECT list_unique([1,1,2,NULL]) AS x",
+    "SELECT array_length([1,2,3]) AS x",
+    "SELECT list_reduce([1,2,3], (a, b) -> a + b) AS x",
+    "SELECT list_apply([1,2], x -> x * 10) AS x",
 ]
 
 
 def _norm(v):
     if isinstance(v, float):
         return round(v, 9)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
