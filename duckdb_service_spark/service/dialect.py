@@ -52,6 +52,7 @@ FUNCTION_ALIASES = {
     "string_split": "split",
     "str_split": "split",
     "list_transform": "transform",
+    "xor": "__duck_xor",
     "list_apply": "transform",
     "array_apply": "transform",
     "array_length": "size",
@@ -1866,6 +1867,123 @@ def _rewrite_window_filter(sql: str) -> str:
             return sql
 
 
+def _rhs_operand_end(sql: str, j: int, mask) -> "int | None":
+    """End offset (exclusive) of the operand starting at/after ``j``:
+    optional unary sign, then a string literal, a balanced paren/call, or
+    an identifier/number chain (with trailing balanced call parens)."""
+    n = len(sql)
+    k = j
+    while k < n and sql[k].isspace():
+        k += 1
+    if k < n and sql[k] in "+-":
+        k += 1
+        while k < n and sql[k].isspace():
+            k += 1
+    if k >= n:
+        return None
+    if sql[k] == "'":
+        for a, b in _spans(sql):
+            if a == k:
+                return b
+        return None
+    if sql[k] == "(":
+        e = _scan_balanced(sql, k, "(", ")")
+        return e if e != -1 else None
+    if sql[k].isalnum() or sql[k] in "_.":
+        e = k
+        while e < n and (sql[e].isalnum() or sql[e] in "_."):
+            e += 1
+        # function call: include its argument list
+        m = re.match(r"\s*\(", sql[e:])
+        if m:
+            o = sql.index("(", e)
+            e2 = _scan_balanced(sql, o, "(", ")")
+            return e2 if e2 != -1 else None
+        return e
+    return None
+
+
+_BINOP_POWER_RE = re.compile(r"\*\*|\^(?!@)")
+_BINOP_TEXT_RE = re.compile(r"!~~|~~|!~(?!~)|\^@")
+
+
+def _rewrite_binary_ops(sql: str) -> str:
+    """DuckDB operator symbols Spark lacks or MEANS DIFFERENTLY:
+
+    ``a ** b`` and ``a ^ b`` are POWER in DuckDB — and ``^`` is bitwise
+    XOR in Spark, so passing it through would be silently wrong, not a
+    parse error. Rewritten to power(lhs, rhs) with DuckDB's precedence
+    quirk preserved (unary minus binds FIRST: -2 ** 2 = 4 — measured).
+    ``~``/``!~`` are regex match (→ RLIKE / NOT RLIKE), ``~~``/``!~~``
+    are LIKE / NOT LIKE, ``^@`` is starts_with."""
+    # token substitutions first (no operand capture needed)
+    while True:
+        mask = _literal_mask(sql)
+        m = next((c for c in _BINOP_TEXT_RE.finditer(sql) if not mask[c.start()]), None)
+        if m is None:
+            break
+        op = m.group()
+        if op == "!~~":
+            sql = sql[: m.start()] + " NOT LIKE " + sql[m.end() :]
+        elif op == "~~":
+            sql = sql[: m.start()] + " LIKE " + sql[m.end() :]
+        elif op == "!~":
+            sql = sql[: m.start()] + " NOT RLIKE " + sql[m.end() :]
+        else:  # ^@ — needs operands
+            lo = _div_lhs_start(sql, m.start())
+            hi = _rhs_operand_end(sql, m.end(), mask)
+            if lo is None or hi is None:
+                raise UnsupportedDialect("cannot parse ^@ operands")
+            lhs = sql[lo : m.start()].strip()
+            rhs = sql[m.end() : hi].strip()
+            sql = sql[:lo] + f"startswith({lhs}, {rhs})" + sql[hi:]
+    # binary ~ (regex match): only when a left operand exists (else it is
+    # Spark's unary bitwise NOT and stays)
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for c in re.finditer(r"~", sql):
+            if mask[c.start()]:
+                continue
+            if _div_lhs_start(sql, c.start()) is not None:
+                hit = c
+                break
+        if hit is None:
+            break
+        sql = sql[: hit.start()] + " RLIKE " + sql[hit.end() :]
+    # power operators
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _BINOP_POWER_RE.finditer(sql) if not mask[c.start()]), None
+        )
+        if m is None:
+            return sql
+        lo = _div_lhs_start(sql, m.start())
+        hi = _rhs_operand_end(sql, m.end(), mask)
+        if lo is None or hi is None:
+            raise UnsupportedDialect(f"cannot parse operands of {m.group()!r}")
+        # DuckDB precedence quirk: unary minus binds BEFORE the power
+        # operator (-2 ** 2 = 4) — include a unary sign in the left operand
+        k2 = lo - 1
+        while k2 >= 0 and sql[k2].isspace():
+            k2 -= 1
+        if k2 >= 0 and sql[k2] in "+-":
+            k3 = k2 - 1
+            while k3 >= 0 and sql[k3].isspace():
+                k3 -= 1
+            wm = re.search(r"(\w+)$", sql[: k3 + 1]) if k3 >= 0 else None
+            if (
+                k3 < 0
+                or sql[k3] in "(,=<>+-*/%"
+                or (wm and wm.group(1).upper() in _DIV_LHS_KEYWORDS)
+            ):
+                lo = k2
+        lhs = sql[lo : m.start()].strip()
+        rhs = sql[m.end() : hi].strip()
+        sql = sql[:lo] + f"power({lhs}, {rhs})" + sql[hi:]
+
+
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
     avg} into subtraction form; min/max via frame split / peer-set
@@ -2219,6 +2337,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
+    sql = _rewrite_binary_ops(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_window_filter(sql)
     sql = _rewrite_call_subscripts(sql)
@@ -2735,6 +2854,7 @@ _ROUND5_EMITTERS = {
     "__duck_json_arr_len": _emit_json_arr_len,
     "__duck_map_ctor": _emit_map_ctor,
     "__duck_struct_pack": _emit_struct_pack,
+    "__duck_xor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
     "__spark_map": lambda a: f"map({', '.join(a)})",
     "__duck_to_days": lambda a: _emit_interval_builder("days", a),
     "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),

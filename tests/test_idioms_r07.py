@@ -19,6 +19,7 @@ import pytest
 from duckdb_service_spark.service.dialect import translate
 
 ROWS = [(1, "ab", 1.5), (2, "cd", -2.5), (3, None, None), (4, "zz", 0.5)]
+# note: t.s holds strings for the regex/LIKE operator cases
 
 
 @pytest.fixture(scope="module")
@@ -67,6 +68,22 @@ CASES = [
     "SELECT array_length([1,2,3]) AS x",
     "SELECT list_reduce([1,2,3], (a, b) -> a + b) AS x",
     "SELECT list_apply([1,2], x -> x * 10) AS x",
+    # operator-symbol batch (round-7 third sweep): ** and ^ are POWER in
+    # DuckDB (^ is XOR in Spark — silent wrong value without the rewrite),
+    # ~ family is regex/LIKE, ^@ is starts_with, xor() is the function form
+    "SELECT 2 ** 10 AS x",
+    "SELECT 2 ^ 10 AS x",
+    "SELECT -2 ** 2 AS x",
+    "SELECT 3 - 2 ** 2 AS x",
+    "SELECT 2 * 3 ** 2 AS x",
+    "SELECT xor(10, 5) AS x",
+    "SELECT ~5 AS x",
+    "SELECT s ~ 'a.*' AS x FROM t",
+    "SELECT s !~ 'a.*' AS x FROM t",
+    "SELECT s ~~ 'a%' AS x FROM t",
+    "SELECT s !~~ 'a%' AS x FROM t",
+    "SELECT s ^@ 'ab' AS x FROM t",
+    "SELECT i << 2 AS a, i >> 1 AS b, i & 6 AS c, i | 1 AS d FROM t",
 ]
 
 
