@@ -53,6 +53,7 @@ FUNCTION_ALIASES = {
     "str_split": "split",
     "list_transform": "transform",
     "xor": "__duck_xor",
+    "format": "__duck_format",
     "list_apply": "transform",
     "array_apply": "transform",
     "array_length": "size",
@@ -2714,6 +2715,26 @@ def _emit_struct_pack(args: list[str]) -> str:
     return f"named_struct({', '.join(parts)})"
 
 
+def _emit_format(args: list[str]) -> str:
+    """DuckDB fmt-style format('{}/{}', ...) → printf with %s slots.
+    Literal format strings only ({} placeholders; positional {0} and
+    format specs raise — they have no printf equivalent here)."""
+    if not args or not re.fullmatch(r"\s*'[^']*'\s*", args[0]):
+        raise UnsupportedDialect("format(): only a literal format string is supported")
+    fmt = args[0].strip()[1:-1]
+    if re.search(r"\{[^}]+\}", fmt):
+        raise UnsupportedDialect(
+            "format(): positional/spec placeholders are not supported — use {}"
+        )
+    if fmt.count("{}") != len(args) - 1:
+        raise UnsupportedDialect("format(): placeholder/argument count mismatch")
+    out = fmt.replace("%", "%%").replace("{}", "%s")
+    cast_args = ", ".join(f"CAST({a} AS STRING)" for a in args[1:])
+    if cast_args:
+        return f"printf('{out}', {cast_args})"
+    return f"'{out.replace('%%', '%')}'"
+
+
 def _emit_list_dot(args: list[str]) -> str:
     """list_dot_product: left-fold in element order — the same
     accumulation order DuckDB uses, so doubles are bit-identical."""
@@ -2855,6 +2876,7 @@ _ROUND5_EMITTERS = {
     "__duck_map_ctor": _emit_map_ctor,
     "__duck_struct_pack": _emit_struct_pack,
     "__duck_xor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "__duck_format": _emit_format,
     "__spark_map": lambda a: f"map({', '.join(a)})",
     "__duck_to_days": lambda a: _emit_interval_builder("days", a),
     "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),

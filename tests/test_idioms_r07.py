@@ -84,6 +84,8 @@ CASES = [
     "SELECT s !~~ 'a%' AS x FROM t",
     "SELECT s ^@ 'ab' AS x FROM t",
     "SELECT i << 2 AS a, i >> 1 AS b, i & 6 AS c, i | 1 AS d FROM t",
+    "SELECT format('{}/{}', 3, 'xy') AS x",
+    "SELECT format('pct 100% {}', 5) AS x",
 ]
 
 
