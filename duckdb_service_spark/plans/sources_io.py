@@ -16,7 +16,7 @@ from .registry import query
 
 
 def _tmp(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "dss_io")
+    d = os.path.join(tempfile.gettempdir(), f"dss_io_{os.getpid()}")
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, name)
 

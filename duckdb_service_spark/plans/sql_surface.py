@@ -115,7 +115,7 @@ def sql_read_csv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     t = load_tables(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "dss_io", "nation_readfn_csv")
+    path = os.path.join(tempfile.gettempdir(), f"dss_io_{os.getpid()}", "nation_readfn_csv")
     t["nation"].select("n_nationkey", "n_name", "n_regionkey").write.mode(
         "overwrite"
     ).option("header", "true").csv(path)
@@ -140,7 +140,7 @@ def sql_read_json_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     t = load_tables(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "dss_io", "customer_readfn_json")
+    path = os.path.join(tempfile.gettempdir(), f"dss_io_{os.getpid()}", "customer_readfn_json")
     t["customer"].select("c_custkey", "c_mktsegment").write.mode("overwrite").json(path)
     return _run_routed(
         spark,
