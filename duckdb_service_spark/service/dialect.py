@@ -54,6 +54,24 @@ FUNCTION_ALIASES = {
     "list_transform": "transform",
     "xor": "__duck_xor",
     "format": "__duck_format",
+    "dayofweek": "__duck_dayofweek",
+    "yearweek": "__duck_yearweek",
+    "century": "__duck_century",
+    "decade": "__duck_decade",
+    "epoch_ns": "__duck_epoch_ns",
+    "microsecond": "__duck_microsecond",
+    "millisecond": "__duck_millisecond",
+    "date_sub": "__duck_date_sub",
+    "datesub": "__duck_date_sub",
+    "sha256": "__duck_sha256",
+    "from_base64": "unbase64",
+    "encode": "__duck_encode",
+    "ltrim": "__duck_ltrim",
+    "rtrim": "__duck_rtrim",
+    "trim": "__duck_trim",
+    "like_escape": "__duck_like_escape",
+    "ilike_escape": "__duck_ilike_escape",
+    "not_like_escape": "__duck_not_like_escape",
     "list_apply": "transform",
     "array_apply": "transform",
     "array_length": "size",
@@ -2735,6 +2753,48 @@ def _emit_format(args: list[str]) -> str:
     return f"'{out.replace('%%', '%')}'"
 
 
+def _emit_trim_family(fn: str, args: list[str]) -> str:
+    """DuckDB [lr]?trim(string, charset): Spark's two-arg ltrim/rtrim take
+    (trimStr, str) — swapped — and two-arg trim is btrim(str, trimStr)."""
+    if len(args) == 1:
+        return f"{fn}({args[0]})"
+    if len(args) != 2:
+        raise UnsupportedDialect(f"{fn} expects 1 or 2 arguments")
+    a, chars = args
+    if fn == "trim":
+        return f"btrim({a}, {chars})"
+    return f"{fn}({chars}, {a})"
+
+
+def _emit_date_sub3(args: list[str]) -> str:
+    """DuckDB date_sub/datesub('unit', a, b): COMPLETE elapsed units
+    (timestampdiff semantics — unlike date_diff's boundary crossings).
+    The 2-arg form is Spark's own date_sub(date, days) — passthrough."""
+    if len(args) == 2:
+        return f"date_sub({args[0]}, {args[1]})"
+    if len(args) != 3:
+        raise UnsupportedDialect("date_sub expects 2 or 3 arguments")
+    unit = args[0].strip().strip("'\"").upper()
+    if unit not in (
+        "YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND",
+    ):
+        raise UnsupportedDialect(f"date_sub: unsupported unit {unit!r}")
+    return (
+        f"timestampdiff({unit}, CAST({args[1]} AS TIMESTAMP),"
+        f" CAST({args[2]} AS TIMESTAMP))"
+    )
+
+
+def _emit_like_escape(args: list[str], lower: bool = False, neg: bool = False) -> str:
+    if len(args) != 3:
+        raise UnsupportedDialect("like_escape expects (string, pattern, escape)")
+    a, pat, esc = args
+    if lower:
+        a, pat = f"lower({a})", f"lower({pat})"
+    op = "NOT LIKE" if neg else "LIKE"
+    return f"(({a}) {op} ({pat}) ESCAPE {esc})"
+
+
 def _emit_list_dot(args: list[str]) -> str:
     """list_dot_product: left-fold in element order — the same
     accumulation order DuckDB uses, so doubles are bit-identical."""
@@ -2877,6 +2937,32 @@ _ROUND5_EMITTERS = {
     "__duck_struct_pack": _emit_struct_pack,
     "__duck_xor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
     "__duck_format": _emit_format,
+    "__duck_dayofweek": lambda a: f"(dayofweek({a[0]}) - 1)",
+    "__duck_yearweek": lambda a: (
+        f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + weekofyear({a[0]}))"
+    ),
+    "__duck_century": lambda a: f"(((year({a[0]}) - 1) div 100) + 1)",
+    "__duck_decade": lambda a: f"(year({a[0]}) div 10)",
+    "__duck_epoch_ns": lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)",
+    # DuckDB micro/millisecond are SUB-MINUTE components (seconds included;
+    # measured: 30.123456s -> 30123456 / 30123)
+    "__duck_microsecond": lambda a: (
+        f"pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 60000000)"
+    ),
+    "__duck_millisecond": lambda a: (
+        f"(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 60000000) div 1000)"
+    ),
+    "__duck_date_sub": _emit_date_sub3,
+    "__duck_sha256": lambda a: f"sha2({a[0]}, 256)",
+    "__duck_encode": lambda a: (
+        f"encode({a[0]}, 'UTF-8')" if len(a) == 1 else f"encode({a[0]}, {a[1]})"
+    ),
+    "__duck_ltrim": lambda a: _emit_trim_family("ltrim", a),
+    "__duck_rtrim": lambda a: _emit_trim_family("rtrim", a),
+    "__duck_trim": lambda a: _emit_trim_family("trim", a),
+    "__duck_like_escape": lambda a: _emit_like_escape(a),
+    "__duck_ilike_escape": lambda a: _emit_like_escape(a, lower=True),
+    "__duck_not_like_escape": lambda a: _emit_like_escape(a, neg=True),
     "__spark_map": lambda a: f"map({', '.join(a)})",
     "__duck_to_days": lambda a: _emit_interval_builder("days", a),
     "__duck_to_hours": lambda a: _emit_interval_builder("hours", a),

@@ -86,6 +86,22 @@ CASES = [
     "SELECT i << 2 AS a, i >> 1 AS b, i & 6 AS c, i | 1 AS d FROM t",
     "SELECT format('{}/{}', 3, 'xy') AS x",
     "SELECT format('pct 100% {}', 5) AS x",
+    # date/string batch (round-7 fourth sweep)
+    "SELECT dayofweek(DATE '2024-02-29') AS x",
+    "SELECT yearweek(DATE '2021-01-01') AS x, yearweek(DATE '2024-02-29') AS y",
+    "SELECT century(DATE '2024-02-29') AS x, decade(DATE '2024-02-29') AS y",
+    "SELECT epoch_ns(TIMESTAMP '2024-02-29 13:45:30.123456') AS x",
+    "SELECT microsecond(TIMESTAMP '2024-02-29 13:45:30.123456') AS x, "
+    "millisecond(TIMESTAMP '2024-02-29 13:45:30.123456') AS y",
+    "SELECT date_sub('month', DATE '2024-02-29', DATE '2024-07-01') AS x, "
+    "datesub('day', DATE '2024-02-29', DATE '2024-03-05') AS y",
+    "SELECT sha256('x') AS x",
+    "SELECT base64(encode('Hi')) AS x",
+    "SELECT from_base64('SGVsbG8=') AS x",
+    "SELECT ltrim('Hello', 'He') AS x, rtrim('Hello', 'lo') AS y, "
+    "trim('Hello', 'Ho') AS z",
+    "SELECT like_escape('a_b', 'a$_b', '$') AS a, "
+    "ilike_escape('A_B', 'a$_b', '$') AS b",
 ]
 
 
