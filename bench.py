@@ -126,33 +126,56 @@ def main() -> None:
     min_load_pass = min(
         range(len(passes)), key=lambda i: passes[i]["loadavg"][0]
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"headline-query wall-clock (min of {PASSES} interleaved "
-                    "passes, warm)"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "oracle_duckdb_sec": oracle_total,
-                "oracle_queries": oracle_timings,
-                "spark_over_duckdb": (
-                    round(shared_total / oracle_total, 3) if oracle_total else None
-                ),
-                "per_query_ratio": ratios,
-                "per_query_ratio_median": (
-                    round(statistics.median(ratios.values()), 3) if ratios else None
-                ),
-                "loadavg_start": load_start,
-                "loadavg_end": os.getloadavg(),
-                "min_load_pass": min_load_pass,
-                "passes": passes,
-            }
-        )
+    # The driver captures only the last ~2,000 chars of stdout; round 7's
+    # artifact embedded every pass's raw numbers in the one JSON line and
+    # overflowed that window, so the driver recorded parsed=null and the
+    # round has no official performance record (VERDICT r07, task 1).
+    # Now: ONE compact summary line (compact separators, 2-3 dp) for the
+    # driver; the full record — raw per-pass numbers, per-engine oracle
+    # timings — goes to the committed sidecar BENCH_DETAIL.json.
+    summary = {
+        "metric": (
+            f"headline-query wall-clock (min of {PASSES} interleaved "
+            "passes, warm)"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "oracle_duckdb_sec": oracle_total,
+        "spark_over_duckdb": (
+            round(shared_total / oracle_total, 3) if oracle_total else None
+        ),
+        "per_query_ratio": {n: round(r, 2) for n, r in ratios.items()},
+        "per_query_ratio_median": (
+            round(statistics.median(ratios.values()), 3) if ratios else None
+        ),
+        "loadavg": round(load_start[0], 2),
+    }
+    detail = dict(
+        summary,
+        oracle_queries=oracle_timings,
+        loadavg_start=load_start,
+        loadavg_end=os.getloadavg(),
+        min_load_pass=min_load_pass,
+        passes=passes,
     )
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the summary line still carries the result
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard — never overflow the driver's capture
+        for drop in ("per_query_ratio", "queries"):
+            summary.pop(drop, None)
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

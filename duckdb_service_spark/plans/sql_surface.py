@@ -507,6 +507,35 @@ def win_exclude_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(_EXCLUDE_FRAME_SQL))
 
 
+_EXCLUDE_NAMED_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+                                                           AS neigh_cents,
+       CAST(count(*) OVER w AS BIGINT)                     AS neigh_cnt,
+       CAST(max(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w2 AS BIGINT)
+                                                           AS max_no_ties
+FROM orders
+WHERE o_orderkey <= 2000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW),
+       base AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+       w2 AS (base RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              EXCLUDE TIES)
+"""
+
+
+@query("win_exclude_named", oracle=_EXCLUDE_NAMED_SQL)
+def win_exclude_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE inside a NAMED WINDOW clause (r07 verdict gap #2 /
+    task 4; reference reach: passthrough db/db.go:70). The dialect inlines
+    every named spec into its OVER references — including the chained
+    ``w2 AS (base RANGE ... EXCLUDE TIES)`` definition — then the standard
+    frame-EXCLUDE algebra applies. Verbatim DuckDB SQL as oracle; integer
+    cents keep the subtraction forms bit-stable."""
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_EXCLUDE_NAMED_SQL))
+
+
 _IGNORE_NULLS_SQL = """
 SELECT o_orderkey,
        last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END

@@ -847,8 +847,12 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
         .select("h")
     )
     slim = chunked.select("doc_id", F.posexplode("h_arr").alias("chunk_idx", "h"))
+    # boiler (chunks repeated in ≥ md docs) is bounded in EXPECTATION but
+    # corpus-derived — no forced broadcast; AQE picks the strategy from
+    # measured size at runtime (repo rule: sf-proportional relations are
+    # never hint-broadcast, test_plan_quality.py enforces it)
     kept_idx = (
-        slim.join(F.broadcast(boiler), "h", "left_anti")
+        slim.join(boiler, "h", "left_anti")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kidx"))
     )
@@ -1612,8 +1616,13 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp_u"),
         )
     )
+    # NO broadcast hint on lp: bigram TYPES grow with the corpus (Heaps'
+    # law — tens of billions at web scale), so a forced broadcast OOMs the
+    # executors at 100 TB. Left unhinted, AQE elects broadcast from real
+    # runtime stats when the model actually is small (same policy as the
+    # unigram path above).
     return (
-        pairs.join(F.broadcast(lp), ["w1", "w2"])
+        pairs.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -1599,7 +1599,16 @@ def _emit_ordered_first_last(fn: str, args: str, keys: str) -> str:
     """DuckDB first/last with inline ORDER BY → min_by/max_by over a
     struct-wrapped value (the wrap keeps a NULL value from being skipped —
     first/last are POSITIONAL, unlike arg_min/arg_max). DESC swaps the
-    extremum; mixed directions / NULLS placement raise."""
+    extremum; mixed directions / NULLS placement raise.
+
+    NULL ordering keys: min_by/max_by SKIP rows whose key is NULL, but
+    DuckDB positions them NULLS LAST (both directions — measured:
+    last(x ORDER BY k) returns the NULL-key row when one exists, and
+    first(x ORDER BY k) over all-NULL keys returns a row, not NULL). So
+    the extremum key is a struct of (null-flag, key) pairs — never NULL
+    itself, so no row is skipped. ASC flag = (k IS NULL): false < true
+    puts NULL keys at the max end; DESC inverts to (k IS NOT NULL) so the
+    min end (= last position of a descending sort) holds the NULL keys."""
     from .dml import split_top_level
 
     parts = [k.strip() for k in split_top_level(keys)]
@@ -1624,8 +1633,9 @@ def _emit_ordered_first_last(fn: str, args: str, keys: str) -> str:
     desc = dirs == {"DESC"}
     want_max = (fn.lower() == "last") != desc
     by = "max_by" if want_max else "min_by"
-    key = bare[0] if len(bare) == 1 else f"struct({', '.join(bare)})"
-    return f"{by}(named_struct('v', ({args.strip()})), {key}).v"
+    flag = "IS NOT NULL" if desc else "IS NULL"
+    fields = ", ".join(f"(({k}) {flag}), ({k})" for k in bare)
+    return f"{by}(named_struct('v', ({args.strip()})), struct({fields})).v"
 
 
 def _emit_ordered_list(args: str, keys: str) -> str:
@@ -1842,7 +1852,12 @@ def _rewrite_window_filter(sql: str) -> str:
     """`agg(x) FILTER (WHERE c) OVER (...)`: DuckDB supports FILTER on
     window aggregates, Spark does not — fold the predicate into the
     argument (`agg(CASE WHEN c THEN x END) OVER (...)`; `count(*)` counts
-    a CASE-1). Plain aggregate FILTER (no OVER) stays for Spark."""
+    a CASE-1). A leading DISTINCT stays OUTSIDE the CASE —
+    `agg(DISTINCT CASE WHEN c THEN x END)` — and the pass runs before
+    _rewrite_window_distinct so that rewrite then lowers the window
+    DISTINCT (collect_set skips the CASE's NULLs exactly as FILTER
+    excludes those rows). Plain aggregate FILTER (no OVER) stays for
+    Spark."""
     while True:
         mask = _literal_mask(sql)
         done = True
@@ -1877,8 +1892,13 @@ def _rewrite_window_filter(sql: str) -> str:
             cond = re.sub(
                 r"^\s*WHERE\b", "", sql[fopen + 1 : fclose - 1], flags=re.IGNORECASE
             ).strip()
+            dm = re.match(r"\s*DISTINCT\b", args, re.IGNORECASE)
+            distinct = ""
+            if dm:
+                distinct = "DISTINCT "
+                args = args[dm.end() :]
             inner = "1" if args.strip() == "*" else args
-            repl = f"{fname}(CASE WHEN {cond} THEN {inner} END)"
+            repl = f"{fname}({distinct}CASE WHEN {cond} THEN {inner} END)"
             sql = sql[: fm.start(1)] + repl + sql[fclose:]
             done = False
             break
@@ -1923,7 +1943,32 @@ def _rhs_operand_end(sql: str, j: int, mask) -> "int | None":
 
 
 _BINOP_POWER_RE = re.compile(r"\*\*|\^(?!@)")
-_BINOP_TEXT_RE = re.compile(r"!~~|~~|!~(?!~)|\^@")
+# longest tokens first: !~~* / ~~* (ILIKE family) must win over !~~ / ~~,
+# else "s ~~* 'a%'" half-matches as ~~ and emits mangled "s LIKE * 'a%'"
+_BINOP_TEXT_RE = re.compile(r"!~~\*|~~\*|!~~|~~|!~(?!~)|\^@")
+
+
+def _anchored_regex_rhs(sql: str, j: int, mask) -> "tuple[str, int]":
+    """Parse the operand after a ``~``/``!~`` regex-match operator and
+    return ``(anchored_literal, end)``. DuckDB's ``~`` is an alias for
+    regexp_full_match — 'xab' ~ 'a.*' is FALSE (measured) — so the
+    pattern must be anchored like the SIMILAR TO rewrite does; a bare
+    RLIKE would silently return partial-match rows. Non-literal patterns
+    raise (same policy as SIMILAR TO: a clean error beats silent
+    mis-matching)."""
+    hi = _rhs_operand_end(sql, j, mask)
+    if hi is None:
+        raise UnsupportedDialect("cannot parse the ~ operator's pattern operand")
+    rhs = sql[j:hi].strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", rhs, re.DOTALL)
+    if not m:
+        raise UnsupportedDialect(
+            "~ / !~ with a non-literal pattern is not supported (DuckDB's ~ "
+            "is regexp_full_match; anchoring needs the literal pattern)"
+        )
+    pat = m.group(1).replace("''", "'")
+    anchored = f"^(?:{pat})$".replace("'", "''")
+    return f"'{anchored}'", hi
 
 
 def _rewrite_binary_ops(sql: str) -> str:
@@ -1933,21 +1978,28 @@ def _rewrite_binary_ops(sql: str) -> str:
     XOR in Spark, so passing it through would be silently wrong, not a
     parse error. Rewritten to power(lhs, rhs) with DuckDB's precedence
     quirk preserved (unary minus binds FIRST: -2 ** 2 = 4 — measured).
-    ``~``/``!~`` are regex match (→ RLIKE / NOT RLIKE), ``~~``/``!~~``
-    are LIKE / NOT LIKE, ``^@`` is starts_with."""
-    # token substitutions first (no operand capture needed)
+    ``~``/``!~`` are FULL regex match (→ RLIKE on the ^(?:p)$-anchored
+    literal pattern — DuckDB aliases ~ to regexp_full_match, measured),
+    ``~~``/``!~~`` are LIKE / NOT LIKE, ``~~*``/``!~~*`` are ILIKE /
+    NOT ILIKE (Spark has ILIKE natively), ``^@`` is starts_with."""
+    # token substitutions first
     while True:
         mask = _literal_mask(sql)
         m = next((c for c in _BINOP_TEXT_RE.finditer(sql) if not mask[c.start()]), None)
         if m is None:
             break
         op = m.group()
-        if op == "!~~":
+        if op == "!~~*":
+            sql = sql[: m.start()] + " NOT ILIKE " + sql[m.end() :]
+        elif op == "~~*":
+            sql = sql[: m.start()] + " ILIKE " + sql[m.end() :]
+        elif op == "!~~":
             sql = sql[: m.start()] + " NOT LIKE " + sql[m.end() :]
         elif op == "~~":
             sql = sql[: m.start()] + " LIKE " + sql[m.end() :]
         elif op == "!~":
-            sql = sql[: m.start()] + " NOT RLIKE " + sql[m.end() :]
+            rhs, hi = _anchored_regex_rhs(sql, m.end(), mask)
+            sql = sql[: m.start()] + " NOT RLIKE " + rhs + sql[hi:]
         else:  # ^@ — needs operands
             lo = _div_lhs_start(sql, m.start())
             hi = _rhs_operand_end(sql, m.end(), mask)
@@ -1956,8 +2008,8 @@ def _rewrite_binary_ops(sql: str) -> str:
             lhs = sql[lo : m.start()].strip()
             rhs = sql[m.end() : hi].strip()
             sql = sql[:lo] + f"startswith({lhs}, {rhs})" + sql[hi:]
-    # binary ~ (regex match): only when a left operand exists (else it is
-    # Spark's unary bitwise NOT and stays)
+    # binary ~ (regex FULL match): only when a left operand exists (else it
+    # is Spark's unary bitwise NOT and stays)
     while True:
         mask = _literal_mask(sql)
         hit = None
@@ -1969,7 +2021,8 @@ def _rewrite_binary_ops(sql: str) -> str:
                 break
         if hit is None:
             break
-        sql = sql[: hit.start()] + " RLIKE " + sql[hit.end() :]
+        rhs, hi = _anchored_regex_rhs(sql, hit.end(), mask)
+        sql = sql[: hit.start()] + " RLIKE " + rhs + sql[hi:]
     # power operators
     while True:
         mask = _literal_mask(sql)
@@ -2001,6 +2054,73 @@ def _rewrite_binary_ops(sql: str) -> str:
         lhs = sql[lo : m.start()].strip()
         rhs = sql[m.end() : hi].strip()
         sql = sql[:lo] + f"power({lhs}, {rhs})" + sql[hi:]
+
+
+def _inline_named_windows_for_exclude(sql: str) -> str:
+    """When a named WINDOW clause's spec carries a frame EXCLUDE, inline
+    every named spec into its ``OVER name`` references and drop the WINDOW
+    clause, so _rewrite_frame_exclude sees the spec at the aggregate's own
+    OVER site (reference reach: passthrough db/db.go:70 — DuckDB accepts
+    EXCLUDE in named windows). Named windows WITHOUT any EXCLUDE pass
+    through untouched — Spark supports the WINDOW clause natively. Chained
+    definitions (``w2 AS (w1 ORDER BY ...)``) resolve one name deep per
+    iteration."""
+    code_only = "".join(ch for is_lit, ch in _split_literals(sql) if not is_lit)
+    if not re.search(
+        r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)", code_only, re.IGNORECASE
+    ) or not re.search(r"\bWINDOW\s+\w+\s+AS\s*\(", code_only, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    m = next(
+        (
+            c
+            for c in re.finditer(r"\bWINDOW\s+(?=\w+\s+AS\s*\()", sql, re.IGNORECASE)
+            if not mask[c.start()]
+        ),
+        None,
+    )
+    if m is None:
+        return sql
+    # parse `name AS (spec) [, name AS (spec)]*`
+    specs: dict[str, str] = {}
+    pos = m.end()
+    while True:
+        nm = re.match(r"\s*(\w+)\s+AS\s*\(", sql[pos:])
+        if not nm:
+            break
+        open_at = pos + nm.end() - 1
+        close = _scan_balanced(sql, open_at, "(", ")")
+        if close == -1:
+            raise UnsupportedDialect("unbalanced named WINDOW clause")
+        specs[nm.group(1)] = sql[open_at + 1 : close - 1].strip()
+        pos = close
+        cm = re.match(r"\s*,", sql[pos:])
+        if not cm:
+            break
+        pos += cm.end()
+    if not any(_EXCLUDE_IN_SPEC_RE.search(s) for s in specs.values()):
+        return sql
+    # resolve chained name references (spec leading with another name)
+    for _ in range(len(specs)):
+        changed = False
+        for k, s in specs.items():
+            rm = re.match(r"(\w+)\b", s)
+            if rm and rm.group(1) in specs and rm.group(1) != k:
+                specs[k] = (specs[rm.group(1)] + " " + s[rm.end() :]).strip()
+                changed = True
+        if not changed:
+            break
+    # drop the WINDOW clause, then inline OVER name references
+    sql = sql[: m.start()] + sql[pos:]
+    out = sql
+    for name, spec in specs.items():
+        out = re.sub(
+            rf"\bOVER\s+{re.escape(name)}\b(?!\s*\()",
+            f"OVER ({spec})",
+            out,
+            flags=re.IGNORECASE,
+        )
+    return out
 
 
 def _rewrite_frame_exclude(sql: str) -> str:
@@ -2347,7 +2467,13 @@ def translate(sql: str) -> str:
     )
     sql = _rewrite_ignore_nulls(sql)
     sql = _rewrite_agg_inline_order(sql)
+    # FILTER fold runs BEFORE the window-DISTINCT lowering so that
+    # `count(DISTINCT x) FILTER (WHERE c) OVER w` first becomes
+    # `count(DISTINCT CASE WHEN c THEN x END) OVER w`, which the next
+    # pass can lower (the old order left invalid SQL for that shape)
+    sql = _rewrite_window_filter(sql)
     sql = _rewrite_window_distinct(sql)
+    sql = _inline_named_windows_for_exclude(sql)
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
@@ -2358,7 +2484,6 @@ def translate(sql: str) -> str:
     sql = _rewrite_similar_glob(sql)
     sql = _rewrite_binary_ops(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
-    sql = _rewrite_window_filter(sql)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_ts_precision_casts(sql)

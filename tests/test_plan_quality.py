@@ -235,3 +235,45 @@ def test_q20_semi_join_chain_shape(spark, sf_dir):
     # supplier probe is also LeftSemi — no inner-join row expansion
     plan = _plan_no_auto_broadcast(spark, sf_dir, "q20_potential_promotion")
     assert plan.count("LeftSemi") >= 2, plan
+
+
+# ---- r08: hint-broadcast sweep over the LLM-pipeline family ---------------
+
+# With size-based broadcast disabled, every BroadcastExchange left in a plan
+# is hint-driven. Corpus-proportional relations must never sit under one
+# (forced broadcast of a Heaps'-law-growing side OOMs executors at 100 TB —
+# the r07 `broadcast(lp)` finding). Each allowed site below is a BOUNDED
+# relation: a global aggregate (1 row), a per-language/per-source total
+# (cardinality = #langs/#sources), a fixed query set, or a benchmark-derived
+# set. The counts pin the inventory: re-adding a hint on a corpus-derived
+# side fails this sweep.
+PIPELINE_BROADCAST_ALLOWANCE = {
+    "text_lm_perplexity": 1,        # vocab size (global agg, 1 row)
+    "text_bigram_lm": 2,            # vocab + corpus totals (global aggs)
+    "text_line_dedup": 0,           # boiler set is corpus-derived: AQE only
+    "pipeline_corpus_curation": 0,
+    "pipeline_quality_funnel": 1,   # funnel threshold stats (global agg)
+    "dedup_minhash_lsh": 0,
+    "pipeline_semdedup": 6,         # K-bounded centroids, 1/k-means iter
+    "text_stratified_sample": 1,    # per-lang totals (#langs rows)
+    "pipeline_training_mix": 3,     # per-source totals / thresholds
+    "pipeline_source_mix": 1,       # per-source totals
+    "text_contamination": 1,        # benchmark shingle set (fixed input)
+    "text_unigram_fc_buckets": 3,   # corpus doc count + bucket cutoffs
+    "text_tfidf_top_terms": 1,      # corpus doc count (global agg, 1 row)
+}
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_BROADCAST_ALLOWANCE))
+def test_pipeline_no_hinted_broadcast_of_corpus_sides(spark, sf_dir, name):
+    import re as _re
+
+    plan = _plan_no_auto_broadcast(spark, sf_dir, name)
+    # one count per physical node: the detail header "(N) BroadcastExchange"
+    # (the tree section repeats each node a second time)
+    n = len(_re.findall(r"\(\d+\) BroadcastExchange", plan))
+    allowed = PIPELINE_BROADCAST_ALLOWANCE[name]
+    assert n <= allowed, (
+        f"{name}: {n} hint-driven BroadcastExchange nodes (allowed "
+        f"{allowed}) — a corpus-proportional side may have been hinted\n{plan}"
+    )
