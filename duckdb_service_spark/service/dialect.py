@@ -2258,14 +2258,22 @@ def _rewrite_frame_exclude(sql: str) -> str:
         comb = "least" if fname == "min" else "greatest"
         arr_agg = "array_min" if fname == "min" else "array_max"
 
+        unique_guard = None
         if mode == "RANGE" and not includes_cur:
             if kind == "CURRENT ROW":
-                raise UnsupportedDialect(
-                    "EXCLUDE CURRENT ROW over a RANGE frame not containing "
-                    "the current row depends on arbitrary tie order "
-                    "(measured DuckDB behavior is row-position-dependent "
-                    "within the peer group); not supported"
-                )
+                # Deterministic-input subset (r07 verdict task 8): with
+                # UNIQUE order keys the current row is its own peer group,
+                # so EXCLUDE CURRENT ROW equals EXCLUDE GROUP over the
+                # frame extended toward the current row (probed: identical
+                # results on unique fractional keys for both preceding- and
+                # following-side frames). With TIES the DuckDB result is
+                # row-position-dependent within the peer group (measured) —
+                # that genuinely ambiguous subset raises AT RUNTIME via a
+                # peer-count guard, so unique-key data flows and tied data
+                # still fails loudly instead of silently diverging.
+                peers_g = ", ".join(part + order) if (part or order) else ""
+                unique_guard = f"PARTITION BY {peers_g}" if peers_g else ""
+                kind = "GROUP"
             # GROUP/TIES: the surviving segment extends to the peer-group
             # edge — for RANGE frames that equals extending the frame to
             # CURRENT ROW (peers are value-equal) and removing peers
@@ -2275,6 +2283,17 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 lo, lk = "CURRENT ROW", "C"
             base_spec = f"{prefix} RANGE BETWEEN {lo} AND {hi}".strip()
             includes_cur = True
+
+        def _guard(expr: str) -> str:
+            if unique_guard is None:
+                return expr
+            return (
+                f"(CASE WHEN count(1) OVER ({unique_guard}) = 1 THEN {expr} "
+                f"WHEN raise_error('EXCLUDE CURRENT ROW over a value-bounded "
+                f"RANGE frame is tie-order-dependent in DuckDB when the ORDER "
+                f"BY key has ties; deduplicate the key or use EXCLUDE GROUP') "
+                f"IS NULL THEN NULL END)"
+            )
 
         if mode == "RANGE":
             # current row (hence the WHOLE peer group) is in frame
@@ -2304,7 +2323,7 @@ def _rewrite_frame_exclude(sql: str) -> str:
                         f"ELSE try_element_at({ga}, 2) END)"
                     )
                     repl = f"{comb}({m_out}, {m_grp_excl_me})"
-                sql = sql[:call_start] + repl + sql[close_at:]
+                sql = sql[:call_start] + _guard(repl) + sql[close_at:]
                 continue
             # sum/count/avg: subtraction form — exact native types
             xs = args
@@ -2380,7 +2399,7 @@ def _rewrite_frame_exclude(sql: str) -> str:
                         f"(CASE WHEN 1=0 THEN {fname}({args})"
                         f" OVER ({base_spec}) END)"
                     )
-                sql = sql[:call_start] + repl + sql[close_at:]
+                sql = sql[:call_start] + _guard(repl) + sql[close_at:]
                 continue
             # sum/count/avg over ROWS segments. CURRENT ROW keeps native
             # types via plain segment windows; GROUP/TIES need the
@@ -2439,7 +2458,7 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 f"(CASE WHEN {cnt_excl} = 0 THEN NULL "
                 f"ELSE {sum_excl} / {cnt_excl} END)"
             )
-        sql = sql[:call_start] + repl + sql[close_at:]
+        sql = sql[:call_start] + _guard(repl) + sql[close_at:]
 
 
 def translate(sql: str) -> str:

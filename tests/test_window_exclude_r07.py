@@ -94,11 +94,58 @@ def test_rows_frame_exclude_matches_duckdb(spark, fixtures_rid, spec):
     assert got == want
 
 
-def test_range_ecr_not_including_current_raises():
-    """EXCLUDE CURRENT ROW over a value-bounded RANGE frame that excludes
-    the current row is tie-order-dependent in DuckDB (measured) — raise."""
-    with pytest.raises(UnsupportedDialect):
-        translate(
-            "SELECT min(x) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND "
-            "1 PRECEDING EXCLUDE CURRENT ROW) FROM t"
-        )
+# ---- r08: value-bounded RANGE EXCLUDE CURRENT ROW, deterministic subset ----
+#
+# With UNIQUE order keys the current row is its own peer group, so
+# EXCLUDE CURRENT ROW == EXCLUDE GROUP over the frame extended toward the
+# current row (probed in DuckDB on unique fractional keys, both frame
+# directions). The translation emits that form under a runtime peer-count
+# guard: unique-key data flows, tied data raises loudly (the tied result
+# is row-position-dependent in DuckDB itself — measured).
+
+RANGE_ECR_SPECS = [
+    "sum(x) OVER (ORDER BY u RANGE BETWEEN 5 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
+    "count(x) OVER (ORDER BY u RANGE BETWEEN 1 FOLLOWING AND 5 FOLLOWING EXCLUDE CURRENT ROW)",
+    "avg(x) OVER (ORDER BY u RANGE BETWEEN 5 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
+    "min(x) OVER (ORDER BY u RANGE BETWEEN 1 FOLLOWING AND 5 FOLLOWING EXCLUDE CURRENT ROW)",
+    "max(x) OVER (PARTITION BY g ORDER BY u RANGE BETWEEN 5 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
+]
+
+
+@pytest.fixture(scope="module")
+def fixtures_unique(spark):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tu (g INT, u INT, x INT)")
+    # u is GLOBALLY unique: the non-partitioned specs' peer groups span the
+    # whole table, so per-partition uniqueness would still trip the tie guard
+    # (and genuinely be tie-order-dependent in DuckDB)
+    uniq = [(g, i * 3 + (g + k) % 3, x) for i, (g, k, x) in enumerate(ROWS)]
+    con.executemany("INSERT INTO tu VALUES (?,?,?)", uniq)
+    spark.createDataFrame(uniq, "g int, u int, x int").createOrReplaceTempView("tu")
+    return con
+
+
+@pytest.mark.parametrize("spec", RANGE_ECR_SPECS)
+def test_range_ecr_unique_keys_matches_duckdb(spark, fixtures_unique, spec):
+    q = f"SELECT g, u, {spec} AS v FROM tu ORDER BY g, u"
+    want = [
+        tuple(float(c) if isinstance(c, (int, float)) and c is not None else c for c in r)
+        for r in fixtures_unique.execute(q).fetchall()
+    ]
+    got = [
+        tuple(float(c) if isinstance(c, (int, float)) and c is not None else c for c in r)
+        for r in spark.sql(translate(q)).collect()
+    ]
+    assert got == want
+
+
+def test_range_ecr_tied_keys_raises_at_runtime(spark):
+    """Tied ORDER BY keys under the value-bounded RANGE ECR form must fail
+    loudly (runtime guard), never silently diverge."""
+    q = (
+        "SELECT sum(x) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND "
+        "1 PRECEDING EXCLUDE CURRENT ROW) AS v FROM "
+        "(VALUES (1, 10), (1, 20), (4, 30)) t(k, x)"
+    )
+    with pytest.raises(Exception, match="tie-order-dependent"):
+        spark.sql(translate(q)).collect()

@@ -75,12 +75,19 @@ def test_random_frame_exclusions_match_duckdb(engines, seed):
         try:
             tq = translate(q)
         except UnsupportedDialect:
-            # the one declared raise: value-bounded RANGE not containing
-            # the current row + EXCLUDE CURRENT ROW (tie-order-dependent
-            # in DuckDB itself)
             skipped_unsupported += 1
             continue
-        got = sorted(map(repr, [tuple(r) for r in spark.sql(tq).collect()]))
+        try:
+            got = sorted(map(repr, [tuple(r) for r in spark.sql(tq).collect()]))
+        except Exception as e:
+            # value-bounded RANGE not containing the current row + EXCLUDE
+            # CURRENT ROW translates since r08 but guards at RUNTIME on tied
+            # order keys (this fixture is deliberately tied; the DuckDB
+            # result there is row-position-dependent — measured). Any other
+            # runtime error is a real bug.
+            assert "tie-order-dependent" in str(e), (q, e)
+            skipped_unsupported += 1
+            continue
         assert got == want, q
         checked += 1
     assert checked > 60, (checked, skipped_invalid, skipped_unsupported)
