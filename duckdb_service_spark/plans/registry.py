@@ -47,65 +47,23 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-7 rotation (VERDICT r06 task 2 — burn down rotation debt):
-# (a) queries new or code-changed in round 7 (ANN recall conversion, window
-# EXCLUDE extension, int-cast rounding path, MinHash band-join re-plan,
-# TIMESTAMP_NS, PREPARE/EXECUTE), then (b) ALL 45 r02-era rows — the stalest
-# driver evidence in the repo. 8 + 45 = 53; the driver checks the first 50,
-# the tail rotates in r08 together with the r04-era rows.
+# order. Round-8 rotation (VERDICT r07 task 2 — finish the debt):
+# (a) queries new or code-path-changed in round 8 (named-WINDOW EXCLUDE
+# inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
+# window FILTER reorder, corpus-broadcast-hint removal), then (b) the 13
+# r02-era rows — the last of the stalest driver evidence, queued since r07,
+# then (c) 31 of the 43 r04-era rows. 6 + 13 + 31 = 50; the remaining 12
+# r04-era rows (sim_*, io_parquet, sql_read_*, stream_* group) rotate
+# first in r09.
 PRIORITY: list[str] = [
-    # (a) new or changed in round 7
-    "pipeline_quality_funnel",
-    "stream_neardup_lsh",
-    "pipeline_semdedup",
-    "fn_battery_r9",
-    "text_lm_perplexity",
-    "sim_kmeans",
-    "mm_decode_features",
-    "agg_approx_count_distinct",
-    "agg_stats_native",
-    "sample_native",
-    "sql_prepare_execute",
-    "fn_timestamp_ns",
+    # (a) new or changed in round 8
+    "win_exclude_named",
     "win_exclude_frame",
-    "sim_pq_search",
-    "sim_ivf_search",
-    "sim_lsh_topk",
-    "cast_try_cast",
-    "dedup_minhash_lsh",
-    # (b) r02-era rotation debt, the stalest driver rows in the repo
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q18_large_volume_customer",
-    "win_running_sum",
-    "win_partition_agg",
-    "win_range_frame",
-    "win_first_last_nth",
-    "win_qualify",
-    "window_named_sql",
-    "agg_filter_clause",
-    "agg_cube",
-    "fn_array",
-    "fn_struct_map",
-    "fn_json_struct",
-    "fn_type_fidelity",
-    "fn_time",
-    "fn_variant",
-    "fn_union_type",
-    "case_coalesce_nullif",
-    "range_series",
-    "sample_deterministic",
-    "cte_nested",
-    "cte_recursive_series",
-    "cte_recursive_graph",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_union_by_name",
-    "setop_intersect",
-    "setop_except",
-    "pivot_status_by_priority",
-    "unpivot_part_measures",
+    "sql_pattern_operators",
+    "win_distinct_agg",
+    "text_lm_perplexity",
+    "text_line_dedup",
+    # (b) r02-era rotation debt, final tail
     "join_positional",
     "join_lateral_correlated",
     "join_asof_left",
@@ -119,6 +77,38 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
+    # (c) r04-era rows (31 of 43; the rest lead r09)
+    "agg_core",
+    "agg_count_distinct",
+    "agg_stats_exact",
+    "agg_corr_exact",
+    "agg_minmax_by",
+    "agg_string_agg",
+    "agg_collect_list_set",
+    "fn_bit_type",
+    "graph_connected_components",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "mm_binary_meta",
+    "text_pii_scrub",
+    "text_contamination",
+    "text_repetition_filter",
+    "pipeline_sequence_packing",
+    "pipeline_source_mix",
+    "proj_expressions",
+    "select_exclude_replace",
+    "filter_predicates",
+    "filter_ilike",
+    "distinct_basic",
+    "distinct_on_latest_order",
+    "values_relation",
+    "generate_series_step",
+    "limit_offset",
+    "order_nulls_last",
+    "subquery_correlated_scalar",
+    "setop_intersect_all",
+    "setop_except_all",
 ]
 
 
