@@ -916,3 +916,46 @@ def fn_battery_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("nation")
     return spark.sql(translate(_R9_BATTERY_SQL))
+
+
+_R10_BATTERY_SQL = """
+SELECT o_orderkey,
+       parse_filename(concat('/data/', o_orderpriority, '/', o_orderstatus, '.parquet')) AS fname,
+       parse_dirpath(concat('/data/', o_orderpriority, '/', o_orderstatus, '.parquet'))  AS dpath,
+       parse_dirname(concat('data/', o_orderpriority, '/', o_orderstatus))               AS dname,
+       array_to_string(parse_path(concat('/data/', o_orderpriority)), '|')         AS pparts,
+       format_bytes(o_orderkey * 131071 + o_custkey)                           AS sz_bin,
+       formatReadableDecimalSize(o_orderkey * 524287 + o_custkey)              AS sz_dec,
+       regexp_escape(o_orderpriority)                                              AS esc,
+       julian(o_orderdate)                                                         AS jdn,
+       era(o_orderdate)                                                            AS er,
+       timezone_hour(CAST(o_orderdate AS TIMESTAMP))                               AS tzh,
+       typeof(o_totalprice)                                                        AS ty,
+       pg_typeof(o_orderkey)                                                       AS pgty,
+       editdist3(o_orderpriority, '1-URGENT')                                      AS ed,
+       array_to_string(list_reverse([o_custkey % 7, o_custkey % 5, o_custkey % 3]), ',') AS rev3,
+       time_bucket(INTERVAL '2 days', o_orderdate::DATE)                           AS bucket_2d,
+       time_bucket(INTERVAL '1 week', o_orderdate::DATE)                           AS bucket_wk,
+       time_bucket(INTERVAL '3 months', o_orderdate::DATE)                         AS bucket_q,
+       like_escape(concat(o_orderstatus, '%'), '%!%', '!')                                       AS lk,
+       ilike_escape(o_orderpriority, '%urgent%', '!')                              AS ilk
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@query("fn_battery_r10", oracle=_R10_BATTERY_SQL)
+def fn_battery_r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 idiom-sweep battery (verbatim SQL through the dialect):
+    path parsing (parse_path family, both-slash mode), size formatting
+    (format_bytes binary truncated-decimal / formatReadableDecimalSize),
+    regexp_escape, julian-day + era + UTC timezone parts, DuckDB type
+    names from typeof/pg_typeof, editdist3->levenshtein, list_reverse,
+    time_bucket with the measured 2000-01-03 Monday origin (multi-day
+    widths), month-space quarter buckets, DATE return type, and the
+    LIKE/ILIKE ESCAPE lowering. Each rewrite is differential-tested in
+    tests/test_idioms_r08.py; this query makes them driver-visible."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_R10_BATTERY_SQL))

@@ -195,6 +195,38 @@ FUNCTION_ALIASES = {
     "list_inner_product": "__duck_list_dot",
     "quantile_disc": "__duck_quantile_disc",
     "histogram": "__duck_histogram",
+    # round-8 battery additions (each verified against DuckDB 1.x output)
+    "editdist3": "levenshtein",
+    "list_reverse": "reverse",
+    "gen_random_uuid": "uuid",
+    "uuidv4": "uuid",
+    "to_base64": "base64",
+    "parse_path": "__duck_parse_path",
+    "parse_dirpath": "__duck_parse_dirpath",
+    "parse_dirname": "__duck_parse_dirname",
+    "parse_filename": "__duck_parse_filename",
+    "format_bytes": "__duck_format_bytes",
+    "formatreadablesize": "__duck_format_bytes",
+    "formatreadabledecimalsize": "__duck_format_dec_size",
+    "regexp_escape": "__duck_regexp_escape",
+    "timezone_hour": "__duck_tz_part",
+    "timezone_minute": "__duck_tz_part",
+    "julian": "__duck_julian",
+    "era": "__duck_era",
+    "make_timestamptz": "__duck_make_tstz",
+    "pg_typeof": "__duck_pg_typeof",
+    "typeof": "__duck_typeof",
+    "alias": "__duck_unsupported_fn",
+    "like_escape": "__duck_like_escape",
+    "not_like_escape": "__duck_not_like_escape",
+    "ilike_escape": "__duck_ilike_escape",
+    "not_ilike_escape": "__duck_not_ilike_escape",
+    "jaro_similarity": "__duck_unsupported_fn",
+    "jaro_winkler_similarity": "__duck_unsupported_fn",
+    "damerau_levenshtein": "__duck_unsupported_fn",
+    "nextafter": "__duck_unsupported_fn",
+    "gamma": "__duck_unsupported_fn",
+    "lgamma": "__duck_unsupported_fn",
 }
 
 _STRFTIME_MAP = [
@@ -955,6 +987,9 @@ def _rewrite_functions(code: str) -> str:
     code = re.sub(
         r"::\s*(?:VARCHAR|TEXT)\b(?!\s*\()", "::STRING", code, flags=re.IGNORECASE
     )
+    code = re.sub(
+        r"::\s*(?:BLOB|BYTEA|VARBINARY)\b", "::BINARY", code, flags=re.IGNORECASE
+    )
     for duck, spark in FUNCTION_ALIASES.items():
         if duck == spark:
             continue
@@ -976,6 +1011,7 @@ def _rewrite_functions(code: str) -> str:
 
 _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 _CAST_AS_STRING_RE = re.compile(r"\bAS\s+(?:VARCHAR|TEXT)\b(?!\s*\()", re.IGNORECASE)
+_CAST_AS_BINARY_RE = re.compile(r"\bAS\s+(?:BLOB|BYTEA|VARBINARY)\b", re.IGNORECASE)
 
 
 def _literal_mask(sql: str) -> list[bool]:
@@ -1012,7 +1048,14 @@ def _rewrite_cast_string_types(sql: str) -> str:
         if a < pos:  # nested cast — already covered by the outer span
             continue
         out.append(sql[pos:a])
-        out.append(_rewrite_code(sql[a:b], lambda c: _CAST_AS_STRING_RE.sub("AS STRING", c)))
+        out.append(
+            _rewrite_code(
+                sql[a:b],
+                lambda c: _CAST_AS_BINARY_RE.sub(
+                    "AS BINARY", _CAST_AS_STRING_RE.sub("AS STRING", c)
+                ),
+            )
+        )
         pos = b
     out.append(sql[pos:])
     return "".join(out)
@@ -2597,18 +2640,63 @@ def _emit_age(args: list[str]) -> str:
     )
 
 
+_DATEISH_ARG_RE = re.compile(
+    r"(?:^\s*DATE\s*'|::\s*DATE\s*\)?\s*$|AS\s+DATE\s*\)\s*$)", re.IGNORECASE
+)
+
+
 def _emit_time_bucket(args: list[str]) -> str:
-    """time_bucket(width, ts): epoch-aligned flooring (verified: DuckDB
-    aligns sub-day buckets to the epoch). Bucket width in micros is derived
-    by adding the interval to the epoch — constant-folded by Catalyst."""
-    if len(args) != 2:
-        raise UnsupportedDialect("time_bucket expects (bucket_width, timestamp)")
-    itv, ts = args
+    """time_bucket(width, ts [, origin|offset]): DuckDB's default origin is
+    2000-01-03 00:00:00 (Monday — aligns week buckets; measured:
+    time_bucket(INTERVAL '2 days', DATE '2024-03-05') = 2024-03-05, which
+    epoch alignment would place on 2024-03-04). Widths that divide a day
+    are origin-insensitive, so this also reproduces the sub-day behavior.
+    Month/year widths bucket in MONTH space from origin 2000-01-01
+    (measured: 1-month bucket of 2024-03-06 = 2024-03-01). A DATE-typed
+    argument returns DATE — detected textually (DATE literal / ::DATE /
+    CAST AS DATE); date COLUMNS pass a cast to pick the date return type."""
+    if len(args) not in (2, 3):
+        raise UnsupportedDialect(
+            "time_bucket expects (bucket_width, ts [, origin|offset])"
+        )
+    itv, ts = args[0], args[1]
+    is_date = bool(_DATEISH_ARG_RE.search(ts.strip()))
+    im = re.match(r"^\s*INTERVAL\s+'([^']+)'\s*$", itv, re.IGNORECASE)
+    itv_text = im.group(1).lower() if im else ""
+    monthish = bool(re.search(r"\b(month|year|mon)s?\b", itv_text))
+    if monthish:
+        if re.search(r"\b(day|week|hour|min|sec)\w*\b", itv_text):
+            raise UnsupportedDialect(
+                "time_bucket width mixing month and day/time parts"
+            )
+        nm = re.match(r"(\d+)\s*(month|mon|year)s?", itv_text)
+        if not nm or len(args) == 3:
+            raise UnsupportedDialect(
+                "month-width time_bucket needs a literal width, no origin"
+            )
+        n = int(nm.group(1)) * (12 if nm.group(2) == "year" else 1)
+        months = f"((year({ts}) - 2000) * 12 + month({ts}) - 1)"
+        bucket = (
+            f"add_months(DATE '2000-01-01', "
+            f"CAST(floor({months} / {n}.0) AS INT) * {n})"
+        )
+        return bucket if is_date else f"CAST({bucket} AS TIMESTAMP_NTZ)"
+    origin = "CAST('2000-01-03 00:00:00' AS TIMESTAMP)"
+    if len(args) == 3:
+        third = args[2].strip()
+        if re.match(r"^INTERVAL\b", third, re.IGNORECASE):
+            origin = f"({origin} + ({third}))"  # offset shifts the origin
+        else:
+            origin = f"CAST(({third}) AS TIMESTAMP)"
     w = f"unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP) + ({itv}))"
-    return (
-        f"CAST(timestamp_micros(CAST(floor(unix_micros(CAST(({ts}) AS TIMESTAMP)) "
-        f"/ {w}) * {w} AS BIGINT)) AS TIMESTAMP_NTZ)"
+    o = f"unix_micros({origin})"
+    b = (
+        f"timestamp_micros(CAST(floor((unix_micros(CAST(({ts}) AS TIMESTAMP)) "
+        f"- {o}) / {w}) * {w} + {o} AS BIGINT))"
     )
+    if is_date:
+        return f"CAST({b} AS DATE)"
+    return f"CAST({b} AS TIMESTAMP_NTZ)"
 
 
 def _emit_list_aggregate(args: list[str]) -> str:
@@ -3039,6 +3127,187 @@ def _emit_hamming(args: list[str]) -> str:
     )
 
 
+# ---- round-8 function emitters (semantics verified against DuckDB 1.x) ----
+
+_PATH_SEP_CLASS = r"[/\\\\]"  # both_slash (DuckDB default separator mode)
+
+
+def _path_sep_ok(args: list[str]) -> None:
+    """parse_* accept an optional separator mode; only the default
+    both-slash behaviors are emitted (a 'system' mode is OS-dependent)."""
+    for a in args[1:]:
+        v = a.strip().strip("'").lower()
+        if v in ("both_slash", "forward_slash", "true", "false"):
+            continue
+        raise UnsupportedDialect(
+            f"parse_* separator mode {a!r} is not supported (both_slash only)"
+        )
+
+
+def _emit_parse_path(args: list[str]) -> str:
+    """['/', 'a', 'b', 'c.txt'] — leading separator is its own component,
+    empty components collapse (measured: parse_path('/a//b/c'))."""
+    _path_sep_ok(args)
+    x = args[0]
+    lead = (
+        f"CASE WHEN ({x}) RLIKE '^{_PATH_SEP_CLASS}' "
+        f"THEN array(substring(({x}), 1, 1)) ELSE array() END"
+    )
+    rest = (
+        f"filter(split(regexp_replace(({x}), '^{_PATH_SEP_CLASS}', ''), "
+        f"'{_PATH_SEP_CLASS}'), __p -> __p <> '')"
+    )
+    return f"concat(CAST({lead} AS ARRAY<STRING>), {rest})"
+
+
+def _emit_parse_dirpath(args: list[str]) -> str:
+    """Strip the final component and its separator run (measured:
+    '/a//b/c' -> '/a//b', 'a/b/' -> 'a/b', 'c.txt' -> '')."""
+    _path_sep_ok(args)
+    return (
+        f"regexp_replace(({args[0]}), "
+        f"'{_PATH_SEP_CLASS}[^/\\\\\\\\]*$|^[^/\\\\\\\\]*$', '')"
+    )
+
+
+def _emit_parse_dirname(args: list[str]) -> str:
+    """First path component when more than one exists, else ''."""
+    _path_sep_ok(args)
+    pp = _emit_parse_path([args[0]])
+    return (
+        f"(CASE WHEN size({pp}) >= 2 THEN element_at({pp}, 1) ELSE '' END)"
+    )
+
+
+def _emit_parse_filename(args: list[str]) -> str:
+    """Last component ('' after a trailing separator); optional second arg
+    true trims ONE extension (measured: 'c.tar.gz' -> 'c.tar')."""
+    _path_sep_ok(args)
+    base = f"element_at(split(({args[0]}), '{_PATH_SEP_CLASS}'), -1)"
+    trim = len(args) >= 2 and args[1].strip().strip("'").lower() == "true"
+    if trim:
+        return f"regexp_replace({base}, '\\\\.[^.]*$', '')"
+    return base
+
+
+def _format_size(arg: str, step: int, units: list[str]) -> str:
+    """Shared format_bytes/formatReadableDecimalSize shape: '<int> bytes'
+    below one unit step, else value/step^k TRUNCATED (toward zero —
+    measured: 1234567 -> '1.1 MiB', -1234567 -> '-1.1 MiB', DuckDB rounds
+    down not half-even) to ONE decimal. The tenths digit is computed in
+    integer space ((|n|*10) div step^k via DECIMAL(38)) — a double divide
+    mis-truncates when n/step^k*10 lands one ulp above an integer
+    (observed: 497,223,270 bytes -> 474.3 MiB instead of 474.2)."""
+    a = f"abs(CAST(({arg}) AS BIGINT))"
+    out = (
+        f"concat(CAST(CAST(({arg}) AS BIGINT) AS STRING), "
+        f"CASE WHEN {a} = 1 THEN ' byte' ELSE ' bytes' END)"
+    )
+    for i, u in enumerate(units):
+        lo = step ** (i + 1)
+        hi = step ** (i + 2)
+        tenths = f"(CAST({a} AS DECIMAL(38,0)) * 10) div {lo}"
+        val = (
+            f"concat(CASE WHEN ({arg}) < 0 THEN '-' ELSE '' END, "
+            f"CAST(({tenths}) div 10 AS STRING), '.', "
+            f"CAST(({tenths}) % 10 AS STRING), ' {u}')"
+        )
+        cond = f"{a} >= {lo}" + ("" if i == len(units) - 1 else f" AND {a} < {hi}")
+        out = f"CASE WHEN {cond} THEN {val} ELSE {out} END"
+    return f"({out})"
+
+
+def _emit_format_bytes(args: list[str]) -> str:
+    return _format_size(args[0], 1024, ["KiB", "MiB", "GiB", "TiB", "PiB"])
+
+
+def _emit_format_dec_size(args: list[str]) -> str:
+    return _format_size(args[0], 1000, ["kB", "MB", "GB", "TB", "PB"])
+
+
+def _emit_regexp_escape(args: list[str]) -> str:
+    # DuckDB = RE2 QuoteMeta (measured): EVERY ASCII char outside
+    # [A-Za-z0-9_] is escaped — including space/tab/comma/slash — while
+    # non-ASCII (é, ö) passes through. The class below is exactly ASCII
+    # minus word chars (0x5F '_' excluded from the 0x5B-0x5E run).
+    return (
+        f"regexp_replace(({args[0]}), "
+        f"'([\\\\x00-\\\\x2f\\\\x3a-\\\\x40\\\\x5b-\\\\x5e\\\\x60\\\\x7b-\\\\x7f])',"
+        f" '\\\\\\\\$1')"
+    )
+
+
+def _emit_tz_part(args: list[str]) -> str:
+    # session timezone is pinned UTC (sources/tables.py), so the offset
+    # components are 0 for every timestamp — matching DuckDB under its
+    # default UTC TimeZone setting
+    return f"(CASE WHEN ({args[0]}) IS NULL THEN NULL ELSE CAST(0 AS BIGINT) END)"
+
+
+def _emit_julian(args: list[str]) -> str:
+    # JDN with .0 at midnight: 2440588 at 1970-01-01 00:00 (measured:
+    # julian(DATE '2024-01-01') = 2460311.0, 18:00 -> .75)
+    return (
+        f"(CAST(2440588 AS DOUBLE) + "
+        f"unix_micros(CAST(({args[0]}) AS TIMESTAMP)) / 86400000000.0)"
+    )
+
+
+def _emit_era(args: list[str]) -> str:
+    return (
+        f"(CASE WHEN ({args[0]}) IS NULL THEN NULL "
+        f"WHEN year({args[0]}) > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _emit_make_tstz(args: list[str]) -> str:
+    """make_timestamptz under the engine's pinned-UTC session: 6-arg
+    (y,m,d,h,mi,s) or 1-arg (epoch micros) — both land on the same instant
+    DuckDB produces with TimeZone=UTC."""
+    if len(args) == 6:
+        return f"make_timestamp({', '.join(args)})"
+    if len(args) == 1:
+        return f"timestamp_micros(CAST({args[0]} AS BIGINT))"
+    raise UnsupportedDialect("make_timestamptz expects 1 or 6 arguments")
+
+
+_TYPEOF_CASES = [
+    ("tinyint", "TINYINT"), ("smallint", "SMALLINT"), ("int", "INTEGER"),
+    ("bigint", "BIGINT"), ("float", "FLOAT"), ("double", "DOUBLE"),
+    ("string", "VARCHAR"), ("boolean", "BOOLEAN"), ("date", "DATE"),
+    ("binary", "BLOB"), ("timestamp_ntz", "TIMESTAMP"),
+    ("timestamp", "TIMESTAMP WITH TIME ZONE"),
+]
+
+
+def _emit_typeof(args: list[str]) -> str:
+    """Spark type names -> DuckDB names (measured: typeof(1.5::FLOAT) =
+    'FLOAT', typeof(1.5) = 'DECIMAL(2,1)'); unmapped names (decimal(p,s),
+    array<...>) ride upper()."""
+    whens = " ".join(f"WHEN '{s}' THEN '{d}'" for s, d in _TYPEOF_CASES)
+    return f"(CASE typeof({args[0]}) {whens} ELSE upper(typeof({args[0]})) END)"
+
+
+def _emit_pg_typeof(args: list[str]) -> str:
+    return f"lower({_emit_typeof(args)})"
+
+
+def _emit_like_escape(args: list[str], op: str = "LIKE", neg: bool = False) -> str:
+    if len(args) != 3:
+        raise UnsupportedDialect("like_escape expects (string, pattern, escape)")
+    s, p, e = args
+    inner = f"(({s}) {op} ({p}) ESCAPE {e})"
+    return f"(NOT {inner})" if neg else inner
+
+
+def _emit_unsupported_fn(args: list[str]) -> str:
+    raise UnsupportedDialect(
+        "this DuckDB function has no exact Spark equivalent "
+        "(jaro*/damerau_levenshtein/nextafter/gamma/alias family)"
+    )
+
+
 _ROUND5_EMITTERS = {
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
@@ -3120,6 +3389,25 @@ _ROUND5_EMITTERS = {
     "__duck_list_cos": _emit_list_cos,
     "__duck_quantile_disc": _emit_quantile_disc,
     "__duck_histogram": _emit_histogram,
+    # round-8
+    "__duck_parse_path": _emit_parse_path,
+    "__duck_parse_dirpath": _emit_parse_dirpath,
+    "__duck_parse_dirname": _emit_parse_dirname,
+    "__duck_parse_filename": _emit_parse_filename,
+    "__duck_format_bytes": _emit_format_bytes,
+    "__duck_format_dec_size": _emit_format_dec_size,
+    "__duck_regexp_escape": _emit_regexp_escape,
+    "__duck_tz_part": _emit_tz_part,
+    "__duck_julian": _emit_julian,
+    "__duck_era": _emit_era,
+    "__duck_make_tstz": _emit_make_tstz,
+    "__duck_typeof": _emit_typeof,
+    "__duck_pg_typeof": _emit_pg_typeof,
+    "__duck_like_escape": lambda a: _emit_like_escape(a, "LIKE", False),
+    "__duck_not_like_escape": lambda a: _emit_like_escape(a, "LIKE", True),
+    "__duck_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", False),
+    "__duck_not_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", True),
+    "__duck_unsupported_fn": _emit_unsupported_fn,
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,

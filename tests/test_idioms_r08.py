@@ -1,0 +1,137 @@
+"""Round-8 DuckDB idiom batch — every surface differentially verified
+against DuckDB on the verbatim statement (same model as test_idioms_r07):
+
+- path functions: parse_path / parse_dirpath / parse_dirname /
+  parse_filename (both-slash mode, extension trim),
+- size formatting: format_bytes (binary, TRUNCATED 1-decimal — measured)
+  and formatReadableDecimalSize (decimal),
+- regexp_escape (DuckDB's escape charset, measured),
+- julian / era / timezone_hour / timezone_minute (UTC-pinned session),
+- typeof / pg_typeof with DuckDB type NAMES (FLOAT, DECIMAL(p,s), ...),
+- time_bucket: 2000-01-03 default origin (Monday-aligned — epoch
+  alignment is measurably wrong for multi-day widths), month-space
+  buckets, DATE return type, origin/offset third argument,
+- like_escape / ilike_escape / not_* (ESCAPE clause lowering),
+- editdist3 -> levenshtein, list_reverse -> reverse,
+  gen_random_uuid/uuidv4 -> uuid, to_base64 -> base64,
+  make_timestamptz under pinned UTC,
+- clean UnsupportedDialect raises for the genuinely non-emittable
+  (jaro*, damerau_levenshtein, nextafter, gamma, lgamma, alias).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pytest
+
+from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+CASES = [
+    "parse_path('/a//b/c.txt')",
+    "parse_path('c.txt')",
+    "parse_path('a/b/')",
+    "parse_dirpath('/a//b/c')",
+    "parse_dirpath('a/b/')",
+    "parse_dirpath('c.txt')",
+    "parse_dirname('/a/b/c')",
+    "parse_dirname('a/b')",
+    "parse_dirname('c.txt')",
+    "parse_filename('/a/b/c.txt')",
+    "parse_filename('a/b/')",
+    "parse_filename('/a/b/c.tar.gz', true)",
+    "format_bytes(0)",
+    "format_bytes(1)",
+    "format_bytes(1023)",
+    "format_bytes(1024)",
+    "format_bytes(1536)",
+    "format_bytes(1234567)",
+    "format_bytes(1000000000)",
+    "format_bytes(123456789012)",
+    "format_bytes(-1234567)",
+    "formatReadableDecimalSize(999)",
+    "formatReadableDecimalSize(1000)",
+    "formatReadableDecimalSize(999999)",
+    "formatReadableDecimalSize(1234567)",
+    "regexp_escape('a.b[c]{d}e|f(g)h*i+j?k^l$m-n')",
+    "timezone_hour(TIMESTAMP '2024-01-01 10:00:00')",
+    "timezone_minute(TIMESTAMP '2024-01-01 10:00:00')",
+    "julian(DATE '2024-01-01')",
+    "julian(TIMESTAMP '2024-01-01 18:00:00')",
+    "era(DATE '2024-01-01')",
+    "typeof(1.5::FLOAT)",
+    "typeof(1)",
+    "typeof('a')",
+    "typeof(1.5)",
+    "typeof(DATE '2024-01-01')",
+    "pg_typeof(1)",
+    "pg_typeof('a')",
+    "editdist3('kitten','sitting')",
+    "list_reverse([1,2,3])",
+    "make_timestamptz(2024,1,1,10,30,0.0)",
+    "time_bucket(INTERVAL '2 days', DATE '2024-03-05')",
+    "time_bucket(INTERVAL '2 days', DATE '2024-03-06')",
+    "time_bucket(INTERVAL '1 week', DATE '2024-03-06')",
+    "time_bucket(INTERVAL '1 month', DATE '2024-03-06')",
+    "time_bucket(INTERVAL '3 months', DATE '2024-05-06')",
+    "time_bucket(INTERVAL '2 days', TIMESTAMP '2024-03-05 10:00:00')",
+    "time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-05 10:37:00')",
+    "time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-05 10:00:00',"
+    " TIMESTAMP '2024-03-05 06:00:00')",
+    "time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-05 10:00:00',"
+    " INTERVAL '6 hours')",
+    "like_escape('a%50', 'a!%5_', '!')",
+    "ilike_escape('A%50', 'a!%5_', '!')",
+    "not_like_escape('a%50', 'a!%5_', '!')",
+    "to_base64(CAST('hi' AS BLOB))",
+]
+
+
+@pytest.mark.parametrize("expr", CASES)
+def test_r08_idiom_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    if isinstance(want, datetime.datetime) and isinstance(got, datetime.datetime):
+        want = want.replace(tzinfo=None)
+        got = got.replace(tzinfo=None)
+    if isinstance(want, float):
+        assert got == pytest.approx(want, abs=1e-9), expr
+    else:
+        assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+def test_uuid_functions_translate_and_run(spark):
+    rows = spark.sql(
+        translate("SELECT gen_random_uuid() AS a, uuidv4() AS b")
+    ).collect()[0]
+    assert len(rows[0]) == 36 and len(rows[1]) == 36
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "jaro_similarity('duck', 'luck')",
+        "jaro_winkler_similarity('duck', 'luck')",
+        "damerau_levenshtein('ab', 'ba')",
+        "nextafter(1.0, 2.0)",
+        "gamma(5)",
+        "lgamma(5)",
+        "alias(42)",
+    ],
+)
+def test_r08_unsupported_raise_cleanly(expr):
+    with pytest.raises(UnsupportedDialect):
+        translate(f"SELECT {expr} AS v")
+
+
+def test_parse_filename_system_mode_raises():
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT parse_path('a/b', 'system') AS v")
