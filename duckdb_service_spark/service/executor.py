@@ -379,6 +379,7 @@ class Engine:
 
     def query_df(self, sql: str) -> DataFrame:
         sql = self._resolve_schemas(sql)
+        sql = self._substitute_current_setting(sql)
         sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
         if sub is not None:
             return self.query_df(sub)
@@ -420,6 +421,38 @@ class Engine:
         if routed is not None:
             return routed
         return self.spark.sql(translate(self._substitute_sequences(stripped)))
+
+    _CURRENT_SETTING_RE = re.compile(
+        r"\bcurrent_setting\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
+    )
+
+    def _substitute_current_setting(self, sql: str) -> str:
+        """``current_setting('key')`` → the session's value as a literal
+        (DuckDB resolves it against its config at bind time — db/db.go
+        passes statements straight through, so the reference supports it).
+        Keys previously set via PRAGMA/SET win; otherwise a small built-in
+        map covers the settings the engine actually pins. Numeric values
+        stay numeric (DuckDB types threads as BIGINT)."""
+        if "current_setting" not in sql.lower():
+            return sql
+
+        def repl(m: re.Match) -> str:
+            key = m.group(1).lower()
+            if key in self._pragmas:
+                val = self._pragmas[key]
+            elif key == "threads":
+                val = self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            elif key == "timezone":
+                val = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            elif key in ("access_mode",):
+                val = "automatic"
+            else:
+                raise ValueError(f"unsupported current_setting key: {key}")
+            if re.fullmatch(r"-?\d+", str(val)):
+                return f"CAST({val} AS BIGINT)"
+            return "'" + str(val).replace("'", "''") + "'"
+
+        return self._CURRENT_SETTING_RE.sub(repl, sql)
 
     # ---- write path ------------------------------------------------------
 

@@ -197,3 +197,26 @@ def test_attach_default_alias(engine, spark):
     alias = d.strip("/").split("/")[-1].lower()
     assert engine.query_df(f"SELECT * FROM {alias}.t1").collect() == []
     engine.execute(f"DETACH {alias}")
+
+
+# ---- r08: current_setting() ------------------------------------------------
+
+def test_current_setting_defaults_and_pragma_readback(engine):
+    # threads mirrors spark.sql.shuffle.partitions (another test in this
+    # module may have SET it — compare against the live conf, not a constant)
+    want_threads = int(engine.spark.conf.get("spark.sql.shuffle.partitions"))
+    assert engine.query_df(
+        "SELECT current_setting('threads') AS t"
+    ).collect()[0][0] == want_threads
+    assert engine.query_df(
+        "SELECT current_setting('TimeZone') AS tz"
+    ).collect()[0][0] == "UTC"
+    engine.execute("SET memory_limit = '4GB'")
+    assert engine.query_df(
+        "SELECT current_setting('memory_limit') AS m"
+    ).collect()[0][0] == "4GB"
+
+
+def test_current_setting_unknown_key_raises(engine):
+    with pytest.raises(ValueError, match="current_setting"):
+        engine.query_df("SELECT current_setting('no_such_setting')")
