@@ -91,9 +91,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(corpus, "text", "doc_id")
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_ORACLE = f"""
     WITH {_CORPUS_SQL},
     hashed AS (
       SELECT doc_id,
@@ -133,9 +131,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.3
-    """,
-    bench=True,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → 64-perm signature →
     16 bands → candidate pairs → exact-Jaccard verify ≥ 0.3. Finds each
@@ -173,6 +172,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({{_MINHASH_PAIRS_ORACLE_BODY}})
+    SELECT least(sa.source, sb.source)    AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+           CAST(SUM(CAST(ROUND(p.jaccard * 1000000) AS BIGINT)) AS BIGINT)
+                                          AS jacc_sum_u
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.id_a % {TWIN_OFFSET}
+    JOIN documents sb ON sb.doc_id = p.id_b % {TWIN_OFFSET}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """.replace("{_MINHASH_PAIRS_ORACLE_BODY}", _MINHASH_PAIRS_ORACLE),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PROVENANCE matrix: which source pairs share duplicate
+    mass — the question a curation run asks before dropping a source
+    (e.g. CommonCrawl snapshots overlapping each other vs. overlapping
+    curated sets). Reuses the verified MinHash-LSH pairs (same plan as
+    dedup_minhash_lsh — candidate-scoped, no all-pairs work) and joins
+    each side back to its source (twin ids map to their original via
+    doc_id % TWIN_OFFSET), aggregating to a #sources² matrix — tiny at
+    any corpus scale; the joins shuffle on doc_id, the aggregate is
+    map-side partial. Jaccard mass rides 1e6-unit BIGINTs (order-free,
+    driver-hashable)."""
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = t["documents"].select("doc_id", "source")
+    joined = (
+        pairs.select(
+            (F.col("id_a") % TWIN_OFFSET).alias("da"),
+            (F.col("id_b") % TWIN_OFFSET).alias("db"),
+            "jaccard",
+        )
+        .join(src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa")), "da")
+        .join(src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb")), "db")
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * 1000000, 0).cast("bigint").alias("ju"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("ju").cast("bigint").alias("jacc_sum_u"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 
