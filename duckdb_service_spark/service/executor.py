@@ -378,6 +378,7 @@ class Engine:
         return _resolve_relation(self, name)
 
     def query_df(self, sql: str) -> DataFrame:
+        sql = self._route_introspection(sql)
         sql = self._resolve_schemas(sql)
         sql = self._substitute_current_setting(sql)
         sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
@@ -421,6 +422,136 @@ class Engine:
         if routed is not None:
             return routed
         return self.spark.sql(translate(self._substitute_sequences(stripped)))
+
+    _INTROSPECT_RE = re.compile(
+        r"\b(duckdb_tables|duckdb_views|duckdb_columns)\s*\(\s*\)"
+        r"|\binformation_schema\s*\.\s*(tables|columns)\b"
+        r"|\bcurrent_schema\s*\(\s*\)|\bcurrent_database\s*\(\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _route_introspection(self, sql: str) -> str:
+        """DuckDB catalog introspection (duckdb_tables()/duckdb_views()/
+        duckdb_columns(), information_schema.tables/columns,
+        current_schema()/current_database()) — the reference passes these
+        straight through to DuckDB's catalog; here they materialize from
+        the engine catalog as temp views with DuckDB's column names. The
+        engine presents one database named 'main' (schema-qualified tables
+        are keyed schema__name in the catalog)."""
+        if not self._INTROSPECT_RE.search(sql):
+            return sql
+
+        def split_name(key: str) -> tuple[str, str]:
+            if "__" in key:
+                sch, _, nm = key.partition("__")
+                if sch in self.catalog.schemas:
+                    return sch, nm
+            return "main", key
+
+        comments = self.catalog.load_comments() or {}
+
+        def comment_of(kind: str, name: str):
+            return comments.get(f"{kind}:{name}")
+
+        low = sql.lower()
+        if re.search(r"\bduckdb_tables\s*\(\s*\)", low) or re.search(
+            r"\binformation_schema\s*\.\s*tables\b", low
+        ):
+            rows = []
+            for i, (key, meta) in enumerate(sorted(self.catalog.tables.items())):
+                sch, nm = split_name(key)
+                rows.append(
+                    (
+                        "main", 0, sch, 0, nm, i, comment_of("table", key),
+                        False, False, bool(meta.pk_cols),
+                        self.spark.table(key).count(), len(meta.columns),
+                        sum(1 for x in self.catalog.indexes.values() if x["table"] == key),
+                        sum(1 for c in meta.columns if c.get("check")),
+                    )
+                )
+            self.spark.createDataFrame(
+                rows,
+                "database_name string, database_oid long, schema_name string, "
+                "schema_oid long, table_name string, table_oid long, "
+                "comment string, internal boolean, temporary boolean, "
+                "has_primary_key boolean, estimated_size long, "
+                "column_count long, index_count long, "
+                "check_constraint_count long",
+            ).createOrReplaceTempView("__duckdb_tables")
+            info = [
+                ("main", split_name(k)[0], split_name(k)[1], "BASE TABLE")
+                for k in sorted(self.catalog.tables)
+            ] + [
+                ("main", split_name(k)[0], split_name(k)[1], "VIEW")
+                for k in sorted(self.catalog.views)
+            ]
+            self.spark.createDataFrame(
+                info,
+                "table_catalog string, table_schema string, table_name string, "
+                "table_type string",
+            ).createOrReplaceTempView("__info_schema_tables")
+        if re.search(r"\bduckdb_views\s*\(\s*\)", low):
+            vrows = [
+                ("main", 0, split_name(k)[0], 0, split_name(k)[1], i,
+                 comment_of("view", k), False, False, v)
+                for i, (k, v) in enumerate(sorted(self.catalog.views.items()))
+            ]
+            self.spark.createDataFrame(
+                vrows,
+                "database_name string, database_oid long, schema_name string, "
+                "schema_oid long, view_name string, view_oid long, "
+                "comment string, internal boolean, temporary boolean, sql string",
+            ).createOrReplaceTempView("__duckdb_views")
+        if re.search(r"\bduckdb_columns\s*\(\s*\)", low) or re.search(
+            r"\binformation_schema\s*\.\s*columns\b", low
+        ):
+            crows = []
+            for ti, (key, meta) in enumerate(sorted(self.catalog.tables.items())):
+                sch, nm = split_name(key)
+                for ci, c in enumerate(meta.columns):
+                    crows.append(
+                        (
+                            "main", 0, sch, 0, nm, ti, c["name"], ci + 1,
+                            comment_of("column", f"{key}.{c['name']}"),
+                            False, c.get("default"),
+                            not (c.get("not_null") or c["name"] in meta.pk_cols),
+                            c.get("type", ""),
+                        )
+                    )
+            self.spark.createDataFrame(
+                crows,
+                "database_name string, database_oid long, schema_name string, "
+                "schema_oid long, table_name string, table_oid long, "
+                "column_name string, column_index long, comment string, "
+                "internal boolean, column_default string, is_nullable boolean, "
+                "data_type string",
+            ).createOrReplaceTempView("__duckdb_columns")
+            self.spark.sql(
+                "SELECT database_name AS table_catalog, schema_name AS "
+                "table_schema, table_name, column_name, column_index AS "
+                "ordinal_position, column_default, CASE WHEN is_nullable "
+                "THEN 'YES' ELSE 'NO' END AS is_nullable, data_type "
+                "FROM __duckdb_columns"
+            ).createOrReplaceTempView("__info_schema_columns")
+        sql = re.sub(
+            r"\bduckdb_(tables|views|columns)\s*\(\s*\)",
+            lambda m: f"__duckdb_{m.group(1).lower()}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        sql = re.sub(
+            r"\binformation_schema\s*\.\s*(tables|columns)\b",
+            lambda m: f"__info_schema_{m.group(1).lower()}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        sql = re.sub(
+            r"\bcurrent_schema\s*\(\s*\)", "'main'", sql, flags=re.IGNORECASE
+        )
+        sql = re.sub(
+            r"\bcurrent_database\s*\(\s*\)", "'main'", sql, flags=re.IGNORECASE
+        )
+        return sql
 
     _CURRENT_SETTING_RE = re.compile(
         r"\bcurrent_setting\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
@@ -842,6 +973,12 @@ class Engine:
             raise ValueError(f"unsupported PRAGMA/SET: {key}")
 
         if upper == "CHECKPOINT":
+            return ExecuteOutcome(0)
+        if re.match(r"^(INSTALL|LOAD|FORCE\s+INSTALL)\s+\w+\s*$", stripped, re.IGNORECASE):
+            # DuckDB extension management: the capabilities the reference's
+            # linked extensions provide (json, parquet, httpfs paths) are
+            # built into this engine, so INSTALL/LOAD succeed as no-ops —
+            # matching DuckDB, where re-LOADing a built-in is also a no-op
             return ExecuteOutcome(0)
         m = re.match(
             r"^COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|INDEX|SEQUENCE|MACRO)\s+"

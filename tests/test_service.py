@@ -472,3 +472,69 @@ def test_round7_surfaces_over_http(server):
     assert "error" not in r, r
     r = _post(server, "/db/query", "EXECUTE r7p(41)")
     assert r["result"]["values"] == [[42]], r
+
+
+# ---- r08: catalog introspection surface -------------------------------------
+
+
+def test_duckdb_tables_and_views_introspection(spark, tmp_path):
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_introspect"))
+    eng.execute("CREATE TABLE it1 (a INT PRIMARY KEY, b VARCHAR DEFAULT 'x')")
+    eng.execute("INSERT INTO it1 VALUES (1, 'x'), (2, 'y')")
+    eng.execute("CREATE VIEW iv1 AS SELECT a FROM it1")
+    eng.execute("CREATE SCHEMA is1")
+    eng.execute("CREATE TABLE is1.it2 (c INT)")
+    eng.execute("COMMENT ON TABLE it1 IS 'the it1 table'")
+
+    rows = {
+        r["table_name"]: r
+        for r in eng.query_df(
+            "SELECT table_name, schema_name, has_primary_key, estimated_size,"
+            " column_count, comment FROM duckdb_tables()"
+        ).collect()
+    }
+    assert rows["it1"]["has_primary_key"] is True
+    assert rows["it1"]["estimated_size"] == 2
+    assert rows["it1"]["column_count"] == 2
+    assert rows["it1"]["comment"] == "the it1 table"
+    assert rows["it2"]["schema_name"] == "is1"
+
+    v = eng.query_df("SELECT view_name, sql FROM duckdb_views()").collect()
+    assert ("iv1", "SELECT a FROM it1") in [(r[0], r[1]) for r in v]
+
+    cols = eng.query_df(
+        "SELECT column_name, ordinal_position, is_nullable, data_type "
+        "FROM information_schema.columns WHERE table_name = 'it1' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [tuple(r) for r in cols] == [
+        ("a", 1, "NO", "INT"),
+        ("b", 2, "YES", "VARCHAR"),
+    ]
+
+    kinds = {
+        (r["table_schema"], r["table_name"]): r["table_type"]
+        for r in eng.query_df(
+            "SELECT table_schema, table_name, table_type "
+            "FROM information_schema.tables"
+        ).collect()
+    }
+    assert kinds[("main", "it1")] == "BASE TABLE"
+    assert kinds[("main", "iv1")] == "VIEW"
+    assert kinds[("is1", "it2")] == "BASE TABLE"
+
+    cur = eng.query_df(
+        "SELECT current_schema() AS s, current_database() AS d"
+    ).collect()[0]
+    assert (cur["s"], cur["d"]) == ("main", "main")
+
+
+def test_install_load_noops(spark, tmp_path):
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ext"))
+    assert eng.execute("INSTALL json").rows_affected == 0
+    assert eng.execute("LOAD json").rows_affected == 0
+    assert eng.execute("FORCE INSTALL parquet").rows_affected == 0
