@@ -959,3 +959,37 @@ def fn_battery_r10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_R10_BATTERY_SQL))
+
+
+_R11_BATTERY_SQL = """
+SELECT c_nationkey,
+       round(skewness(c_acctbal), 9)                        AS skew_sample,
+       round(kurtosis(c_acctbal), 9)                        AS kurt_sample,
+       round(kurtosis_pop(c_acctbal), 9)                    AS kurt_pop,
+       round(entropy(c_mktsegment), 9)                      AS seg_entropy,
+       round(CAST(mad(c_acctbal) AS DOUBLE), 6)             AS bal_mad,
+       CAST(bitstring_agg(CAST(c_custkey % 16 AS INTEGER), 0, 15) AS VARCHAR) AS key_bits,
+       round(geomean(c_acctbal + 1001), 6)                  AS gm,
+       round(CAST(favg(c_acctbal) AS DOUBLE), 6)            AS fa,
+       round(sumkahan(c_acctbal), 4)                        AS ks
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@query("fn_battery_r11", oracle=_R11_BATTERY_SQL)
+def fn_battery_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 AGGREGATE battery (verbatim SQL through the dialect):
+    DuckDB's bias-corrected SAMPLE skewness/kurtosis (the bare Spark
+    names are population statistics — silently different values without
+    the rewrite; kurtosis_pop == Spark kurtosis, measured), Shannon
+    entropy over the value distribution (log2, NULLs skipped),
+    median-interpolated MAD, bitstring_agg presence bitmaps, geometric
+    mean, and the favg/sumkahan Kahan family. Floats rounded at 9/6/4 —
+    both engines agree far below that (the formulas are algebraic
+    rearrangements of the same moments). Differential tests in
+    tests/test_idioms_r08.py."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("customer")
+    return spark.sql(translate(_R11_BATTERY_SQL))

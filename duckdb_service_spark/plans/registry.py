@@ -52,13 +52,14 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
 # window FILTER reorder, corpus-broadcast-hint removal), then (b) the 13
 # r02-era rows — the last of the stalest driver evidence, queued since r07,
-# then (c) 29 of the 43 r04-era rows. 8 + 13 + 29 = 50; the remaining 14
+# then (c) 28 of the 43 r04-era rows. 9 + 13 + 28 = 50; the remaining 15
 # r04-era rows (setop_*_all, sim_*, io_parquet, sql_read_*, stream_*) rotate
 # first in r09.
 PRIORITY: list[str] = [
     # (a) new or changed in round 8
     "win_exclude_named",
     "fn_battery_r10",
+    "fn_battery_r11",
     "dedup_cross_source_matrix",
     "win_exclude_frame",
     "sql_pattern_operators",
@@ -79,7 +80,7 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
-    # (c) r04-era rows (29 of 43; the rest lead r09)
+    # (c) r04-era rows (28 of 43; the rest lead r09)
     "agg_core",
     "agg_count_distinct",
     "agg_stats_exact",
@@ -108,7 +109,6 @@ PRIORITY: list[str] = [
     "generate_series_step",
     "limit_offset",
     "order_nulls_last",
-    "subquery_correlated_scalar",
 ]
 
 

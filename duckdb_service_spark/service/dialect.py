@@ -221,6 +221,20 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
     "not_ilike_escape": "__duck_not_ilike_escape",
+    # round-8 aggregate additions (each verified against DuckDB 1.x output)
+    "skewness": "__duck_skewness",
+    "kurtosis": "__duck_kurtosis",
+    "kurtosis_pop": "kurtosis",
+    "entropy": "__duck_entropy",
+    "mad": "__duck_mad",
+    "approx_quantile": "approx_percentile",
+    "reservoir_quantile": "approx_percentile",
+    "bitstring_agg": "__duck_bitstring_agg",
+    "favg": "avg",
+    "sumkahan": "__duck_kahan_sum",
+    "geomean": "__duck_geomean",
+    "geometric_mean": "__duck_geomean",
+    "arbitrary": "any_value",
     "jaro_similarity": "__duck_unsupported_fn",
     "jaro_winkler_similarity": "__duck_unsupported_fn",
     "damerau_levenshtein": "__duck_unsupported_fn",
@@ -3301,6 +3315,99 @@ def _emit_like_escape(args: list[str], op: str = "LIKE", neg: bool = False) -> s
     return f"(NOT {inner})" if neg else inner
 
 
+def _emit_skewness(args: list[str]) -> str:
+    """DuckDB skewness is the bias-corrected SAMPLE statistic
+    (G1 = g1 * sqrt(n(n-1))/(n-2), NULL below n=3 or at zero variance —
+    measured); Spark's skewness is the population g1. Passing the name
+    through silently returns differently-normalized values."""
+    x = args[0]
+    n = f"count({x})"
+    return (
+        f"(CASE WHEN {n} >= 3 AND var_samp({x}) > 0 THEN "
+        f"skewness({x}) * sqrt(CAST({n} * ({n} - 1) AS DOUBLE)) / ({n} - 2) "
+        f"ELSE NULL END)"
+    )
+
+
+def _emit_kurtosis(args: list[str]) -> str:
+    """DuckDB kurtosis is the bias-corrected sample EXCESS kurtosis
+    (G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)), NULL below n=4 — measured);
+    Spark's kurtosis is the population g2 (= DuckDB's kurtosis_pop)."""
+    x = args[0]
+    n = f"count({x})"
+    return (
+        f"(CASE WHEN {n} >= 4 AND var_samp({x}) > 0 THEN "
+        f"(({n} + 1) * kurtosis({x}) + 6) * ({n} - 1) "
+        f"/ (({n} - 2) * ({n} - 3)) ELSE NULL END)"
+    )
+
+
+def _emit_entropy(args: list[str]) -> str:
+    """Shannon entropy (log2) of the value distribution, NULLs skipped
+    (measured: entropy(1,1,2,NULL) = 0.918…). Computed from the collected
+    group: H = log2(n) - Σ c·log2(c) / n over distinct-value counts.
+    O(d·n) per group and O(group) memory — same trade as the documented
+    collect-based rewrites (COVERAGE.md guard note)."""
+    x = args[0]
+    cl = f"collect_list({x})"
+    counts = (
+        f"transform(array_distinct({cl}), __v -> "
+        f"CAST(size(filter({cl}, __e -> __e <=> __v)) AS DOUBLE))"
+    )
+    return (
+        f"(CASE WHEN size({cl}) > 0 THEN "
+        f"log2(CAST(size({cl}) AS DOUBLE)) - "
+        f"aggregate({counts}, CAST(0 AS DOUBLE), "
+        f"(__a, __c) -> __a + __c * log2(__c)) / size({cl}) "
+        f"ELSE NULL END)"
+    )
+
+
+def _median_of(sorted_arr: str, n: str) -> str:
+    return (
+        f"(element_at({sorted_arr}, CAST(ceil(({n}) / 2.0) AS INT)) + "
+        f"element_at({sorted_arr}, CAST(floor(({n}) / 2.0) AS INT) + 1)) / 2.0"
+    )
+
+
+def _emit_mad(args: list[str]) -> str:
+    """Median absolute deviation, median-interpolated like DuckDB's
+    (measured: mad(1,3,7,20) = 3.0). Two nested medians over the collected
+    group (no nested-aggregate form exists); result rides DOUBLE — the
+    documented stats-family trade (DuckDB returns the input's decimal
+    type)."""
+    x = args[0]
+    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    n = f"size({arr})"
+    med = _median_of(arr, n)
+    devs = f"array_sort(transform({arr}, __v -> abs(__v - {med})))"
+    return (
+        f"(CASE WHEN {n} > 0 THEN {_median_of(devs, n)} ELSE NULL END)"
+    )
+
+
+def _emit_bitstring_agg(args: list[str]) -> str:
+    """bitstring_agg(x, lo, hi) → '0'/'1' string with 1-bits at the
+    positions of x relative to lo (measured: (1,3,8) over [1,8] =
+    '10100001') — the engine's BIT representation. The 1-arg form needs
+    column statistics in DuckDB itself (errors without them) and raises
+    here too."""
+    if len(args) != 3:
+        raise UnsupportedDialect(
+            "bitstring_agg needs explicit bounds: bitstring_agg(x, min, max)"
+        )
+    x, lo, hi = args
+    return (
+        f"array_join(transform(sequence({lo}, {hi}), __p -> "
+        f"CASE WHEN array_contains(collect_set({x}), __p) THEN '1' ELSE '0' "
+        f"END), '')"
+    )
+
+
+def _emit_geomean(args: list[str]) -> str:
+    return f"exp(avg(ln({args[0]})))"
+
+
 def _emit_unsupported_fn(args: list[str]) -> str:
     raise UnsupportedDialect(
         "this DuckDB function has no exact Spark equivalent "
@@ -3408,6 +3515,12 @@ _ROUND5_EMITTERS = {
     "__duck_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", False),
     "__duck_not_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", True),
     "__duck_unsupported_fn": _emit_unsupported_fn,
+    "__duck_skewness": _emit_skewness,
+    "__duck_kurtosis": _emit_kurtosis,
+    "__duck_entropy": _emit_entropy,
+    "__duck_mad": _emit_mad,
+    "__duck_bitstring_agg": _emit_bitstring_agg,
+    "__duck_geomean": _emit_geomean,
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,

@@ -135,3 +135,46 @@ def test_r08_unsupported_raise_cleanly(expr):
 def test_parse_filename_system_mode_raises():
     with pytest.raises(UnsupportedDialect):
         translate("SELECT parse_path('a/b', 'system') AS v")
+
+
+# ---- r08 aggregate batch -----------------------------------------------------
+
+AGG_CASES = [
+    # DuckDB skewness/kurtosis are bias-corrected SAMPLE statistics; the
+    # bare Spark names are population forms — silently different values
+    ("skewness(y)", "(VALUES (2.0),(4.5),(7.0),(11.5),(2.0)) t(y)"),
+    ("skewness(y)", "(VALUES (1.0),(2.0)) t(y)"),                # n<3 -> NULL
+    ("skewness(y)", "(VALUES (2.0),(2.0),(2.0)) t(y)"),          # var=0 -> NULL
+    ("kurtosis(y)", "(VALUES (2.0),(4.5),(7.0),(11.5),(2.0)) t(y)"),
+    ("kurtosis(y)", "(VALUES (1.0),(2.0),(3.0)) t(y)"),          # n<4 -> NULL
+    ("kurtosis_pop(y)", "(VALUES (1.0),(2.0),(3.0),(5.0)) t(y)"),
+    ("entropy(x)", "(VALUES (1),(1),(2),(NULL)) t(x)"),          # NULLs skipped
+    ("entropy(s)", "(VALUES ('a'),('b'),('b'),('c')) t(s)"),
+    ("CAST(mad(x) AS DOUBLE)", "(VALUES (1.0),(3.0),(7.0),(20.0)) t(x)"),
+    ("CAST(mad(x) AS DOUBLE)", "(VALUES (5.0)) t(x)"),
+    ("CAST(mad(x) AS DOUBLE)", "(VALUES (2.0),(4.5),(7.0),(11.5),(2.0)) t(x)"),
+    ("bitstring_agg(x, 1, 8)", "(VALUES (1),(3),(8)) t(x)"),
+    ("geomean(y)", "(VALUES (1.0),(4.0),(16.0)) t(y)"),
+    ("CAST(favg(y) AS DOUBLE)", "(VALUES (2.0),(4.5)) t(y)"),
+    ("sumkahan(y)", "(VALUES (2.0),(4.5)) t(y)"),
+    ("arbitrary(s)", "(VALUES ('a'),('b')) t(s)"),
+]
+
+
+@pytest.mark.parametrize("expr,values", AGG_CASES)
+def test_r08_aggregate_matches_duckdb(spark, con, expr, values):
+    sql = f"SELECT {expr} AS v FROM {values}"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    if isinstance(want, float) or isinstance(got, float):
+        if want is None or got is None:
+            assert got == want, f"{expr}: {got!r} vs {want!r}"
+        else:
+            assert float(got) == pytest.approx(float(want), abs=1e-9), expr
+    else:
+        assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+def test_bitstring_agg_without_bounds_raises():
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT bitstring_agg(x) FROM t")
