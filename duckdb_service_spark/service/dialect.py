@@ -1652,7 +1652,7 @@ _AGG_ORDER_OPEN_RE = re.compile(
 )
 
 
-def _emit_ordered_first_last(fn: str, args: str, keys: str) -> str:
+def _emit_ordered_first_last(fn: str, args: str, keys: str, filt: str = "") -> str:
     """DuckDB first/last with inline ORDER BY → min_by/max_by over a
     struct-wrapped value (the wrap keeps a NULL value from being skipped —
     first/last are POSITIONAL, unlike arg_min/arg_max). DESC swaps the
@@ -1692,7 +1692,8 @@ def _emit_ordered_first_last(fn: str, args: str, keys: str) -> str:
     by = "max_by" if want_max else "min_by"
     flag = "IS NOT NULL" if desc else "IS NULL"
     fields = ", ".join(f"(({k}) {flag}), ({k})" for k in bare)
-    return f"{by}(named_struct('v', ({args.strip()})), struct({fields})).v"
+    call = f"{by}(named_struct('v', ({args.strip()})), struct({fields}))"
+    return f"({call}{filt}).v" if filt else f"{call}.v"
 
 
 def _emit_ordered_list(args: str, keys: str) -> str:
@@ -1782,13 +1783,25 @@ def _rewrite_agg_inline_order(sql: str) -> str:
             args = sql[m.end() : order_at[0]]
             keys = sql[order_at[1] : i - 1]
             fn = m.group(1).lower()
+            # a trailing FILTER (WHERE ...) belongs to the aggregate: for
+            # the min_by/max_by emission it must sit INSIDE the parens,
+            # before the .v field access (`max_by(...).v FILTER (...)` is
+            # invalid SQL; `(max_by(...) FILTER (...)).v` is verified)
+            end = i
+            filt = ""
+            fm2 = re.match(r"\s*FILTER\s*\(", sql[i:], re.IGNORECASE)
+            if fm2 and fn in ("first", "last"):
+                fclose = _scan_balanced(sql, i + fm2.end() - 1, "(", ")")
+                if fclose != -1:
+                    filt = " " + sql[i + fm2.start() : fclose].strip()
+                    end = fclose
             if fn in ("array_agg", "list"):
                 repl = _emit_ordered_list(args, keys)
             elif fn in ("first", "last"):
-                repl = _emit_ordered_first_last(fn, args, keys)
+                repl = _emit_ordered_first_last(fn, args, keys, filt)
             else:
                 repl = f"listagg({args}) WITHIN GROUP (ORDER BY {keys})"
-            sql = sql[: m.start()] + repl + sql[i:]
+            sql = sql[: m.start()] + repl + sql[end:]
             changed = True
             break
         if not changed:

@@ -377,6 +377,10 @@ class Engine:
 
         return _resolve_relation(self, name)
 
+    _LIMIT_PERCENT_RE = re.compile(
+        r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*$", re.IGNORECASE
+    )
+
     def query_df(self, sql: str) -> DataFrame:
         sql = self._route_introspection(sql)
         sql = self._resolve_schemas(sql)
@@ -384,6 +388,15 @@ class Engine:
         sub = self._bind_execute_stmt(sql.strip().rstrip(";"))
         if sub is not None:
             return self.query_df(sub)
+        pm = self._LIMIT_PERCENT_RE.search(sql.strip().rstrip(";"))
+        if pm:
+            # DuckDB percent limit: floor(n * pct/100) rows (measured:
+            # 15 rows LIMIT 10% -> 1, 50% -> 7, 99% -> 14). The row count
+            # needs a real pass, so this is a two-job statement — the
+            # same cost DuckDB pays (it buffers to count before cutting).
+            base = self.query_df(sql.strip().rstrip(";")[: pm.start()])
+            k = int(base.count() * float(pm.group(1)) / 100.0)
+            return base.limit(k)
         if self.catalog.macros:
             from .macros import expand_macros
 
@@ -1232,6 +1245,35 @@ class Engine:
         if re.match(r"^(?:SHOW\s+TABLES|PRAGMA\s+show_tables)$", stripped, re.IGNORECASE):
             names = sorted(set(self.catalog.tables) | set(self.catalog.views))
             return self.spark.createDataFrame([(n,) for n in names], "name string")
+        if re.match(r"^SHOW\s+ALL\s+TABLES$", stripped, re.IGNORECASE):
+            # DuckDB's wide listing: database/schema/name + column names
+            # and DuckDB type names per table/view
+            from .serializer import duckdb_type_name
+
+            rows = []
+            for key, meta in sorted(self.catalog.tables.items()):
+                sch, _, nm = key.partition("__") if "__" in key else ("main", "", key)
+                if sch != "main" and sch not in self.catalog.schemas:
+                    sch, nm = "main", key
+                rows.append(
+                    ("main", sch, nm,
+                     [c["name"] for c in meta.columns],
+                     [c["type"].upper() for c in meta.columns], False)
+                )
+            for key in sorted(self.catalog.views):
+                try:
+                    df = self.query_df(self.catalog.views[key])
+                    cols = [f.name for f in df.schema.fields]
+                    types = [duckdb_type_name(f.dataType) for f in df.schema.fields]
+                except Exception:  # noqa: BLE001 — stale view: list name only
+                    cols, types = [], []
+                rows.append(("main", "main", key, cols, types, False))
+            return self.spark.createDataFrame(
+                rows,
+                "database string, schema string, name string, "
+                "column_names array<string>, column_types array<string>, "
+                "temporary boolean",
+            )
         m = re.match(r"^PRAGMA\s+table_info\s*\(\s*'?(\w+)'?\s*\)$", stripped, re.IGNORECASE)
         if m and m.group(1) in self.catalog.tables:
             meta = self.catalog.tables[m.group(1)]

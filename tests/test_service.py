@@ -538,3 +538,54 @@ def test_install_load_noops(spark, tmp_path):
     assert eng.execute("INSTALL json").rows_affected == 0
     assert eng.execute("LOAD json").rows_affected == 0
     assert eng.execute("FORCE INSTALL parquet").rows_affected == 0
+
+
+def test_limit_percent_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_pct"))
+    vals = ", ".join(f"({i})" for i in range(15))
+    eng.execute("CREATE TABLE lp (a INT)")
+    eng.execute(f"INSERT INTO lp VALUES {vals}")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lp (a INT)")
+    con.execute(f"INSERT INTO lp VALUES {vals}")
+    for clause in ["LIMIT 10%", "LIMIT 50%", "LIMIT 99 PERCENT", "LIMIT 100%"]:
+        q = f"SELECT a FROM lp ORDER BY a {clause}"
+        got = [r[0] for r in eng.query_df(q).collect()]
+        want = [r[0] for r in con.execute(q).fetchall()]
+        assert got == want, (clause, got, want)
+
+
+def test_show_all_tables_listing(spark, tmp_path):
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_sat"))
+    eng.execute("CREATE TABLE sat1 (a INT, b VARCHAR)")
+    eng.execute("CREATE VIEW satv AS SELECT a FROM sat1")
+    kind, df = eng.run_statement("SHOW ALL TABLES")
+    assert kind == "query"
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["sat1"]["column_names"] == ["a", "b"]
+    assert rows["sat1"]["column_types"] == ["INT", "VARCHAR"]
+    assert rows["satv"]["column_names"] == ["a"]
+
+
+def test_ordered_first_last_with_filter(spark, tmp_path):
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_flf"))
+    eng.execute("CREATE TABLE flf (a INT, b VARCHAR)")
+    eng.execute("INSERT INTO flf VALUES (1,'x'), (5,'y'), (9,'z'), (11,NULL)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE flf (a INT, b VARCHAR)")
+    con.execute("INSERT INTO flf VALUES (1,'x'), (5,'y'), (9,'z'), (11,NULL)")
+    for q in [
+        "SELECT last(b ORDER BY a) FILTER (WHERE a > 3) AS v FROM flf",
+        "SELECT first(b ORDER BY a DESC) FILTER (WHERE a < 9) AS v FROM flf",
+    ]:
+        assert eng.query_df(q).collect()[0][0] == con.execute(q).fetchone()[0], q
