@@ -105,7 +105,7 @@ FUNCTION_ALIASES = {
     # (arr, start, LENGTH) — arithmetic rewrite below, not a plain alias
     "list_slice": "__duck_list_slice",
     "list_value": "array",
-    "array_to_string": "array_join",
+    "array_to_string": "__duck_array_to_string",
     "regexp_matches": "regexp_like",
     "json_extract_string": "get_json_object",
     "quantile_cont": "percentile",
@@ -3188,21 +3188,35 @@ def _emit_parse_path(args: list[str]) -> str:
 
 
 def _emit_parse_dirpath(args: list[str]) -> str:
-    """Strip the final component and its separator run (measured:
-    '/a//b/c' -> '/a//b', 'a/b/' -> 'a/b', 'c.txt' -> '')."""
+    """Strip the final component and ONE trailing separator (measured:
+    '/a//b/c' -> '/a//b', 'a//' -> 'a/', 'a/b/' -> 'a/b', '/a' -> '',
+    'c.txt' -> ''); separator-only strings keep the root ('/' -> '/',
+    '//' -> '/')."""
     _path_sep_ok(args)
-    return (
-        f"regexp_replace(({args[0]}), "
+    x = args[0]
+    stripped = (
+        f"regexp_replace(({x}), "
         f"'{_PATH_SEP_CLASS}[^/\\\\\\\\]*$|^[^/\\\\\\\\]*$', '')"
+    )
+    return (
+        f"(CASE WHEN ({x}) RLIKE '^{_PATH_SEP_CLASS}+$' THEN "
+        f"substring(({x}), 1, greatest(length({x}) - 1, 1)) "
+        f"ELSE {stripped} END)"
     )
 
 
 def _emit_parse_dirname(args: list[str]) -> str:
-    """First path component when more than one exists, else ''."""
+    """First path component when the path has a directory part: more than
+    one component, OR a trailing separator that makes the single component
+    a directory (measured: 'a/' -> 'a', '../' -> '..', '/a' -> '/',
+    'c.txt' -> '')."""
     _path_sep_ok(args)
-    pp = _emit_parse_path([args[0]])
+    x = args[0]
+    pp = _emit_parse_path([x])
     return (
-        f"(CASE WHEN size({pp}) >= 2 THEN element_at({pp}, 1) ELSE '' END)"
+        f"(CASE WHEN size({pp}) >= 2 OR "
+        f"(size({pp}) >= 1 AND ({x}) RLIKE '{_PATH_SEP_CLASS}$') "
+        f"THEN element_at({pp}, 1) ELSE '' END)"
     )
 
 
@@ -3233,7 +3247,12 @@ def _format_size(arg: str, step: int, units: list[str]) -> str:
     for i, u in enumerate(units):
         lo = step ** (i + 1)
         hi = step ** (i + 2)
-        tenths = f"(CAST({a} AS DECIMAL(38,0)) * 10) div {lo}"
+        # DuckDB divides by `step` ITERATIVELY with integer truncation and
+        # takes the tenth from the pre-final value — measured: 62,075,701
+        # bytes = 59.1 MiB (60620//1024 KiB first), where a single
+        # division by step^k gives 59.2
+        pre = f"(CAST({a} AS DECIMAL(38,0)) div {step ** i})"
+        tenths = f"(({pre}) * 10) div {step}"
         val = (
             f"concat(CASE WHEN ({arg}) < 0 THEN '-' ELSE '' END, "
             f"CAST(({tenths}) div 10 AS STRING), '.', "
@@ -3417,6 +3436,13 @@ def _emit_bitstring_agg(args: list[str]) -> str:
     )
 
 
+def _emit_array_to_string(args: list[str]) -> str:
+    """array_join, except DuckDB returns NULL for an EMPTY list (measured:
+    array_to_string([], '|') IS NULL; Spark's array_join gives '')."""
+    joined = f"array_join({', '.join(args)})"
+    return f"(CASE WHEN size({args[0]}) = 0 THEN NULL ELSE {joined} END)"
+
+
 def _emit_geomean(args: list[str]) -> str:
     return f"exp(avg(ln({args[0]})))"
 
@@ -3534,6 +3560,7 @@ _ROUND5_EMITTERS = {
     "__duck_mad": _emit_mad,
     "__duck_bitstring_agg": _emit_bitstring_agg,
     "__duck_geomean": _emit_geomean,
+    "__duck_array_to_string": _emit_array_to_string,
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,

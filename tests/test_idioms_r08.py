@@ -178,3 +178,75 @@ def test_r08_aggregate_matches_duckdb(spark, con, expr, values):
 def test_bitstring_agg_without_bounds_raises():
     with pytest.raises(UnsupportedDialect):
         translate("SELECT bitstring_agg(x) FROM t")
+
+
+# ---- seeded randomized batch differentials ----------------------------------
+# One VALUES relation per family (single Spark job), hundreds of random
+# inputs, full-column equality vs DuckDB — the sample-based cases above
+# pin the measured edges; these sweep the input space.
+
+import random as _random
+
+
+def test_format_size_random_sweep(spark, con):
+    rng = _random.Random(80801)
+    vals = [0, 1, -1, 1023, 1024, 1025] + [
+        rng.randint(-(10 ** rng.randint(1, 15)), 10 ** rng.randint(1, 15))
+        for _ in range(300)
+    ]
+    values = ", ".join(f"({v})" for v in vals)
+    sql = (
+        f"SELECT v, format_bytes(v) AS fb, formatReadableDecimalSize(v) AS fd "
+        f"FROM (VALUES {values}) t(v)"
+    )
+    got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_parse_path_random_sweep(spark, con):
+    rng = _random.Random(80802)
+    atoms = ["a", "bb", "c.txt", "", ".", "..", "x-y", "d e"]
+    paths = []
+    for _ in range(200):
+        n = rng.randint(1, 5)
+        sep_first = rng.random() < 0.4
+        p = ("/" if sep_first else "") + "/".join(
+            rng.choice(atoms) for _ in range(n)
+        )
+        paths.append(p.replace("'", ""))
+    values = ", ".join(f"('{p}')" for p in set(paths))
+    sql = (
+        f"SELECT p, array_to_string(parse_path(p), '|') AS parts, "
+        f"parse_dirpath(p) AS dp, parse_dirname(p) AS dn, "
+        f"parse_filename(p) AS fn, parse_filename(p, true) AS fnt "
+        f"FROM (VALUES {values}) t(p)"
+    )
+    got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_regexp_escape_random_sweep(spark, con):
+    rng = _random.Random(80803)
+    chars = "ab1_ .,;:!?*+()[]{}|^$-/\\<>=~@#&\t"
+    strs = {
+        "".join(rng.choice(chars) for _ in range(rng.randint(0, 12)))
+        for _ in range(250)
+    }
+    values = ", ".join(
+        "('" + s.replace("\\", "\\\\").replace("'", "''") + "')" for s in strs
+    )
+    # DuckDB needs E'' strings for backslash escapes; build via chr() instead
+    values = ", ".join(f"({_sql_str(s)})" for s in strs)
+    sql = f"SELECT s, regexp_escape(s) AS e FROM (VALUES {values}) t(s)"
+    got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def _sql_str(s: str) -> str:
+    """Portable string literal: concat of chr() calls (no escape dialects)."""
+    if not s:
+        return "''"
+    return "(" + " || ".join(f"chr({ord(c)})" for c in s) + ")"
