@@ -993,3 +993,36 @@ def fn_battery_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("customer")
     return spark.sql(translate(_R11_BATTERY_SQL))
+
+
+_JSON_OPS_SQL = """
+SELECT event_id,
+       props -> 'k'                                 AS k_json,
+       props ->> 'k'                                AS k_text,
+       json_type(props)                             AS t_root,
+       json_type(props, '$.k')                      AS t_k,
+       json_extract(props, '$.k')                   AS k_ext,
+       json_quote(event_type)                       AS et_quoted,
+       json_array(event_id, event_type)             AS pair_arr,
+       json_object('id', event_id, 'et', event_type) AS obj,
+       json_array_length(json_array(event_id, user_id, value)) AS alen
+FROM events
+WHERE event_id <= 500
+"""
+
+
+@query("fn_json_ops", oracle=_JSON_OPS_SQL)
+def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 JSON operator battery (verbatim SQL through the dialect):
+    the ``->`` / ``->>`` extraction operators (JSON-typed via Spark
+    VARIANT — to_json(variant_get(parse_json(...))) keeps string quotes
+    and maps json-null to SQL NULL, measured; text via get_json_object),
+    json_type with DuckDB's names (UBIGINT/BIGINT sign split), builders
+    json_quote/json_array/json_object (named_struct keeps JSON
+    number-ness), and json_extract's JSON-typed result. Differential
+    tests in tests/test_idioms_r08.py incl. the lambda-arrow
+    disambiguation cases."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("events")
+    return spark.sql(translate(_JSON_OPS_SQL))

@@ -221,6 +221,18 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
     "not_ilike_escape": "__duck_not_ilike_escape",
+    # round-8 JSON additions (each verified against DuckDB 1.x output)
+    "json_extract": "__duck_json_extract",
+    "json_extract_path": "__duck_json_extract",
+    "json_extract_path_text": "get_json_object",
+    "json_quote": "__duck_json_quote",
+    "json_array": "__duck_json_array",
+    "json_object": "__duck_json_object",
+    "json_type": "__duck_json_type",
+    "json_typeof": "__duck_json_type",
+    "json_structure": "__duck_unsupported_json",
+    "json_contains": "__duck_unsupported_json",
+    "json_merge_patch": "__duck_unsupported_json",
     # round-8 aggregate additions (each verified against DuckDB 1.x output)
     "skewness": "__duck_skewness",
     "kurtosis": "__duck_kurtosis",
@@ -1004,6 +1016,8 @@ def _rewrite_functions(code: str) -> str:
     code = re.sub(
         r"::\s*(?:BLOB|BYTEA|VARBINARY)\b", "::BINARY", code, flags=re.IGNORECASE
     )
+    # JSON is VARCHAR-typed in this engine (SURVEY §1.3)
+    code = re.sub(r"::\s*JSON\b", "::STRING", code, flags=re.IGNORECASE)
     for duck, spark in FUNCTION_ALIASES.items():
         if duck == spark:
             continue
@@ -1026,6 +1040,7 @@ def _rewrite_functions(code: str) -> str:
 _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 _CAST_AS_STRING_RE = re.compile(r"\bAS\s+(?:VARCHAR|TEXT)\b(?!\s*\()", re.IGNORECASE)
 _CAST_AS_BINARY_RE = re.compile(r"\bAS\s+(?:BLOB|BYTEA|VARBINARY)\b", re.IGNORECASE)
+_CAST_AS_JSON_RE = re.compile(r"\bAS\s+JSON\b", re.IGNORECASE)
 
 
 def _literal_mask(sql: str) -> list[bool]:
@@ -1065,8 +1080,11 @@ def _rewrite_cast_string_types(sql: str) -> str:
         out.append(
             _rewrite_code(
                 sql[a:b],
-                lambda c: _CAST_AS_BINARY_RE.sub(
-                    "AS BINARY", _CAST_AS_STRING_RE.sub("AS STRING", c)
+                lambda c: _CAST_AS_JSON_RE.sub(
+                    "AS STRING",
+                    _CAST_AS_BINARY_RE.sub(
+                        "AS BINARY", _CAST_AS_STRING_RE.sub("AS STRING", c)
+                    ),
                 ),
             )
         )
@@ -2012,6 +2030,104 @@ def _rhs_operand_end(sql: str, j: int, mask) -> "int | None":
     return None
 
 
+_JSON_ARROW_RE = re.compile(r"->>|->")
+
+
+def _json_path_of(rhs: str) -> "str | None":
+    """JSON path text for a `->`/`->>` RHS literal: int → $[i], '$…' path
+    used verbatim, other string keys → $['k'] (bracket form — handles
+    dotted keys; verified in both variant_get and get_json_object)."""
+    r = rhs.strip()
+    if re.fullmatch(r"-?\d+", r):
+        return f"$[{r}]"
+    m = re.fullmatch(r"'((?:[^']|'')*)'", r, re.DOTALL)
+    if not m:
+        return None
+    key = m.group(1)
+    if key.startswith("$"):
+        return key.replace("''", "'")
+    return f"$['{key}']"
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """DuckDB JSON extraction operators:
+
+      ``j -> 'k'``  → JSON-typed result (string leaves keep quotes,
+        json-null → SQL NULL — measured): nullif(to_json(variant_get(
+        parse_json(j), path)), 'null').
+      ``j ->> 'k'`` → text result = Spark's get_json_object.
+
+    Only literal RHS (string key, integer index, or a '$…' path) is
+    rewritten — `->` is ALSO the lambda arrow in both dialects, and a
+    lambda body is almost never a bare literal. The one ambiguous shape,
+    a constant-literal lambda body like ``transform(l, x -> 1)``, parses
+    as JSON array-indexing here only when the RHS is an INT and the LHS
+    a bare identifier — that case is left alone (lambda wins); string-RHS
+    on a bare identifier rewrites as JSON (``props -> 'k'`` is the
+    overwhelmingly common real usage). Runs BEFORE the passes that EMIT
+    Spark lambdas, so generated arrows are never touched."""
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for m in _JSON_ARROW_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            def _lhs_start(at: int) -> "int | None":
+                lo0 = _div_lhs_start(sql, at)
+                if lo0 is None:
+                    # string-literal LHS (JSON text inline) — _div_lhs_start
+                    # only knows identifier/paren/CASE operands
+                    k = at - 1
+                    while k >= 0 and sql[k].isspace():
+                        k -= 1
+                    if k >= 0 and sql[k] == "'":
+                        for a, b in _spans(sql):
+                            if b == k + 1:
+                                return a
+                    return None
+                return lo0
+
+            lo = _lhs_start(m.start())
+            # a `::TYPE` cast suffix belongs to the operand: extend left
+            # through the cast chain (`'…'::JSON ->> 'a'`)
+            while lo is not None:
+                k = lo - 1
+                while k >= 0 and sql[k].isspace():
+                    k -= 1
+                if k >= 1 and sql[k - 1 : k + 1] == "::":
+                    lo = _lhs_start(k - 1)
+                else:
+                    break
+            if lo is None:
+                continue
+            hi = _rhs_operand_end(sql, m.end(), mask)
+            if hi is None:
+                continue
+            path = _json_path_of(sql[m.end() : hi])
+            if path is None:
+                continue
+            lhs = sql[lo : m.start()].strip()
+            if (
+                m.group() == "->"
+                and re.fullmatch(r"\$\[-?\d+\]", path)
+                and re.fullmatch(r"[A-Za-z_]\w*", lhs)
+            ):
+                continue  # `x -> 1`: constant-body lambda, not JSON indexing
+            hit = (m.group(), lo, hi, lhs, path)
+            break
+        if hit is None:
+            return sql
+        op, lo, hi, lhs, path = hit
+        p = path.replace("'", "''")
+        if op == "->>":
+            repl = f"get_json_object({lhs}, '{p}')"
+        else:
+            repl = (
+                f"nullif(to_json(variant_get(parse_json({lhs}), '{p}')), 'null')"
+            )
+        sql = sql[:lo] + repl + sql[hi:]
+
+
 _BINOP_POWER_RE = re.compile(r"\*\*|\^(?!@)")
 # longest tokens first: !~~* / ~~* (ILIKE family) must win over !~~ / ~~,
 # else "s ~~* 'a%'" half-matches as ~~ and emits mangled "s LIKE * 'a%'"
@@ -2554,6 +2670,9 @@ def translate(sql: str) -> str:
     sql = re.sub(
         r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
     )
+    # JSON arrows first: later passes EMIT Spark lambda arrows, which this
+    # pass must never see
+    sql = _rewrite_json_arrows(sql)
     sql = _rewrite_ignore_nulls(sql)
     sql = _rewrite_agg_inline_order(sql)
     # FILTER fold runs BEFORE the window-DISTINCT lowering so that
@@ -3436,6 +3555,91 @@ def _emit_bitstring_agg(args: list[str]) -> str:
     )
 
 
+def _emit_json_extract(args: list[str]) -> str:
+    """json_extract(j, 'path') — JSON-typed result, same semantics as the
+    ``->`` operator (string leaves keep quotes, json-null → SQL NULL)."""
+    if len(args) != 2:
+        raise UnsupportedDialect("json_extract expects (json, path)")
+    path = _json_path_of(args[1])
+    if path is None:
+        raise UnsupportedDialect("json_extract needs a literal path")
+    p = path.replace("'", "''")
+    return (
+        f"nullif(to_json(variant_get(parse_json({args[0]}), '{p}')), 'null')"
+    )
+
+
+def _emit_json_quote(args: list[str]) -> str:
+    # to_json(array(x)) = '[<json of x>]' — strip the brackets (measured:
+    # json_quote('abc') = '"abc"', json_quote(1.5) = '1.5')
+    a = f"to_json(array({args[0]}))"
+    return f"substring({a}, 2, length({a}) - 2)"
+
+
+def _emit_json_array(args: list[str]) -> str:
+    """Per-element JSON then assemble — a single to_json(array(...)) would
+    let Spark coerce mixed element types to one type (measured: duck
+    json_array(1, 'x') = '[1,"x"]', the coerced form gives '["1","x"]').
+    NULL elements render as json null (concat_ws would drop them)."""
+    parts = []
+    for a in args:
+        one = f"to_json(array({a}))"
+        parts.append(
+            f"coalesce(substring({one}, 2, length({one}) - 2), 'null')"
+        )
+    return f"concat('[', concat_ws(',', {', '.join(parts)}), ']')"
+
+
+def _emit_json_object(args: list[str]) -> str:
+    """json_object(k1, v1, ...) with literal keys → to_json(named_struct)
+    — a map() form would coerce mixed value types to one type, losing
+    JSON number-ness (measured: {"k":"txt","m":2} keeps the int)."""
+    if len(args) % 2:
+        raise UnsupportedDialect("json_object expects key/value pairs")
+    for k in args[::2]:
+        if not re.fullmatch(r"'(?:[^']|'')*'", k.strip(), re.DOTALL):
+            raise UnsupportedDialect("json_object needs literal keys")
+    return f"to_json(named_struct({', '.join(a.strip() for a in args)}))"
+
+
+def _emit_json_type(args: list[str]) -> str:
+    """DuckDB json_type names (measured): OBJECT/ARRAY/VARCHAR/BOOLEAN/
+    DOUBLE, UBIGINT for non-negative ints vs BIGINT for negatives, 'NULL'
+    for json null, SQL NULL for missing paths. Derived from
+    schema_of_variant + a sign check on the extracted text."""
+    if len(args) == 1:
+        j, path = args[0], "$"
+    elif len(args) == 2:
+        p2 = _json_path_of(args[1])
+        if p2 is None:
+            raise UnsupportedDialect("json_type needs a literal path")
+        j, path = args[0], p2
+    else:
+        raise UnsupportedDialect("json_type expects (json [, path])")
+    p = path.replace("'", "''")
+    v = f"variant_get(parse_json({j}), '{p}')"
+    sv = f"schema_of_variant({v})"
+    txt = f"to_json({v})"
+    return (
+        f"(CASE WHEN {txt} IS NULL THEN NULL "
+        f"WHEN {sv} = 'VOID' THEN 'NULL' "
+        f"WHEN {sv} LIKE 'OBJECT%' THEN 'OBJECT' "
+        f"WHEN {sv} LIKE 'ARRAY%' THEN 'ARRAY' "
+        f"WHEN {sv} = 'STRING' THEN 'VARCHAR' "
+        f"WHEN {sv} = 'BOOLEAN' THEN 'BOOLEAN' "
+        f"WHEN {sv} = 'BIGINT' THEN "
+        f"(CASE WHEN startswith({txt}, '-') THEN 'BIGINT' ELSE 'UBIGINT' END) "
+        f"ELSE 'DOUBLE' END)"
+    )
+
+
+def _emit_unsupported_json(args: list[str]) -> str:
+    raise UnsupportedDialect(
+        "json_structure / json_contains / json_merge_patch have no exact "
+        "Spark equivalent"
+    )
+
+
 def _emit_array_to_string(args: list[str]) -> str:
     """array_join, except DuckDB returns NULL for an EMPTY list (measured:
     array_to_string([], '|') IS NULL; Spark's array_join gives '')."""
@@ -3561,6 +3765,12 @@ _ROUND5_EMITTERS = {
     "__duck_bitstring_agg": _emit_bitstring_agg,
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
+    "__duck_json_extract": _emit_json_extract,
+    "__duck_json_quote": _emit_json_quote,
+    "__duck_json_array": _emit_json_array,
+    "__duck_json_object": _emit_json_object,
+    "__duck_json_type": _emit_json_type,
+    "__duck_unsupported_json": _emit_unsupported_json,
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,

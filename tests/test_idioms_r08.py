@@ -250,3 +250,66 @@ def _sql_str(s: str) -> str:
     if not s:
         return "''"
     return "(" + " || ".join(f"chr({ord(c)})" for c in s) + ")"
+
+
+# ---- r08 JSON batch ----------------------------------------------------------
+
+_J = ("'" + '{"a": 1, "s": "x", "n": null, "f": 1.5, "neg": -2, '
+      '"b": [10, 20], "o": {"d": "x"}, "k.x": 7}' + "'")
+
+JSON_CASES = [
+    f"{_J} -> 'a'",          # JSON-typed extraction (quotes kept on strings)
+    f"{_J} -> 's'",
+    f"{_J} ->> 'a'",         # text extraction
+    f"{_J} ->> 's'",
+    f"{_J} -> 'o' ->> 'd'",  # chains
+    f"{_J} -> 'b' ->> 1",    # integer index (0-based)
+    f"{_J} -> 'b' -> 0",
+    f"{_J} -> 'n'",          # json null -> SQL NULL (measured)
+    f"{_J} ->> 'n'",
+    f"{_J} -> 'missing'",
+    f"{_J} -> 'k.x'",        # dotted key (bracket path form)
+    f"{_J} -> '$.b[1]'",     # explicit path RHS
+    f"{_J}::JSON ->> 'a'",   # cast suffix on the operand
+    f"json_extract({_J}, '$.b[1]')",
+    f"json_extract({_J}, 'o')",
+    f"json_array_length({_J} -> 'b')",
+    f"json_type({_J})",
+    f"json_type({_J}, '$.b')",
+    f"json_type({_J}, '$.f')",      # DOUBLE
+    f"json_type({_J}, '$.a')",      # UBIGINT (non-negative int)
+    f"json_type({_J}, '$.neg')",    # BIGINT (negative)
+    f"json_type({_J}, '$.n')",      # 'NULL'
+    f"json_type({_J}, '$.missing')",  # SQL NULL
+    f"json_type({_J}, '$.s')",      # VARCHAR
+    "json_quote('abc')",
+    "json_quote(1.5)",
+    "json_array('s', NULL)",
+    "json_array(1, 2)",
+    "json_object('k', 'txt', 'm', 2)",
+    # the lambda arrow must be untouched (constant int body included)
+    "list_transform([1, 2], x -> x + 1)",
+    "list_transform([1, 2], x -> 1)",
+    "list_filter(['a','b'], x -> x = 'a')",
+]
+
+
+@pytest.mark.parametrize("expr", JSON_CASES)
+def test_r08_json_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "json_structure('{}')",
+        "json_contains('{}', '1')",
+        "json_merge_patch('{}', '{}')",
+    ],
+)
+def test_r08_json_unsupported_raise(expr):
+    with pytest.raises(UnsupportedDialect):
+        translate(f"SELECT {expr} AS v")
