@@ -221,6 +221,23 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
     "not_ilike_escape": "__duck_not_ilike_escape",
+    # round-8 list/struct/map additions (verified against DuckDB 1.x)
+    "list_pack": "array",
+    "array_has": "array_contains",
+    "list_indexof": "array_position",
+    "array_indexof": "array_position",
+    "array_unique": "__duck_list_unique",
+    "list_intersect": "array_intersect",
+    "array_intersect": "array_intersect",
+    "list_sum": "__duck_list_sum",
+    "list_avg": "__duck_list_avg",
+    "list_min": "__duck_list_min",
+    "list_max": "__duck_list_max",
+    "list_resize": "__duck_list_resize",
+    "array_resize": "__duck_list_resize",
+    "map_extract": "__duck_map_extract",
+    "struct_extract": "__duck_struct_extract",
+    "row": "struct",
     # round-8 JSON additions (each verified against DuckDB 1.x output)
     "json_extract": "__duck_json_extract",
     "json_extract_path": "__duck_json_extract",
@@ -2309,6 +2326,34 @@ def _inline_named_windows_for_exclude(sql: str) -> str:
     return out
 
 
+_ARRAY_TYPE_RE = re.compile(
+    r"(\bAS\s+|::\s*)(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\[\s*\]",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_array_type_casts(sql: str) -> str:
+    """DuckDB array-type syntax in casts — ``CAST(x AS INT[])`` /
+    ``x::VARCHAR[]`` — becomes Spark's ``ARRAY<T>`` (iterated for nested
+    ``INT[][]``). Runs before the int-cast rounding rewrite, which would
+    otherwise mangle ``::INT[]`` into a rounded scalar cast with a
+    dangling ``[]``."""
+
+    def conv(m: re.Match) -> str:
+        inner = m.group(2).strip()
+        if re.fullmatch(r"VARCHAR|TEXT", inner, re.IGNORECASE):
+            inner = "STRING"
+        elif re.fullmatch(r"BLOB|BYTEA|VARBINARY", inner, re.IGNORECASE):
+            inner = "BINARY"
+        return f"{m.group(1)}ARRAY<{inner}>"
+
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _rewrite_code(sql, lambda c: _ARRAY_TYPE_RE.sub(conv, c))
+    return sql
+
+
 def _rewrite_frame_exclude(sql: str) -> str:
     """Rewrite `agg(x) OVER (spec EXCLUDE kind)` for agg ∈ {sum, count,
     avg} into subtraction form; min/max via frame split / peer-set
@@ -2693,6 +2738,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_binary_ops(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     sql = _rewrite_call_subscripts(sql)
+    sql = _rewrite_array_type_casts(sql)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_ts_precision_casts(sql)
     sql = _rewrite_postfix_int_casts(sql)
@@ -3555,6 +3601,50 @@ def _emit_bitstring_agg(args: list[str]) -> str:
     )
 
 
+def _emit_list_resize(args: list[str]) -> str:
+    """list_resize(l, n [, fill]): truncate or pad. The pad rides
+    try_element_at PAST the end for a correctly-TYPED NULL (array_repeat
+    of a bare NULL is void-typed and breaks the concat); explicit fill
+    values substitute directly."""
+    if len(args) not in (2, 3):
+        raise UnsupportedDialect("list_resize expects (list, size [, fill])")
+    lst, n = args[0], args[1]
+    fill = args[2] if len(args) == 3 else f"try_element_at({lst}, size({lst}) + __i)"
+    # Spark sequence(1, 0) counts DOWN ([1, 0]) — the pad must be emitted
+    # only when the target is longer than the list
+    pad = (
+        f"(CASE WHEN ({n}) > size({lst}) THEN "
+        f"transform(sequence(1, ({n}) - size({lst})), __i -> {fill}) "
+        f"ELSE slice({lst}, 1, 0) END)"
+    )
+    return f"concat(slice({lst}, 1, {n}), {pad})"
+
+
+def _emit_map_extract(args: list[str]) -> str:
+    """DuckDB map extraction returns a LIST: [value] on hit, [] on miss
+    (measured) — not the bare value Spark's element_at gives."""
+    if len(args) != 2:
+        raise UnsupportedDialect("map_extract expects (map, key)")
+    m, k = args
+    return (
+        f"(CASE WHEN map_contains_key({m}, {k}) "
+        f"THEN array(element_at({m}, {k})) ELSE array() END)"
+    )
+
+
+def _emit_struct_extract(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("struct_extract expects (struct, 'name')")
+    km = re.fullmatch(r"'(\w+)'", args[1].strip())
+    if not km:
+        raise UnsupportedDialect("struct_extract needs a literal field name")
+    return f"(({args[0]}).{km.group(1)})"
+
+
+def _emit_list_agg_named(args: list[str], name: str) -> str:
+    return _emit_list_aggregate([args[0], f"'{name}'"])
+
+
 def _emit_json_extract(args: list[str]) -> str:
     """json_extract(j, 'path') — JSON-typed result, same semantics as the
     ``->`` operator (string leaves keep quotes, json-null → SQL NULL)."""
@@ -3766,6 +3856,13 @@ _ROUND5_EMITTERS = {
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
     "__duck_json_extract": _emit_json_extract,
+    "__duck_list_resize": _emit_list_resize,
+    "__duck_map_extract": _emit_map_extract,
+    "__duck_struct_extract": _emit_struct_extract,
+    "__duck_list_sum": lambda a: _emit_list_agg_named(a, "sum"),
+    "__duck_list_avg": lambda a: _emit_list_agg_named(a, "avg"),
+    "__duck_list_min": lambda a: _emit_list_agg_named(a, "min"),
+    "__duck_list_max": lambda a: _emit_list_agg_named(a, "max"),
     "__duck_json_quote": _emit_json_quote,
     "__duck_json_array": _emit_json_array,
     "__duck_json_object": _emit_json_object,

@@ -313,3 +313,45 @@ def test_r08_json_matches_duckdb(spark, con, expr):
 def test_r08_json_unsupported_raise(expr):
     with pytest.raises(UnsupportedDialect):
         translate(f"SELECT {expr} AS v")
+
+
+# ---- r08 list/struct/map batch -----------------------------------------------
+
+LIST_STRUCT_CASES = [
+    "map_extract(map(['a'],[1]), 'a')",   # DuckDB map extraction: LIST result
+    "map_extract(map(['a'],[1]), 'x')",   # miss -> []
+    "struct_extract({'a': 5}, 'a')",
+    "list_resize([1,2], 4)",              # pad with typed NULLs
+    "list_resize([1,2], 4, 0)",           # explicit fill
+    "list_resize([1,2,3], 2)",            # truncate
+    "list_resize(CAST([] AS INT[]), 2)",
+    "array_unique([1,1,2])",
+    "list_indexof([5,6],6)",
+    "array_has([1,2],2)",
+    "CAST(list_sum([1,2,3]) AS DOUBLE)",  # documented DOUBLE ride
+    "list_avg([1.0,2.0])",
+    "list_min([3,1])",
+    "list_max([3,1])",
+    "list_pack(1,2)",
+    "CAST([1] AS INT[])",                 # array-type cast syntax
+    "CAST(['a'] AS VARCHAR[])",
+    "[1]::INT[]",
+]
+
+
+@pytest.mark.parametrize("expr", LIST_STRUCT_CASES)
+def test_r08_list_struct_map_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    assert got == want or str(got) == str(want), (
+        f"{expr}: spark={got!r} duck={want!r}"
+    )
+
+
+def test_list_intersect_set_equal(spark, con):
+    # DuckDB's result ORDER is hash-dependent; compare as sets
+    sql = "SELECT list_intersect([1,2,3],[2,3,4]) AS v"
+    got = set(spark.sql(translate(sql)).collect()[0][0])
+    want = set(con.execute(sql).fetchone()[0])
+    assert got == want
