@@ -171,7 +171,6 @@ FUNCTION_ALIASES = {
     # crossings; Spark's 2-arg datediff is days-only. Emitter resolves.
     "date_diff": "__duck_date_diff",
     "datediff": "__duck_date_diff",
-    "epoch_ms": "__duck_epoch_ms",
     "epoch_us": "__duck_epoch_us",
     "to_days": "__duck_to_days",
     "to_hours": "__duck_to_hours",
@@ -221,6 +220,17 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
     "not_ilike_escape": "__duck_not_ilike_escape",
+    # round-8 date/time additions (verified against DuckDB 1.x output)
+    "timezone": "__duck_timezone",
+    "isoyear": "__duck_isoyear",
+    "weekday": "__duck_dayofweek",
+    "datetrunc": "__duck_date_trunc",
+    "date_trunc": "__duck_date_trunc",
+    "epoch_ms": "__duck_epoch_ms_dual",
+    "today": "current_date",
+    "get_current_timestamp": "current_timestamp",
+    "millennium": "__duck_millennium",
+    "make_time": "__duck_make_time",
     # round-8 list/struct/map additions (verified against DuckDB 1.x)
     "list_pack": "array",
     "array_has": "array_contains",
@@ -274,6 +284,8 @@ FUNCTION_ALIASES = {
 
 _STRFTIME_MAP = [
     ("%Y", "yyyy"),
+    ("%I", "hh"),
+    ("%p", "a"),
     ("%m", "MM"),
     ("%d", "dd"),
     ("%H", "HH"),
@@ -300,10 +312,11 @@ def _convert_strftime_formats(sql: str) -> str:
             return f"date_format({arg}, '{fmt}')"
         # arg carries its own quotes when it is a string literal — never
         # re-wrap (strptime('2024-01-01', ...) is the most common shape)
-        return f"to_timestamp({arg.strip()}, '{fmt}')"
+        to_ts = "try_to_timestamp" if fn.lower() == "try_strptime" else "to_timestamp"
+        return f"{to_ts}({arg.strip()}, '{fmt}')"
 
     return re.sub(
-        r"\b(strftime|strptime)\s*\(\s*([^,]+)\s*,\s*'([^']*)'\s*\)",
+        r"\b(strftime|strptime|try_strptime)\s*\(\s*([^,]+)\s*,\s*'([^']*)'\s*\)",
         conv,
         sql,
         flags=re.IGNORECASE,
@@ -3601,6 +3614,89 @@ def _emit_bitstring_agg(args: list[str]) -> str:
     )
 
 
+def _emit_timezone(args: list[str]) -> str:
+    """DuckDB timezone(): 1-arg = UTC offset seconds of the session zone
+    (pinned UTC -> 0); 2-arg timezone('tz', naive_ts) interprets the naive
+    timestamp IN that zone and yields the session-zone instant (measured:
+    timezone('America/New_York', 12:00) = 16:00 UTC) = to_utc_timestamp.
+    The TIMESTAMPTZ-input direction is inexpressible here (tz-typed inputs
+    ride NTZ, SURVEY §1.3) — naive inputs are the supported surface."""
+    if len(args) == 1:
+        return (
+            f"(CASE WHEN ({args[0]}) IS NULL THEN NULL "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    if len(args) == 2:
+        return f"to_utc_timestamp({args[1]}, {args[0]})"
+    raise UnsupportedDialect("timezone expects 1 or 2 arguments")
+
+
+_TRUNC_DATEISH_RE = re.compile(
+    r"(?:^\s*DATE\s*'|::\s*DATE\s*\)?\s*$|AS\s+DATE\s*\)\s*$)", re.IGNORECASE
+)
+
+
+def _emit_date_trunc(args: list[str]) -> str:
+    """date_trunc with DuckDB's extra parts (decade/century/millennium —
+    floor-division convention, measured: century of 2024 -> 2000-01-01)
+    and DATE return type for date-typed args (textual detection, same as
+    time_bucket)."""
+    if len(args) != 2:
+        raise UnsupportedDialect("date_trunc expects (part, source)")
+    part = args[0].strip().strip("'").lower()
+    src = args[1]
+    if part in ("decade", "century", "millennium"):
+        n = {"decade": 10, "century": 100, "millennium": 1000}[part]
+        return f"make_date((year({src}) div {n}) * {n}, 1, 1)"
+    out = f"date_trunc('{part}', {src})"
+    # DuckDB returns DATE for day-or-coarser parts REGARDLESS of input
+    # type (measured: week of a TIMESTAMP is a DATE); sub-day parts stay
+    # timestamps
+    if part in ("day", "week", "month", "quarter", "year", "isoyear"):
+        return f"CAST({out} AS DATE)"
+    return out
+
+
+def _emit_epoch_ms_dual(args: list[str]) -> str:
+    """DuckDB epoch_ms is bidirectional: an INTEGER argument builds a
+    timestamp from epoch millis, a timestamp argument extracts millis.
+    Static dispatch on the argument text (numeric literal / int-cast →
+    build); non-literal integer COLUMNS take the extract path — pass
+    timestamp_millis(col) explicitly for the build direction."""
+    if len(args) != 1:
+        raise UnsupportedDialect("epoch_ms expects one argument")
+    a = args[0].strip()
+    if re.fullmatch(r"-?\d+", a) or re.search(
+        r"::\s*(?:U?BIGINT|INTEGER|INT)\s*$|AS\s+(?:U?BIGINT|INTEGER|INT)\s*\)\s*$",
+        a,
+        re.IGNORECASE,
+    ):
+        return f"timestamp_millis(CAST({a} AS BIGINT))"
+    return f"unix_millis(CAST({a} AS TIMESTAMP))"
+
+
+def _emit_millennium(args: list[str]) -> str:
+    # ordinal millennium (measured: 2024 -> 3); century() uses the same
+    # (y-1) div convention
+    return f"(((year({args[0]}) - 1) div 1000) + 1)"
+
+
+def _emit_make_time(args: list[str]) -> str:
+    """TIME rides VARCHAR 'HH:MM:SS[.ffffff]' in this engine (fn_time);
+    make_time(h, m, s_with_fraction) formats the same text DuckDB prints."""
+    if len(args) != 3:
+        raise UnsupportedDialect("make_time expects (hour, minute, seconds)")
+    h, m, sec = args
+    return (
+        f"concat(lpad(CAST({h} AS STRING), 2, '0'), ':', "
+        f"lpad(CAST({m} AS STRING), 2, '0'), ':', "
+        f"lpad(CAST(CAST(floor({sec}) AS INT) AS STRING), 2, '0'), "
+        f"CASE WHEN ({sec}) = floor({sec}) THEN '' ELSE "
+        f"concat('.', rpad(CAST(CAST(round((({sec}) - floor({sec})) * 1000000) "
+        f"AS INT) AS STRING), 6, '0')) END)"
+    )
+
+
 def _emit_list_resize(args: list[str]) -> str:
     """list_resize(l, n [, fill]): truncate or pad. The pad rides
     try_element_at PAST the end for a correctly-TYPED NULL (array_repeat
@@ -3856,6 +3952,12 @@ _ROUND5_EMITTERS = {
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
     "__duck_json_extract": _emit_json_extract,
+    "__duck_timezone": _emit_timezone,
+    "__duck_isoyear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
+    "__duck_date_trunc": _emit_date_trunc,
+    "__duck_epoch_ms_dual": _emit_epoch_ms_dual,
+    "__duck_millennium": _emit_millennium,
+    "__duck_make_time": _emit_make_time,
     "__duck_list_resize": _emit_list_resize,
     "__duck_map_extract": _emit_map_extract,
     "__duck_struct_extract": _emit_struct_extract,

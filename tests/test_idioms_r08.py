@@ -355,3 +355,55 @@ def test_list_intersect_set_equal(spark, con):
     got = set(spark.sql(translate(sql)).collect()[0][0])
     want = set(con.execute(sql).fetchone()[0])
     assert got == want
+
+
+# ---- r08 date/time batch -----------------------------------------------------
+
+DATETIME_CASES = [
+    # timezone('tz', naive): interpret in tz -> session-zone instant
+    "timezone('America/New_York', TIMESTAMP '2024-06-01 12:00:00')",
+    "timezone(TIMESTAMP '2024-06-01 12:00:00')",   # session offset: UTC 0
+    "isoyear(DATE '2021-01-01')",                  # ISO year boundary
+    "isoyear(DATE '2024-12-30')",
+    "weekday(DATE '2024-08-11')",                  # 0 = Sunday (DuckDB)
+    "weekday(DATE '2024-08-12')",
+    "strftime(TIMESTAMP '2024-02-03 04:05:06.123456', '%H|%I|%M|%S|%p')",
+    "strftime(TIMESTAMP '2024-02-03 16:05:06', '%I %p')",
+    "try_strptime('bogus', '%Y')",
+    "try_strptime('2024', '%Y')",
+    # DuckDB returns DATE for day-or-coarser parts regardless of input
+    "date_trunc('quarter', DATE '2024-05-06')",
+    "date_trunc('week', TIMESTAMP '2024-08-14 10:00:00')",
+    "date_trunc('hour', TIMESTAMP '2024-08-14 10:20:00')",
+    # floor-division extra parts
+    "date_trunc('decade', DATE '2024-05-06')",
+    "date_trunc('century', DATE '2024-05-06')",
+    "date_trunc('millennium', DATE '2024-05-06')",
+    "datetrunc('week', DATE '2024-08-14')",
+    # bidirectional epoch_ms
+    "epoch_ms(1700000000000)",
+    "epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123')",
+    "make_time(10, 30, 12.5)",
+    "make_time(1, 2, 3.0)",
+    "today() = current_date",
+    "get_current_timestamp() IS NOT NULL",
+    "millennium(DATE '2024-05-06')",
+    "millennium(DATE '1999-05-06')",
+]
+
+
+@pytest.mark.parametrize("expr", DATETIME_CASES)
+def test_r08_datetime_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    if isinstance(want, datetime.datetime) and isinstance(got, datetime.datetime):
+        want = want.replace(tzinfo=None)
+        got = got.replace(tzinfo=None)
+    if isinstance(want, datetime.time):
+        want = want.strftime("%H:%M:%S") + (
+            f".{want.microsecond:06d}" if want.microsecond else ""
+        )
+    assert got == want or str(got) == str(want), (
+        f"{expr}: spark={got!r} duck={want!r}"
+    )
