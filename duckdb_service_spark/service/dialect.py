@@ -220,6 +220,16 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
     "not_ilike_escape": "__duck_not_ilike_escape",
+    # round-8 string additions (verified against DuckDB 1.x output)
+    "substring_grapheme": "substring",  # grapheme≈codepoint divergence noted
+    "left_grapheme": "left",
+    "right_grapheme": "right",
+    "length_grapheme": "length",
+    "array_slice": "__duck_list_slice",
+    "md5_number_lower": "__duck_md5_num_lower",
+    "md5_number_upper": "__duck_md5_num_upper",
+    "bar": "__duck_unsupported_fn",
+    "nfc_normalize": "__duck_unsupported_fn",
     # round-8 date/time additions (verified against DuckDB 1.x output)
     "timezone": "__duck_timezone",
     "isoyear": "__duck_isoyear",
@@ -3171,22 +3181,35 @@ def _emit_struct_pack(args: list[str]) -> str:
 
 
 def _emit_format(args: list[str]) -> str:
-    """DuckDB fmt-style format('{}/{}', ...) → printf with %s slots.
-    Literal format strings only ({} placeholders; positional {0} and
-    format specs raise — they have no printf equivalent here)."""
+    """DuckDB fmt-style format('{}/{}', ...) → printf. Literal format
+    strings; `{}` slots plus the common numeric specs `{:.Nf}` / `{:d}`
+    (→ %.Nf / %d with the argument cast accordingly). Positional {0} and
+    other spec forms raise — no printf equivalent here."""
     if not args or not re.fullmatch(r"\s*'[^']*'\s*", args[0]):
         raise UnsupportedDialect("format(): only a literal format string is supported")
     fmt = args[0].strip()[1:-1]
-    if re.search(r"\{[^}]+\}", fmt):
+    slots = re.findall(r"\{(:\.(\d+)f|:d)?\}", fmt)
+    if re.search(r"\{(?!(:\.\d+f|:d)?\})[^}]*\}", fmt):
         raise UnsupportedDialect(
-            "format(): positional/spec placeholders are not supported — use {}"
+            "format(): positional/spec placeholders beyond {} {:.Nf} {:d} "
+            "are not supported"
         )
-    if fmt.count("{}") != len(args) - 1:
+    if len(slots) != len(args) - 1:
         raise UnsupportedDialect("format(): placeholder/argument count mismatch")
-    out = fmt.replace("%", "%%").replace("{}", "%s")
-    cast_args = ", ".join(f"CAST({a} AS STRING)" for a in args[1:])
+    out = fmt.replace("%", "%%")
+    cast_args = []
+    for (spec, prec), a in zip(slots, args[1:]):
+        if spec.startswith(":."):
+            out = out.replace("{" + spec + "}", f"%.{prec}f", 1)
+            cast_args.append(f"CAST({a} AS DOUBLE)")
+        elif spec == ":d":
+            out = out.replace("{:d}", "%d", 1)
+            cast_args.append(f"CAST({a} AS BIGINT)")
+        else:
+            out = out.replace("{}", "%s", 1)
+            cast_args.append(f"CAST({a} AS STRING)")
     if cast_args:
-        return f"printf('{out}', {cast_args})"
+        return f"printf('{out}', {', '.join(cast_args)})"
     return f"'{out.replace('%%', '%')}'"
 
 
@@ -3614,6 +3637,21 @@ def _emit_bitstring_agg(args: list[str]) -> str:
     )
 
 
+def _md5_half_le(args: list[str], first_half: bool) -> str:
+    """md5_number_lower/upper: UBIGINT halves of md5(s), LITTLE-ENDIAN
+    byte interpretation (measured: lower = LE(bytes 8..16), upper =
+    LE(bytes 0..8)). Byte-swap the hex pairs, then conv base-16; rides
+    DECIMAL(20,0) — UBIGINT exceeds BIGINT's range."""
+    if len(args) != 1:
+        raise UnsupportedDialect("md5_number_* expects one argument")
+    h = f"md5({args[0]})"
+    start = 1 if first_half else 17
+    pairs = ", ".join(
+        f"substring({h}, {start + 2 * i}, 2)" for i in reversed(range(8))
+    )
+    return f"CAST(conv(concat({pairs}), 16, 10) AS DECIMAL(20,0))"
+
+
 def _emit_timezone(args: list[str]) -> str:
     """DuckDB timezone(): 1-arg = UTC offset seconds of the session zone
     (pinned UTC -> 0); 2-arg timezone('tz', naive_ts) interprets the naive
@@ -3952,6 +3990,8 @@ _ROUND5_EMITTERS = {
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
     "__duck_json_extract": _emit_json_extract,
+    "__duck_md5_num_lower": lambda a: _md5_half_le(a, False),
+    "__duck_md5_num_upper": lambda a: _md5_half_le(a, True),
     "__duck_timezone": _emit_timezone,
     "__duck_isoyear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
     "__duck_date_trunc": _emit_date_trunc,

@@ -407,3 +407,40 @@ def test_r08_datetime_matches_duckdb(spark, con, expr):
     assert got == want or str(got) == str(want), (
         f"{expr}: spark={got!r} duck={want!r}"
     )
+
+
+# ---- r08 string batch 2 ------------------------------------------------------
+
+STRING2_CASES = [
+    # UBIGINT md5 halves, little-endian byte order (measured)
+    "md5_number_lower('x')",
+    "md5_number_upper('x')",
+    "md5_number_lower('hello world')",
+    "md5_number_upper('')",
+    # grapheme variants map to codepoint forms (divergence only on
+    # multi-codepoint clusters — combining marks / emoji)
+    "substring_grapheme('héllo', 2, 3)",
+    "left_grapheme('héllo', 2)",
+    "right_grapheme('héllo', 2)",
+    "array_slice([1,2,3,4], 2, 3)",
+    # fmt-style numeric specs
+    "format('{:.2f}', 3.14159)",
+    "format('{} = {:.1f} ({:d})', 'v', 2.718, 42)",
+]
+
+
+@pytest.mark.parametrize("expr", STRING2_CASES)
+def test_r08_string2_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = con.execute(sql).fetchone()[0]
+    got = spark.sql(translate(sql)).collect()[0][0]
+    assert got == want or str(got) == str(want), (
+        f"{expr}: spark={got!r} duck={want!r}"
+    )
+
+
+def test_bar_and_nfc_raise_cleanly():
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT bar(5, 0, 10) AS v")
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT nfc_normalize('a') AS v")
