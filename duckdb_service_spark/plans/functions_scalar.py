@@ -1026,3 +1026,42 @@ def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("events")
     return spark.sql(translate(_JSON_OPS_SQL))
+
+
+_R12_BATTERY_SQL = """
+SELECT o_orderkey,
+       epoch_ms(CAST(timezone('America/New_York',
+           CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP))           AS tz_ms,
+       timezone(CAST(o_orderdate AS TIMESTAMP))                     AS tz_off,
+       CAST(isoyear(o_orderdate) AS BIGINT)                         AS iy,
+       CAST(weekday(o_orderdate) AS BIGINT)                         AS wd,
+       CAST(date_trunc('quarter', o_orderdate::DATE) AS VARCHAR)    AS q_start,
+       CAST(date_trunc('decade', o_orderdate::DATE) AS VARCHAR)     AS dec_start,
+       CAST(datetrunc('week', o_orderdate::DATE) AS VARCHAR)        AS wk_start,
+       CAST(epoch_ms(CAST(o_orderkey * 86400000 AS BIGINT)) AS VARCHAR) AS ts_from_ms,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP))                     AS ms_from_ts,
+       millennium(o_orderdate)                                      AS mil,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%I %p|%Y-%j')      AS fmt12,
+       CAST(try_strptime(o_orderpriority, '%Y-%m-%d') AS VARCHAR)   AS not_a_date,
+       CAST(md5_number_lower(o_orderpriority) AS VARCHAR)           AS h_lo,
+       CAST(md5_number_upper(o_orderpriority) AS VARCHAR)           AS h_hi,
+       format('{}: {:.2f} ({:d})', o_orderstatus, o_totalprice, o_orderkey) AS line
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@query("fn_battery_r12", oracle=_R12_BATTERY_SQL)
+def fn_battery_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 date/time + string batch through the verbatim SQL surface:
+    timezone() interpret-in-zone conversion and session offset, isoyear/
+    weekday/millennium, DuckDB date_trunc DATE return types + the
+    decade floor-division part, bidirectional epoch_ms, strftime %I/%p
+    12-hour directives, try_strptime NULL-on-miss, the little-endian
+    md5_number halves (UBIGINT as DECIMAL(20,0), serialized VARCHAR for
+    the driver hash), and fmt-style format() numeric specs. Differential
+    tests in tests/test_idioms_r08.py."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_R12_BATTERY_SQL))

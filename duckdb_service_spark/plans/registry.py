@@ -52,7 +52,7 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
 # window FILTER reorder, corpus-broadcast-hint removal), then (b) the 13
 # r02-era rows — the last of the stalest driver evidence, queued since r07,
-# then (c) 27 of the 43 r04-era rows. 10 + 13 + 27 = 50; the remaining 16
+# then (c) 26 of the 43 r04-era rows. 11 + 13 + 26 = 50; the remaining 17
 # r04-era rows (setop_*_all, sim_*, io_parquet, sql_read_*, stream_*) rotate
 # first in r09.
 PRIORITY: list[str] = [
@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "fn_battery_r10",
     "fn_battery_r11",
     "fn_json_ops",
+    "fn_battery_r12",
     "dedup_cross_source_matrix",
     "win_exclude_frame",
     "sql_pattern_operators",
@@ -81,7 +82,7 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
-    # (c) r04-era rows (27 of 43; the rest lead r09)
+    # (c) r04-era rows (26 of 43; the rest lead r09)
     "agg_core",
     "agg_count_distinct",
     "agg_stats_exact",
@@ -108,7 +109,6 @@ PRIORITY: list[str] = [
     "distinct_on_latest_order",
     "values_relation",
     "generate_series_step",
-    "limit_offset",
 ]
 
 
