@@ -50,13 +50,15 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # order. Round-8 rotation (VERDICT r07 task 2 — finish the debt):
 # (a) queries new or code-path-changed in round 8 (named-WINDOW EXCLUDE
 # inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
-# window FILTER reorder, corpus-broadcast-hint removal), then (b) the 13
-# r02-era rows — the last of the stalest driver evidence, queued since r07,
-# then (c) 26 of the 43 r04-era rows. 11 + 13 + 26 = 50; the remaining 17
-# r04-era rows (setop_*_all, sim_*, io_parquet, sql_read_*, stream_*) rotate
-# first in r09.
+# window FILTER reorder, corpus-broadcast-hint removal, the new
+# text_substring_dedup span-dedup operator), then (b) the 13 r02-era rows —
+# the last of the stalest driver evidence, queued since r07, then (c) 25 of
+# the 43 r04-era rows. 12 + 13 + 25 = 50; the remaining r04-era rows
+# (generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
+# stream_*) rotate first in r09.
 PRIORITY: list[str] = [
     # (a) new or changed in round 8
+    "text_substring_dedup",
     "win_exclude_named",
     "fn_battery_r10",
     "fn_battery_r11",
@@ -108,7 +110,6 @@ PRIORITY: list[str] = [
     "distinct_basic",
     "distinct_on_latest_order",
     "values_relation",
-    "generate_series_step",
 ]
 
 

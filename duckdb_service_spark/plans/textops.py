@@ -1636,3 +1636,155 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (round 8): Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — find every token span of
+# length >= K that appears verbatim in more than one document, merge the
+# overlapping/adjacent hits into maximal duplicated spans per document, and
+# account for how much of each document is duplicated text. This is the
+# span-level complement to the existing whole-doc (dedup_exact), chunk-level
+# (text_line_dedup) and set-similarity (dedup_minhash_lsh) operators: it
+# catches the quote/boilerplate/license-block duplication that sits BELOW
+# the near-dup threshold but still leaks memorized text into training runs.
+# ---------------------------------------------------------------------------
+
+_SSD_K = 8  # span length in whitespace tokens (paper uses 50 BPE tokens on
+#             web corpora; the fixture docs average ~54 tokens, so 8 keeps
+#             spans strictly sub-document while real corpora would use 50)
+_SSD_MIN_DOCS = 2  # a gram counts as duplicated when >= 2 DISTINCT docs have it
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(t, i + 1, i + {_SSD_K}), ' ') AS g
+  FROM toks, UNNEST(generate_series(0, len(t) - {_SSD_K})) AS u(i)
+  WHERE len(t) >= {_SSD_K}
+),
+dupg AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+  GROUP BY g HAVING COUNT(*) >= {_SSD_MIN_DOCS}
+),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -{_SSD_K} - 2) + {_SSD_K} THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SSD_K} - 1 AS e
+  FROM (SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_substring_dedup", oracle=_SUBSTRING_DEDUP_ORACLE)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span accounting (Lee et al. 2022): per doc, the
+    number of maximal >= K-token spans that appear verbatim elsewhere in the
+    corpus and the token count they cover.
+
+    100 TB design: the K-gram hash array is ONE projection per doc (text is
+    tokenized once, never shuffled); the duplicated-gram set is a plain
+    map-side-combinable count over per-doc-DISTINCT hashes (8 bytes/gram
+    through the shuffle); hit positions are (doc_id, pos, hash) int triples;
+    the interval merge is a per-doc window over ints (per-doc cardinality is
+    bounded by doc length, so no skew beyond doc size itself). The dup-gram
+    set is corpus-derived — NOT hint-broadcast (repo rule; AQE decides from
+    runtime stats). Nothing all-pairs, no driver-side materialization.
+
+    Reference parity: reference serves SQL via linked DuckDB (db/db.go:
+    67-117) and has no pipeline operators; this extends the LLM-curation
+    surface. Oracle identifies duplicate grams by string equality, the plan
+    by 60-bit md5 equality (functions/portable.hash64) — identical modulo
+    md5 collision."""
+    t = load_tables(spark, sf_dir)
+    return substring_dedup_corpus(_docs_parallel(t).select("doc_id", "text"))
+
+
+def substring_dedup_corpus(
+    docs: DataFrame, k: int = _SSD_K, min_docs: int = _SSD_MIN_DOCS
+) -> DataFrame:
+    """The span-dedup plan proper, parameterized on (doc_id, text) and the
+    span length so unit tests and scale harnesses drive the IDENTICAL plan
+    the registry query runs."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    K = k
+    base = (
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn(
+            "gh_arr",
+            F.when(
+                F.col("n") >= K,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - K),
+                    lambda i: hash64(F.array_join(F.slice("t", i + 1, K), " ")),
+                ),
+            ).otherwise(F.expr("array()").cast("array<bigint>")),
+        )
+        .select("doc_id", "n", "gh_arr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dupg = (
+        base.select(F.explode(F.array_distinct("gh_arr")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gh")
+    )
+    hits = (
+        base.select("doc_id", F.posexplode("gh_arr").alias("pos", "gh"))
+        .join(dupg, "gh", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    # merge-adjacent islands: a hit at pos starts a NEW span only when it
+    # leaves a gap after the furthest end seen so far (prev_max_pos + K - 1)
+    spans = (
+        hits.withColumn(
+            "new_island",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("pos").over(wprev), F.lit(-K - 2)) + K
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + K - 1).alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("bigint").alias("total_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+    )
