@@ -97,6 +97,10 @@ FUNCTION_ALIASES = {
     "list_position": "array_position",
     "list_sort": "array_sort",
     # 1-based extraction, NULL out-of-bounds — exactly element_at with ANSI off
+    # element_at BEFORE list_extract: the alias pass is sequential re.subs
+    # in dict order, so DuckDB's map-only element_at must be consumed first
+    # or the list_extract -> element_at rewrite below would be re-mapped
+    "element_at": "__duck_map_extract",
     "list_extract": "element_at",
     "array_extract": "element_at",
     "list_element": "element_at",
@@ -228,7 +232,7 @@ FUNCTION_ALIASES = {
     "array_slice": "__duck_list_slice",
     "md5_number_lower": "__duck_md5_num_lower",
     "md5_number_upper": "__duck_md5_num_upper",
-    "bar": "__duck_unsupported_fn",
+    "bar": "__duck_bar",
     "nfc_normalize": "__duck_unsupported_fn",
     # round-8 date/time additions (verified against DuckDB 1.x output)
     "timezone": "__duck_timezone",
@@ -290,6 +294,52 @@ FUNCTION_ALIASES = {
     "nextafter": "__duck_unsupported_fn",
     "gamma": "__duck_unsupported_fn",
     "lgamma": "__duck_unsupported_fn",
+    # round-8 batch 3 (function-coverage sweep; each verified against
+    # DuckDB 1.x output — see tests/test_idioms_r08b.py)
+    "apply": "transform",
+    "array_apply": "transform",
+    "array_transform": "transform",
+    "array_filter": "filter",
+    "array_reduce": "__duck_bare_reduce",
+    "reduce": "__duck_bare_reduce",
+    "array_aggregate": "__duck_bare_aggregate",
+    "array_aggr": "__duck_bare_aggregate",
+    "aggregate": "__duck_bare_aggregate",
+    "list_has": "array_contains",
+    "array_reverse_sort": "__duck_rsort",
+    "grade_up": "__duck_grade_up",
+    "array_grade_up": "__duck_grade_up",
+    "array_value": "array",
+    "unpivot_list": "array",
+    "strlen": "octet_length",  # DuckDB strlen is BYTE length
+    "array_cosine_similarity": "__duck_list_cos",
+    "array_dot_product": "__duck_list_dot",
+    "array_inner_product": "__duck_list_dot",
+    "list_distance": "__duck_list_dist",
+    "array_distance": "__duck_list_dist",
+    "array_cross_product": "__duck_cross3",
+    "jaccard": "__duck_jaccard",
+    "constant_or_null": "__duck_constant_or_null",
+    "decode": "__duck_decode",
+    "to_weeks": "__duck_to_weeks",
+    "to_quarters": "__duck_to_quarters",
+    "to_centuries": "__duck_to_centuries",
+    "to_decades": "__duck_to_decades",
+    "to_millennia": "__duck_to_millennia",
+    "get_bit": "__duck_get_bit",
+    "set_bit": "__duck_set_bit",
+    "to_binary": "__duck_bin",
+    "bin": "__duck_bin",
+    "from_binary": "__duck_from_binary",
+    "current_query": "__duck_current_query",
+    # introspection / unrepresentable — clean raises, never silent
+    "md5_number": "__duck_unsupported_introspect",
+    "stats": "__duck_unsupported_introspect",
+    "vector_type": "__duck_unsupported_introspect",
+    "in_search_path": "__duck_unsupported_introspect",
+    "txid_current": "__duck_unsupported_introspect",
+    "create_sort_key": "__duck_unsupported_introspect",
+    "bit_position": "__duck_unsupported_introspect",
 }
 
 _STRFTIME_MAP = [
@@ -854,13 +904,17 @@ def _subscript_content(base: str, content: str) -> str:
             f"WHEN ({e}) < 0 THEN size({base}) + ({e}) + 1 ELSE 0 END"
         )
         return f"slice({base}, {bi}, greatest({ei} - {bi} + 1, 0))"
+    # __spark_element_at marker, NOT element_at: this pass runs before the
+    # FUNCTION_ALIASES loop, which maps user-written element_at to DuckDB's
+    # map-only LIST-returning form — the marker survives the loop and is
+    # lowered to Spark element_at by its _ROUND5_EMITTERS entry
     if _INT_LIT_RE.match(content):
         if int(content) == 0:
             return "NULL"
-        return f"element_at({base}, {content})"
+        return f"__spark_element_at({base}, {content})"
     # runtime index: guard the 0 case (DuckDB → NULL, Spark → error)
     return (
-        f"(CASE WHEN ({content}) = 0 THEN NULL ELSE element_at({base}, "
+        f"(CASE WHEN ({content}) = 0 THEN NULL ELSE __spark_element_at({base}, "
         f"CASE WHEN ({content}) = 0 THEN 1 ELSE ({content}) END) END)"
     )
 
@@ -2719,6 +2773,7 @@ def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
     that need the DataFrame-level operators (operators/asof.py,
     operators/recursive.py) — callers route those explicitly."""
+    _original = sql  # for current_query() — the verbatim submitted text
     code_only = "".join(chunk for is_lit, chunk in _split_literals(sql) if not is_lit)
     for rx, name in _UNSUPPORTED:
         if rx.search(code_only):
@@ -2782,6 +2837,12 @@ def translate(sql: str) -> str:
     sql = _rewrite_balanced_call(sql, "bitstring", _emit_bitstring)
     for marker, emit in _ROUND5_EMITTERS.items():
         sql = _rewrite_balanced_call(sql, marker, emit)
+    if "__duck_current_query" in sql:
+        # current_query() returns the VERBATIM submitted statement
+        # (measured: comments and whitespace included) — substituted last
+        # so no other rewrite pass touches the embedded literal
+        lit = "'" + _original.replace("'", "''") + "'"
+        sql = _rewrite_balanced_call(sql, "__duck_current_query", lambda a: lit)
     return sql
 
 
@@ -2806,9 +2867,24 @@ def _emit_isodow(args: list[str]) -> str:
 
 
 def _emit_to_base(args: list[str]) -> str:
-    if len(args) != 2:
-        raise UnsupportedDialect("to_base expects (number, radix)")
-    return f"conv(CAST(({args[0]}) AS BIGINT), 10, {args[1]})"
+    if len(args) not in (2, 3):
+        raise UnsupportedDialect("to_base expects (number, radix[, min_length])")
+    num = f"CAST(({args[0]}) AS BIGINT)"
+    # DuckDB errors on negative input; Spark conv would silently emit the
+    # two's-complement form — guard at runtime instead
+    conv = (
+        f"CASE WHEN {num} < 0 THEN "
+        f"raise_error('to_base: number must be greater than or equal to 0') "
+        f"ELSE conv({num}, 10, {args[1]}) END"
+    )
+    if len(args) == 3:
+        # min_length only PADS (measured: to_base(7,2,1) -> '111', never
+        # truncates) — Spark lpad truncates, so take the max width
+        return (
+            f"lpad({conv}, GREATEST(length({conv}), "
+            f"CAST(({args[2]}) AS INT)), '0')"
+        )
+    return conv
 
 
 def _emit_sign(args: list[str]) -> str:
@@ -3013,6 +3089,13 @@ def _emit_interval_builder(kind: str, args: list[str]) -> str:
         "seconds": f"make_dt_interval(0, 0, 0, {n})",
         "millis": f"make_dt_interval(0, 0, 0, ({n}) / 1000.0)",
         "micros": f"make_dt_interval(0, 0, 0, ({n}) / 1000000.0)",
+        # measured: to_weeks(2) -> '14 days', to_quarters(5) ->
+        # '1 year 3 months', to_centuries/decades/millennia -> year space
+        "weeks": f"make_dt_interval(({n}) * 7)",
+        "quarters": f"make_ym_interval(0, ({n}) * 3)",
+        "centuries": f"make_ym_interval(({n}) * 100)",
+        "decades": f"make_ym_interval(({n}) * 10)",
+        "millennia": f"make_ym_interval(({n}) * 1000)",
     }
     return forms[kind]
 
@@ -3882,6 +3965,174 @@ def _emit_unsupported_fn(args: list[str]) -> str:
     )
 
 
+def _emit_unsupported_introspect(args: list[str]) -> str:
+    raise UnsupportedDialect(
+        "engine-introspection or unrepresentable-type function "
+        "(stats/vector_type/in_search_path/txid_current/create_sort_key/"
+        "bit_position, and md5_number whose UHUGEINT exceeds DECIMAL(38) — "
+        "use md5_number_lower/md5_number_upper)"
+    )
+
+
+# ---- round-8 batch-3 emitters (semantics measured against DuckDB 1.x) ----
+
+
+def _emit_bare_aggregate(args: list[str]) -> str:
+    """Bare aggregate()/array_aggregate(): DuckDB's (list, 'fname'[, ...])
+    form routes to the list_aggregate emitter; Spark's native
+    (expr, start, merge[, finish]) lambda form — which EARLIER rewrite
+    passes emit into the statement — must round-trip verbatim."""
+    if len(args) >= 2 and re.fullmatch(r"\s*'[^']*'\s*", args[1]):
+        return _emit_list_aggregate(args)
+    return f"aggregate({', '.join(args)})"
+
+
+def _emit_bare_reduce(args: list[str]) -> str:
+    """Bare reduce(): DuckDB's 2-arg (list, lambda) folds from the first
+    element (list_reduce semantics); Spark's 3/4-arg form passes through."""
+    if len(args) == 2:
+        return _emit_list_reduce(args)
+    return f"reduce({', '.join(args)})"
+
+
+def _emit_jaccard(args: list[str]) -> str:
+    """Character-SET Jaccard similarity, case-sensitive (measured:
+    jaccard('aab','ab') = 1.0, jaccard('ab','AB') = 0.0). DuckDB errors on
+    empty inputs; here 0/0 yields NULL instead."""
+    if len(args) != 2:
+        raise UnsupportedDialect("jaccard expects (s1, s2)")
+    chars = [
+        f"array_distinct(filter(split({s}, ''), __c -> __c <> ''))" for s in args
+    ]
+    return (
+        f"(CAST(size(array_intersect({chars[0]}, {chars[1]})) AS DOUBLE)"
+        f" / size(array_union({chars[0]}, {chars[1]})))"
+    )
+
+
+def _emit_constant_or_null(args: list[str]) -> str:
+    """constant_or_null(v, c1[, c2...]): v, unless ANY ci is NULL."""
+    if len(args) < 2:
+        raise UnsupportedDialect("constant_or_null expects (value, cond...)")
+    cond = " OR ".join(f"(({c}) IS NULL)" for c in args[1:])
+    return f"(CASE WHEN {cond} THEN NULL ELSE ({args[0]}) END)"
+
+
+def _emit_decode(args: list[str]) -> str:
+    """DuckDB decode(blob) -> VARCHAR is UTF-8 decoding."""
+    if len(args) != 1:
+        raise UnsupportedDialect("decode expects one BLOB argument")
+    return f"decode({args[0]}, 'UTF-8')"
+
+
+def _emit_get_bit(args: list[str]) -> str:
+    """BIT values are validated '0'/'1' strings in this engine (see
+    _emit_bit); get_bit indexes from the MOST significant bit, 0-based."""
+    if len(args) != 2:
+        raise UnsupportedDialect("get_bit expects (bits, index)")
+    b, i = args
+    return f"CAST(substring({b}, ({i}) + 1, 1) AS INT)"
+
+
+def _emit_set_bit(args: list[str]) -> str:
+    if len(args) != 3:
+        raise UnsupportedDialect("set_bit expects (bits, index, value)")
+    b, i, v = args
+    return (
+        f"concat(substring({b}, 1, ({i})), CAST(({v}) AS STRING), "
+        f"substring({b}, ({i}) + 2))"
+    )
+
+
+def _emit_list_dist(args: list[str]) -> str:
+    """Euclidean distance between equal-length numeric lists."""
+    if len(args) != 2:
+        raise UnsupportedDialect("list_distance expects (list, list)")
+    a, b = args
+    return (
+        f"sqrt(aggregate(zip_with({a}, {b}, "
+        f"(__x, __y) -> CAST(__x - __y AS DOUBLE) * (__x - __y)), "
+        f"CAST(0.0 AS DOUBLE), (__a, __v) -> __a + __v))"
+    )
+
+
+def _emit_cross3(args: list[str]) -> str:
+    """3-element cross product (DuckDB array_cross_product)."""
+    if len(args) != 2:
+        raise UnsupportedDialect("array_cross_product expects (list, list)")
+    a, b = args
+
+    def g(arr: str, i: int) -> str:
+        return f"element_at({arr}, {i})"
+
+    return (
+        f"array({g(a, 2)} * {g(b, 3)} - {g(a, 3)} * {g(b, 2)}, "
+        f"{g(a, 3)} * {g(b, 1)} - {g(a, 1)} * {g(b, 3)}, "
+        f"{g(a, 1)} * {g(b, 2)} - {g(a, 2)} * {g(b, 1)})"
+    )
+
+
+def _emit_bar(args: list[str]) -> str:
+    """DuckDB bar(x, min, max[, width=80]): eighth-block unicode bar.
+    Measured quirks replicated exactly: partial blocks are FLOOR(frac*8)
+    eighths ('▏▎▍▌▋▊▉'); the space padding is computed against the UTF-8
+    BYTE length (each block char is 3 bytes), so bar(3,0,10,10) is
+    '███' + ONE space; min >= max yields all spaces."""
+    if len(args) == 3:
+        args = args + ["80"]
+    if len(args) != 4:
+        raise UnsupportedDialect("bar expects (x, min, max[, width])")
+    x, mn, mx, w = args
+    frac = (
+        f"GREATEST(LEAST((CAST(({x}) AS DOUBLE) - ({mn})) / (({mx}) - ({mn})),"
+        f" CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+    )
+    blocks = f"({frac} * ({w}))"
+    full = f"CAST(FLOOR({blocks}) AS INT)"
+    e = f"CAST(FLOOR(({blocks} - FLOOR({blocks})) * 8) AS INT)"
+    partial = f"CASE WHEN {e} > 0 THEN substring('▏▎▍▌▋▊▉', {e}, 1) ELSE '' END"
+    pad = (
+        f"repeat(' ', GREATEST(CAST(({w}) AS INT)"
+        f" - 3 * ({full} + IF({e} > 0, 1, 0)), 0))"
+    )
+    return (
+        f"(CASE WHEN ({mx}) > ({mn}) THEN "
+        f"concat(repeat('█', {full}), {partial}, {pad}) "
+        f"ELSE repeat(' ', CAST(({w}) AS INT)) END)"
+    )
+
+
+def _emit_duck_bin(args: list[str]) -> str:
+    """DuckDB bin()/to_binary(): numeric -> minimal binary digits (Spark
+    bin matches exactly); STRING input is the per-byte 8-bit pattern of
+    the UTF-8 encoding — computed here for literals; non-literal string
+    columns fall through to Spark bin's numeric semantics (declared
+    divergence, COVERAGE.md)."""
+    if len(args) != 1:
+        raise UnsupportedDialect("bin expects one argument")
+    (x,) = args
+    m = re.fullmatch(r"\s*'([^']*)'\s*", x)
+    if m:
+        bits = "".join(format(byte, "08b") for byte in m.group(1).encode("utf-8"))
+        return f"'{bits}'"
+    return f"bin({x})"
+
+
+def _emit_from_binary(args: list[str]) -> str:
+    """Parse a '0'/'1' string into a BLOB (measured: from_binary('1010')
+    -> x'0A', i.e. ceil(len/8) bytes, left-zero-padded). conv is 64-bit —
+    longer inputs raise at runtime instead of silently overflowing."""
+    if len(args) != 1:
+        raise UnsupportedDialect("from_binary expects one argument")
+    (x,) = args
+    return (
+        f"CASE WHEN length({x}) > 64 THEN "
+        f"CAST(raise_error('from_binary: input exceeds 64 bits') AS BINARY) "
+        f"ELSE unhex(lpad(conv(({x}), 2, 16), "
+        f"CAST(2 * ceil(length({x}) / 8.0) AS INT), '0')) END"
+    )
+
+
 _ROUND5_EMITTERS = {
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
@@ -3982,6 +4233,25 @@ _ROUND5_EMITTERS = {
     "__duck_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", False),
     "__duck_not_ilike_escape": lambda a: _emit_like_escape(a, "ILIKE", True),
     "__duck_unsupported_fn": _emit_unsupported_fn,
+    "__duck_unsupported_introspect": _emit_unsupported_introspect,
+    "__spark_element_at": lambda a: f"element_at({', '.join(a)})",
+    "__duck_bare_aggregate": _emit_bare_aggregate,
+    "__duck_bare_reduce": _emit_bare_reduce,
+    "__duck_jaccard": _emit_jaccard,
+    "__duck_constant_or_null": _emit_constant_or_null,
+    "__duck_decode": _emit_decode,
+    "__duck_get_bit": _emit_get_bit,
+    "__duck_set_bit": _emit_set_bit,
+    "__duck_list_dist": _emit_list_dist,
+    "__duck_cross3": _emit_cross3,
+    "__duck_bar": _emit_bar,
+    "__duck_bin": _emit_duck_bin,
+    "__duck_from_binary": _emit_from_binary,
+    "__duck_to_weeks": lambda a: _emit_interval_builder("weeks", a),
+    "__duck_to_quarters": lambda a: _emit_interval_builder("quarters", a),
+    "__duck_to_centuries": lambda a: _emit_interval_builder("centuries", a),
+    "__duck_to_decades": lambda a: _emit_interval_builder("decades", a),
+    "__duck_to_millennia": lambda a: _emit_interval_builder("millennia", a),
     "__duck_skewness": _emit_skewness,
     "__duck_kurtosis": _emit_kurtosis,
     "__duck_entropy": _emit_entropy,

@@ -439,8 +439,8 @@ def test_r08_string2_matches_duckdb(spark, con, expr):
     )
 
 
-def test_bar_and_nfc_raise_cleanly():
-    with pytest.raises(UnsupportedDialect):
-        translate("SELECT bar(5, 0, 10) AS v")
+def test_nfc_raises_cleanly():
+    # bar() gained a real emitter in the r08 batch-3 sweep
+    # (test_idioms_r08b); nfc_normalize still has no Spark equivalent
     with pytest.raises(UnsupportedDialect):
         translate("SELECT nfc_normalize('a') AS v")
