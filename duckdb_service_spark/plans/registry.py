@@ -51,13 +51,14 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # (a) queries new or code-path-changed in round 8 (named-WINDOW EXCLUDE
 # inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
 # window FILTER reorder, corpus-broadcast-hint removal, the new
-# text_substring_dedup span-dedup operator), then (b) the 13 r02-era rows —
-# the last of the stalest driver evidence, queued since r07, then (c) 25 of
-# the 43 r04-era rows. 12 + 13 + 25 = 50; the remaining r04-era rows
-# (generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
-# stream_*) rotate first in r09.
+# text_substring_dedup span-dedup and text_dsir_selection operators), then
+# (b) the 13 r02-era rows — the last of the stalest driver evidence, queued
+# since r07, then (c) 24 of the 43 r04-era rows. 13 + 13 + 24 = 50; the
+# remaining r04-era rows (values_relation, generate_series_step,
+# setop_*_all, sim_*, io_parquet, sql_read_*, stream_*) rotate first in r09.
 PRIORITY: list[str] = [
     # (a) new or changed in round 8
+    "text_dsir_selection",
     "text_substring_dedup",
     "win_exclude_named",
     "fn_battery_r10",
@@ -109,7 +110,6 @@ PRIORITY: list[str] = [
     "filter_ilike",
     "distinct_basic",
     "distinct_on_latest_order",
-    "values_relation",
 ]
 
 

@@ -1788,3 +1788,172 @@ def substring_dedup_corpus(
             F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (round 8): Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" (arXiv:2302.03169) — score every
+# raw document by how target-like its hashed-n-gram feature distribution is,
+# then resample without replacement via Gumbel-top-k. This is the standard
+# pretraining-mix selection step that sits between quality filtering and
+# dedup in large-scale curation runs (used for The Pile/RedPajama-style
+# domain targeting).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets (paper uses 10k; scaled to fixture
+#                 vocab so buckets stay multi-occupied and the ratio model
+#                 is non-degenerate)
+_DSIR_K = 100  # documents to select
+_DSIR_TARGET_LANG = "en"  # target-domain proxy: the English sub-corpus
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+feats AS (  -- unigrams + bigrams, multiplicity preserved (paper section 3.1)
+  SELECT doc_id, lang, f FROM toks, UNNEST(t) AS u(f)
+  UNION ALL
+  SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS f
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+bk AS (
+  SELECT doc_id, lang, {hash64_sql('f')} % {_DSIR_B} AS bkt FROM feats
+),
+counts AS (
+  SELECT bkt, COUNT(*) AS cnt_raw,
+         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS cnt_t
+  FROM bk GROUP BY bkt
+),
+tot AS (
+  SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+         CAST(SUM(cnt_t) AS BIGINT) AS tot_t
+  FROM counts
+),
+lr AS (  -- add-1-smoothed per-bucket log p_target/p_raw, 1e-6 micro-units
+  SELECT bkt,
+         CAST(round((ln((cnt_t + 1.0) / (tot_t + {_DSIR_B}.0))
+                   - ln((cnt_raw + 1.0) / (tot_raw + {_DSIR_B}.0)))
+                    * 1000000) AS BIGINT) AS lr_u
+  FROM counts CROSS JOIN tot
+),
+w AS (  -- per-doc log importance weight: sum of per-occurrence log-ratios
+  SELECT bk.doc_id, MAX(bk.lang) AS lang,
+         CAST(SUM(lr.lr_u) AS BIGINT) AS logw_u
+  FROM bk JOIN lr USING (bkt) GROUP BY bk.doc_id
+),
+gk AS (  -- Gumbel-top-k sampling without replacement, seeded by doc_id
+  SELECT doc_id, lang, logw_u,
+         logw_u + CAST(round(-ln(-ln(
+             (({hash64_sql("CAST(doc_id AS VARCHAR) || ':gumbel'")} % 1000000)
+              + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS key_u
+  FROM w
+)
+SELECT doc_id, lang, logw_u, key_u
+FROM gk ORDER BY key_u DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@query("text_dsir_selection", oracle=_DSIR_ORACLE)
+def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bag-of-features, add-1-smoothed target/raw bucket log-ratios, per-doc
+    log importance weight, Gumbel-top-k selection without replacement.
+
+    Exactness: the per-bucket log-ratio and the per-doc Gumbel key are
+    rounded once to 1e-6 micro-unit BIGINTs (ln over identical IEEE
+    doubles; the rounding absorbs last-ulp libm differences), so the
+    per-doc reduction is an INTEGER sum — order-free under any
+    partitioning — and the Gumbel noise is a deterministic md5-seeded
+    uniform, making the whole sample reproducible and hash-exact vs the
+    DuckDB oracle. LIMIT is totally ordered (key_u DESC, doc_id).
+
+    100 TB design: the feature stream is two explodes of one token scan
+    (never re-read); bucket counts are ONE map-side-combinable groupBy
+    collapsing to exactly B={_DSIR_B} rows; the log-ratio model is
+    PARAMETER-bounded (B rows regardless of corpus size — unlike the
+    Heaps'-law bigram LM), so hint-broadcasting it onto the feature stream
+    is safe at any scale and keeps the scoring join map-side; selection is
+    orderBy+limit = TakeOrderedAndProject (per-partition top-k, no global
+    sort). Reference parity: the reference serves SQL via linked DuckDB
+    (db/db.go:67-117) and has no pipeline operators; this extends the
+    LLM-curation surface.
+    """
+    t = load_tables(spark, sf_dir)
+    return dsir_select(_docs_parallel(t).select("doc_id", "lang", "text"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = _DSIR_TARGET_LANG,
+    n_buckets: int = _DSIR_B,
+    k: int = _DSIR_K,
+) -> DataFrame:
+    """The DSIR plan proper, parameterized on (doc_id, lang, text) and the
+    bucket/selection sizes so the 10x scale harness (tools/scale_dsir.py)
+    drives the IDENTICAL plan the registry query runs."""
+    d = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
+    uni = d.select("doc_id", "lang", F.explode("t").alias("f"))
+    m = F.greatest(F.size("t") - 1, F.lit(0))
+    big = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, m),
+                F.slice("t", 2, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("f"),
+    )
+    bk = uni.unionByName(big).select(
+        "doc_id", "lang", (hash64(F.col("f")) % n_buckets).alias("bkt")
+    )
+    counts = bk.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.count_if(F.col("lang") == target_lang).alias("cnt_t"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_raw").cast("bigint").alias("tot_raw"),
+        F.sum("cnt_t").cast("bigint").alias("tot_t"),
+    )
+    smooth = F.lit(float(n_buckets))
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("cnt_t") + F.lit(1.0)) / (F.col("tot_t") + smooth))
+                - F.log(
+                    (F.col("cnt_raw") + F.lit(1.0)) / (F.col("tot_raw") + smooth)
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("lr_u"),
+    )
+    w = (
+        bk.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.sum("lr_u").cast("bigint").alias("logw_u"),
+        )
+    )
+    u = (
+        (
+            hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel")))
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    sel = w.select(
+        "doc_id",
+        "lang",
+        "logw_u",
+        (
+            F.col("logw_u")
+            + F.round(-F.log(-F.log(u)) * 1000000, 0).cast("bigint")
+        ).alias("key_u"),
+    )
+    return sel.orderBy(F.desc("key_u"), "doc_id").limit(k)

@@ -259,6 +259,9 @@ PIPELINE_BROADCAST_ALLOWANCE = {
     "pipeline_training_mix": 3,     # per-source totals / thresholds
     "pipeline_source_mix": 1,       # per-source totals
     "text_contamination": 1,        # benchmark shingle set (fixed input)
+    "text_dsir_selection": 2,       # corpus totals (1 row) + log-ratio
+    #                                 model (exactly B=1024 rows — bounded
+    #                                 by the bucket PARAMETER, not corpus)
     "text_unigram_fc_buckets": 3,   # corpus doc count + bucket cutoffs
     "text_tfidf_top_terms": 1,      # corpus doc count (global agg, 1 row)
 }
