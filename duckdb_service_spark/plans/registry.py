@@ -51,14 +51,19 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # (a) queries new or code-path-changed in round 8 (named-WINDOW EXCLUDE
 # inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
 # window FILTER reorder, corpus-broadcast-hint removal, the new
-# text_substring_dedup span-dedup and text_dsir_selection operators), then
-# (b) the 13 r02-era rows — the last of the stalest driver evidence, queued
-# since r07, then (c) 24 of the 43 r04-era rows. 13 + 13 + 24 = 50; the
-# remaining r04-era rows (values_relation, generate_series_step,
-# setop_*_all, sim_*, io_parquet, sql_read_*, stream_*) rotate first in r09.
+# text_substring_dedup span-dedup, text_dsir_selection and
+# pipeline_domain_reweighting operators — the latter also re-proves
+# text_lm_perplexity, whose scoring moved into the shared _lm_doc_nll),
+# then (b) the 13 r02-era rows — the last of the stalest driver evidence,
+# queued since r07, then (c) 23 of the 43 r04-era rows. 14 + 13 + 23 = 50;
+# the remaining r04-era rows (values_relation, distinct_on_latest_order,
+# generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
+# stream_*) rotate first in r09.
 PRIORITY: list[str] = [
     # (a) new or changed in round 8
     "text_dsir_selection",
+    "pipeline_domain_reweighting",
+    "text_lm_perplexity",
     "text_substring_dedup",
     "win_exclude_named",
     "fn_battery_r10",
@@ -69,7 +74,6 @@ PRIORITY: list[str] = [
     "win_exclude_frame",
     "sql_pattern_operators",
     "win_distinct_agg",
-    "text_lm_perplexity",
     "text_line_dedup",
     # (b) r02-era rotation debt, final tail
     "join_positional",
@@ -109,7 +113,6 @@ PRIORITY: list[str] = [
     "filter_predicates",
     "filter_ilike",
     "distinct_basic",
-    "distinct_on_latest_order",
 ]
 
 

@@ -1565,28 +1565,15 @@ _LM_PERPLEXITY_ORACLE = r"""
     """
 
 
-@query("text_lm_perplexity", oracle=_LM_PERPLEXITY_ORACLE)
-def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality scoring (Wenzek et al. 2020, arXiv:1911.00359
-    score docs by LM perplexity; here the LM is the corpus's own add-one-
-    smoothed bigram model, so the pass is self-contained): per-doc average
-    negative log-likelihood over its bigrams. High nll = improbable word
-    sequences = the candidate-removal tail of the quality distribution.
-
-    Exactness: per-bigram-TYPE log-prob is rounded to 1e-6 micro-units as a
-    BIGINT once (ln of identical IEEE doubles; the rounding absorbs any
-    last-ulp libm difference between engines), and the per-doc reduction is
-    an INTEGER sum — order-free, so the result is identical under any
-    partitioning and hash-exact vs the DuckDB oracle.
-
-    100 TB design: one bigram explode feeds three map-side-combinable
-    groupBys (type counts, prefix counts, doc reduction); the model relation
-    (distinct bigram types — Zipf-bounded vocab^2, NOT corpus-sized)
-    broadcasts onto the doc-bigram stream; the token stream is read once."""
-    t = load_tables(spark, sf_dir)
-    d = _docs_parallel(t).select("doc_id", tokens_expr(F.col("text")).alias("tok"))
+def _lm_doc_nll(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, n_bigrams, lsum): per-doc NLL numerators under the
+    corpus's own add-one-smoothed bigram model, lsum in 1e-6 micro-unit
+    BIGINTs (order-free integer reduction — see text_lm_perplexity).
+    Shared by text_lm_perplexity and pipeline_domain_reweighting; ``d`` is
+    (doc_id, *carry, tok)."""
     pairs = d.select(
         "doc_id",
+        *carry,
         F.explode(
             F.zip_with(
                 F.slice("tok", 1, F.greatest(F.size("tok") - 1, F.lit(0))),
@@ -1594,7 +1581,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    ).select("doc_id", *carry, "p.w1", "p.w2")
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     pref = bi.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("prefix_cnt"))
     vocab = pairs.agg(F.countDistinct("w2").alias("vsz"))
@@ -1619,22 +1606,44 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO broadcast hint on lp: bigram TYPES grow with the corpus (Heaps'
     # law — tens of billions at web scale), so a forced broadcast OOMs the
     # executors at 100 TB. Left unhinted, AQE elects broadcast from real
-    # runtime stats when the model actually is small (same policy as the
-    # unigram path above).
+    # runtime stats when the model actually is small.
     return (
         pairs.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
+            *[F.max(c).alias(c) for c in carry],
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("logp_u").cast("bigint").alias("lsum"),
         )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.round(
-                -(F.col("lsum") / F.lit(1000000.0)) / F.col("n_bigrams"), 4
-            ).alias("nll"),
-        )
+    )
+
+
+@query("text_lm_perplexity", oracle=_LM_PERPLEXITY_ORACLE)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, arXiv:1911.00359
+    score docs by LM perplexity; here the LM is the corpus's own add-one-
+    smoothed bigram model, so the pass is self-contained): per-doc average
+    negative log-likelihood over its bigrams. High nll = improbable word
+    sequences = the candidate-removal tail of the quality distribution.
+
+    Exactness: per-bigram-TYPE log-prob is rounded to 1e-6 micro-units as a
+    BIGINT once (ln of identical IEEE doubles; the rounding absorbs any
+    last-ulp libm difference between engines), and the per-doc reduction is
+    an INTEGER sum — order-free, so the result is identical under any
+    partitioning and hash-exact vs the DuckDB oracle.
+
+    100 TB design: one bigram explode feeds three map-side-combinable
+    groupBys (type counts, prefix counts, doc reduction); the model relation
+    (distinct bigram types — Zipf-bounded vocab^2, NOT corpus-sized)
+    broadcasts onto the doc-bigram stream; the token stream is read once."""
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t).select("doc_id", tokens_expr(F.col("text")).alias("tok"))
+    return _lm_doc_nll(d).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -(F.col("lsum") / F.lit(1000000.0)) / F.col("n_bigrams"), 4
+        ).alias("nll"),
     )
 
 
@@ -1957,3 +1966,154 @@ def dsir_select(
         ).alias("key_u"),
     )
     return sel.orderBy(F.desc("key_u"), "doc_id").limit(k)
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (round 8): Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining"
+# (arXiv:2305.10429) — upweight domains whose loss EXCEEDS the reference,
+# via an exponentiated-gradient step on per-domain excess loss. Full DoReMi
+# alternates proxy-model training with these EG updates; the data-pipeline
+# half — per-domain loss aggregation, clipped excess, exp-reweighting,
+# normalization — is exactly this query, with the corpus's own bigram-LM
+# NLL (text_lm_perplexity) standing in for the proxy/reference loss gap.
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 5.0  # EG step size (paper: eta=1 per mini-batch step; one static
+#                 pass over corpus-level losses uses a larger step so the
+#                 output mix is visibly non-uniform)
+
+_DOMAIN_REWEIGHT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, source, tok[CAST(i AS INT)] AS w1, tok[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(tok) - 1)) AS g(i)
+),
+bi AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+pref AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS prefix_cnt FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS vsz FROM pairs),
+lp AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln((b.cnt + 1.0) / (p.prefix_cnt + v.vsz)) * 1000000)
+              AS BIGINT) AS logp_u
+  FROM bi b JOIN pref p ON b.w1 = p.w1 CROSS JOIN v
+),
+scored AS (
+  SELECT pr.doc_id, MAX(pr.source) AS source, count(*) AS n_bigrams,
+         CAST(SUM(lp.logp_u) AS BIGINT) AS lsum
+  FROM pairs pr JOIN lp ON pr.w1 = lp.w1 AND pr.w2 = lp.w2
+  GROUP BY pr.doc_id
+),
+dom AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_bigrams) AS BIGINT) AS nb,
+         CAST(SUM(lsum) AS BIGINT) AS lsum
+  FROM scored GROUP BY source
+),
+base AS (
+  SELECT CAST(SUM(nb) AS BIGINT) AS nb_all,
+         CAST(SUM(lsum) AS BIGINT) AS lsum_all
+  FROM dom
+),
+ex AS (  -- clipped per-domain excess loss (nats/bigram), micro-rounded
+  SELECT source, n_docs,
+         CAST(round(greatest(0.0,
+             (-(lsum / 1000000.0) / nb) - (-(lsum_all / 1000000.0) / nb_all))
+             * 1000000) AS BIGINT) AS excess_u
+  FROM dom CROSS JOIN base
+),
+eu AS (  -- EG update numerator, micro-units (integer sum => order-free)
+  SELECT source, n_docs, excess_u,
+         CAST(round(exp({_DRM_ETA} * (excess_u / 1000000.0)) * 1000000)
+              AS BIGINT) AS e_u
+  FROM ex
+),
+tot AS (SELECT CAST(SUM(e_u) AS BIGINT) AS te FROM eu)
+SELECT source, n_docs, excess_u,
+       round(CAST(e_u AS DOUBLE) / te, 6) AS doremi_weight
+FROM eu CROSS JOIN tot
+"""
+
+
+@query("pipeline_domain_reweighting", oracle=_DOMAIN_REWEIGHT_ORACLE)
+def pipeline_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): per-source mean
+    bigram-LM NLL -> clipped excess over the corpus-wide reference ->
+    exponentiated-gradient upweighting -> normalized mixture weights.
+
+    Exactness: per-domain losses are ratios of two order-free INTEGER sums
+    (the micro-unit lsum and bigram counts from _lm_doc_nll), the excess
+    and the EG numerator are micro-rounded once each (exp/ln over identical
+    IEEE doubles), and the normalizer is an integer sum — so the weights
+    are identical under any partitioning and hash-exact vs DuckDB.
+
+    100 TB design: reuses the text_lm_perplexity topology (one bigram
+    explode, map-side-combinable model groupBys, the Heaps'-law lp model
+    UNHINTED so AQE decides); everything after the per-doc reduction lives
+    in domain-cardinality relations (#sources rows) — the two crossJoin
+    broadcasts are 1-row global aggregates. Reference parity: reference
+    serves SQL via linked DuckDB (db/db.go:67-117) and has no pipeline
+    operators; this extends the LLM-curation surface."""
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    d = _docs_parallel(t).select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("tok")
+    )
+    # persist the #sources-row aggregate: it feeds BOTH the reference-loss
+    # global aggregate and the EG update — without the cache the whole
+    # bigram-scoring pipeline (the expensive part) is recomputed under each
+    # of the two downstream 1-row broadcasts.
+    dom = (
+        _lm_doc_nll(d, carry=("source",))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("nb"),
+            F.sum("lsum").cast("bigint").alias("lsum"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = dom.agg(
+        F.sum("nb").cast("bigint").alias("nb_all"),
+        F.sum("lsum").cast("bigint").alias("lsum_all"),
+    )
+    ex = dom.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (-(F.col("lsum") / F.lit(1000000.0)) / F.col("nb"))
+                - (-(F.col("lsum_all") / F.lit(1000000.0)) / F.col("nb_all")),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("excess_u"),
+    )
+    eu = ex.select(
+        "source",
+        "n_docs",
+        "excess_u",
+        F.round(
+            F.exp(F.lit(_DRM_ETA) * (F.col("excess_u") / F.lit(1000000.0)))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("e_u"),
+    )
+    eu = eu.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = eu.agg(F.sum("e_u").cast("bigint").alias("te"))
+    return eu.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "excess_u",
+        F.round(F.col("e_u").cast("double") / F.col("te"), 6).alias(
+            "doremi_weight"
+        ),
+    )

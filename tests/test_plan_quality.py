@@ -259,6 +259,9 @@ PIPELINE_BROADCAST_ALLOWANCE = {
     "pipeline_training_mix": 3,     # per-source totals / thresholds
     "pipeline_source_mix": 1,       # per-source totals
     "text_contamination": 1,        # benchmark shingle set (fixed input)
+    "pipeline_domain_reweighting": 3,  # vocab + base + normalizer (all
+    #                                 1-row global aggregates; the lp model
+    #                                 stays unhinted like text_lm_perplexity)
     "text_dsir_selection": 2,       # corpus totals (1 row) + log-ratio
     #                                 model (exactly B=1024 rows — bounded
     #                                 by the bucket PARAMETER, not corpus)
