@@ -1065,3 +1065,36 @@ def fn_battery_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir).view("orders")
     return spark.sql(translate(_R12_BATTERY_SQL))
+
+
+_R13_BATTERY_SQL = """
+SELECT p_partkey,
+       round(jaro_similarity(p_name, p_type), 9)              AS jaro_nt,
+       round(jaro_winkler_similarity(p_name, p_type), 9)      AS jw_nt,
+       round(jaro_winkler_similarity(p_brand, 'Brand#33'), 9) AS jw_brand,
+       round(jaro_similarity(p_brand, p_brand), 9)            AS jaro_self,
+       CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT)   AS dl_bt,
+       CAST(damerau_levenshtein(p_name, p_brand) AS BIGINT)   AS dl_nb
+FROM part
+WHERE p_partkey <= 300
+"""
+
+
+@query("fn_battery_r13", oracle=_R13_BATTERY_SQL)
+def fn_battery_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 string-similarity battery (verbatim SQL through the
+    dialect): jaro_similarity / jaro_winkler_similarity /
+    damerau_levenshtein as Arrow pandas UDFs implementing the MEASURED
+    DuckDB semantics — UTF-8 byte-level, 0.0 on empty inputs, Winkler
+    boost only above the 0.7 threshold with prefix capped at 4, TRUE
+    (unrestricted, alphabet-table) Damerau-Levenshtein rather than the
+    OSA variant. Values rounded at 9 dp on both sides (the algorithms
+    are float-identical in practice — 400-case random differential at
+    1e-12 in tests/test_similarity_udfs.py — but the DP's float sum
+    order is not contractual). Registration is idempotent per session
+    (functions/similarity_udfs.ensure_similarity_udfs, wired through
+    session.tune so vanilla driver sessions get it via load_tables)."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("part")
+    return spark.sql(translate(_R13_BATTERY_SQL))

@@ -55,8 +55,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # pipeline_domain_reweighting operators — the latter also re-proves
 # text_lm_perplexity, whose scoring moved into the shared _lm_doc_nll),
 # then (b) the 13 r02-era rows — the last of the stalest driver evidence,
-# queued since r07, then (c) 23 of the 43 r04-era rows. 14 + 13 + 23 = 50;
-# the remaining r04-era rows (values_relation, distinct_on_latest_order,
+# queued since r07, then (c) 22 of the 43 r04-era rows. 15 + 13 + 22 = 50;
+# the remaining r04-era rows (values_relation, distinct_basic, distinct_on_latest_order,
 # generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
 # stream_*) rotate first in r09.
 PRIORITY: list[str] = [
@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "fn_battery_r11",
     "fn_json_ops",
     "fn_battery_r12",
+    "fn_battery_r13",
     "dedup_cross_source_matrix",
     "win_exclude_frame",
     "sql_pattern_operators",
@@ -89,7 +90,7 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
-    # (c) r04-era rows (26 of 43; the rest lead r09)
+    # (c) r04-era rows (22 of 43; the rest lead r09)
     "agg_core",
     "agg_count_distinct",
     "agg_stats_exact",
@@ -112,7 +113,6 @@ PRIORITY: list[str] = [
     "select_exclude_replace",
     "filter_predicates",
     "filter_ilike",
-    "distinct_basic",
 ]
 
 

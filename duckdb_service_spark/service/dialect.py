@@ -288,9 +288,12 @@ FUNCTION_ALIASES = {
     "geomean": "__duck_geomean",
     "geometric_mean": "__duck_geomean",
     "arbitrary": "any_value",
-    "jaro_similarity": "__duck_unsupported_fn",
-    "jaro_winkler_similarity": "__duck_unsupported_fn",
-    "damerau_levenshtein": "__duck_unsupported_fn",
+    # jaro*/damerau_levenshtein pass through to Arrow pandas UDFs with the
+    # measured DuckDB byte-level semantics (functions/similarity_udfs.py;
+    # registered by session.tune and lazily by the fn battery)
+    "jaro_similarity": "jaro_similarity",
+    "jaro_winkler_similarity": "jaro_winkler_similarity",
+    "damerau_levenshtein": "damerau_levenshtein",
     "nextafter": "__duck_unsupported_fn",
     "gamma": "__duck_unsupported_fn",
     "lgamma": "__duck_unsupported_fn",
@@ -3961,7 +3964,7 @@ def _emit_geomean(args: list[str]) -> str:
 def _emit_unsupported_fn(args: list[str]) -> str:
     raise UnsupportedDialect(
         "this DuckDB function has no exact Spark equivalent "
-        "(jaro*/damerau_levenshtein/nextafter/gamma/alias family)"
+        "(nextafter/gamma/alias family)"
     )
 
 
