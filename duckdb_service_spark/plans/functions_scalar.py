@@ -1074,7 +1074,10 @@ SELECT p_partkey,
        round(jaro_winkler_similarity(p_brand, 'Brand#33'), 9) AS jw_brand,
        round(jaro_similarity(p_brand, p_brand), 9)            AS jaro_self,
        CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT)   AS dl_bt,
-       CAST(damerau_levenshtein(p_name, p_brand) AS BIGINT)   AS dl_nb
+       CAST(damerau_levenshtein(p_name, p_brand) AS BIGINT)   AS dl_nb,
+       gamma(p_retailprice / 1000.0 + 0.5)                    AS gam,
+       lgamma(p_retailprice / 10.0 + 1.0)                     AS lgam,
+       nextafter(p_retailprice, 0.0)                          AS nxt
 FROM part
 WHERE p_partkey <= 300
 """

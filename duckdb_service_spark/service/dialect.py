@@ -294,9 +294,12 @@ FUNCTION_ALIASES = {
     "jaro_similarity": "jaro_similarity",
     "jaro_winkler_similarity": "jaro_winkler_similarity",
     "damerau_levenshtein": "damerau_levenshtein",
-    "nextafter": "__duck_unsupported_fn",
-    "gamma": "__duck_unsupported_fn",
-    "lgamma": "__duck_unsupported_fn",
+    # gamma/lgamma/nextafter pass through to libm-backed pandas UDFs —
+    # bit-exact vs DuckDB's std::tgamma/lgamma/nextafter on glibc
+    # (functions/libm_udfs.py; poles diverge, documented there)
+    "gamma": "gamma",
+    "lgamma": "lgamma",
+    "nextafter": "nextafter",
     # round-8 batch 3 (function-coverage sweep; each verified against
     # DuckDB 1.x output — see tests/test_idioms_r08b.py)
     "apply": "transform",
@@ -3964,7 +3967,7 @@ def _emit_geomean(args: list[str]) -> str:
 def _emit_unsupported_fn(args: list[str]) -> str:
     raise UnsupportedDialect(
         "this DuckDB function has no exact Spark equivalent "
-        "(nextafter/gamma/alias family)"
+        "(alias family)"
     )
 
 

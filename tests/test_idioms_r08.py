@@ -118,11 +118,9 @@ def test_uuid_functions_translate_and_run(spark):
 @pytest.mark.parametrize(
     "expr",
     [
-        # jaro*/damerau moved to IMPLEMENTED in late r08 (Arrow pandas
-        # UDFs — tests/test_similarity_udfs.py covers them)
-        "nextafter(1.0, 2.0)",
-        "gamma(5)",
-        "lgamma(5)",
+        # jaro*/damerau and gamma/lgamma/nextafter moved to IMPLEMENTED in
+        # late r08 (Arrow pandas UDFs — tests/test_similarity_udfs.py and
+        # tests/test_libm_udfs.py cover them)
         "alias(42)",
     ],
 )
