@@ -151,6 +151,21 @@ def _damerau_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="Int64")
 
 
+def _nfc_batch(x: pd.Series) -> pd.Series:
+    """DuckDB nfc_normalize twin: Unicode NFC composition. Python
+    unicodedata vs DuckDB's utf8proc — differential-tested; both track the
+    Unicode standard's canonical composition."""
+    import unicodedata
+
+    return pd.Series(
+        [
+            None if v is None else unicodedata.normalize("NFC", str(v))
+            for v in x
+        ],
+        dtype="object",
+    )
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -169,4 +184,5 @@ def ensure_similarity_udfs(spark) -> None:
     spark.udf.register(
         "damerau_levenshtein", pandas_udf(_damerau_batch, "long")
     )
+    spark.udf.register("nfc_normalize", pandas_udf(_nfc_batch, "string"))
     _REGISTERED.add(key)

@@ -233,7 +233,9 @@ FUNCTION_ALIASES = {
     "md5_number_lower": "__duck_md5_num_lower",
     "md5_number_upper": "__duck_md5_num_upper",
     "bar": "__duck_bar",
-    "nfc_normalize": "__duck_unsupported_fn",
+    # Unicode NFC via a pandas UDF (Python unicodedata; differential-tested
+    # against DuckDB's utf8proc in tests/test_similarity_udfs.py)
+    "nfc_normalize": "nfc_normalize",
     # round-8 date/time additions (verified against DuckDB 1.x output)
     "timezone": "__duck_timezone",
     "isoyear": "__duck_isoyear",
@@ -2997,9 +2999,17 @@ def _emit_time_bucket(args: list[str]) -> str:
 
 
 def _emit_list_aggregate(args: list[str]) -> str:
-    if len(args) != 2:
-        raise UnsupportedDialect("list_aggregate expects (list, 'name')")
+    if len(args) not in (2, 3):
+        raise UnsupportedDialect("list_aggregate expects (list, 'name'[, sep])")
     lst, name = args[0], args[1].strip().strip("'").lower()
+    # aggregate-name semantics measured on DuckDB 1.x: NULL elements are
+    # SKIPPED (sum([1,2,NULL]) = 3) and an empty/all-NULL/NULL list yields
+    # NULL, not the accumulator seed — so every folding form filters first
+    # and guards on the filtered size (r08 late fix: the previous sum/avg
+    # emission returned 0.0 on [] and NULL on [1,2,NULL], both silently
+    # wrong).
+    fl = f"filter({lst}, __x -> __x IS NOT NULL)"
+    empty = f"(size({fl}) IS NULL OR size({fl}) = 0)"
     if name == "min":
         return f"array_min({lst})"
     if name == "max":
@@ -3009,12 +3019,29 @@ def _emit_list_aggregate(args: list[str]) -> str:
     if name == "sum":
         # double accumulator: int lists come back as DOUBLE (DuckDB keeps
         # HUGEINT) — the stable cross-engine form is CAST(... AS BIGINT)
-        return f"aggregate({lst}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+        return (
+            f"(CASE WHEN {empty} THEN CAST(NULL AS DOUBLE) ELSE "
+            f"aggregate({fl}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+            f"END)"
+        )
     if name == "avg":
         return (
-            f"(aggregate({lst}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
-            f"/ size(filter({lst}, __x -> __x IS NOT NULL)))"
+            f"(CASE WHEN {empty} THEN CAST(NULL AS DOUBLE) ELSE "
+            f"aggregate({fl}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x) "
+            f"/ size({fl}) END)"
         )
+    if name == "string_agg":
+        sep = args[2] if len(args) == 3 else "','"
+        return (
+            f"(CASE WHEN {empty} THEN CAST(NULL AS STRING) ELSE "
+            f"array_join(transform({fl}, __x -> CAST(__x AS STRING)), {sep}) "
+            f"END)"
+        )
+    if name == "first":
+        # DuckDB first/last KEEP NULL elements (first([NULL,2]) = NULL)
+        return f"element_at({lst}, 1)"
+    if name == "last":
+        return f"element_at({lst}, -1)"
     raise UnsupportedDialect(f"list_aggregate: unsupported function {name!r}")
 
 
@@ -3180,13 +3207,37 @@ def _emit_grade_up(args: list[str]) -> str:
 
 
 def _emit_list_zip(args: list[str]) -> str:
-    """DuckDB list_zip: struct fields named list_1, list_2 (2-arg form)."""
-    if len(args) != 2:
-        raise UnsupportedDialect("list_zip: only the 2-list form is supported")
-    a, b = args
+    """DuckDB list_zip, n-ary (measured 1.x semantics): struct fields named
+    list_1..list_n, shorter lists padded with NULL (a NULL list acts as
+    empty-but-padded: list_zip(NULL, [1]) = [(NULL, 1)]), and an optional
+    trailing BOOLEAN literal truncates to the shortest list instead.
+
+    Emission: index-generated transform — `arrays_zip` would take the
+    Spark-chosen field names and `zip_with` is binary-only. `sequence(1, 0)`
+    DESCENDS in Spark, so the sequence is floored at 1 and the result
+    sliced back to the true length (slice keeps the element type where a
+    bare `array()` would not)."""
+    if not args:
+        raise UnsupportedDialect("list_zip needs at least one list")
+    trunc = False
+    tail = args[-1].strip().lower()
+    if tail in ("true", "false"):
+        trunc = tail == "true"
+        args = args[:-1]
+        if not args:
+            raise UnsupportedDialect("list_zip needs at least one list")
+    sizes = [f"coalesce(size({a}), 0)" for a in args]
+    n = (
+        sizes[0]
+        if len(sizes) == 1
+        else f"{'least' if trunc else 'greatest'}({', '.join(sizes)})"
+    )
+    fields = ", ".join(
+        f"({a})[__i - 1] AS list_{k + 1}" for k, a in enumerate(args)
+    )
     return (
-        f"zip_with({a}, {b}, (__x, __y) ->"
-        f" struct(__x AS list_1, __y AS list_2))"
+        f"slice(transform(sequence(1, greatest({n}, 1)), "
+        f"__i -> struct({fields})), 1, greatest({n}, 0))"
     )
 
 
@@ -4328,7 +4379,16 @@ def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
         inner = _rewrite_balanced_call(sql[open_at : j - 1], marker, emit)
         args = _split_args(inner)
         out.append(sql[i:start])
-        out.append(emit(args))
+        try:
+            out.append(emit(args))
+        except IndexError:
+            # an emitter indexed past the supplied argument list (e.g.
+            # json_quote() with zero args) — surface a clean dialect error
+            # instead of a raw IndexError traceback
+            raise UnsupportedDialect(
+                f"{marker.replace('__duck_', '')}: wrong argument count "
+                f"({len(args)})"
+            ) from None
         i = j
     return "".join(out)
 

@@ -436,8 +436,7 @@ def test_r08_string2_matches_duckdb(spark, con, expr):
     )
 
 
-def test_nfc_raises_cleanly():
-    # bar() gained a real emitter in the r08 batch-3 sweep
-    # (test_idioms_r08b); nfc_normalize still has no Spark equivalent
-    with pytest.raises(UnsupportedDialect):
-        translate("SELECT nfc_normalize('a') AS v")
+def test_nfc_translates_to_passthrough():
+    # nfc_normalize gained a pandas-UDF implementation in the r08 batch-4
+    # sweep (test_idioms_r08c) — the dialect passes the name through
+    assert "nfc_normalize" in translate("SELECT nfc_normalize('a') AS v")

@@ -1,0 +1,94 @@
+"""Round-8 batch-4 sweep: list_aggregate NULL/empty semantics (fixes two
+silent wrong answers — sum returned 0.0 on [] and NULL on [1,2,NULL]),
+string_agg/first/last names, n-ary list_zip with NULL-padding and the
+truncate flag, nfc_normalize (pandas UDF), and the emitter arity guard
+(json_quote() now raises cleanly instead of IndexError)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+CASES = [
+    # list_aggregate NULL/empty semantics (measured: NULLs skipped, empty/
+    # all-NULL/NULL list -> NULL, never the fold seed)
+    "list_aggregate([1, 2, 3], 'sum')",
+    "list_aggregate([1, 2, NULL], 'sum')",
+    "list_aggregate([]::INT[], 'sum')",
+    "list_aggregate([NULL]::INT[], 'sum')",
+    "list_aggregate(NULL::INT[], 'sum')",
+    "list_aggregate([1, 2, NULL], 'avg')",
+    "list_aggregate([]::INT[], 'avg')",
+    "list_aggregate([4, 1, NULL], 'min')",
+    "list_aggregate([4, 1, NULL], 'max')",
+    "list_aggregate([4, 1, NULL], 'count')",
+    # string_agg with and without separator; numeric elements cast
+    "list_aggregate(['a', 'b'], 'string_agg', '|')",
+    "list_aggregate([1, 2], 'string_agg')",
+    "list_aggregate([]::VARCHAR[], 'string_agg')",
+    "list_aggregate([NULL]::VARCHAR[], 'string_agg')",
+    "list_aggregate([''], 'string_agg')",
+    # first/last KEEP NULL elements
+    "list_aggregate([NULL, 2, 3], 'first')",
+    "list_aggregate([1, 2, NULL], 'last')",
+    "list_aggregate([]::INT[], 'first')",
+    "list_aggregate([3, 1, 2], 'first')",
+    "list_aggregate([3, 1, 2], 'last')",
+    "list_aggr([9, 4], 'max')",
+    # list_zip: padding, n-ary, NULL list, truncate flag
+    "list_zip([1, 2], ['a', 'b', 'c'])",
+    "list_zip([1, 2], ['a', 'b', 'c'], true)",
+    "list_zip([1, 2], ['a', 'b', 'c'], false)",
+    "list_zip([1, 2, 3])",
+    "list_zip([1], [2], [3, 4])",
+    "list_zip(NULL::INT[], [1])",
+    "list_zip([]::INT[], []::INT[])",
+    # nfc_normalize: decomposed e + combining acute -> composed é
+    "nfc_normalize('école')",
+    "nfc_normalize('abc')",
+    "nfc_normalize(NULL)",
+    "length(nfc_normalize('é'))",
+]
+
+
+def _norm(v):
+    if isinstance(v, tuple):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return tuple(_norm(x) for x in v.values())
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("expr", CASES)
+def test_r08c_idiom_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = _norm(con.execute(sql).fetchone()[0])
+    got = _norm(spark.sql(translate(sql)).collect()[0][0])
+    if isinstance(want, float):
+        assert got == pytest.approx(want, abs=1e-9), expr
+    else:
+        assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+def test_json_quote_zero_args_raises_cleanly():
+    with pytest.raises(UnsupportedDialect, match="argument count"):
+        translate("SELECT json_quote() AS v")
+
+
+def test_list_aggregate_unknown_name_raises():
+    with pytest.raises(UnsupportedDialect, match="median"):
+        translate("SELECT list_aggregate([1], 'median') AS v")
