@@ -345,3 +345,94 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_band_matches(incoming, corpus_bands).select(
         "doc_id", "corpus_id", "n_shared_bands"
     )
+
+
+@query(
+    "stream_dsir_scoring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, f FROM toks, UNNEST(t) AS u(f)
+      UNION ALL
+      SELECT doc_id, lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             CAST('0x' || SUBSTR(MD5(f), 1, 15) AS BIGINT) % 1024 AS bkt
+      FROM feats
+    ),
+    counts AS (
+      SELECT bkt, COUNT(*) AS cnt_raw,
+             COUNT(*) FILTER (WHERE lang = 'en') AS cnt_t
+      FROM bk GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+             CAST(SUM(cnt_t) AS BIGINT) AS tot_t
+      FROM counts
+    ),
+    lr AS (
+      SELECT bkt,
+             CAST(round((ln((cnt_t + 1.0) / (tot_t + 1024.0))
+                       - ln((cnt_raw + 1.0) / (tot_raw + 1024.0)))
+                        * 1000000) AS BIGINT) AS lr_u
+      FROM counts CROSS JOIN tot
+    ),
+    inc AS (
+      SELECT doc_id + 100000 AS doc_id,
+             string_split_regex(trim(lower(
+               CASE WHEN doc_id % 2 = 0 THEN text || ' zq yq xq'
+                    ELSE reverse(text) END)), '\\s+') AS t
+      FROM documents
+    ),
+    ifeats AS (
+      SELECT doc_id, f FROM inc, UNNEST(t) AS u(f)
+      UNION ALL
+      SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+      FROM inc, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ),
+    ibk AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTR(MD5(f), 1, 15) AS BIGINT) % 1024 AS bkt
+      FROM ifeats
+    )
+    SELECT ib.doc_id AS doc_id, CAST(SUM(lr.lr_u) AS BIGINT) AS logw_u
+    FROM ibk ib JOIN lr USING (bkt)
+    GROUP BY ib.doc_id
+    """,
+)
+def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time DSIR scoring — the BATCH TWIN of
+    streaming.pipeline.dsir_score_stream (same code object; the streaming
+    execution over a documents file-stream is exercised in
+    tests/test_streaming_stateful.py with an availableNow drain and
+    asserted row-identical to this batch result). Incoming docs are
+    mutated twins of the corpus; each is scored against the STATIC
+    precomputed bucket log-ratio model (Xie et al. 2023 DSIR — see
+    text_dsir_selection for the batch selection pass).
+
+    100 TB design: the model is a PARAMETER-bounded B-row artifact
+    (broadcast-safe at any corpus size); an arriving micro-batch pays
+    feature-hash cost proportional to its own size; the per-doc integer
+    micro-unit sum is the only stateful step."""
+    from ..streaming.pipeline import dsir_score_stream
+    from .dedup import TWIN_OFFSET, TWIN_SUFFIX
+    from .textops import dsir_feature_buckets, dsir_log_ratio_model
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    lr = dsir_log_ratio_model(
+        dsir_feature_buckets(d.select("doc_id", "lang", "text"))
+    )
+    incoming = d.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.lit("incoming").alias("lang"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(TWIN_SUFFIX))
+        ).otherwise(F.reverse(F.col("text"))).alias("text"),
+    )
+    return dsir_score_stream(incoming, lr)

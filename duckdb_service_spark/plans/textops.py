@@ -1891,15 +1891,11 @@ def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(_docs_parallel(t).select("doc_id", "lang", "text"))
 
 
-def dsir_select(
-    docs: DataFrame,
-    target_lang: str = _DSIR_TARGET_LANG,
-    n_buckets: int = _DSIR_B,
-    k: int = _DSIR_K,
-) -> DataFrame:
-    """The DSIR plan proper, parameterized on (doc_id, lang, text) and the
-    bucket/selection sizes so the 10x scale harness (tools/scale_dsir.py)
-    drives the IDENTICAL plan the registry query runs."""
+def dsir_feature_buckets(docs: DataFrame, n_buckets: int = _DSIR_B) -> DataFrame:
+    """(doc_id, lang, bkt): one row per hashed unigram/bigram OCCURRENCE
+    (multiplicity preserved — the paper's bag-of-hashed-ngrams). Stateless
+    map-side projection, so it runs identically over a batch or streaming
+    relation (the streaming scorer reuses it)."""
     d = docs.select("doc_id", "lang", tokens_expr(F.col("text")).alias("t"))
     uni = d.select("doc_id", "lang", F.explode("t").alias("f"))
     m = F.greatest(F.size("t") - 1, F.lit(0))
@@ -1914,9 +1910,19 @@ def dsir_select(
             )
         ).alias("f"),
     )
-    bk = uni.unionByName(big).select(
+    return uni.unionByName(big).select(
         "doc_id", "lang", (hash64(F.col("f")) % n_buckets).alias("bkt")
     )
+
+
+def dsir_log_ratio_model(
+    bk: DataFrame,
+    target_lang: str = _DSIR_TARGET_LANG,
+    n_buckets: int = _DSIR_B,
+) -> DataFrame:
+    """(bkt, lr_u): the add-1-smoothed target/raw log-ratio model over the
+    feature-bucket stream — exactly B rows at any corpus size (the
+    precomputable, broadcast-safe artifact the streaming scorer probes)."""
     counts = bk.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("cnt_raw"),
         F.count_if(F.col("lang") == target_lang).alias("cnt_t"),
@@ -1926,7 +1932,7 @@ def dsir_select(
         F.sum("cnt_t").cast("bigint").alias("tot_t"),
     )
     smooth = F.lit(float(n_buckets))
-    lr = counts.crossJoin(F.broadcast(tot)).select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "bkt",
         F.round(
             (
@@ -1941,6 +1947,19 @@ def dsir_select(
         .cast("bigint")
         .alias("lr_u"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = _DSIR_TARGET_LANG,
+    n_buckets: int = _DSIR_B,
+    k: int = _DSIR_K,
+) -> DataFrame:
+    """The DSIR plan proper, parameterized on (doc_id, lang, text) and the
+    bucket/selection sizes so the 10x scale harness (tools/scale_dsir.py)
+    drives the IDENTICAL plan the registry query runs."""
+    bk = dsir_feature_buckets(docs, n_buckets)
+    lr = dsir_log_ratio_model(bk, target_lang, n_buckets)
     w = (
         bk.join(F.broadcast(lr), "bkt")
         .groupBy("doc_id")

@@ -163,3 +163,27 @@ def neardup_band_matches(docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
         .groupBy("doc_id", "corpus_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
     )
+
+
+def dsir_score_stream(docs: DataFrame, lr_model: DataFrame) -> DataFrame:
+    """(doc_id, logw_u): incoming documents scored against a STATIC DSIR
+    bucket log-ratio artifact (plans.textops.dsir_log_ratio_model). Works
+    identically on a streaming or batch ``docs`` relation (the
+    batch/stream parity contract): feature hashing is a stateless
+    map-side explode, the model probe is a stream-static broadcast join
+    (the artifact is PARAMETER-bounded — exactly B rows at any corpus
+    size, so the broadcast is safe where corpus-derived sides are not),
+    and the per-doc integer sum is the only stateful step.
+
+    This is the INGESTION-TIME data selector: at 100 TB the model is a
+    precomputed B-row table and each arriving micro-batch pays cost
+    proportional to ITS size — score at ingest, select by threshold or
+    downstream Gumbel-top-k over the scored log."""
+    from ..plans.textops import dsir_feature_buckets
+
+    bk = dsir_feature_buckets(docs)
+    return (
+        bk.join(F.broadcast(lr_model), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_u").cast("bigint").alias("logw_u"))
+    )

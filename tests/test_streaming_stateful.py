@@ -247,3 +247,55 @@ def test_stream_neardup_matches_batch(spark, sf_dir):
         for r in QUERIES["stream_neardup_lsh"](spark, sf_dir).collect()
     }
     assert got == want and got, f"stream/batch mismatch: {len(got)} vs {len(want)}"
+
+
+def test_stream_dsir_scoring_matches_batch(spark, sf_dir):
+    """Ingestion-time DSIR scoring: the STREAMING execution of
+    dsir_score_stream (documents file-stream vs the static B-row log-ratio
+    artifact, availableNow drain, complete mode) must be row-identical to
+    the batch twin — same code object, swapped source."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from duckdb_service_spark.plans import QUERIES, load_all
+    from duckdb_service_spark.plans.dedup import TWIN_OFFSET, TWIN_SUFFIX
+    from duckdb_service_spark.plans.textops import (
+        dsir_feature_buckets,
+        dsir_log_ratio_model,
+    )
+    from duckdb_service_spark.sources import load_tables
+    from duckdb_service_spark.streaming.pipeline import (
+        dsir_score_stream,
+        read_documents_stream,
+    )
+
+    load_all()
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    lr = dsir_log_ratio_model(
+        dsir_feature_buckets(d.select("doc_id", "lang", "text"))
+    )
+    # static side materialized once — the precomputed-artifact posture
+    lr = lr.localCheckpoint(eager=True)
+
+    incoming_stream = read_documents_stream(spark, sf_dir).select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.lit("incoming").alias("lang"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(TWIN_SUFFIX))
+        ).otherwise(F.reverse(F.col("text"))).alias("text"),
+    )
+    out = dsir_score_stream(incoming_stream, lr)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dsir")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.doc_id, r.logw_u) for r in spark.table("t_dsir").collect()}
+    want = {
+        (r.doc_id, r.logw_u)
+        for r in QUERIES["stream_dsir_scoring"](spark, sf_dir).collect()
+    }
+    assert got == want and got, f"stream/batch mismatch: {len(got)} vs {len(want)}"
