@@ -436,3 +436,96 @@ def stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.reverse(F.col("text"))).alias("text"),
     )
     return dsir_score_stream(incoming, lr)
+
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+),
+base AS (SELECT n_users AS n1 FROM counts WHERE stage_idx = 1)
+SELECT stage_idx, stage, n_users,
+       round(CAST(n_users AS DOUBLE) / n1, 4) AS conv_from_first
+FROM counts CROSS JOIN base
+"""
+
+
+@query("events_funnel_conversion", oracle=_FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the classic product-analytics operator:
+    per user, each stage counts only if it happens STRICTLY AFTER the
+    user's earliest completion of the previous stage
+    (signup -> view -> click -> purchase), reported as per-stage reached
+    counts and conversion from stage 1.
+
+    100 TB design: every stage is a groupBy(user_id) over the
+    stage-filtered event stream joined to the previous stage's
+    (user_id, ts) relation — all four shuffles hash on the SAME key, so
+    the exchanges line up (co-partitioned joins, no replanning), and each
+    stage's relation only SHRINKS (funnel monotonicity) so the later
+    joins get cheaper, with AQE free to broadcast the tail stages from
+    runtime sizes (never hinted — user cardinality is corpus-proportional).
+    Exact integer counts; the only float is the final rounded ratio.
+    Reference parity: reference serves SQL via linked DuckDB
+    (db/db.go:67-117); this extends the event-analytics surface."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type")
+    stage_dfs = [
+        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    ]
+    for stage in _FUNNEL_STAGES[1:]:
+        stage_dfs.append(
+            ev.filter(F.col("event_type") == stage)
+            .join(
+                stage_dfs[-1].select("user_id", F.col("t").alias("__pt")),
+                "user_id",
+            )
+            .filter(F.col("ts") > F.col("__pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+    # one declarative plan (no driver-side counts): the per-stage count
+    # union shares each stage's subtree with its successor, and Spark's
+    # exchange reuse dedupes the identical shuffles within the plan
+    counts = None
+    for i, (stage, df) in enumerate(zip(_FUNNEL_STAGES, stage_dfs)):
+        c = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = counts.filter(F.col("stage_idx") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__n1"), 4).alias("conv_from_first"),
+    )
