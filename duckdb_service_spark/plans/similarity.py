@@ -869,3 +869,76 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (round 8): the DataComp/SemDeDup-family
+# "cluster then equalize" selection step — embed, k-means, keep a fixed
+# per-cluster budget so over-represented modes are downsampled and rare
+# modes survive (diversity-preserving alternative to uniform sampling).
+# ---------------------------------------------------------------------------
+
+_CBS_BUDGET = 25  # per-cluster keep budget
+
+
+def _cluster_balanced_oracle() -> str:
+    from ..functions.portable import hash64_sql
+
+    return f"""
+    WITH asg AS ({_kmeans_oracle()}),
+    ranked AS (
+      SELECT vec_id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY {hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+             ) AS rn
+      FROM asg
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE rn <= {_CBS_BUDGET}) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {_CBS_BUDGET} THEN vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY cluster
+    """
+
+
+@query("pipeline_cluster_balanced_sample", oracle=_cluster_balanced_oracle())
+def pipeline_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (the DataComp-style diversity sampler):
+    k-means the embeddings (the proven sim_kmeans pass), then keep a fixed
+    per-cluster budget chosen by deterministic hash rank — equalizing
+    cluster mass so dominant modes shrink and rare modes survive. Output is
+    per-cluster accounting plus an order-free kept-membership fingerprint
+    (integer id sum), so the driver check pins the EXACT kept set.
+
+    Determinism: ranking key is (md5-hash of vec_id, vec_id) — no rand(),
+    no row order — the kept set is bit-identical under any partitioning
+    (same contract as text_stratified_sample / pipeline_training_mix).
+
+    100 TB design: clustering is the sim_kmeans topology (vectors never
+    collected, K-row centroid broadcast); the rank is one window per
+    cluster — with the K-proportional-to-n rule the per-cluster sort stays
+    bounded (the same scaling law tools/scale_semdedup.py measures), and
+    the budget filter is map-side after the rank. The final accounting is
+    one groupBy(cluster) with map-side partials."""
+    from ..functions.portable import hash64
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    asg = kmeans_assign(e)
+    w = Window.partitionBy("cluster").orderBy(
+        hash64(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = asg.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count_if(F.col("rn") <= _CBS_BUDGET).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(F.col("rn") <= _CBS_BUDGET, F.col("vec_id")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
