@@ -283,3 +283,18 @@ def test_pipeline_no_hinted_broadcast_of_corpus_sides(spark, sf_dir, name):
         f"{name}: {n} hint-driven BroadcastExchange nodes (allowed "
         f"{allowed}) — a corpus-proportional side may have been hinted\n{plan}"
     )
+
+
+def test_funnel_stage_cache_bounds_scans(spark, sf_dir):
+    """events_funnel_conversion: each stage feeds both its own count and
+    the next stage's join — the per-stage persists must keep the event
+    scan count at one per stage (uncached, the shared subtrees recompute
+    quadratically: 11 scans for 4 stages)."""
+    import re as _re
+
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["events_funnel_conversion"](spark, sf_dir))
+    n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= 4, f"funnel plan re-scans events: {n} parquet scans\n{plan}"
