@@ -418,7 +418,10 @@ class Engine:
             route_with_recursive,
         )
 
+        from .sql_routing import rewrite_series_tvf
+
         stripped = rewrite_read_files(self.spark, sql.strip().rstrip(";"))
+        stripped = rewrite_series_tvf(stripped)
         stripped = rewrite_from_first(stripped)
         stripped = rewrite_columns_expr(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
@@ -437,7 +440,10 @@ class Engine:
         return self.spark.sql(translate(self._substitute_sequences(stripped)))
 
     _INTROSPECT_RE = re.compile(
-        r"\b(duckdb_tables|duckdb_views|duckdb_columns)\s*\(\s*\)"
+        r"\b(duckdb_tables|duckdb_views|duckdb_columns|duckdb_schemas"
+        r"|duckdb_settings|duckdb_sequences|duckdb_constraints)\s*\(\s*\)"
+        r"|\bpragma_version\s*\(\s*\)"
+        r"|\bpragma_table_info\s*\("
         r"|\binformation_schema\s*\.\s*(tables|columns)\b"
         r"|\bcurrent_schema\s*\(\s*\)|\bcurrent_database\s*\(\s*\)",
         re.IGNORECASE,
@@ -546,8 +552,127 @@ class Engine:
                 "THEN 'YES' ELSE 'NO' END AS is_nullable, data_type "
                 "FROM __duckdb_columns"
             ).createOrReplaceTempView("__info_schema_columns")
+        if re.search(r"\bduckdb_schemas\s*\(\s*\)", low):
+            srows = [(i, "main", 0, s, None, False, None)
+                     for i, s in enumerate(["main"] + sorted(self.catalog.schemas))]
+            self.spark.createDataFrame(
+                srows,
+                "oid long, database_name string, database_oid long, "
+                "schema_name string, comment string, internal boolean, "
+                "sql string",
+            ).createOrReplaceTempView("__duckdb_schemas")
+        if re.search(r"\bduckdb_settings\s*\(\s*\)", low):
+            pr = [
+                (k, str(v), None, "VARCHAR", "GLOBAL")
+                for k, v in sorted(self._pragmas.items())
+            ] + [
+                ("threads",
+                 str(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                 "executor parallelism", "BIGINT", "GLOBAL"),
+                ("TimeZone",
+                 str(self.spark.conf.get("spark.sql.session.timeZone", "UTC")),
+                 "session timezone", "VARCHAR", "LOCAL"),
+                ("access_mode", "automatic", "access mode", "VARCHAR", "GLOBAL"),
+            ]
+            self.spark.createDataFrame(
+                pr,
+                "name string, value string, description string, "
+                "input_type string, scope string",
+            ).createOrReplaceTempView("__duckdb_settings")
+        if re.search(r"\bduckdb_sequences\s*\(\s*\)", low):
+            qrows = [
+                ("main", 0, "main", 0, name, i, None, False,
+                 1, -9223372036854775807, 9223372036854775807, 1, False,
+                 (val if val else None),
+                 f"CREATE SEQUENCE {name};")
+                for i, (name, val) in enumerate(sorted(self.catalog.sequences.items()))
+            ]
+            self.spark.createDataFrame(
+                qrows,
+                "database_name string, database_oid long, schema_name string, "
+                "schema_oid long, sequence_name string, sequence_oid long, "
+                "comment string, temporary boolean, start_value long, "
+                "min_value long, max_value long, increment_by long, "
+                "cycle boolean, last_value long, sql string",
+            ).createOrReplaceTempView("__duckdb_sequences")
+        if re.search(r"\bduckdb_constraints\s*\(\s*\)", low):
+            krows = []
+            for ti, (key, meta) in enumerate(sorted(self.catalog.tables.items())):
+                sch, nm = split_name(key)
+                ci = 0
+                if meta.pk_cols:
+                    krows.append(("main", 0, sch, 0, nm, ti, ci, "PRIMARY KEY",
+                                  f"PRIMARY KEY({', '.join(meta.pk_cols)})",
+                                  None, meta.pk_cols)); ci += 1
+                for c in meta.columns:
+                    if c.get("not_null") or c["name"] in meta.pk_cols:
+                        krows.append(("main", 0, sch, 0, nm, ti, ci, "NOT NULL",
+                                      "NOT NULL", None, [c["name"]])); ci += 1
+                    if c.get("check"):
+                        krows.append(("main", 0, sch, 0, nm, ti, ci, "CHECK",
+                                      f"CHECK({c['check']})", c["check"],
+                                      [c["name"]])); ci += 1
+                    if c.get("unique"):
+                        krows.append(("main", 0, sch, 0, nm, ti, ci, "UNIQUE",
+                                      f"UNIQUE({c['name']})", None,
+                                      [c["name"]])); ci += 1
+                    if c.get("references"):
+                        krows.append(("main", 0, sch, 0, nm, ti, ci, "FOREIGN KEY",
+                                      f"FOREIGN KEY ({c['name']})", None,
+                                      [c["name"]])); ci += 1
+                for expr in meta.table_checks:
+                    krows.append(("main", 0, sch, 0, nm, ti, ci, "CHECK",
+                                  f"CHECK({expr})", expr, [])); ci += 1
+                for us in meta.unique_sets:
+                    cols = list(us) if not isinstance(us, str) else [us]
+                    krows.append(("main", 0, sch, 0, nm, ti, ci, "UNIQUE",
+                                  f"UNIQUE({', '.join(cols)})", None, cols)); ci += 1
+            self.spark.createDataFrame(
+                krows,
+                "database_name string, database_oid long, schema_name string, "
+                "schema_oid long, table_name string, table_oid long, "
+                "constraint_index long, constraint_type string, "
+                "constraint_text string, expression string, "
+                "constraint_column_names array<string>",
+            ).createOrReplaceTempView("__duckdb_constraints")
+        ti_m = re.search(
+            r"\bpragma_table_info\s*\(\s*'([^']+)'\s*\)", sql, re.IGNORECASE
+        )
+        if ti_m:
+            key = ti_m.group(1)
+            meta = self.catalog.tables.get(key) or self.catalog.tables.get(
+                key.replace(".", "__")
+            )
+            if meta is None:
+                raise ValueError(f"pragma_table_info: no such table {key!r}")
+            tirows = [
+                (ci, c["name"], c.get("type", "").upper(),
+                 bool(c.get("not_null") or c["name"] in meta.pk_cols),
+                 c.get("default"), c["name"] in meta.pk_cols)
+                for ci, c in enumerate(meta.columns)
+            ]
+            self.spark.createDataFrame(
+                tirows,
+                "cid long, name string, type string, notnull boolean, "
+                "dflt_value string, pk boolean",
+            ).createOrReplaceTempView("__pragma_table_info")
+            sql = re.sub(
+                r"\bpragma_table_info\s*\(\s*'[^']+'\s*\)",
+                "__pragma_table_info", sql, flags=re.IGNORECASE,
+            )
+        if re.search(r"\bpragma_version\s*\(\s*\)", low):
+            ver = self.spark.version
+            self.spark.createDataFrame(
+                [(f"spark-{ver}", "duckdb_service_spark")],
+                "library_version string, source_id string",
+            ).createOrReplaceTempView("__pragma_version")
+            sql = re.sub(
+                r"\bpragma_version\s*\(\s*\)", "__pragma_version",
+                sql, flags=re.IGNORECASE,
+            )
         sql = re.sub(
-            r"\bduckdb_(tables|views|columns)\s*\(\s*\)",
+            r"\bduckdb_(tables|views|columns|schemas|settings|sequences"
+            r"|constraints)\s*\(\s*\)",
             lambda m: f"__duckdb_{m.group(1).lower()}",
             sql,
             flags=re.IGNORECASE,

@@ -589,3 +589,87 @@ def test_ordered_first_last_with_filter(spark, tmp_path):
         "SELECT first(b ORDER BY a DESC) FILTER (WHERE a < 9) AS v FROM flf",
     ]:
         assert eng.query_df(q).collect()[0][0] == con.execute(q).fetchone()[0], q
+
+
+def test_r08_extended_introspection_tvfs(spark, tmp_path):
+    """duckdb_schemas/settings/sequences/constraints, pragma_table_info,
+    pragma_version, and the FROM-position series TVFs — the rest of the
+    introspection + generator surface a DuckDB client actually uses."""
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_introspect2"))
+    eng.execute(
+        "CREATE TABLE jt (a INT PRIMARY KEY, b VARCHAR NOT NULL,"
+        " c DOUBLE CHECK (c > 0))"
+    )
+    eng.execute("CREATE SCHEMA js1")
+    eng.execute("CREATE SEQUENCE jseq")
+
+    schemas = {
+        r[0] for r in eng.query_df(
+            "SELECT schema_name FROM duckdb_schemas()"
+        ).collect()
+    }
+    assert {"main", "js1"} <= schemas
+
+    st = {
+        r[0]: r[1]
+        for r in eng.query_df(
+            "SELECT name, value FROM duckdb_settings()"
+        ).collect()
+    }
+    assert "threads" in st and "TimeZone" in st
+
+    sq = eng.query_df(
+        "SELECT sequence_name, start_value, increment_by"
+        " FROM duckdb_sequences()"
+    ).collect()
+    assert ("jseq", 1, 1) in [tuple(r) for r in sq]
+
+    kinds = [
+        (r[0], r[1])
+        for r in eng.query_df(
+            "SELECT constraint_type, constraint_text FROM duckdb_constraints()"
+            " WHERE table_name = 'jt' ORDER BY constraint_index"
+        ).collect()
+    ]
+    assert ("PRIMARY KEY", "PRIMARY KEY(a)") in kinds
+    assert ("CHECK", "CHECK(c > 0)") in kinds
+    assert sum(1 for k, _ in kinds if k == "NOT NULL") == 2  # pk col + b
+
+    ti = eng.query_df("SELECT * FROM pragma_table_info('jt')").collect()
+    assert [(r["cid"], r["name"], r["notnull"], r["pk"]) for r in ti] == [
+        (0, "a", True, True),
+        (1, "b", True, False),
+        (2, "c", False, False),
+    ]
+
+    ver = eng.query_df("SELECT * FROM pragma_version()").collect()[0]
+    assert ver["library_version"].startswith("spark-")
+
+
+def test_r08_series_tvfs_match_duckdb(spark, tmp_path):
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_series"))
+    dq = duckdb.connect().execute
+    for sql in [
+        "SELECT * FROM generate_series(1, 5)",
+        "SELECT * FROM generate_series(5)",
+        "SELECT * FROM generate_series(0, 10, 3)",
+        "SELECT * FROM generate_series(5, 1, -2)",
+        "SELECT * FROM range(3)",
+        "SELECT * FROM range(0)",
+        "SELECT * FROM range(2, 9, 3)",
+        "SELECT * FROM range(5, 0, -2)",
+        "SELECT * FROM range(TIMESTAMP '2024-01-01',"
+        " TIMESTAMP '2024-01-02', INTERVAL 12 HOUR)",
+        "SELECT g.x * 2 AS y FROM generate_series(1, 3) AS g(x)",
+        "SELECT generate_series FROM generate_series(2, 4)"
+        " WHERE generate_series > 2",
+    ]:
+        got = sorted(tuple(r) for r in eng.query_df(sql).collect())
+        want = sorted(tuple(r) for r in dq(sql).fetchall())
+        assert got == want, (sql, got, want)
