@@ -343,7 +343,7 @@ def route_star_replace(
 
 _READ_FN_RE = re.compile(
     r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|"
-    r"read_json|read_ndjson_auto)\s*\(",
+    r"read_json|read_ndjson_auto|read_text|read_blob|glob)\s*\(",
     re.IGNORECASE,
 )
 
@@ -412,6 +412,30 @@ def _reader_for(spark: SparkSession, fn: str, paths: list[str], opts: dict[str, 
         if opts.get("filename") == "true":
             df = df.withColumn("filename", F.input_file_name())
         return df
+    if fn in ("read_text", "read_blob", "glob"):
+        # file TVFs (measured DuckDB 1.x shapes): read_text/read_blob yield
+        # (filename, content, size, last_modified) with content as
+        # VARCHAR/BLOB; glob yields (file). All three map onto Spark's
+        # binaryFile source — a distributed scan (one task per file split),
+        # not a driver-side listing.
+        if opts:
+            raise UnsupportedDialect(f"{fn}: options not supported")
+        df = spark.read.format("binaryFile").load(list(paths))
+        # Spark reports URIs (file:/x); DuckDB reports plain paths
+        path = F.regexp_replace(F.col("path"), "^file:", "")
+        if fn == "glob":
+            return df.select(path.alias("file")).orderBy("file")
+        content = (
+            F.col("content").cast("string").alias("content")
+            if fn == "read_text"
+            else F.col("content")
+        )
+        return df.select(
+            path.alias("filename"),
+            content,
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("last_modified"),
+        )
     if fn in ("read_csv_auto", "read_csv"):
         reader = spark.read.option("header", "true").option("inferSchema", "true")
         for k, v in opts.items():

@@ -112,3 +112,30 @@ def test_read_parquet_over_http(engine, pq_dir):
         assert out["result"]["values"] == [[3]]
     finally:
         srv.stop()
+
+
+def test_r08_file_tvfs_match_duckdb(spark, tmp_path):
+    """read_text / read_blob / glob — DuckDB's file TVFs over Spark's
+    binaryFile source (distributed scan; URI scheme stripped to match
+    DuckDB's plain paths)."""
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_filetvf"))
+    dq = duckdb.connect().execute
+    (tmp_path / "a.txt").write_text("hello world\n")
+    (tmp_path / "b.txt").write_bytes(b"\x00\x01binary")
+    pat = str(tmp_path / "*.txt")
+    for sql in [
+        f"SELECT filename, content, size FROM read_text('{pat}')"
+        " ORDER BY filename",
+        f"SELECT filename, content, size FROM read_blob('{pat}')"
+        " ORDER BY filename",
+        f"SELECT * FROM glob('{pat}')",
+        f"SELECT upper(content) AS u, size * 2 AS s2 FROM"
+        f" read_text('{tmp_path / 'a.txt'}')",
+    ]:
+        got = sorted(tuple(r) for r in eng.query_df(sql).collect())
+        want = sorted(tuple(r) for r in dq(sql).fetchall())
+        assert got == want, (sql, got, want)
