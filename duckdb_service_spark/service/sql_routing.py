@@ -343,7 +343,8 @@ def route_star_replace(
 
 _READ_FN_RE = re.compile(
     r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|"
-    r"read_json|read_ndjson_auto|read_text|read_blob|glob)\s*\(",
+    r"read_json|read_ndjson_auto|read_text|read_blob|glob|"
+    r"parquet_schema|parquet_file_metadata|parquet_metadata)\s*\(",
     re.IGNORECASE,
 )
 
@@ -412,6 +413,80 @@ def _reader_for(spark: SparkSession, fn: str, paths: list[str], opts: dict[str, 
         if opts.get("filename") == "true":
             df = df.withColumn("filename", F.input_file_name())
         return df
+    if fn in ("parquet_schema", "parquet_file_metadata", "parquet_metadata"):
+        # parquet introspection TVFs: footer-only reads (the same bounded
+        # work DuckDB does), one pyarrow metadata fetch per matched file
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(f for p in paths for f in _glob.glob(p))
+        if not files:
+            raise UnsupportedDialect(f"{fn}: no files match {paths!r}")
+        if fn == "parquet_file_metadata":
+            rows = []
+            for f in files:
+                md = _pq.ParquetFile(f).metadata
+                ver = re.sub(r"[^\d].*", "", str(md.format_version)) or "0"
+                rows.append(
+                    (f, md.created_by, md.num_rows, md.num_row_groups,
+                     int(ver), None, None)
+                )
+            return spark.createDataFrame(
+                rows,
+                "file_name string, created_by string, num_rows long, "
+                "num_row_groups long, format_version long, "
+                "encryption_algorithm string, footer_signing_key_metadata string",
+            )
+        if fn == "parquet_schema":
+            rows = []
+            for f in files:
+                sch = _pq.ParquetFile(f).metadata.schema
+                rows.append((f, "schema", None, None, "REQUIRED",
+                             len(sch), None, None, None, None, None))
+                for i in range(len(sch)):
+                    c = sch.column(i)
+                    rows.append(
+                        (f, c.name, c.physical_type, None,
+                         "OPTIONAL" if c.max_definition_level else "REQUIRED",
+                         None,
+                         None if c.converted_type in (None, "NONE")
+                         else str(c.converted_type),
+                         None, None, None,
+                         None if str(c.logical_type) == "None"
+                         else str(c.logical_type))
+                    )
+            return spark.createDataFrame(
+                rows,
+                "file_name string, name string, type string, "
+                "type_length string, repetition_type string, "
+                "num_children long, converted_type string, scale long, "
+                "precision long, field_id long, logical_type string",
+            )
+        rows = []
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    st = c.statistics
+                    rows.append(
+                        (f, rg, ci, c.path_in_schema, c.num_values,
+                         str(st.min) if st and st.has_min_max else None,
+                         str(st.max) if st and st.has_min_max else None,
+                         st.null_count if st else None,
+                         c.total_compressed_size, c.total_uncompressed_size,
+                         str(c.compression))
+                    )
+        return spark.createDataFrame(
+            rows,
+            "file_name string, row_group_id long, column_id long, "
+            "path_in_schema string, num_values long, stats_min_value string, "
+            "stats_max_value string, stats_null_count long, "
+            "total_compressed_size long, total_uncompressed_size long, "
+            "compression string",
+        )
     if fn in ("read_text", "read_blob", "glob"):
         # file TVFs (measured DuckDB 1.x shapes): read_text/read_blob yield
         # (filename, content, size, last_modified) with content as

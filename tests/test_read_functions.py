@@ -139,3 +139,27 @@ def test_r08_file_tvfs_match_duckdb(spark, tmp_path):
         got = sorted(tuple(r) for r in eng.query_df(sql).collect())
         want = sorted(tuple(r) for r in dq(sql).fetchall())
         assert got == want, (sql, got, want)
+
+
+def test_r08_parquet_introspection_tvfs(spark, tmp_path, sf_dir):
+    """parquet_schema / parquet_file_metadata / parquet_metadata — footer
+    introspection matching DuckDB on the engine-comparable columns."""
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_pqmeta"))
+    dq = duckdb.connect().execute
+    p = f"{sf_dir}/region.parquet"
+    for sql in [
+        f"SELECT file_name, num_rows, num_row_groups"
+        f" FROM parquet_file_metadata('{p}')",
+        f"SELECT name, type, converted_type FROM parquet_schema('{p}')"
+        " ORDER BY name",
+        f"SELECT row_group_id, column_id, path_in_schema, num_values,"
+        f" stats_min_value, stats_max_value FROM parquet_metadata('{p}')"
+        " ORDER BY column_id",
+    ]:
+        got = sorted(tuple(r) for r in eng.query_df(sql).collect())
+        want = sorted(tuple(r) for r in dq(sql).fetchall())
+        assert got == want, (sql, got, want)
