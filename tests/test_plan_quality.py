@@ -265,6 +265,9 @@ PIPELINE_BROADCAST_ALLOWANCE = {
     "text_dsir_selection": 2,       # corpus totals (1 row) + log-ratio
     #                                 model (exactly B=1024 rows — bounded
     #                                 by the bucket PARAMETER, not corpus)
+    "stream_dsir_scoring": 2,       # same B-row model + its 1-row totals
+    "pipeline_cluster_balanced_sample": 2,  # K-bounded centroid tables
+    "events_funnel_conversion": 1,  # stage-1 count (1 row)
     "text_unigram_fc_buckets": 3,   # corpus doc count + bucket cutoffs
     "text_tfidf_top_terms": 1,      # corpus doc count (global agg, 1 row)
 }
@@ -298,3 +301,13 @@ def test_funnel_stage_cache_bounds_scans(spark, sf_dir):
     plan = _plan(QUERIES["events_funnel_conversion"](spark, sf_dir))
     n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
     assert n <= 4, f"funnel plan re-scans events: {n} parquet scans\n{plan}"
+
+
+def test_dsir_selection_uses_take_ordered(spark, sf_dir):
+    """DSIR's Gumbel-top-k must be TakeOrderedAndProject (per-partition
+    top-k), never a global sort before the limit."""
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["text_dsir_selection"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
