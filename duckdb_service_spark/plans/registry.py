@@ -55,8 +55,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # pipeline_domain_reweighting operators — the latter also re-proves
 # text_lm_perplexity, whose scoring moved into the shared _lm_doc_nll),
 # then (b) the 13 r02-era rows — the last of the stalest driver evidence,
-# queued since r07, then (c) 19 of the 43 r04-era rows. 18 + 13 + 19 = 50;
-# the remaining r04-era rows (values_relation, select_exclude_replace, filter_predicates, filter_ilike, distinct_basic, distinct_on_latest_order,
+# queued since r07, then (c) 18 of the 43 r04-era rows. 19 + 13 + 18 = 50;
+# the remaining r04-era rows (values_relation, proj_expressions, select_exclude_replace, filter_predicates, filter_ilike, distinct_basic, distinct_on_latest_order,
 # generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
 # stream_*) rotate first in r09.
 PRIORITY: list[str] = [
@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "stream_dsir_scoring",
     "events_funnel_conversion",
     "pipeline_cluster_balanced_sample",
+    "events_gapfill_locf",
     "text_lm_perplexity",
     "text_substring_dedup",
     "win_exclude_named",
@@ -93,7 +94,7 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
-    # (c) r04-era rows (19 of 43; the rest lead r09)
+    # (c) r04-era rows (18 of 43; the rest lead r09)
     "agg_core",
     "agg_count_distinct",
     "agg_stats_exact",
@@ -112,7 +113,6 @@ PRIORITY: list[str] = [
     "text_repetition_filter",
     "pipeline_sequence_packing",
     "pipeline_source_mix",
-    "proj_expressions",
 ]
 
 

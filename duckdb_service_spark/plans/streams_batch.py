@@ -536,3 +536,90 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / F.col("__n1"), 4).alias("conv_from_first"),
     )
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*),
+               4) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+grid AS (
+  SELECT t.event_type, gs.g AS h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+              FROM bounds) gs
+)
+SELECT g.event_type, CAST(g.h AS VARCHAR) AS bucket,
+       b.n IS NOT NULL AS observed,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+       COALESCE(b.avg_v, (
+         SELECT b2.avg_v FROM b b2
+         WHERE b2.event_type = g.event_type AND b2.h < g.h
+         ORDER BY b2.h DESC LIMIT 1)) AS v_locf
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+"""
+
+
+@query("events_gapfill_locf", oracle=_GAPFILL_ORACLE)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + last-observation-carried-forward — the
+    hypertable rollup every monitoring/metrics pipeline runs (TimescaleDB's
+    time_bucket_gapfill + locf): hourly buckets per event type over the
+    corpus's full time range, missing buckets materialized with n=0 and
+    the value carried forward from the latest observed bucket.
+
+    Exactness: bucket averages are exact DECIMAL sums divided once (the
+    davg recipe), rounded at 4; the LOCF is Spark's last(ignorenulls) over
+    an unbounded-preceding frame — the oracle replicates it with a
+    correlated latest-bucket subquery.
+
+    100 TB design: the event stream collapses to (type x hour) buckets in
+    ONE map-side-combinable groupBy; the grid is GENERATED (types x hours
+    — dimension-bounded, no data shuffle) from a broadcast 1-row bounds
+    aggregate; the gap join and the LOCF window run on bucket cardinality,
+    never on raw events. Reference parity: reference serves SQL via linked
+    DuckDB (db/db.go:67-117); this extends the time-series surface."""
+    from pyspark import StorageLevel
+
+    from ..functions.stable import davg
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    b = (
+        ev.groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(davg(F.col("value")), 4).alias("avg_v"),
+        )
+        # b feeds bounds, the distinct type list, and the gap join — persist
+        # so the bucket aggregation runs once (bucket cardinality is tiny)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = b.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = grid.join(b, ["event_type", "h"], "left")
+    return out.select(
+        "event_type",
+        F.col("h").cast("string").alias("bucket"),
+        F.col("n").isNotNull().alias("observed"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(
+            "avg_v", F.last("avg_v", ignorenulls=True).over(w)
+        ).alias("v_locf"),
+    )
