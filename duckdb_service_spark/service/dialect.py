@@ -44,6 +44,28 @@ def _rewrite_code(sql: str, fn) -> str:
     return "".join(chunk if is_lit else fn(chunk) for is_lit, chunk in _split_literals(sql))
 
 
+def _escape_literal_backslashes(sql: str) -> str:
+    """Double backslashes inside plain single-quoted literals (DuckDB
+    verbatim strings → Spark escaped-string parser), and strip the E
+    prefix from E'...' escape literals (both engines then interpret the
+    escapes). No-op for literals without backslashes."""
+    parts = _split_literals(sql)
+    out = []
+    for i, (is_lit, chunk) in enumerate(parts):
+        if not is_lit:
+            out.append(chunk)
+            continue
+        prev = parts[i - 1][1] if i else ""
+        stripped = prev.rstrip()
+        if re.search(r"(?i)(?<![\w'])E$", stripped):
+            # E'...' escape string: drop the E marker, keep escapes
+            out[-1] = stripped[:-1] + prev[len(stripped):]
+            out.append(chunk)
+        else:
+            out.append(chunk.replace("\\", "\\\\"))
+    return "".join(out)
+
+
 # ---- function alias table (word-boundary, case-insensitive) ---------------
 
 FUNCTION_ALIASES = {
@@ -87,6 +109,25 @@ FUNCTION_ALIASES = {
     "list_reduce": "__duck_list_reduce",
     "json_valid": "__duck_json_valid",
     "json_array_length": "__duck_json_arr_len",
+    # r08 batch-5 sweep (value-differential over duckdb_functions())
+    "log": "__duck_log10_or_base",  # 1-arg log is LOG10 in DuckDB, ln in Spark
+    "generate_series": "__duck_gen_series_list",  # scalar LIST form
+    "range": "__duck_range_list",  # scalar LIST form (FROM-position TVF
+    #                                forms are rewritten upstream by
+    #                                sql_routing.rewrite_series_tvf)
+    "regexp_extract_all": "__duck_re_extract_all",  # default group 0, not 1
+    "add": "__duck_named_add",
+    "subtract": "__duck_named_sub",
+    "multiply": "__duck_named_mul",
+    "divide": "__duck_named_div",  # clean raise: type-dependent semantics
+    "array_cat": "concat",
+    "ends_with": "endswith",
+    "string_to_array": "split",
+    "greatest": "__duck_greatest1",  # 1-arg form is identity in DuckDB
+    "least": "__duck_least1",
+    "trunc": "__duck_trunc_numeric",
+    "transaction_timestamp": "now",
+    "current_localtimestamp": "localtimestamp",
     "map": "__duck_map_ctor",
     "struct_pack": "__duck_struct_pack",
     "list_filter": "filter",
@@ -2782,6 +2823,13 @@ def translate(sql: str) -> str:
     that need the DataFrame-level operators (operators/asof.py,
     operators/recursive.py) — callers route those explicitly."""
     _original = sql  # for current_query() — the verbatim submitted text
+    # DuckDB standard string literals are VERBATIM ('\d' is backslash-d);
+    # Spark's parser treats backslash as an escape ('\d' parses to 'd') —
+    # a silent wrong answer for every regex pattern a user submits. First
+    # pass: double backslashes inside plain literals so the parsed Spark
+    # string equals the DuckDB one. (DuckDB's E'...' escape strings, which
+    # DO interpret backslashes, keep Spark's default parsing — E stripped.)
+    sql = _escape_literal_backslashes(sql)
     code_only = "".join(chunk for is_lit, chunk in _split_literals(sql) if not is_lit)
     for rx, name in _UNSUPPORTED:
         if rx.search(code_only):
@@ -3294,10 +3342,120 @@ def _emit_json_valid(args: list[str]) -> str:
 
 
 def _emit_json_arr_len(args: list[str]) -> str:
+    # DuckDB returns 0 for valid non-array JSON where Spark returns NULL
+    # (measured: json_array_length('{"k":1}') = 0); NULL input stays NULL
     if len(args) == 1:
-        return f"json_array_length({args[0]})"
+        x = args[0]
+        return (
+            f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(coalesce(json_array_length({x}), 0) AS BIGINT) END)"
+        )
     s2, path = args
-    return f"json_array_length(get_json_object({s2}, {path}))"
+    return (
+        f"(CASE WHEN get_json_object({s2}, {path}) IS NULL "
+        f"THEN CAST(NULL AS BIGINT) ELSE CAST(coalesce("
+        f"json_array_length(get_json_object({s2}, {path})), 0) AS BIGINT) END)"
+    )
+
+
+def _emit_log(args: list[str]) -> str:
+    """DuckDB log(x) is LOG BASE 10 (measured: log(2.5)=0.3979, = log10);
+    Spark's 1-arg log is ln — a silent wrong answer if passed through.
+    The 2-arg log(b, x) agrees between engines."""
+    if len(args) == 1:
+        return f"log10({args[0]})"
+    if len(args) == 2:
+        return f"log({args[0]}, {args[1]})"
+    raise UnsupportedDialect("log expects 1 or 2 arguments")
+
+
+def _emit_gen_series_list(args: list[str]) -> str:
+    """Scalar (LIST-returning) generate_series: INCLUSIVE bounds, 1-arg
+    starts at 0, wrong-direction returns [] (measured — unlike the FROM
+    TVF form, which errors). Emitted empty-safe: k = max(floor((b-a)/s),0)
+    terms past the start, sliced to the true length."""
+    if len(args) == 1:
+        a, b, s = "0", args[0], "1"
+    elif len(args) == 2:
+        a, b, s = args[0], args[1], "1"
+    elif len(args) == 3:
+        a, b, s = args
+    else:
+        raise UnsupportedDialect("generate_series expects 1-3 arguments")
+    k = f"greatest(CAST(floor((({b}) - ({a})) / ({s})) AS BIGINT), 0)"
+    length = (
+        f"(CASE WHEN (({b}) - ({a})) / ({s}) >= 0 THEN {k} + 1 ELSE 0 END)"
+    )
+    return (
+        f"slice(sequence(({a}), ({a}) + {k} * ({s}), ({s})), 1, {length})"
+    )
+
+
+def _emit_range_list(args: list[str]) -> str:
+    """Scalar (LIST-returning) range: EXCLUSIVE stop, 1-arg starts at 0,
+    wrong-direction returns [] (measured). n = max(ceil((b-a)/s), 0)."""
+    if len(args) == 1:
+        a, b, s = "0", args[0], "1"
+    elif len(args) == 2:
+        a, b, s = args[0], args[1], "1"
+    elif len(args) == 3:
+        a, b, s = args
+    else:
+        raise UnsupportedDialect("range expects 1-3 arguments")
+    n = f"greatest(CAST(ceil((({b}) - ({a})) / ({s})) AS BIGINT), 0)"
+    return (
+        f"slice(sequence(({a}), ({a}) + greatest({n} - 1, 0) * ({s}), "
+        f"({s})), 1, {n})"
+    )
+
+
+def _emit_regexp_extract_all(args: list[str]) -> str:
+    """DuckDB's default group is 0 (full matches); Spark's is 1 — which
+    errors on group-less patterns and silently extracts the wrong thing on
+    grouped ones."""
+    if len(args) == 2:
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    return f"regexp_extract_all({', '.join(args)})"
+
+
+def _emit_named_arith(op: str):
+    def emit(args: list[str]) -> str:
+        if len(args) != 2:
+            raise UnsupportedDialect(f"named arithmetic expects 2 arguments")
+        return f"(({args[0]}) {op} ({args[1]}))"
+
+    return emit
+
+
+def _emit_divide_named(args: list[str]) -> str:
+    raise UnsupportedDialect(
+        "divide(): DuckDB's named divide is integer division for integer "
+        "inputs and float division otherwise — type-dependent dispatch a "
+        "text rewrite cannot do; use // or / explicitly"
+    )
+
+
+def _emit_one_or_variadic(fname: str):
+    """greatest/least accept a single argument in DuckDB (identity)."""
+
+    def emit(args: list[str]) -> str:
+        if len(args) == 1:
+            return f"({args[0]})"
+        return f"{fname}({', '.join(args)})"
+
+    return emit
+
+
+def _emit_trunc_numeric(args: list[str]) -> str:
+    """DuckDB trunc(x) is NUMERIC truncation toward zero (Spark's trunc is
+    date-only)."""
+    if len(args) != 1:
+        raise UnsupportedDialect(
+            "trunc: only the 1-arg numeric form exists in DuckDB "
+            "(use date_trunc for dates)"
+        )
+    x = args[0]
+    return f"(CASE WHEN ({x}) >= 0 THEN floor({x}) ELSE ceil({x}) END)"
 
 
 def _emit_map_ctor(args: list[str]) -> str:
@@ -3945,6 +4103,8 @@ def _emit_json_array(args: list[str]) -> str:
     let Spark coerce mixed element types to one type (measured: duck
     json_array(1, 'x') = '[1,"x"]', the coerced form gives '["1","x"]').
     NULL elements render as json null (concat_ws would drop them)."""
+    if not args or (len(args) == 1 and not args[0].strip()):
+        return "'[]'"  # json_array() = empty JSON array (measured)
     parts = []
     for a in args:
         one = f"to_json(array({a}))"
@@ -4335,6 +4495,17 @@ _ROUND5_EMITTERS = {
     "__duck_json_quote": _emit_json_quote,
     "__duck_json_array": _emit_json_array,
     "__duck_json_object": _emit_json_object,
+    "__duck_log10_or_base": _emit_log,
+    "__duck_gen_series_list": _emit_gen_series_list,
+    "__duck_range_list": _emit_range_list,
+    "__duck_re_extract_all": _emit_regexp_extract_all,
+    "__duck_named_add": _emit_named_arith("+"),
+    "__duck_named_sub": _emit_named_arith("-"),
+    "__duck_named_mul": _emit_named_arith("*"),
+    "__duck_named_div": _emit_divide_named,
+    "__duck_greatest1": _emit_one_or_variadic("greatest"),
+    "__duck_least1": _emit_one_or_variadic("least"),
+    "__duck_trunc_numeric": _emit_trunc_numeric,
     "__duck_json_type": _emit_json_type,
     "__duck_unsupported_json": _emit_unsupported_json,
     "__duck_gcd": _emit_gcd,

@@ -92,3 +92,73 @@ def test_json_quote_zero_args_raises_cleanly():
 def test_list_aggregate_unknown_name_raises():
     with pytest.raises(UnsupportedDialect, match="median"):
         translate("SELECT list_aggregate([1], 'median') AS v")
+
+
+# ---- batch-5: value-differential sweep findings ---------------------------
+
+SWEEP_CASES = [
+    # log(x) is LOG10 in DuckDB (silent ln if passed through)
+    "log(2.5)",
+    "log(100)",
+    "log(2, 8)",
+    # scalar LIST-returning series: inclusive/exclusive, empty on wrong
+    # direction (unlike the FROM TVF, which errors)
+    "generate_series(1, 3)",
+    "generate_series(3)",
+    "generate_series(5, 1)",
+    "generate_series(1, 6, 2)",
+    "generate_series(5, 1, -2)",
+    "range(3)",
+    "range(1, 4)",
+    "range(5, 1)",
+    "range(5, 0, -2)",
+    "range(0)",
+    # default group is 0 in DuckDB (Spark's default 1 errors or silently
+    # extracts the wrong group)
+    "regexp_extract_all('a1b2', '\\d')",
+    "regexp_extract_all('a1b2c3', '[a-z](\\d)', 1)",
+    # literal backslashes are VERBATIM in DuckDB strings — the dialect
+    # doubles them so Spark's escaped-string parser yields the same value
+    "length('\\d')",
+    "regexp_matches('a1', '\\d')",
+    "'x\\y'",
+    # named arithmetic aliases
+    "add(2, 3)",
+    "subtract(5, 2)",
+    "multiply(3, 4)",
+    # aliases and 1-arg forms
+    "array_cat([1], [2, 3])",
+    "ends_with('abc', 'bc')",
+    "string_to_array('a,b,c', ',')",
+    "greatest(7)",
+    "least(7)",
+    "trunc(2.7)",
+    "trunc(0 - 2.7)",
+    # json_array_length: 0 for valid non-array JSON, NULL for NULL
+    "json_array_length('{\"k\":1}')",
+    "json_array_length('[1,2]')",
+    "json_array_length(NULL)",
+    "json_array()",
+]
+
+
+@pytest.mark.parametrize("expr", SWEEP_CASES)
+def test_r08c_sweep_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = _norm(con.execute(sql).fetchone()[0])
+    got = _norm(spark.sql(translate(sql)).collect()[0][0])
+    import decimal
+
+    if isinstance(want, decimal.Decimal):
+        want = float(want)
+    if isinstance(got, decimal.Decimal):
+        got = float(got)
+    if isinstance(want, float):
+        assert got == pytest.approx(want, abs=1e-9), expr
+    else:
+        assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+def test_divide_named_raises_cleanly():
+    with pytest.raises(UnsupportedDialect, match="divide"):
+        translate("SELECT divide(7, 2) AS v")
