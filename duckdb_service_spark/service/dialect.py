@@ -162,6 +162,16 @@ FUNCTION_ALIASES = {
     "group_concat": "__duck_string_agg",
     "arg_min": "__duck_arg_min",
     "arg_max": "__duck_arg_max",
+    "argmin": "__duck_arg_min",
+    "argmax": "__duck_arg_max",
+    # arg_*_null KEEP null values at the extreme key — exactly Spark's
+    # native min_by/max_by semantics (measured both engines)
+    "arg_max_null": "max_by",
+    "arg_min_null": "min_by",
+    "listagg": "__duck_string_agg",  # 1-arg defaults ',' like string_agg
+    "sem": "__duck_sem",  # standard error of mean
+    "count_star": "__duck_count0",
+    "count": "__duck_count0",  # bare count() = count(*) in DuckDB
     "product": "__duck_product",
     "kahan_sum": "__duck_kahan_sum",
     "fsum": "__duck_kahan_sum",
@@ -3207,6 +3217,21 @@ def _emit_arg_minmax(fn: str, args: list[str]) -> str:
     return f"{fn}({a}, {masked})"
 
 
+def _emit_sem(args: list[str]) -> str:
+    """Standard error of the mean. DuckDB computes stddev_POP / sqrt(n)
+    (measured: sem = 0.35355 = pop/sqrt on the 4-row probe, not the
+    textbook samp/sqrt 0.40825)."""
+    (x,) = args
+    return f"(stddev_pop({x}) / sqrt(count({x})))"
+
+
+def _emit_count0(args: list[str]) -> str:
+    """count() / count_star() = count(*); other arities pass through."""
+    if not args or (len(args) == 1 and not args[0].strip()):
+        return "count(*)"
+    return f"count({', '.join(args)})"
+
+
 def _emit_product(args: list[str]) -> str:
     (x,) = args
     return (
@@ -4372,6 +4397,8 @@ _ROUND5_EMITTERS = {
     "__duck_string_agg": _emit_string_agg,
     "__duck_arg_min": lambda a: _emit_arg_minmax("min_by", a),
     "__duck_arg_max": lambda a: _emit_arg_minmax("max_by", a),
+    "__duck_sem": _emit_sem,
+    "__duck_count0": _emit_count0,
     "__duck_product": _emit_product,
     "__duck_kahan_sum": _emit_kahan_sum,
     "__duck_fdiv": _emit_fdiv,

@@ -162,3 +162,43 @@ def test_r08c_sweep_matches_duckdb(spark, con, expr):
 def test_divide_named_raises_cleanly():
     with pytest.raises(UnsupportedDialect, match="divide"):
         translate("SELECT divide(7, 2) AS v")
+
+
+AGG_SWEEP_REL = (
+    # s values unique where non-NULL: argmin/argmax ties would otherwise
+    # be engine-arbitrary
+    "(VALUES (1, 'x'), (2, NULL), (3, 'y'), (2, 'w')) t(i, s)"
+)
+
+AGG_SWEEP = [
+    "listagg(i)",
+    "listagg(i, '|')",
+    "string_agg(i)",
+    "argmax(i, s)",
+    "argmin(i, s)",
+    "arg_max_null(s, i)",
+    "arg_min_null(s, i)",
+    "round(sem(i), 9)",
+    "count()",
+    "count_star()",
+]
+
+
+@pytest.mark.parametrize("expr", AGG_SWEEP)
+def test_r08c_agg_sweep_matches_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v FROM {AGG_SWEEP_REL}"
+    want = _norm(con.execute(sql).fetchone()[0])
+    got = _norm(spark.sql(translate(sql)).collect()[0][0])
+    if isinstance(want, float):
+        assert got == pytest.approx(want, abs=1e-9), expr
+    else:
+        assert got == want, f"{expr}: spark={got!r} duck={want!r}"
+
+
+def test_arg_max_null_keeps_null_at_extreme(spark, con):
+    # arg_max skips the NULL value at the max key; arg_max_null returns it
+    rel = "(VALUES (CAST(NULL AS INT), 9), (1, 5)) t(v, k)"
+    sql = f"SELECT arg_max(v, k) AS a, arg_max_null(v, k) AS b FROM {rel}"
+    want = con.execute(sql).fetchone()
+    got = spark.sql(translate(sql)).collect()[0]
+    assert (got[0], got[1]) == (want[0], want[1]) == (1, None)
