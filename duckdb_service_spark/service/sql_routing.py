@@ -1045,101 +1045,6 @@ __all__ = [
 ]
 
 
-_SERIES_TVF_RE = re.compile(
-    r"\b(FROM|JOIN)(\s+)(generate_series|range)\s*\(", re.IGNORECASE
-)
+from .dialect import rewrite_series_tvf  # noqa: F401 — re-export (moved
+#   into the dialect so translate() applies it as a chokepoint pass)
 
-
-def rewrite_series_tvf(sql: str) -> str:
-    """FROM-position series table functions (measured DuckDB 1.x shapes):
-
-    - ``FROM generate_series([start,] stop [, step])`` — INCLUSIVE bounds,
-      output column named ``generate_series``; 1-arg form starts at 0;
-      mismatched direction without a matching step is an error (Spark's
-      ``sequence`` errors identically at runtime).
-    - ``FROM range([start,] stop [, step])`` — EXCLUSIVE stop, column
-      ``range``; emitted as the inclusive sequence with the stop value
-      filtered back out (works uniformly for integers AND
-      timestamp+interval series, positive and negative steps).
-
-    Scalar-position ``generate_series(...)`` (DuckDB's LIST-returning
-    form) is untouched — only occurrences directly after FROM/JOIN
-    rewrite, so trailing aliases (``AS g(x)``) keep working against the
-    emitted subquery. At scale explode(sequence(...)) is a single-task
-    generator per series — the same shape Spark's own ``range()`` TVF
-    uses; series meant to parallelize should go through
-    ``spark.range``-backed relations (plans/relational.py) instead."""
-    out = []
-    i = 0
-    while True:
-        m = _SERIES_TVF_RE.search(sql, i)
-        if not m:
-            out.append(sql[i:])
-            break
-        fn = m.group(3).lower()
-        open_at = m.end()
-        depth, j, in_str = 1, open_at, False
-        while j < len(sql) and depth:
-            ch = sql[j]
-            if in_str:
-                if ch == "'":
-                    in_str = False
-            elif ch == "'":
-                in_str = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            j += 1
-        inner = rewrite_series_tvf(sql[open_at : j - 1])
-        args = [a.strip() for a in _split_top_args(inner)]
-        if fn == "generate_series":
-            a, b, s = (
-                ("0", args[0], "1")
-                if len(args) == 1
-                else (args[0], args[1], args[2] if len(args) > 2 else "1")
-            )
-            sub = (
-                f"(SELECT explode(sequence({a}, {b}, {s}))"
-                f" AS generate_series)"
-            )
-        else:
-            a, b, s = (
-                ("0", args[0], "1")
-                if len(args) == 1
-                else (args[0], args[1], args[2] if len(args) > 2 else "1")
-            )
-            sub = (
-                f"(SELECT * FROM (SELECT explode(sequence({a}, {b}, {s}))"
-                f" AS range) WHERE range != ({b}))"
-            )
-        out.append(sql[i : m.start()])
-        out.append(f"{m.group(1)}{m.group(2)}{sub}")
-        i = j
-    return "".join(out)
-
-
-def _split_top_args(body: str) -> list[str]:
-    parts, depth, cur, in_str = [], 0, [], False
-    for ch in body:
-        if in_str:
-            if ch == "'":
-                in_str = False
-            cur.append(ch)
-        elif ch == "'":
-            in_str = True
-            cur.append(ch)
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return parts

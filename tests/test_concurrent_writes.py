@@ -72,7 +72,10 @@ def test_parallel_inserts_none_lost(server):
 
 def test_parallel_updates_serialize(server):
     _post(server, "/db/execute", "CREATE TABLE conc_upd (id INTEGER PRIMARY KEY, v INTEGER)")
-    _post(server, "/db/execute", "INSERT INTO conc_upd SELECT id, 0 FROM range(20)")
+    # DuckDB's FROM range(n) exposes a column named `range` (r08: the
+    # engine previously fell through to Spark's native range TVF whose
+    # column is `id` — a silent divergence fixed by rewrite_series_tvf)
+    _post(server, "/db/execute", "INSERT INTO conc_upd SELECT range, 0 FROM range(20)")
     N, ROUNDS = 8, 5
 
     def worker(w: int):
