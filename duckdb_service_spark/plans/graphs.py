@@ -311,3 +311,85 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "node")
         .limit(20)
     )
+
+
+_TRI_MOD = 5  # DOULION keep-probability p = 1/_TRI_MOD (deterministic)
+
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+   AND a.l_suppkey < b.l_suppkey
+),
+sparse AS (
+  SELECT u, v FROM pairs
+  WHERE CAST('0x' || SUBSTR(MD5(u || ':' || v), 1, 15) AS BIGINT)
+        % {_TRI_MOD} = 0
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM sparse e1
+  JOIN sparse e2 ON e2.u = e1.v
+  JOIN sparse e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT nd AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM tri, UNNEST([a, b, c]) AS un(nd)
+GROUP BY nd
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the DOULION-sparsified supplier
+    co-purchase graph (Tsourakakis et al. 2009, KDD — count triangles on a
+    p-sparsified graph, estimate total as count/p^3; Suri & Vassilvitskii
+    2011 for the MapReduce join shape). Edges: suppliers co-occurring in an
+    order, vertex-ordered (u < v) so each triangle materializes exactly
+    once; sparsifier: deterministic md5 hash of the edge — reproducible
+    across engines and retries, unlike coin-flip DOULION. The per-node
+    count is each node's clustering-coefficient numerator; the global
+    DOULION estimate is sum(n_triangles)/3 * {_TRI_MOD}^3.
+
+    100 TB design: the wedge join (e1 ⋈ e2 on the shared vertex) is the
+    only quadratic-risk step — the sparsifier cuts it by p^2 and the
+    vertex ordering halves it; at web scale the standard refinement is
+    ordering vertices by DEGREE instead of id (bounds the wedge count per
+    node by the arboricity), same plan shape. Everything is
+    map-side-combinable groupBys and equi-joins — no collect, no
+    cartesian. Reference parity: reference serves SQL via linked DuckDB
+    (db/db.go:67-117); this extends the graph surface next to
+    connected-components and PageRank."""
+    from ..functions.portable import hash64
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    sparse = pairs.filter(
+        hash64(
+            F.concat(
+                F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+            )
+        )
+        % _TRI_MOD
+        == 0
+    )
+    e1 = sparse.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = sparse.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = sparse.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
