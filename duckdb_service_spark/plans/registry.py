@@ -55,8 +55,8 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 # pipeline_domain_reweighting operators — the latter also re-proves
 # text_lm_perplexity, whose scoring moved into the shared _lm_doc_nll),
 # then (b) the 13 r02-era rows — the last of the stalest driver evidence,
-# queued since r07, then (c) 17 of the 43 r04-era rows. 20 + 13 + 17 = 50;
-# the remaining r04-era rows (values_relation, agg_collect_list_set, proj_expressions, select_exclude_replace, filter_predicates, filter_ilike, distinct_basic, distinct_on_latest_order,
+# queued since r07, then (c) 16 of the 43 r04-era rows. 21 + 13 + 16 = 50;
+# the remaining r04-era rows (values_relation, agg_string_agg, agg_collect_list_set, proj_expressions, select_exclude_replace, filter_predicates, filter_ilike, distinct_basic, distinct_on_latest_order,
 # generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
 # stream_*) rotate first in r09.
 PRIORITY: list[str] = [
@@ -68,6 +68,7 @@ PRIORITY: list[str] = [
     "pipeline_cluster_balanced_sample",
     "events_gapfill_locf",
     "graph_triangle_count",
+    "text_weighted_sample",
     "text_lm_perplexity",
     "text_substring_dedup",
     "win_exclude_named",
@@ -95,13 +96,12 @@ PRIORITY: list[str] = [
     "text_stratified_sample",
     "pipeline_shard_assignment",
     "text_langid",
-    # (c) r04-era rows (17 of 43; the rest lead r09)
+    # (c) r04-era rows (16 of 43; the rest lead r09)
     "agg_core",
     "agg_count_distinct",
     "agg_stats_exact",
     "agg_corr_exact",
     "agg_minmax_by",
-    "agg_string_agg",
     "fn_bit_type",
     "graph_connected_components",
     "text_quality",

@@ -2136,3 +2136,70 @@ def pipeline_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doremi_weight"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round 8): Efraimidis & Spirakis
+# 2006, "Weighted random sampling with a reservoir" (IPL 97(5)) — each item
+# draws u ~ U(0,1) and the k largest u^(1/w) win; equivalent (and
+# numerically safer) on the log scale: key = ln(u)/w, take top-k. The
+# standard way to sample training docs proportional to a quality/length
+# weight in ONE distributed pass.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS wt FROM documents
+  WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, lang, wt,
+         CAST(round(ln(((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                || ':es'), 1, 15) AS BIGINT) % 1000000) + 0.5) / 1000000.0)
+              / wt * 1000000000) AS BIGINT) AS key_u
+  FROM w
+)
+SELECT doc_id, lang, CAST(wt AS BIGINT) AS weight, key_u
+FROM keyed ORDER BY key_u DESC, doc_id LIMIT {_WS_K}
+"""
+
+
+@query("text_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006):
+    top-k by ln(u)/w with u a deterministic md5-seeded uniform and w the
+    document's length weight — inclusion probability proportional to
+    weight, the one-pass distributed form of weighted reservoir sampling.
+
+    Exactness: keys are micro-rounded BIGINTs (1e-9 units — ln over
+    identical IEEE doubles divided by an exact integer-valued weight), so
+    the sample is reproducible under any partitioning and hash-exact vs
+    DuckDB; ties break on doc_id.
+
+    100 TB design: one scan, one map-side key projection, selection is
+    TakeOrderedAndProject (per-partition top-k, no global sort, no
+    collect) — the same shape as DSIR's Gumbel-top-k, which is the
+    log-weight special case of this estimator."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        _docs_parallel(t)
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", F.col("n_chars").cast("double").alias("wt"))
+    )
+    u = (
+        (
+            hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":es")))
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    keyed = w.select(
+        "doc_id",
+        "lang",
+        F.col("wt").cast("bigint").alias("weight"),
+        F.round(F.log(u) / F.col("wt") * 1000000000, 0)
+        .cast("bigint")
+        .alias("key_u"),
+    )
+    return keyed.orderBy(F.desc("key_u"), "doc_id").limit(_WS_K)
