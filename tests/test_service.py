@@ -673,3 +673,36 @@ def test_r08_series_tvfs_match_duckdb(spark, tmp_path):
         got = sorted(tuple(r) for r in eng.query_df(sql).collect())
         want = sorted(tuple(r) for r in dq(sql).fetchall())
         assert got == want, (sql, got, want)
+
+
+def test_r08_series_tvfs_composed_positions(spark, tmp_path):
+    """Series TVFs in JOIN position, subqueries, CTEs, and with qualified
+    column references — the rewrite must stay position-aware."""
+    import duckdb
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_series2"))
+    dq = duckdb.connect().execute
+    for sql in [
+        "SELECT g.generate_series AS a, r.range AS b"
+        " FROM generate_series(1,2) g CROSS JOIN range(2) r",
+        "SELECT * FROM (SELECT generate_series * 2 AS x"
+        " FROM generate_series(1,3)) s WHERE x > 2",
+        "SELECT t.x FROM generate_series(1,3) AS t(x)"
+        " JOIN range(5) r ON r.range = t.x",
+        "WITH g AS (SELECT * FROM generate_series(2,4))"
+        " SELECT sum(generate_series) AS s FROM g",
+        # scalar LIST forms coexist with the TVF forms
+        "SELECT generate_series(1, range) AS l FROM range(2, 4)",
+    ]:
+        got = sorted(tuple(r) for r in eng.query_df(sql).collect())
+        want = sorted(tuple(r) for r in dq(sql).fetchall())
+        assert _norm_rows(got) == _norm_rows(want), (sql, got, want)
+
+
+def _norm_rows(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(tuple(x) if isinstance(x, list) else x for x in r))
+    return out
