@@ -375,6 +375,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from pyspark import StorageLevel
+
+    # persist: the sparsified edge list feeds all three legs of the
+    # triangle join — uncached, the pairs self-join + distinct recomputes
+    # per leg (measured 5.5s -> the edge list itself is tiny)
     sparse = pairs.filter(
         hash64(
             F.concat(
@@ -383,7 +388,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % _TRI_MOD
         == 0
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = sparse.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = sparse.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = sparse.select(F.col("u").alias("a"), F.col("v").alias("c"))
