@@ -851,12 +851,49 @@ def _join_src(engine: "Engine", name: str) -> DataFrame:
     )
 
 
+_SUBQ_SRC_RE = re.compile(
+    r"^(?P<head>UPDATE\s+\w+(?:\s+(?:AS\s+)?\w+)?\s+SET\s+.+?\s+FROM\s+"
+    r"|DELETE\s+FROM\s+\w+(?:\s+(?:AS\s+)?\w+)?\s+USING\s+)\(",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _materialize_subquery_source(engine: "Engine", sql: str) -> str:
+    """``UPDATE ... FROM (SELECT ...) alias`` / ``DELETE ... USING (...)``:
+    run the subquery through the full query router and swap a temp view
+    name into the statement so the plain-identifier grammar below applies
+    (DuckDB accepts arbitrary derived sources here)."""
+    m = _SUBQ_SRC_RE.match(sql.strip())
+    if m is None:
+        return sql
+    s = sql.strip()
+    open_at = m.end()
+    depth, j, in_str = 1, open_at, False
+    while j < len(s) and depth:
+        ch = s[j]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        j += 1
+    inner = s[open_at : j - 1]
+    view = "__dml_subq_src"
+    engine.query_df(inner).createOrReplaceTempView(view)
+    return s[: m.end() - 1] + view + s[j:]
+
+
 def update_from(engine: "Engine", sql: str) -> int | None:
     """UPDATE t SET ... FROM u WHERE <join cond> — join-powered copy-on-write.
 
     Each target row with ≥1 matching source row gets the SET applied; more
     than one match is ambiguous (which source row wins?) and raises rather
     than picking one silently. Returns None when there is no FROM clause."""
+    sql = _materialize_subquery_source(engine, sql)
     m = _UPDATE_FROM_RE.match(sql.strip())
     if m is None:
         return None
@@ -926,6 +963,7 @@ def update_from(engine: "Engine", sql: str) -> int | None:
 def delete_using(engine: "Engine", sql: str) -> int | None:
     """DELETE FROM t USING u WHERE <cond> — anti-join copy-on-write.
     Returns None when there is no USING clause."""
+    sql = _materialize_subquery_source(engine, sql)
     m = _DELETE_USING_RE.match(sql.strip())
     if m is None:
         return None

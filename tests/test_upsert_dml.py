@@ -211,3 +211,28 @@ def test_insert_by_name(engine):
     assert out.rows_affected == 1
     r = out.returning.collect()[0]
     assert (r.a, r.b, r.c) == (7, None, 2.5)
+
+
+def test_update_from_and_delete_using_subquery_sources(spark, tmp_path):
+    """UPDATE ... FROM (SELECT ...) s / DELETE ... USING (SELECT ...) s —
+    derived sources route through the full query router into a temp view
+    (r08 late; previously a cryptic unresolved-column error)."""
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_subq_dml"))
+    eng.execute("CREATE TABLE sq (id INT, b VARCHAR)")
+    eng.execute("INSERT INTO sq VALUES (1,'x'),(2,'y'),(3,'x')")
+    r = eng.execute(
+        "UPDATE sq SET b = 'z' FROM (SELECT 'x' AS k) s WHERE sq.b = s.k"
+    )
+    assert r.rows_affected == 2
+    assert sorted(
+        tuple(x) for x in eng.query_df("SELECT * FROM sq").collect()
+    ) == [(1, "z"), (2, "y"), (3, "z")]
+    r = eng.execute(
+        "DELETE FROM sq USING (SELECT 'z' AS k) s WHERE sq.b = s.k"
+    )
+    assert r.rows_affected == 2
+    assert [
+        tuple(x) for x in eng.query_df("SELECT * FROM sq").collect()
+    ] == [(2, "y")]
