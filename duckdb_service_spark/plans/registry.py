@@ -47,72 +47,71 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-8 rotation (VERDICT r07 task 2 — finish the debt):
-# (a) queries new or code-path-changed in round 8 (named-WINDOW EXCLUDE
-# inlining, value-bounded RANGE ECR subset, pattern-operator anchoring,
-# window FILTER reorder, corpus-broadcast-hint removal, the new
-# text_substring_dedup span-dedup, text_dsir_selection and
-# pipeline_domain_reweighting operators — the latter also re-proves
-# text_lm_perplexity, whose scoring moved into the shared _lm_doc_nll),
-# then (b) the 13 r02-era rows — the last of the stalest driver evidence,
-# queued since r07, then (c) 16 of the 43 r04-era rows. 21 + 13 + 16 = 50;
-# the remaining r04-era rows (values_relation, agg_string_agg, agg_collect_list_set, proj_expressions, select_exclude_replace, filter_predicates, filter_ilike, distinct_basic, distinct_on_latest_order,
-# generate_series_step, setop_*_all, sim_*, io_parquet, sql_read_*,
-# stream_*) rotate first in r09.
+# order. Round-9 rotation (VERDICT r08 task 1 — finish the rotation for
+# good): (a) the 27 remaining r04-era rows — after this round no query's
+# latest driver CORRECTNESS row is older than r05; (b) queries new or
+# code-path-changed in round 9 (perf-reworked corpus-pipeline queries,
+# the persisted k-means assignment in cluster-balanced sampling, the new
+# JSON tail + sweep-driven fixes, skew-proofed triangles); (c) the
+# next-stalest r05-era rows fill the remaining slots.
 PRIORITY: list[str] = [
-    # (a) new or changed in round 8
-    "text_dsir_selection",
-    "pipeline_domain_reweighting",
-    "stream_dsir_scoring",
-    "events_funnel_conversion",
-    "pipeline_cluster_balanced_sample",
-    "events_gapfill_locf",
-    "graph_triangle_count",
-    "text_weighted_sample",
-    "text_lm_perplexity",
-    "text_substring_dedup",
-    "win_exclude_named",
-    "fn_battery_r10",
-    "fn_battery_r11",
-    "fn_json_ops",
-    "fn_battery_r12",
-    "fn_battery_r13",
-    "dedup_cross_source_matrix",
-    "win_exclude_frame",
-    "sql_pattern_operators",
-    "win_distinct_agg",
+    # (a) r04-era rotation debt — the last of it (27 rows)
+    "agg_string_agg",
+    "agg_collect_list_set",
+    "proj_expressions",
+    "select_exclude_replace",
+    "filter_predicates",
+    "filter_ilike",
+    "distinct_basic",
+    "distinct_on_latest_order",
+    "values_relation",
+    "generate_series_step",
+    "limit_offset",
+    "order_nulls_last",
+    "subquery_correlated_scalar",
+    "setop_intersect_all",
+    "setop_except_all",
+    "sim_topk_bruteforce",
+    "sim_lsh_buckets",
+    "sim_quantize_int8",
+    "io_parquet_roundtrip",
+    "sql_read_parquet_routing",
+    "sql_read_csv_routing",
+    "sql_read_json_routing",
+    "sql_sample_routing",
+    "sql_summarize_routing",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_dedup_exact",
+    # (b) new or code-path-changed in round 9 (perf rework of the three
+    # >2x corpus-pipeline queries; persisted k-means assignment;
+    # skew-proofed triangle pair generation; JSON tail additions)
     "text_line_dedup",
-    # (b) r02-era rotation debt, final tail
-    "join_positional",
-    "join_lateral_correlated",
-    "join_asof_left",
-    "sql_asof_routing",
-    "sql_recursive_routing",
-    "sim_centroid_per_label",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "stream_sessionization",
-    "stream_user_activity_windows",
-    "text_stratified_sample",
-    "pipeline_shard_assignment",
-    "text_langid",
-    # (c) r04-era rows (16 of 43; the rest lead r09)
-    "agg_core",
-    "agg_count_distinct",
-    "agg_stats_exact",
-    "agg_corr_exact",
-    "agg_minmax_by",
-    "fn_bit_type",
-    "graph_connected_components",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "mm_binary_meta",
-    "text_pii_scrub",
-    "text_contamination",
-    "text_repetition_filter",
-    "pipeline_sequence_packing",
-    "pipeline_source_mix",
+    "dedup_minhash_lsh",
+    "pipeline_corpus_curation",
+    "pipeline_cluster_balanced_sample",
+    "graph_triangle_count",
+    "fn_json_ops",
+    # (c) next-stalest r05-era fill (driver checks first 50; new r09
+    # queries registered above this comment displace the tail of this
+    # fill automatically — keep the fill LAST)
+    "agg_bool_bit",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_group_by_all",
+    "agg_median_percentile",
+    "dedup_exact",
+    "fn_string",
+    "fn_regex",
+    "join_inner_equi",
+    "join_left_outer",
+    "join_semi_exists",
+    "join_asof",
+    "mm_frame_sample",
+    "sql_list_comprehension",
+    "sql_order_by_all",
+    "sql_dml_returning",
+    "win_ignore_nulls",
 ]
 
 
