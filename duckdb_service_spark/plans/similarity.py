@@ -657,39 +657,58 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e)
 
 
+def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
+    """(d, cluster) of the nearest centroid as a single map-side expression:
+    the K centroids are embedded as a literal array of structs and the
+    argmin is `array_min` over per-centroid (L2^2, cluster) structs —
+    lexicographic struct ordering IS the (distance, cluster-id) tie-break.
+    Same ordered 64-term `_l2sq` fold as before, so values are
+    bit-identical; what changed (round 9, VERDICT r08 task 4) is topology:
+    no K x n cross join, no groupBy(vec_id) carrying the vector through a
+    SortAggregate — assignment is pure projection inside whole-stage
+    codegen."""
+    from ..operators.similarity import _l2sq
+
+    lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for c, vec in cents
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            lit,
+            lambda ct: F.struct(
+                _l2sq(F.col("v"), ct["centroid"]).alias("d"),
+                ct["cluster"].alias("cluster"),
+            ),
+        )
+    )
+
+
 def kmeans_assign(e: DataFrame, k: int = _KMEANS_K) -> DataFrame:
     """(vec_id, cluster, dist2) for any (vec_id, v: array<double>) relation —
     the deterministic k-means core sim_kmeans and pipeline_semdedup share:
     K lowest-id seeds, one Lloyd refinement with decimal-exact means,
-    per-vector argmin with cluster-id tie-break, L2^2 rounded at 4."""
-    from ..operators.similarity import _l2sq
+    per-vector argmin with cluster-id tie-break, L2^2 rounded at 4.
 
-    spark = e.sparkSession
-    ids = [r[0] for r in e.select("vec_id").orderBy("vec_id").limit(k).collect()]
-    init = (
-        e.filter(F.col("vec_id").isin(ids))
-        .join(
-            spark.createDataFrame(
-                [(v, c) for c, v in enumerate(sorted(ids))], "vec_id long, cluster int"
-            ),
-            "vec_id",
-        )
-        .select("cluster", F.col("v").alias("centroid"))
-    )
+    The K centroids are driver-collected (K x 64 doubles — bounded by K
+    like the seed-id list, never corpus-proportional) and embedded as
+    literals, so both Lloyd passes are map-only projections over `e`; the
+    only shuffle is the K*DIM-group re-centering mean. For K large enough
+    that a literal array stops being sensible (K proportional to n per the
+    scale law in tools/scale_semdedup.py), the broadcast-join form of the
+    argmin is the fallback — the collect bound is K, which that law keeps
+    at ~10^2-10^3."""
+    # ids AND vectors in ONE TakeOrdered job (K rows over the wire)
+    seeds = e.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
+    init = [(c, list(r[1])) for c, r in enumerate(seeds)]
 
-    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        return (
-            vecs.crossJoin(F.broadcast(cents))
-            .withColumn("__d", _l2sq(F.col("v"), F.col("centroid")))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
-                F.first("v").alias("v"),
-            )
-        )
-
-    a1 = assign(e, init)
-    means = (
+    a1 = e.withColumn("cluster", _kmeans_argmin(init)["cluster"])
+    mean_rows = (
         a1.select("cluster", F.posexplode("v").alias("i", "val"))
         .groupBy("cluster", "i")
         .agg(
@@ -699,26 +718,21 @@ def kmeans_assign(e: DataFrame, k: int = _KMEANS_K) -> DataFrame:
                 6,
             ).alias("cv")
         )
+        .collect()
     )
-    cent = (
-        means.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("pairs"))
-        .select("cluster", F.transform("pairs", lambda p: p.getField("cv")).alias("centroid"))
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cluster.setdefault(r["cluster"], {})[r["i"]] = r["cv"]
+    cent = [
+        (c, [dims[i] for i in sorted(dims)])
+        for c, dims in sorted(by_cluster.items())
+    ]
+    best = _kmeans_argmin(cent)
+    return e.select(
+        "vec_id",
+        best["cluster"].alias("cluster"),
+        F.round(best["d"], 4).alias("dist2"),
     )
-    final = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("__d", _l2sq(F.col("v"), F.col("centroid")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(F.struct("cluster", "__d"), F.struct("__d", "cluster")).alias("__w")
-        )
-        .select(
-            "vec_id",
-            F.col("__w.cluster").alias("cluster"),
-            F.round(F.col("__w.__d"), 4).alias("dist2"),
-        )
-    )
-    return final
 
 
 _SEMDEDUP_CUT = 0.5
