@@ -1005,7 +1005,11 @@ SELECT event_id,
        json_quote(event_type)                       AS et_quoted,
        json_array(event_id, event_type)             AS pair_arr,
        json_object('id', event_id, 'et', event_type) AS obj,
-       json_array_length(json_array(event_id, user_id, value)) AS alen
+       json_array_length(json_array(event_id, user_id, value)) AS alen,
+       json_merge_patch(props, '{"m":true,"k":null}') AS merged,
+       json_merge_patch(props, '{"a":1}', '{"a":null,"b":2}') AS merged3,
+       json_structure(props)                        AS shape,
+       json_contains(props, '{"k":69}')             AS has_k69
 FROM events
 WHERE event_id <= 500
 """
@@ -1019,9 +1023,12 @@ def fn_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     and maps json-null to SQL NULL, measured; text via get_json_object),
     json_type with DuckDB's names (UBIGINT/BIGINT sign split), builders
     json_quote/json_array/json_object (named_struct keeps JSON
-    number-ness), and json_extract's JSON-typed result. Differential
-    tests in tests/test_idioms_r08.py incl. the lambda-arrow
-    disambiguation cases."""
+    number-ness), and json_extract's JSON-typed result. Round 9 adds the
+    former clean-raise tail: json_merge_patch (n-ary RFC 7386 fold with
+    DuckDB's key reordering + NULL asymmetry), json_structure, and
+    json_contains — Arrow pandas UDFs in functions/json_udfs.py.
+    Differential tests in tests/test_idioms_r08.py and
+    tests/test_idioms_r09b.py."""
     from ..service.dialect import translate
 
     load_tables(spark, sf_dir).view("events")

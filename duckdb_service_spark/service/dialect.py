@@ -254,20 +254,29 @@ FUNCTION_ALIASES = {
     "regexp_matches": "regexp_like",
     "json_extract_string": "get_json_object",
     "quantile_cont": "percentile",
+    "quantile": "__duck_quantile_disc",  # bare quantile = quantile_disc
     "median": "median",
-    "arg_min": "min_by",
-    "arg_max": "max_by",
-    "list": "collect_list",
+    # list/array_agg KEEP NULL elements and return NULL on an empty group
+    # (measured); Spark's collect_list/array_agg drop NULLs and return []
+    "list": "__duck_list_plain",
+    "array_agg": "__duck_list_plain",
     "string_agg": "__duck_string_agg",  # arity-aware: 1-arg defaults ','
     "group_concat": "__duck_string_agg",
     "arg_min": "__duck_arg_min",
     "arg_max": "__duck_arg_max",
     "argmin": "__duck_arg_min",
     "argmax": "__duck_arg_max",
+    # DuckDB max_by/min_by are ALIASES of arg_max/arg_min and SKIP rows
+    # whose value is NULL (measured in the r09 window sweep: max_by(i, ts)
+    # OVER w returned 7 where Spark's native max_by yields NULL); Spark's
+    # natives keep the NULL at the extreme key.
+    "max_by": "__duck_arg_max",
+    "min_by": "__duck_arg_min",
     # arg_*_null KEEP null values at the extreme key — exactly Spark's
-    # native min_by/max_by semantics (measured both engines)
-    "arg_max_null": "max_by",
-    "arg_min_null": "min_by",
+    # native min_by/max_by semantics (measured both engines). Emitted via
+    # markers so the max_by/min_by rename above cannot re-capture them.
+    "arg_max_null": "__duck_arg_max_keepnull",
+    "arg_min_null": "__duck_arg_min_keepnull",
     "listagg": "__duck_string_agg",  # 1-arg defaults ',' like string_agg
     "sem": "__duck_sem",  # standard error of mean
     "count_star": "__duck_count0",
@@ -424,15 +433,29 @@ FUNCTION_ALIASES = {
     "json_object": "__duck_json_object",
     "json_type": "__duck_json_type",
     "json_typeof": "__duck_json_type",
-    "json_structure": "__duck_unsupported_json",
-    "json_contains": "__duck_unsupported_json",
-    "json_merge_patch": "__duck_unsupported_json",
+    # json_structure/json_contains resolve to the Arrow pandas UDFs in
+    # functions/json_udfs.py (registered by session.tune on every routed
+    # session) — measured DuckDB semantics, no Spark/VARIANT twin exists.
+    # json_merge_patch is n-ary: folded left-to-right by the emitter.
+    "json_merge_patch": "__duck_json_merge",
     # round-8 aggregate additions (each verified against DuckDB 1.x output)
     "skewness": "__duck_skewness",
     "kurtosis": "__duck_kurtosis",
     "kurtosis_pop": "kurtosis",
     "entropy": "__duck_entropy",
     "mad": "__duck_mad",
+    # regr_* always return DOUBLE in DuckDB; Spark keeps DECIMAL inputs
+    # decimal and truncates at the result scale (measured: regr_avgx over
+    # decimal literals = 1.833333 vs DuckDB's 1.8333333333333333). Cast
+    # the args, not the result, so the aggregation itself runs in double.
+    "regr_avgx": "__duck_regr_avgx",
+    "regr_avgy": "__duck_regr_avgy",
+    "regr_slope": "__duck_regr_slope",
+    "regr_intercept": "__duck_regr_intercept",
+    "regr_r2": "__duck_regr_r2",
+    "regr_sxx": "__duck_regr_sxx",
+    "regr_syy": "__duck_regr_syy",
+    "regr_sxy": "__duck_regr_sxy",
     "approx_quantile": "approx_percentile",
     "reservoir_quantile": "approx_percentile",
     "bitstring_agg": "__duck_bitstring_agg",
@@ -1284,10 +1307,62 @@ def _rewrite_functions(code: str) -> str:
         code,
         flags=re.IGNORECASE,
     )
-    # DuckDB integer division operator
+    # DuckDB integer division operator — but ONLY for integer operands:
+    # with any DECIMAL/DOUBLE operand `//` is plain double division
+    # (measured: 7.5 // 2 = 3.75, 7 // 2.5 = 2.8, typeof DOUBLE), so
+    # float-shaped occurrences become `/` first (the division-double pass
+    # below then forces the DOUBLE result). Bare-column operands stay
+    # ` div ` — int columns are the common case; a double column on either
+    # side is textually unknowable and remains a documented divergence.
+    code = _rewrite_floordiv_float(code)
     code = code.replace("//", " div ")
     code = _rewrite_division_double(code)
     return code
+
+
+_FLOAT_LITERAL_RE = re.compile(
+    r"^[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$"
+)
+_FLOAT_TYPES = r"(?:DOUBLE|FLOAT4|FLOAT8|FLOAT|REAL|DECIMAL|NUMERIC)"
+_FLOAT_SUFFIX_CAST_RE = re.compile(rf"::\s*{_FLOAT_TYPES}\s*(?:\([^()]*\))?\s*$", re.IGNORECASE)
+_FLOAT_CAST_CALL_RE = re.compile(
+    rf"^(?:TRY_)?CAST\s*\(.*\bAS\s+{_FLOAT_TYPES}\s*(?:\([^()]*\))?\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _floatish_operand(text: str) -> bool:
+    """True only when the operand's TOP-LEVEL shape proves a float type:
+    a bare float literal, a trailing ``::DOUBLE``-style suffix cast, or a
+    whole-operand ``CAST(... AS DOUBLE)``. A float literal buried inside
+    the expression proves nothing (``CAST(1.5 AS INTEGER) // x`` is
+    integer division — the r09 fuzz regression)."""
+    t = text.strip()
+    return bool(
+        _FLOAT_LITERAL_RE.match(t)
+        or _FLOAT_SUFFIX_CAST_RE.search(t)
+        or _FLOAT_CAST_CALL_RE.match(t)
+    )
+
+
+def _rewrite_floordiv_float(code: str) -> str:
+    """Convert `a // b` to `a / b` when either operand is provably
+    float-shaped at its top level."""
+    i = 0
+    while True:
+        j = code.find("//", i)
+        if j == -1:
+            return code
+        lo = _div_lhs_start(code, j)
+        hi = _rhs_operand_end(code, j + 2, [False] * (len(code) + 1))
+        if lo is None or hi is None:
+            i = j + 2
+            continue
+        if _floatish_operand(code[lo:j]) or _floatish_operand(code[j + 2 : hi]):
+            code = code[:j] + "/" + code[j + 2 :]
+            i = j + 1
+        else:
+            i = j + 2
 
 
 _CAST_OPEN_RE = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
@@ -2928,6 +3003,132 @@ def _rewrite_frame_exclude(sql: str) -> str:
         sql = sql[:call_start] + _guard(repl) + sql[close_at:]
 
 
+_LISTISH_OPERAND_RE = re.compile(
+    r"^\s*(?:array|list_value|sequence|array_repeat|array_distinct|"
+    r"array_compact|slice|split|collect_list|collect_set|flatten)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_list_concat_nulls(sql: str) -> str:
+    """DuckDB's list ``||`` is list_concat: a NULL side is treated as
+    empty unless BOTH sides are NULL (measured: NULL || [9] = [9],
+    [9] || NULL = [9], NULL || NULL = NULL); Spark's ``||``/concat
+    propagates any NULL. Rewrite ``A || B`` into the NULL-dispatching CASE
+    when either operand is syntactically a list (an ``array(...)`` literal
+    emitted by the list-literal pass, or a list-returning call). String
+    and unknown-typed operands keep the passthrough, which IS DuckDB's
+    string semantics; a list-typed bare column on both sides remains a
+    documented textual-unknowability divergence."""
+    mask = _literal_mask(sql)
+    i = 0
+    while True:
+        j = sql.find("||", i)
+        if j == -1:
+            return sql
+        if mask[j]:
+            i = j + 2
+            continue
+        lo = _div_lhs_start(sql, j)
+        hi = _rhs_operand_end(sql, j + 2, mask)
+        if lo is None or hi is None:
+            i = j + 2
+            continue
+        a = sql[lo:j].strip()
+        b = sql[j + 2 : hi].strip()
+        if not (_LISTISH_OPERAND_RE.match(a) or _LISTISH_OPERAND_RE.match(b)):
+            i = j + 2
+            continue
+        repl = (
+            f"(CASE WHEN ({a}) IS NULL THEN {b} "
+            f"WHEN ({b}) IS NULL THEN {a} ELSE concat({a}, {b}) END)"
+        )
+        sql = sql[:lo] + repl + sql[hi:]
+        mask = _literal_mask(sql)
+        i = lo + len(repl)
+
+
+_DATE_LITERAL_RHS_RE = re.compile(r"\s*DATE\s*'", re.IGNORECASE)
+
+
+def _rewrite_date_date_sub(sql: str) -> str:
+    """DuckDB ``x - DATE '...'`` (date minus date) returns BIGINT days
+    (measured); Spark returns INTERVAL DAY. When the RIGHT operand of a
+    binary ``-`` is a DATE literal or an explicit ``::DATE`` cast, emit
+    ``CAST(datediff(CAST(x AS DATE), rhs) AS BIGINT)``. The left operand's
+    type is textually unknowable for bare columns; assuming DATE matches
+    the overwhelmingly common day-arithmetic shape (a timestamp minus a
+    date literal returns INTERVAL in DuckDB and stays a documented
+    divergence)."""
+    mask = _literal_mask(sql)
+    i = 0
+    while True:
+        j = sql.find("-", i)
+        if j == -1:
+            return sql
+        if mask[j] or sql[j + 1 : j + 2] in (">", "-") or sql[j - 1 : j] in ("-", "<", "!"):
+            i = j + 1
+            continue
+        # rhs must be date-shaped: DATE literal, or operand::DATE
+        rhs_lo = j + 1
+        dm = _DATE_LITERAL_RHS_RE.match(sql, rhs_lo)
+        if dm:
+            qend = None
+            for a, b in _spans(sql):
+                if a == dm.end() - 1:
+                    qend = b
+                    break
+            if qend is None:
+                i = j + 1
+                continue
+            hi = qend
+        else:
+            hi = _rhs_operand_end(sql, rhs_lo, mask)
+            if hi is None:
+                i = j + 1
+                continue
+            cm = re.match(r"\s*::\s*DATE\b", sql[hi:], re.IGNORECASE)
+            if not cm:
+                i = j + 1
+                continue
+            hi += cm.end()
+        lo = _div_lhs_start(sql, j)
+        if lo is None:
+            # a DATE 'lit' left operand ends in a string literal, which
+            # _div_lhs_start does not parse — recognize it directly
+            k = j - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and sql[k] == "'":
+                for a, b in _spans(sql):
+                    if b == k + 1:
+                        dm2 = re.search(r"\bDATE\s*$", sql[:a], re.IGNORECASE)
+                        if dm2:
+                            lo = dm2.start()
+                        break
+        if lo is None:
+            i = j + 1
+            continue
+        # lhs `::TYPE` cast suffixes belong to the operand
+        while True:
+            k = lo - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 1 and sql[k - 1 : k + 1] == "::":
+                lo2 = _div_lhs_start(sql, k - 1)
+                if lo2 is None:
+                    break
+                lo = lo2
+            else:
+                break
+        lhs = sql[lo:j].strip()
+        rhs = sql[j + 1 : hi].strip()
+        repl = f"CAST(datediff(CAST({lhs} AS DATE), {rhs}) AS BIGINT)"
+        sql = sql[:lo] + repl + sql[hi:]
+        mask = _literal_mask(sql)
+        i = lo + len(repl)
+
+
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
     that need the DataFrame-level operators (operators/asof.py,
@@ -2984,10 +3185,14 @@ def translate(sql: str) -> str:
     sql = _rewrite_list_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_list_concat_nulls(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
     sql = _rewrite_binary_ops(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
+    # after the function renames so the emitted Spark datediff() is not
+    # re-captured by the DuckDB datediff('part', a, b) mapping
+    sql = _rewrite_date_date_sub(sql)
     sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_array_type_casts(sql)
     sql = _rewrite_bit_casts(sql)
@@ -3324,12 +3529,16 @@ def _emit_arg_minmax(fn: str, args: list[str]) -> str:
     return f"{fn}({a}, {masked})"
 
 
-def _emit_sem(args: list[str]) -> str:
+def _emit_sem(args: list[str], suffix: str = "") -> str:
     """Standard error of the mean. DuckDB computes stddev_POP / sqrt(n)
     (measured: sem = 0.35355 = pop/sqrt on the 4-row probe, not the
-    textbook samp/sqrt 0.40825)."""
+    textbook samp/sqrt 0.40825). ``suffix`` is a verbatim FILTER/OVER
+    clause attached to each inner aggregate (window-aware emitter)."""
     (x,) = args
-    return f"(stddev_pop({x}) / sqrt(count({x})))"
+    return f"(stddev_pop({x}){suffix} / sqrt(count({x}){suffix}))"
+
+
+_emit_sem._window_aware = True
 
 
 def _emit_count0(args: list[str]) -> str:
@@ -3339,12 +3548,35 @@ def _emit_count0(args: list[str]) -> str:
     return f"count({', '.join(args)})"
 
 
-def _emit_product(args: list[str]) -> str:
+def _emit_product(args: list[str], suffix: str = "") -> str:
+    # NULLs are skipped but an empty/all-NULL group is NULL, not the fold
+    # seed (measured: windowed product over an all-NULL frame = NULL)
     (x,) = args
     return (
-        f"aggregate(collect_list(CAST(({x}) AS DOUBLE)), CAST(1.0 AS DOUBLE),"
-        f" (__a, __v) -> __a * __v)"
+        f"(CASE WHEN count({x}){suffix} = 0 THEN NULL ELSE "
+        f"aggregate(collect_list(CAST(({x}) AS DOUBLE)){suffix},"
+        f" CAST(1.0 AS DOUBLE), (__a, __v) -> __a * __v) END)"
     )
+
+
+_emit_product._window_aware = True
+
+
+def _emit_list_plain(args: list[str], suffix: str = "") -> str:
+    """DuckDB list/array_agg KEEP NULL elements and return NULL for an
+    empty group/frame (measured: list over WHERE false -> NULL, list of
+    (1, NULL) -> [1, NULL]); Spark's collect_list drops NULLs and returns
+    []. Struct-wrap each element (a struct is never NULL, so NULLs
+    survive) and NULL out the empty case via count(*)."""
+    (x,) = args
+    cl = f"collect_list(named_struct('v', ({x}))){suffix}"
+    return (
+        f"(CASE WHEN count(*){suffix} = 0 THEN NULL "
+        f"ELSE transform({cl}, __s -> __s.v) END)"
+    )
+
+
+_emit_list_plain._window_aware = True
 
 
 def _emit_kahan_sum(args: list[str]) -> str:
@@ -3978,41 +4210,47 @@ def _emit_like_escape(args: list[str], op: str = "LIKE", neg: bool = False) -> s
     return f"(NOT {inner})" if neg else inner
 
 
-def _emit_skewness(args: list[str]) -> str:
+def _emit_skewness(args: list[str], suffix: str = "") -> str:
     """DuckDB skewness is the bias-corrected SAMPLE statistic
     (G1 = g1 * sqrt(n(n-1))/(n-2), NULL below n=3 or at zero variance —
     measured); Spark's skewness is the population g1. Passing the name
     through silently returns differently-normalized values."""
     x = args[0]
-    n = f"count({x})"
+    n = f"count({x}){suffix}"
     return (
-        f"(CASE WHEN {n} >= 3 AND var_samp({x}) > 0 THEN "
-        f"skewness({x}) * sqrt(CAST({n} * ({n} - 1) AS DOUBLE)) / ({n} - 2) "
+        f"(CASE WHEN {n} >= 3 AND var_samp({x}){suffix} > 0 THEN "
+        f"skewness({x}){suffix} * sqrt(CAST({n} * ({n} - 1) AS DOUBLE)) / ({n} - 2) "
         f"ELSE NULL END)"
     )
 
 
-def _emit_kurtosis(args: list[str]) -> str:
+_emit_skewness._window_aware = True
+
+
+def _emit_kurtosis(args: list[str], suffix: str = "") -> str:
     """DuckDB kurtosis is the bias-corrected sample EXCESS kurtosis
     (G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)), NULL below n=4 — measured);
     Spark's kurtosis is the population g2 (= DuckDB's kurtosis_pop)."""
     x = args[0]
-    n = f"count({x})"
+    n = f"count({x}){suffix}"
     return (
-        f"(CASE WHEN {n} >= 4 AND var_samp({x}) > 0 THEN "
-        f"(({n} + 1) * kurtosis({x}) + 6) * ({n} - 1) "
+        f"(CASE WHEN {n} >= 4 AND var_samp({x}){suffix} > 0 THEN "
+        f"(({n} + 1) * kurtosis({x}){suffix} + 6) * ({n} - 1) "
         f"/ (({n} - 2) * ({n} - 3)) ELSE NULL END)"
     )
 
 
-def _emit_entropy(args: list[str]) -> str:
+_emit_kurtosis._window_aware = True
+
+
+def _emit_entropy(args: list[str], suffix: str = "") -> str:
     """Shannon entropy (log2) of the value distribution, NULLs skipped
     (measured: entropy(1,1,2,NULL) = 0.918…). Computed from the collected
     group: H = log2(n) - Σ c·log2(c) / n over distinct-value counts.
     O(d·n) per group and O(group) memory — same trade as the documented
     collect-based rewrites (COVERAGE.md guard note)."""
     x = args[0]
-    cl = f"collect_list({x})"
+    cl = f"collect_list({x}){suffix}"
     counts = (
         f"transform(array_distinct({cl}), __v -> "
         f"CAST(size(filter({cl}, __e -> __e <=> __v)) AS DOUBLE))"
@@ -4026,6 +4264,9 @@ def _emit_entropy(args: list[str]) -> str:
     )
 
 
+_emit_entropy._window_aware = True
+
+
 def _median_of(sorted_arr: str, n: str) -> str:
     return (
         f"(element_at({sorted_arr}, CAST(ceil(({n}) / 2.0) AS INT)) + "
@@ -4033,20 +4274,23 @@ def _median_of(sorted_arr: str, n: str) -> str:
     )
 
 
-def _emit_mad(args: list[str]) -> str:
+def _emit_mad(args: list[str], suffix: str = "") -> str:
     """Median absolute deviation, median-interpolated like DuckDB's
     (measured: mad(1,3,7,20) = 3.0). Two nested medians over the collected
     group (no nested-aggregate form exists); result rides DOUBLE — the
     documented stats-family trade (DuckDB returns the input's decimal
     type)."""
     x = args[0]
-    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    arr = f"array_sort(collect_list(CAST({x} AS DOUBLE)){suffix})"
     n = f"size({arr})"
     med = _median_of(arr, n)
     devs = f"array_sort(transform({arr}, __v -> abs(__v - {med})))"
     return (
         f"(CASE WHEN {n} > 0 THEN {_median_of(devs, n)} ELSE NULL END)"
     )
+
+
+_emit_mad._window_aware = True
 
 
 def _emit_bitstring_agg(args: list[str]) -> str:
@@ -4290,10 +4534,21 @@ def _emit_json_type(args: list[str]) -> str:
 
 
 def _emit_unsupported_json(args: list[str]) -> str:
-    raise UnsupportedDialect(
-        "json_structure / json_contains / json_merge_patch have no exact "
-        "Spark equivalent"
-    )
+    raise UnsupportedDialect("this JSON function has no exact Spark equivalent")
+
+
+def _emit_json_merge(args: list[str]) -> str:
+    """json_merge_patch(a, b, ...) — left-to-right fold over the binary
+    Arrow UDF (functions/json_udfs.py), matching DuckDB's n-ary NULL fold
+    (a NULL right operand wipes, a NULL left yields the right)."""
+    if len(args) < 2:
+        raise UnsupportedDialect(
+            "json_merge_patch requires at least two parameters"
+        )
+    acc = args[0]
+    for nxt in args[1:]:
+        acc = f"duck_json_merge_patch({acc}, {nxt})"
+    return acc
 
 
 def _emit_array_to_string(args: list[str]) -> str:
@@ -4504,6 +4759,18 @@ _ROUND5_EMITTERS = {
     "__duck_string_agg": _emit_string_agg,
     "__duck_arg_min": lambda a: _emit_arg_minmax("min_by", a),
     "__duck_arg_max": lambda a: _emit_arg_minmax("max_by", a),
+    # arg_*_null: Spark's native NULL-keeping semantics, via marker so the
+    # max_by/min_by -> arg_max/arg_min rename cannot re-capture them
+    "__duck_arg_max_keepnull": lambda a: f"max_by({a[0]}, {a[1]})",
+    "__duck_arg_min_keepnull": lambda a: f"min_by({a[0]}, {a[1]})",
+    "__duck_list_plain": _emit_list_plain,
+    **{
+        f"__duck_regr_{f}": (
+            lambda a, f=f: f"regr_{f}(CAST(({a[0]}) AS DOUBLE), "
+            f"CAST(({a[1]}) AS DOUBLE))"
+        )
+        for f in ("avgx", "avgy", "slope", "intercept", "r2", "sxx", "syy", "sxy")
+    },
     "__duck_sem": _emit_sem,
     "__duck_count0": _emit_count0,
     "__duck_product": _emit_product,
@@ -4642,6 +4909,7 @@ _ROUND5_EMITTERS = {
     "__duck_trunc_numeric": _emit_trunc_numeric,
     "__duck_json_type": _emit_json_type,
     "__duck_unsupported_json": _emit_unsupported_json,
+    "__duck_json_merge": _emit_json_merge,
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,
@@ -4659,7 +4927,15 @@ def _emit_slice(args: list[str]) -> str:
 
 
 def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
-    """Replace every `marker(...)` call with emit(top_level_args)."""
+    """Replace every `marker(...)` call with emit(top_level_args).
+
+    Emitters flagged ``_window_aware`` additionally consume a trailing
+    ``FILTER (WHERE ...)`` and/or ``OVER (spec)`` / ``OVER name`` clause and
+    receive it as a second positional argument (a verbatim suffix); their
+    expansions contain bare aggregate calls that each need the clause
+    attached INSIDE the expression — leaving it after the whole expansion
+    is a Spark parse/analysis error (the r08 SPARK-ERR class: product/
+    skewness/sem/mad/entropy OVER w)."""
     out, i = [], 0
     while True:
         m = re.search(rf"\b{marker}\s*\(", sql[i:])
@@ -4683,9 +4959,30 @@ def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
             j += 1
         inner = _rewrite_balanced_call(sql[open_at : j - 1], marker, emit)
         args = _split_args(inner)
+        suffix = ""
+        if getattr(emit, "_window_aware", False):
+            fm = re.match(r"\s*FILTER\s*\(", sql[j:], re.IGNORECASE)
+            if fm:
+                fclose = _scan_balanced(sql, j + fm.end() - 1, "(", ")")
+                if fclose != -1:
+                    suffix += " " + sql[j + fm.start() : fclose].strip()
+                    j = fclose
+            om = re.match(r"\s*OVER\s*", sql[j:], re.IGNORECASE)
+            if om:
+                k = j + om.end()
+                if k < len(sql) and sql[k] == "(":
+                    oclose = _scan_balanced(sql, k, "(", ")")
+                    if oclose != -1:
+                        suffix += " OVER " + sql[k:oclose]
+                        j = oclose
+                else:
+                    im = re.match(r"[A-Za-z_]\w*", sql[k:])
+                    if im:
+                        suffix += " OVER " + im.group()
+                        j = k + im.end()
         out.append(sql[i:start])
         try:
-            out.append(emit(args))
+            out.append(emit(args, suffix) if suffix else emit(args))
         except IndexError:
             # an emitter indexed past the supplied argument list (e.g.
             # json_quote() with zero args) — surface a clean dialect error

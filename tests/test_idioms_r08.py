@@ -299,17 +299,12 @@ def test_r08_json_matches_duckdb(spark, con, expr):
     assert got == want, f"{expr}: spark={got!r} duck={want!r}"
 
 
-@pytest.mark.parametrize(
-    "expr",
-    [
-        "json_structure('{}')",
-        "json_contains('{}', '1')",
-        "json_merge_patch('{}', '{}')",
-    ],
-)
-def test_r08_json_unsupported_raise(expr):
+def test_r08_json_merge_patch_arity_raise():
+    # r09: json_structure/json_contains/json_merge_patch now resolve to
+    # the Arrow UDFs in functions/json_udfs.py (tests/test_idioms_r09b.py);
+    # only the <2-arg merge form still raises (DuckDB errors on it too)
     with pytest.raises(UnsupportedDialect):
-        translate(f"SELECT {expr} AS v")
+        translate("SELECT json_merge_patch('{}') AS v")
 
 
 # ---- r08 list/struct/map batch -----------------------------------------------
