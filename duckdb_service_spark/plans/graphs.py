@@ -364,22 +364,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .distinct()
-    )
-    from pyspark import StorageLevel
-
-    # persist: the sparsified edge list feeds all three legs of the
-    # triangle join — uncached, the pairs self-join + distinct recomputes
-    # per leg (measured 5.5s -> the edge list itself is tiny)
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    # sparsify BEFORE the distinct (r09 skew-proofing, step 1): the hash
+    # depends only on (u, v), so duplicates filter identically and the
+    # filter commutes with DISTINCT — but a skewed mega-order's C(k,2)
+    # pair explosion now hits the dedup shuffle at 1/_TRI_MOD of its
+    # volume (the pair GENERATION is pipelined map-side; the shuffle was
+    # the actual blowup). Asserted at 10x with a deliberate mega-order in
+    # tools/scale_triangles.py.
     sparse = pairs.filter(
         hash64(
             F.concat(
@@ -388,10 +384,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % _TRI_MOD
         == 0
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    e1 = sparse.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = sparse.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = sparse.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    ).distinct()
+    return triangle_counts(sparse)
+
+
+def triangle_counts(sparse: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected (u < v) edge relation.
+
+    r09 skew-proofing, step 2 — DEGREE-ordered wedge join (the refinement
+    the r08 docstring named): each edge is re-oriented x -> y by
+    (degree, id) order before the wedge self-join, which bounds each
+    middle node's wedge count by O(sqrt(m)) (arboricity bound; Chiba &
+    Nishizeki) instead of O(max_degree) under id ordering. The triangle
+    SET is orientation-invariant — any total vertex order materializes
+    each triangle exactly once — so the oracle (id-ordered SQL) is
+    unchanged; only the join workload distribution moves. Degrees come
+    from the sparsified edges themselves (one map-side-combinable
+    groupBy; node-proportional relation, never hint-broadcast).
+
+    persist: the oriented edge list feeds all three legs of the triangle
+    join — uncached, the co-occurrence self-join + distinct recomputes
+    per leg (measured 5.5s -> 1.8s in r08)."""
+    from pyspark import StorageLevel
+
+    deg = (
+        sparse.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        sparse.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            )
+            .otherwise(F.struct(F.col("v").alias("x"), F.col("u").alias("y")))
+            .alias("e")
+        )
+        .select("e.x", "e.y")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = oriented.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = oriented.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = oriented.select(F.col("x").alias("a"), F.col("y").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
