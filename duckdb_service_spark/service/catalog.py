@@ -75,6 +75,9 @@ def parse_type(name: str) -> T.DataType:
     m = re.match(r"(\w+)\s*\[\]", up)
     if m and m.group(1) in _DUCK_TO_SPARK:
         return T.ArrayType(_DUCK_TO_SPARK[m.group(1)])
+    m = re.match(r"MAP\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)", up)
+    if m and m.group(1) in _DUCK_TO_SPARK and m.group(2) in _DUCK_TO_SPARK:
+        return T.MapType(_DUCK_TO_SPARK[m.group(1)], _DUCK_TO_SPARK[m.group(2)])
     if up in _DUCK_TO_SPARK:
         return _DUCK_TO_SPARK[up]
     raise ValueError(f"unsupported column type: {name}")

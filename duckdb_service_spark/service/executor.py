@@ -45,8 +45,11 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _COLUMN_RE = re.compile(
-    r"^\s*(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?(?:\s*\[\])?)(.*)$",
-    re.DOTALL,
+    r"^\s*(\w+)\s+("
+    r"MAP\s*\(\s*\w+\s*,\s*\w+\s*\)"  # MAP(key_type, value_type)
+    r"|[A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?(?:\s*\[\])?"
+    r")(.*)$",
+    re.DOTALL | re.IGNORECASE,
 )
 
 
@@ -410,6 +413,7 @@ class Engine:
         from .sql_routing import (
             rewrite_columns_expr,
             rewrite_from_first,
+            rewrite_map_subscripts,
             rewrite_read_files,
             route_asof_join,
             route_pivot_statement,
@@ -424,6 +428,7 @@ class Engine:
         stripped = rewrite_series_tvf(stripped)
         stripped = rewrite_from_first(stripped)
         stripped = rewrite_columns_expr(self.spark, stripped, translate)
+        stripped = rewrite_map_subscripts(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

@@ -874,6 +874,82 @@ _UNPIVOT_RE = re.compile(
 _AGG_ITEM_RE = re.compile(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", re.IGNORECASE | re.DOTALL)
 
 
+_MAP_SUBSCRIPT_RE = re.compile(
+    r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[([^\[\]:]+)\]"
+)
+
+
+def rewrite_map_subscripts(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB's map subscript ``m[k]`` returns a LIST — ``[value]`` on hit,
+    ``[]`` on miss (measured; same as map_extract) — while the dialect's
+    generic subscript lowering emits element_at (the correct LIST/string
+    semantics), which on a MAP yields the bare value. The base's type is
+    textually unknowable, so resolve it against the FROM relation's actual
+    schema (the route_star_replace/COLUMNS() trick: ``SELECT * FROM ...
+    LIMIT 0``) and rewrite map-typed bases to ``map_extract(m, k)``, whose
+    emitter already carries the measured LIST semantics. Bases that don't
+    resolve to a MAP column keep the generic lowering. VERDICT r08 task 7."""
+    stripped = sql.strip().rstrip(";")
+    if "[" not in _code_only(stripped):
+        return sql
+    hits = [
+        m
+        for m in _MAP_SUBSCRIPT_RE.finditer(stripped)
+        if not _in_literal(stripped, m.start())
+    ]
+    if not hits:
+        return sql
+    from_at = _top_level_kw(stripped, re.compile(r"^FROM\b", re.IGNORECASE))
+    if from_at is None:
+        return sql
+    rest = stripped[from_at:]
+    clause_at = _top_level_kw(rest[4:], _CLAUSE_KW_RE)
+    from_clause = rest if clause_at is None else rest[: 4 + clause_at]
+    try:
+        schema = spark.sql(translate(f"SELECT * {from_clause} LIMIT 0")).dtypes
+    except Exception:
+        return sql  # unresolvable FROM (e.g. TVF handled later) — leave as-is
+    map_cols = {name.lower() for name, t in schema if t.startswith("map<")}
+    str_cols = {name.lower() for name, t in schema if t == "string"}
+    if not map_cols and not str_cols:
+        return sql
+    out, last = [], 0
+    for m in hits:
+        base, key = m.group(1), m.group(2)
+        leaf = base.split(".")[-1].lower()
+        if leaf in map_cols:
+            repl = f"map_extract({base}, {key})"
+        elif leaf in str_cols:
+            # DuckDB single-index string subscript: 1-based CODEPOINT,
+            # index 0 and out-of-range -> '' (measured; Spark substring
+            # treats 0 as 1, so it needs the explicit guard), negative
+            # from the back. The generic lowering emits element_at,
+            # which Spark rejects on STRING.
+            repl = (
+                f"(CASE WHEN ({key}) = 0 THEN '' "
+                f"ELSE substring({base}, {key}, 1) END)"
+            )
+        else:
+            continue
+        out.append(stripped[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    if not out:
+        return sql
+    out.append(stripped[last:])
+    return "".join(out)
+
+
+def _in_literal(sql: str, pos: int) -> bool:
+    in_str = False
+    for i in range(pos):
+        if sql[i] == "'":
+            in_str = not in_str
+    return in_str
+
+
 def _pivot_literal(v) -> str:
     """Render a discovered pivot value as a SQL literal."""
     import datetime as _dt
