@@ -491,10 +491,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer counts; the only float is the final rounded ratio.
     Reference parity: reference serves SQL via linked DuckDB
     (db/db.go:67-117); this extends the event-analytics surface."""
+    t = load_tables(spark, sf_dir)
+    return funnel_conversion(t["events"].select("user_id", "ts", "event_type"))
+
+
+def funnel_conversion(ev: DataFrame, stages: "list[str]" = _FUNNEL_STAGES) -> DataFrame:
+    """The funnel plan proper, parameterized on (user_id, ts, event_type)
+    so the 10x skew harness (tools/scale_events.py) drives the IDENTICAL
+    plan the registry query runs."""
     from pyspark import StorageLevel
 
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].select("user_id", "ts", "event_type")
+    _FUNNEL_STAGES = stages
     # persist each stage's (user_id, t) relation: every stage feeds BOTH
     # its own count and the next stage's join — without the cache the
     # shared subtrees recompute quadratically (measured: 11 parquet scans
@@ -582,12 +589,19 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the gap join and the LOCF window run on bucket cardinality,
     never on raw events. Reference parity: reference serves SQL via linked
     DuckDB (db/db.go:67-117); this extends the time-series surface."""
+    t = load_tables(spark, sf_dir)
+    return gapfill_locf(t["events"].select("event_type", "ts", "value"))
+
+
+def gapfill_locf(events: DataFrame) -> DataFrame:
+    """The gap-fill plan proper, parameterized on (event_type, ts, value)
+    so the 10x skew harness (tools/scale_events.py) drives the IDENTICAL
+    plan the registry query runs."""
     from pyspark import StorageLevel
 
     from ..functions.stable import davg
 
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].select(
+    ev = events.select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
     b = (
