@@ -92,6 +92,11 @@ PRIORITY: list[str] = [
     "pipeline_cluster_balanced_sample",
     "graph_triangle_count",
     "fn_json_ops",
+    "pipeline_semdedup",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_windowed_funnel",
+    "orders_rfm_segmentation",
     # (c) next-stalest r05-era fill (driver checks first 50; new r09
     # queries registered above this comment displace the tail of this
     # fill automatically — keep the fill LAST)

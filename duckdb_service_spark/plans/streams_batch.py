@@ -637,3 +637,225 @@ def gapfill_locf(events: DataFrame) -> DataFrame:
             "avg_v", F.last("avg_v", ignorenulls=True).over(w)
         ).alias("v_locf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: event-analytics widening — retention cohorts, event-transition
+# matrix, time-bounded funnel. Reference parity: reference serves SQL via
+# linked DuckDB (db/db.go:67-117); these extend the event surface next to
+# the r08 funnel/gapfill operators.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first_wk AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+),
+joined AS (
+  SELECT f.cohort_wk,
+         CAST(date_diff('day', f.cohort_wk, a.wk) / 7 AS BIGINT) AS week_offset,
+         a.user_id
+  FROM act a JOIN first_wk f USING (user_id)
+),
+cells AS (
+  SELECT cohort_wk, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined GROUP BY cohort_wk, week_offset
+),
+base AS (
+  SELECT cohort_wk, n_active AS cohort_size FROM cells WHERE week_offset = 0
+)
+SELECT CAST(c.cohort_wk AS VARCHAR) AS cohort_week,
+       c.week_offset, c.n_active, b.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / b.cohort_size, 4) AS retention
+FROM cells c JOIN base b USING (cohort_wk)
+"""
+
+
+@query("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the standard product-analytics matrix:
+    users grouped by their FIRST active week, each later week's active
+    share reported relative to the cohort's size at week 0.
+
+    100 TB design: activity collapses to DISTINCT (user, week) in one
+    map-side-combinable aggregation before anything else touches it; the
+    cohort assignment is a groupBy(user) min and the join back hashes on
+    the SAME user key (co-partitioned, no replanning); the final matrix is
+    cohort x offset — dimension-bounded. The week-0 base relation is
+    cohort-cardinality and AQE broadcasts it from runtime size (never
+    hinted)."""
+    t = load_tables(spark, sf_dir)
+    act = (
+        t["events"]
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+    )
+    first_wk = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = act.join(first_wk, "user_id").select(
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    cells = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(base, "cohort_wk").select(
+        # DuckDB date_trunc returns DATE for day-or-coarser parts
+        F.col("cohort_wk").cast("date").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM pairs
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-transition (Markov) matrix — the path-analysis
+    operator behind Sankey funnels: consecutive event pairs per user
+    (deterministic order: ts with event_id tie-break), counted and
+    normalized into transition probabilities per source type.
+
+    100 TB design: ONE window shuffle keyed on user_id (the sequence
+    lag), then a dimension-bounded groupBy (type x type cells) with
+    map-side partials; the probability normalization runs on the CELLS
+    (|types|^2 rows), not on events."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )
+
+
+_WINDOWED_FUNNEL_HOURS = 72
+
+_WINDOWED_FUNNEL_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL {_WINDOWED_FUNNEL_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL {_WINDOWED_FUNNEL_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t
+    AND e.ts <= s3.t + INTERVAL {_WINDOWED_FUNNEL_HOURS} HOUR
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+),
+base AS (SELECT n_users AS n1 FROM counts WHERE stage_idx = 1)
+SELECT stage_idx, stage, n_users,
+       round(CAST(n_users AS DOUBLE) / n1, 4) AS conv_from_first
+FROM counts CROSS JOIN base
+"""
+
+
+@query("events_windowed_funnel", oracle=_WINDOWED_FUNNEL_ORACLE)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each stage counts only when it happens within
+    72 hours after the user's earliest completion of
+    the previous stage — the conversion-window semantics every funnel
+    product defaults to (unbounded funnels overcount returning users).
+    Same per-stage persist/co-partitioned topology as
+    events_funnel_conversion (see that docstring for the scan-bound and
+    skew laws; tools/scale_events.py asserts them on the shared core)."""
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_type")
+    bound = F.expr(f"INTERVAL {_WINDOWED_FUNNEL_HOURS} HOURS")
+    stage_dfs = [
+        ev.filter(F.col("event_type") == _FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ]
+    for stage in _FUNNEL_STAGES[1:]:
+        stage_dfs.append(
+            ev.filter(F.col("event_type") == stage)
+            .join(
+                stage_dfs[-1].select("user_id", F.col("t").alias("__pt")),
+                "user_id",
+            )
+            .filter(
+                (F.col("ts") > F.col("__pt"))
+                & (F.col("ts") <= F.col("__pt") + bound)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    counts = None
+    for i, (stage, df) in enumerate(zip(_FUNNEL_STAGES, stage_dfs)):
+        c = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = counts.filter(F.col("stage_idx") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__n1"), 4).alias("conv_from_first"),
+    )

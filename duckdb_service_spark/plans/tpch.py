@@ -1245,3 +1245,109 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.col("n_name").alias("nation"), "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: RFM customer segmentation — the classic marketing-analytics
+# operator (recency / frequency / monetary quartile scoring) over orders.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+              (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS BIGINT)
+           AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS f_orders,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+           AS m_total
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(f_orders, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(m_total, [0.25, 0.5, 0.75]) AS mc
+  FROM per_cust
+),
+scored AS (
+  SELECT p.*,
+         1 + CAST(p.r_days > rc[1] AS INT) + CAST(p.r_days > rc[2] AS INT)
+           + CAST(p.r_days > rc[3] AS INT) AS r_q,
+         1 + CAST(p.f_orders > fc[1] AS INT) + CAST(p.f_orders > fc[2] AS INT)
+           + CAST(p.f_orders > fc[3] AS INT) AS f_q,
+         1 + CAST(p.m_total > mc[1] AS INT) + CAST(p.m_total > mc[2] AS INT)
+           + CAST(p.m_total > mc[3] AS INT) AS m_q
+  FROM per_cust p CROSS JOIN cuts
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(CAST(m_total AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_monetary,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust
+FROM scored
+GROUP BY r_q, f_q, m_q
+"""
+
+
+@query("orders_rfm_segmentation", oracle=_RFM_ORACLE)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order,
+    relative to the corpus's latest order date), frequency (order count)
+    and monetary (decimal-exact total spend), each scored into quartiles
+    by comparison against the exact 25/50/75 percentile cut VALUES —
+    never a global ntile window, which would force a single-partition
+    sort at scale. Output: per-(r,f,m)-segment customer counts and
+    average spend.
+
+    Exactness: percentile/quantile_cont interpolate identically in both
+    engines (the proven agg_median_percentile mapping); monetary rides the
+    decimal-sum recipe so the doubles compared against the cuts are
+    bit-identical. 100 TB: per_cust is one map-side-combinable groupBy;
+    the cut points are ONE 3-value aggregate row broadcast to the scorer
+    (at extreme customer cardinality swap percentile for approx_percentile
+    — same plan shape); the segment rollup is 64-cell bounded."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_custkey", "o_orderdate", "o_totalprice")
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.round(dsum("o_totalprice").cast("double"), 2).alias("m_total"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("gd"), F.col("last_d")).cast("bigint").alias("r_days"),
+            "f_orders",
+            "m_total",
+        )
+    )
+    cuts = per_cust.agg(
+        F.percentile(F.col("r_days"), F.lit([0.25, 0.5, 0.75])).alias("rc"),
+        F.percentile(F.col("f_orders"), F.lit([0.25, 0.5, 0.75])).alias("fc"),
+        F.percentile(F.col("m_total"), F.lit([0.25, 0.5, 0.75])).alias("mc"),
+    )
+
+    def q(col, cut):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(cut)[0]).cast("int")
+            + (F.col(col) > F.col(cut)[1]).cast("int")
+            + (F.col(col) > F.col(cut)[2]).cast("int")
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "m_total",
+        q("r_days", "rc").cast("bigint").alias("r_q"),
+        q("f_orders", "fc").cast("bigint").alias("f_q"),
+        q("m_total", "mc").cast("bigint").alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(davg(F.col("m_total")), 4).alias("avg_monetary"),
+        F.min("o_custkey").cast("bigint").alias("min_cust"),
+    )
