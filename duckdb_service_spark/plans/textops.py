@@ -2203,3 +2203,147 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_u"),
     )
     return keyed.orderBy(F.desc("key_u"), "doc_id").limit(_WS_K)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: BM25 retrieval (Robertson & Zaragoza 2009; the Lucene idf form)
+# — the ranked-retrieval operator a curation stack uses for targeted
+# corpus search / decontamination lookups.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 3  # query count; terms ranked 1..9 by df round-robin into queries
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM docs
+    ),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    qterms AS (
+      SELECT w, df,
+             CAST((row_number() OVER (ORDER BY df DESC, w) - 1)
+                  % {_BM25_NQ} AS BIGINT) AS query_id
+      FROM df ORDER BY df DESC, w LIMIT {_BM25_NQ * 3}
+    ),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             round(
+               ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / s.avgdl)),
+               9) AS c
+      FROM tf JOIN qterms q USING (w)
+      JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(CAST(SUM(CAST(c AS DECIMAL(38,9))) AS DOUBLE), 4) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (k1=1.2, b=0.75, Lucene idf
+    ln(1+(N-df+0.5)/(df+0.5))) for three queries whose terms are derived
+    from the corpus itself: the 9 highest-df tokens round-robined into 3
+    three-term queries — fully deterministic in both engines (df DESC,
+    token tie-break), no literal term list to drift from the fixture.
+
+    Exactness: every BM25 input is an exact integer (tf, df, dl, N) or a
+    decimal-exact average (avgdl); the per-term contribution is rounded at
+    1e-9 and summed as DECIMAL so the per-doc score is order-independent
+    and bit-identical; ranking uses the 1e-4-rounded score with doc_id
+    tie-break (the proven tfidf/ln recipe).
+
+    100 TB design: tf is ONE map-side-combinable groupBy on the exploded
+    token stream; df and dl derive from tf/toks without re-shuffling raw
+    text; the query-term table is parameter-bounded (LIMIT 9) so its join
+    onto tf broadcasts; scoring shuffles integer-keyed (query, doc) cells
+    only; the final cut is TakeOrdered-shaped per query."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    from pyspark import StorageLevel
+
+    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
+    # tf is the ONLY relation derived from raw text — everything else
+    # (dl = sum of tf per doc, df, stats, contributions) derives from this
+    # persisted integer table, so the corpus text is scanned/exploded once
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # TakeOrdered cut FIRST (distributed top-k over the Heaps-law vocab),
+    # THEN rank within the bounded 9-row relation — a bare row_number over
+    # the full df table would single-partition the vocabulary sort
+    top = df.orderBy(F.col("df").desc(), "w").limit(_BM25_NQ * 3)
+    wq = Window.orderBy(F.col("df").desc(), "w")
+    qterms = top.select(
+        "w",
+        "df",
+        ((F.row_number().over(wq) - 1) % _BM25_NQ).cast("bigint").alias("query_id"),
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.col("c").cast("decimal(38,9)")).cast("double"), 4).alias(
+            "score"
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.select(
+            "query_id", "doc_id", "score", F.row_number().over(wr).cast("bigint").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 10)
+    )
