@@ -254,7 +254,9 @@ PIPELINE_BROADCAST_ALLOWANCE = {
     "pipeline_corpus_curation": 0,
     "pipeline_quality_funnel": 1,   # funnel threshold stats (global agg)
     "dedup_minhash_lsh": 0,
-    "pipeline_semdedup": 6,         # K-bounded centroids, 1/k-means iter
+    "pipeline_semdedup": 0,         # r09: centroids are LITERALS now
+    #                                 (map-only argmin projection) — zero
+    #                                 broadcast tables left
     "text_stratified_sample": 1,    # per-lang totals (#langs rows)
     "pipeline_training_mix": 3,     # per-source totals / thresholds
     "pipeline_source_mix": 1,       # per-source totals
@@ -266,10 +268,20 @@ PIPELINE_BROADCAST_ALLOWANCE = {
     #                                 model (exactly B=1024 rows — bounded
     #                                 by the bucket PARAMETER, not corpus)
     "stream_dsir_scoring": 2,       # same B-row model + its 1-row totals
-    "pipeline_cluster_balanced_sample": 2,  # K-bounded centroid tables
+    "pipeline_cluster_balanced_sample": 0,  # r09: literal centroids
     "events_funnel_conversion": 1,  # stage-1 count (1 row)
     "text_unigram_fc_buckets": 3,   # corpus doc count + bucket cutoffs
     "text_tfidf_top_terms": 1,      # corpus doc count (global agg, 1 row)
+    # r09 additions — every allowed site is a 1-row aggregate or a
+    # parameter-bounded (LIMIT 9) relation
+    "events_retention_cohorts": 0,  # week-0 base: AQE only
+    "events_transition_matrix": 0,
+    "events_windowed_funnel": 1,    # stage-1 count (1 row)
+    "orders_rfm_segmentation": 3,   # global max date + percentile cuts
+    #                                 (1-row aggs; gmax reused twice)
+    "text_bm25_topk": 2,            # query terms (LIMIT 9) + corpus stats
+    "graph_triangle_count": 0,      # degree table: AQE only
+    "sim_kmeans": 0,                # literal centroids (r09)
 }
 
 
@@ -311,3 +323,46 @@ def test_dsir_selection_uses_take_ordered(spark, sf_dir):
     load_all()
     plan = _plan(QUERIES["text_dsir_selection"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_single_text_scan_and_take_ordered(spark, sf_dir):
+    """text_bm25_topk: the persisted tf table is the only relation derived
+    from raw text (dl/df/stats/contrib all derive from it) — one parquet
+    scan; the query-term cut must be TakeOrdered (distributed top-k over
+    the Heaps-law vocabulary), never a full-vocab window sort."""
+    import re as _re
+
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["text_bm25_topk"](spark, sf_dir))
+    n = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n <= 1, f"bm25 re-scans the corpus: {n} parquet scans\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangle_edge_list_reused_across_legs(spark, sf_dir):
+    """graph_triangle_count: the oriented edge list persists and feeds all
+    three wedge-join legs — every leg must read the cache
+    (InMemoryTableScan), so the lineitem co-occurrence self-join computes
+    once at runtime, not once per leg (the pre-r08 5.5s plan). The
+    formatted explain re-prints the cached subtree per reference, so
+    parquet-scan counting overstates; the cache-read count is the
+    reuse guarantee."""
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["graph_triangle_count"](spark, sf_dir))
+    n = plan.count("InMemoryTableScan")
+    assert n >= 3, f"wedge legs do not all read the cached edge list\n{plan}"
+
+
+def test_rfm_has_no_global_window(spark, sf_dir):
+    """orders_rfm_segmentation: quartile scoring must be cut-point
+    comparison (percentile aggregate + broadcast), never a global ntile —
+    an un-partitioned Window would single-partition the customer sort."""
+    from duckdb_service_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["orders_rfm_segmentation"](spark, sf_dir))
+    assert "Window" not in plan, f"global window in RFM plan\n{plan}"
