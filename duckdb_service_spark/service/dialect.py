@@ -3567,9 +3567,13 @@ def _emit_list_plain(args: list[str], suffix: str = "") -> str:
     empty group/frame (measured: list over WHERE false -> NULL, list of
     (1, NULL) -> [1, NULL]); Spark's collect_list drops NULLs and returns
     []. Struct-wrap each element (a struct is never NULL, so NULLs
-    survive) and NULL out the empty case via count(*)."""
+    survive) and NULL out the empty case via count(*). The DISTINCT form
+    rides collect_set over the same struct wrap (element order is
+    engine-arbitrary in BOTH engines for it)."""
     (x,) = args
-    cl = f"collect_list(named_struct('v', ({x}))){suffix}"
+    dm = re.match(r"\s*DISTINCT\s+(.*)$", x, re.IGNORECASE | re.DOTALL)
+    fn, x = ("collect_set", dm.group(1)) if dm else ("collect_list", x)
+    cl = f"{fn}(named_struct('v', ({x}))){suffix}"
     return (
         f"(CASE WHEN count(*){suffix} = 0 THEN NULL "
         f"ELSE transform({cl}, __s -> __s.v) END)"

@@ -224,3 +224,33 @@ def test_r09_ordered_first_last_still_null_flagged(spark, con):
     want = con.execute(sql).fetchone()
     got = spark.sql(translate(sql)).collect()[0]
     assert (got[0], got[1]) == (want[0], want[1])
+
+
+def test_r09_list_distinct_keeps_nulls(spark, con):
+    # DISTINCT form: set-equal incl. the NULL element (order is
+    # engine-arbitrary in BOTH engines, so compare as sets)
+    rel = "(VALUES (1), (7), (NULL), (2), (2)) t(i)"
+    for fn in ("list", "array_agg"):
+        sql = f"SELECT {fn}(DISTINCT i) AS v FROM {rel}"
+        want = sorted(map(str, con.execute(sql).fetchone()[0]))
+        got = sorted(map(str, spark.sql(translate(sql)).collect()[0][0]))
+        assert got == want, f"{fn}: {got} != {want}"
+
+
+DISTINCT_FILTER_AGGS = [
+    "sum(DISTINCT i)",
+    "avg(DISTINCT d)",
+    "count(DISTINCT i)",
+    "median(DISTINCT i)",
+    "corr(DISTINCT i, d)",
+    "sum(i) FILTER (i > 0)",
+    "count(*) FILTER (s IS NOT NULL)",
+    "first(i ORDER BY d)",
+    "last(s ORDER BY u DESC)",
+    "bool_and(i > 0)",
+]
+
+
+@pytest.mark.parametrize("expr", DISTINCT_FILTER_AGGS)
+def test_r09_distinct_filter_agg_matches_duckdb(spark, con, expr):
+    _compare(spark, con, f"{expr} AS v")
