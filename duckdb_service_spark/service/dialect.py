@@ -2638,7 +2638,8 @@ def _inline_named_windows_for_exclude(sql: str) -> str:
 
 
 _ARRAY_TYPE_RE = re.compile(
-    r"(\bAS\s+|::\s*)(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\[\s*\]",
+    r"(\bAS\s+|::\s*)(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"((?:\s*\[\s*\])+)",  # one or more [] suffixes: INT[][] nests
     re.IGNORECASE,
 )
 
@@ -2656,13 +2657,84 @@ def _rewrite_array_type_casts(sql: str) -> str:
             inner = "STRING"
         elif re.fullmatch(r"BLOB|BYTEA|VARBINARY", inner, re.IGNORECASE):
             inner = "BINARY"
-        return f"{m.group(1)}ARRAY<{inner}>"
+        depth = m.group(3).count("[")
+        for _ in range(depth):
+            inner = f"ARRAY<{inner}>"
+        return f"{m.group(1)}{inner}"
 
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _rewrite_code(sql, lambda c: _ARRAY_TYPE_RE.sub(conv, c))
-    return sql
+    return _rewrite_code(sql, lambda c: _ARRAY_TYPE_RE.sub(conv, c))
+
+
+_COMPLEX_TYPE_HEAD_RE = re.compile(r"(\bAS\s+|::\s*)(MAP|STRUCT)\s*\(", re.IGNORECASE)
+
+_TYPE_WORD_MAP = {
+    "VARCHAR": "STRING",
+    "TEXT": "STRING",
+    "BLOB": "BINARY",
+    "BYTEA": "BINARY",
+    "VARBINARY": "BINARY",
+    # DuckDB TIMESTAMP is wall-clock (no zone) — the engine-wide NTZ mapping
+    "TIMESTAMP": "TIMESTAMP_NTZ",
+}
+
+
+def _spark_type_word(t: str) -> str:
+    base, depth = t.strip(), 0
+    while base.endswith("[]"):
+        base = base[:-2].rstrip()
+        depth += 1
+    out = _TYPE_WORD_MAP.get(base.upper(), base)
+    for _ in range(depth):
+        out = f"ARRAY<{out}>"
+    return out
+
+
+def _rewrite_complex_type_casts(sql: str) -> str:
+    """DuckDB composite cast types — ``CAST(x AS MAP(VARCHAR, INTEGER))``,
+    ``x::STRUCT(a BIGINT, b VARCHAR)`` — become Spark's angle-bracket forms
+    (``MAP<STRING, INT>``, ``STRUCT<a: BIGINT, b: STRING>``). Word element
+    types with optional ``[]`` suffixes; deeper nesting stays untouched
+    (Spark then rejects it loudly rather than silently mistyping)."""
+    from .dml import split_top_level
+
+    i = 0
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _COMPLEX_TYPE_HEAD_RE.finditer(sql, i):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_at = m.end() - 1
+        close = _scan_balanced(sql, open_at, "(", ")")
+        if close == -1:
+            return sql
+        body = sql[m.end() : close - 1]
+        kind = m.group(2).upper()
+        parts = [p.strip() for p in split_top_level(body)]
+        try:
+            if kind == "MAP":
+                if len(parts) != 2:
+                    raise ValueError
+                inner = ", ".join(_spark_type_word(p) for p in parts)
+            else:
+                fields = []
+                for p in parts:
+                    fm = re.fullmatch(r'("?[\w ]+"?)\s+(\w+(?:\s*\[\s*\])*)', p)
+                    if not fm:
+                        raise ValueError
+                    fields.append(
+                        f"{fm.group(1)}: {_spark_type_word(fm.group(2))}"
+                    )
+                inner = ", ".join(fields)
+        except ValueError:
+            i = close  # unsupported shape: leave verbatim, scan past it
+            continue
+        repl = f"{m.group(1)}{kind}<{inner}>"
+        sql = sql[: m.start()] + repl + sql[close:]
+        i = m.start() + len(repl)
 
 
 def _rewrite_frame_exclude(sql: str) -> str:
@@ -3189,12 +3261,18 @@ def translate(sql: str) -> str:
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
     sql = _rewrite_binary_ops(sql)
+    # composite cast types rewrite BEFORE the function renames: the MAP in
+    # `AS MAP(VARCHAR, INT)` is a TYPE, not the map() constructor the
+    # rename table would otherwise capture
+    sql = _rewrite_complex_type_casts(sql)
     sql = _rewrite_code(sql, _rewrite_functions)
     # after the function renames so the emitted Spark datediff() is not
     # re-captured by the DuckDB datediff('part', a, b) mapping
     sql = _rewrite_date_date_sub(sql)
-    sql = _rewrite_call_subscripts(sql)
+    # array-type cast suffixes (INT[][]) rewrite BEFORE the subscript pass
+    # so its `][` complex-base guard only ever sees VALUE subscripts
     sql = _rewrite_array_type_casts(sql)
+    sql = _rewrite_call_subscripts(sql)
     sql = _rewrite_bit_casts(sql)
     sql = _rewrite_ts_precision_casts(sql)
     sql = _rewrite_postfix_int_casts(sql)
@@ -4999,8 +5077,16 @@ def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
     return "".join(out)
 
 
+_TYPE_ANGLE_RE = re.compile(r"(?:MAP|STRUCT|ARRAY)\s*$", re.IGNORECASE)
+
+
 def _split_args(body: str) -> list[str]:
-    parts, depth, cur, in_str = [], 0, [], False
+    """Top-level comma split. Parens nest; so do the ANGLE brackets of
+    Spark composite types (``MAP<STRING, BIGINT>`` — the complex-cast
+    rewrite emits them before emitters parse their args), recognized only
+    when ``<`` directly follows MAP/STRUCT/ARRAY so a less-than operator
+    never opens a phantom depth."""
+    parts, depth, angle, cur, in_str = [], 0, 0, [], False
     for ch in body:
         if in_str:
             if ch == "'":
@@ -5011,7 +5097,11 @@ def _split_args(body: str) -> list[str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0 and not in_str:
+        elif ch == "<" and (angle or _TYPE_ANGLE_RE.search("".join(cur))):
+            angle += 1
+        elif ch == ">" and angle:
+            angle -= 1
+        if ch == "," and depth == 0 and angle == 0 and not in_str:
             parts.append("".join(cur).strip())
             cur = []
         else:

@@ -109,3 +109,40 @@ def test_r09_json_tail_over_table_column(spark, con):
     want = con.execute(sql).fetchall()
     got = [tuple(r) for r in spark.sql(translate(sql)).collect()]
     assert got == [tuple(r) for r in want]
+
+
+# ---- r09: composite cast types (former clean-raise tail) --------------------
+
+COMPLEX_CAST_CASES = [
+    "CAST([[1,2],[3]] AS INT[][])",
+    "[[1,2],[3]]::BIGINT[][]",
+    "CAST(NULL AS VARCHAR[][])",
+    "CAST({'a': 1, 'b': 'x'} AS STRUCT(a BIGINT, b VARCHAR))",
+    "CAST(NULL AS STRUCT(x INT[], y VARCHAR))",
+    "CAST(NULL AS MAP(VARCHAR, INTEGER))",
+    "element_at(CAST(map(['a'],[2]) AS MAP(VARCHAR, DOUBLE)), 'a')",
+    "map_extract(map(['a'],[1])::MAP(VARCHAR, BIGINT), 'a')",
+]
+
+
+def _norm_cell(v):
+    from pyspark.sql import Row
+
+    if isinstance(v, dict):
+        # duckdb renders MAP as {'key': [...], 'value': [...]}
+        if set(v) == {"key", "value"}:
+            return tuple(sorted(zip(map(str, v["key"]), map(str, v["value"]))))
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, Row):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+@pytest.mark.parametrize("expr", COMPLEX_CAST_CASES)
+def test_r09_complex_type_casts_match_duckdb(spark, con, expr):
+    sql = f"SELECT {expr} AS v"
+    want = _norm_cell(con.execute(sql).fetchone()[0])
+    got = _norm_cell(spark.sql(translate(sql)).collect()[0][0])
+    assert got == want, f"{expr}: spark={got!r} duck={want!r}"
