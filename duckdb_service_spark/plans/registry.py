@@ -97,6 +97,8 @@ PRIORITY: list[str] = [
     "events_transition_matrix",
     "events_windowed_funnel",
     "orders_rfm_segmentation",
+    "text_bm25_topk",
+    "sim_embedding_covariance",
     # (c) next-stalest r05-era fill (driver checks first 50; new r09
     # queries registered above this comment displace the tail of this
     # fill automatically — keep the fill LAST)

@@ -971,3 +971,107 @@ def pipeline_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: embedding covariance — the whitening / PCA build statistic
+# (compute sum(x_i * x_j) and the mean vector distributed; the 64x64 eigen
+# step is a bounded driver-side operation downstream, like the K-centroid
+# collect). Output is the upper triangle of the centered covariance matrix
+# in integer micro-units, so the driver check pins every cell exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_embedding_covariance",
+    oracle=f"""
+    WITH dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    x AS (
+      SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
+      FROM embeddings e CROSS JOIN dims d
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    means AS (
+      SELECT i, CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM n) AS m
+      FROM x GROUP BY i
+    ),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(round(a.v * b.v * 1e6) AS BIGINT)) AS BIGINT) AS sxy_u
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j,
+           CAST(round(
+             (CAST(p.sxy_u AS DOUBLE) / 1e6 / (SELECT n FROM n)
+              - mi.m * mj.m) * 1e6) AS BIGINT) AS cov_u
+    FROM prods p
+    JOIN means mi ON mi.i = p.i
+    JOIN means mj ON mj.i = p.j
+    """,
+)
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered covariance of the embedding dimensions (upper triangle,
+    E[xy] - E[x]E[y], 1e-6-unit integers): the distributed half of
+    whitening / PCA — the 64x64 matrix this emits is what a driver-side
+    eigendecomposition (bounded: DIM^2 doubles, like the K-centroid
+    collect) turns into a projection.
+
+    Exactness: per-row products x_i*x_j are identical doubles in both
+    engines; they enter the sums as 1e-6-unit INTEGERS (order-independent,
+    overflow-free at 38 digits) and the means ride a DECIMAL(38,12) sum —
+    the only float ops after aggregation are one division and one
+    subtract on identical doubles, re-rounded to integer units.
+
+    100 TB design: the per-row dim-pair expansion (DIM^2/2 products) is a
+    map-side projection feeding ONE combinable groupBy on (i, j) — a
+    2,080-group aggregation regardless of corpus size; the join is
+    per-row (vec_id) within the same scan, not a shuffle join (Spark
+    plans the posexplode pair as a single pass); nothing vector-shaped
+    shuffles. In production the same statistic comes from a per-batch
+    BLAS X^T X in mapInPandas — this form stays whole-stage-codegen."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    x = e.select("vec_id", F.posexplode("v").alias("i0", "xv")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), "xv"
+    )
+    means = x.groupBy("i").agg(
+        (F.sum(F.col("xv").cast("decimal(38,12)")).cast("double")).alias("s")
+    )
+    # dim-pair products stay INSIDE one row: explode (i, x_i), then pair
+    # each with the full vector's j >= i slice — no self-join shuffle
+    pairs = e.select(
+        "vec_id", F.posexplode("v").alias("i0", "xi"), F.col("v").alias("vv")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode(F.slice("vv", F.col("i0") + 1, DIM)).alias("j0", "xj"),
+        "xi",
+    )
+    prods = pairs.select(
+        "i",
+        (F.col("i") + F.col("j0")).alias("j"),
+        F.round(F.col("xi") * F.col("xj") * 1e6).cast("bigint").alias("p_u"),
+    ).groupBy("i", "j").agg(F.sum("p_u").cast("bigint").alias("sxy_u"))
+    mi = means.select(F.col("i").alias("i"), F.col("s").alias("si"))
+    mj = means.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        prods.join(mi, "i")
+        .join(mj, "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy_u") / 1e6 / F.col("n")
+                    - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("cov_u"),
+        )
+    )
