@@ -412,6 +412,7 @@ class Engine:
         # operators before the dialect shim (which raises on them)
         from .sql_routing import (
             rewrite_columns_expr,
+            rewrite_float_floordiv,
             rewrite_from_first,
             rewrite_map_subscripts,
             rewrite_read_files,
@@ -429,6 +430,7 @@ class Engine:
         stripped = rewrite_from_first(stripped)
         stripped = rewrite_columns_expr(self.spark, stripped, translate)
         stripped = rewrite_map_subscripts(self.spark, stripped, translate)
+        stripped = rewrite_float_floordiv(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

@@ -874,9 +874,78 @@ _UNPIVOT_RE = re.compile(
 _AGG_ITEM_RE = re.compile(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", re.IGNORECASE | re.DOTALL)
 
 
+def _from_schema(spark, stripped: str, translate: Translate):
+    """(name, dtype) pairs of the statement's FROM relation, resolved by
+    running ``SELECT * FROM ... LIMIT 0`` (the route_star_replace /
+    COLUMNS() trick); None when there is no FROM or it doesn't resolve
+    standalone (e.g. a TVF a later routing pass handles)."""
+    from_at = _top_level_kw(stripped, re.compile(r"^FROM\b", re.IGNORECASE))
+    if from_at is None:
+        return None
+    rest = stripped[from_at:]
+    clause_at = _top_level_kw(rest[4:], _CLAUSE_KW_RE)
+    from_clause = rest if clause_at is None else rest[: 4 + clause_at]
+    try:
+        return spark.sql(translate(f"SELECT * {from_clause} LIMIT 0")).dtypes
+    except Exception:
+        return None
+
+
 _MAP_SUBSCRIPT_RE = re.compile(
     r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[([^\[\]:]+)\]"
 )
+
+
+_FLOORDIV_RE = re.compile(r"//")
+_FLOAT_DTYPES = ("double", "float", "decimal")
+
+
+def rewrite_float_floordiv(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB ``a // b`` is plain DOUBLE division when either operand is
+    float/decimal-typed (measured; integer floor division only for
+    integer operands). The dialect handles float-SHAPED operands
+    (literals, casts) textually; a bare COLUMN operand's type is
+    unknowable there, so this service-layer pass resolves bare-identifier
+    operands against the FROM relation's schema and rewrites ``//`` to
+    ``/`` when one resolves to a floating column. Unresolvable or
+    integer-typed operands keep the dialect's ` div ` lowering."""
+    stripped = sql.strip().rstrip(";")
+    if "//" not in _code_only(stripped):
+        return sql
+    schema = _from_schema(spark, stripped, translate)
+    if schema is None:
+        return sql
+    float_cols = {
+        name.lower() for name, t in schema if t.startswith(_FLOAT_DTYPES)
+    }
+    if not float_cols:
+        return sql
+    ident = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?")
+    out, last = [], 0
+    for m in _FLOORDIV_RE.finditer(stripped):
+        if _in_literal(stripped, m.start()):
+            continue
+        lm = re.search(rf"({ident.pattern})\s*$", stripped[: m.start()])
+        k = m.end()
+        while k < len(stripped) and stripped[k].isspace():
+            k += 1
+        rm = ident.match(stripped, k)
+        lhs_float = bool(
+            lm and lm.group(1).split(".")[-1].lower() in float_cols
+        )
+        rhs_float = bool(
+            rm and rm.group(0).split(".")[-1].lower() in float_cols
+        )
+        if lhs_float or rhs_float:
+            out.append(stripped[last : m.start()])
+            out.append("/")
+            last = m.end()
+    if not out:
+        return sql
+    out.append(stripped[last:])
+    return "".join(out)
 
 
 def rewrite_map_subscripts(
@@ -901,16 +970,9 @@ def rewrite_map_subscripts(
     ]
     if not hits:
         return sql
-    from_at = _top_level_kw(stripped, re.compile(r"^FROM\b", re.IGNORECASE))
-    if from_at is None:
+    schema = _from_schema(spark, stripped, translate)
+    if schema is None:
         return sql
-    rest = stripped[from_at:]
-    clause_at = _top_level_kw(rest[4:], _CLAUSE_KW_RE)
-    from_clause = rest if clause_at is None else rest[: 4 + clause_at]
-    try:
-        schema = spark.sql(translate(f"SELECT * {from_clause} LIMIT 0")).dtypes
-    except Exception:
-        return sql  # unresolvable FROM (e.g. TVF handled later) — leave as-is
     map_cols = {name.lower() for name, t in schema if t.startswith("map<")}
     str_cols = {name.lower() for name, t in schema if t == "string"}
     if not map_cols and not str_cols:

@@ -56,3 +56,23 @@ def test_map_subscript_untouched_without_from(spark):
 
     sql = "SELECT map(['a'],[1])['a'] AS v"
     assert rewrite_map_subscripts(spark, sql, translate) == sql
+
+
+def test_float_column_floordiv_matches_duckdb(spark, engines):
+    # `dcol // x` on a schema-resolved floating column is plain DOUBLE
+    # division in DuckDB — the service layer resolves what the textual
+    # dialect cannot (tests reuse the engines fixture's warehouse)
+    import duckdb
+
+    eng, _ = engines
+    con = duckdb.connect()
+    for ex in (eng.execute, con.execute):
+        ex("CREATE TABLE ft (i INTEGER, d DOUBLE)")
+        ex("INSERT INTO ft VALUES (7, 7.5), (9, 2.0)")
+    for q in [
+        "SELECT i, d // 2 AS a, i // 2 AS b, 15 // d AS c FROM ft ORDER BY i",
+        "SELECT i // nullif(i - 7, 0) AS g FROM ft ORDER BY i",
+    ]:
+        got = [tuple(r) for r in eng.query_df(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, f"{q}: {got} != {want}"
