@@ -1101,12 +1101,84 @@ def _subscript_content(base: str, content: str) -> str:
     )
 
 
+def _subscript_content_str(base: str, content: str) -> str:
+    """DuckDB STRING subscript semantics (measured: identical slice math
+    to lists, codepoint-based — 'abcde'[2:-1] = 'bcde', 'héllo'[2] = 'é';
+    single index 0 and out-of-range → '', negative from the back) onto
+    substring/length. Spark's substring is codepoint-based and clamps the
+    overshoot, so only the index-0 case needs the explicit guard."""
+    colon = _find_top_kw_colon(content)
+    if colon != -1:
+        b = content[:colon].strip() or "1"
+        e = content[colon + 1 :].strip()
+        b_lit = _INT_LIT_RE.match(b)
+        if not e:
+            if b_lit and int(b) > 0:
+                return f"substring({base}, {b})"
+            bi = (
+                f"greatest(CASE WHEN ({b}) > 0 THEN ({b}) "
+                f"WHEN ({b}) < 0 THEN length({base}) + ({b}) + 1 ELSE 1 END, 1)"
+            )
+            return f"substring({base}, {bi})"
+        e_lit = _INT_LIT_RE.match(e)
+        if b_lit and e_lit and int(b) > 0 and int(e) > 0:
+            return f"substring({base}, {b}, greatest(({e}) - ({b}) + 1, 0))"
+        bi = (
+            f"greatest(CASE WHEN ({b}) > 0 THEN ({b}) "
+            f"WHEN ({b}) < 0 THEN length({base}) + ({b}) + 1 ELSE 1 END, 1)"
+        )
+        ei = (
+            f"CASE WHEN ({e}) > 0 THEN ({e}) "
+            f"WHEN ({e}) < 0 THEN length({base}) + ({e}) + 1 ELSE 0 END"
+        )
+        return f"substring({base}, {bi}, greatest({ei} - {bi} + 1, 0))"
+    if _INT_LIT_RE.match(content):
+        if int(content) == 0:
+            return "''"
+        return f"substring({base}, {content}, 1)"
+    return (
+        f"(CASE WHEN ({content}) = 0 THEN '' "
+        f"ELSE substring({base}, {content}, 1) END)"
+    )
+
+
+# call bases that RETURN STRINGS: their subscript takes the string form
+# (reverse/concat are omitted — polymorphic over lists too)
+_STRING_BASE_RE = re.compile(
+    r"^\s*(upper|lower|trim|ltrim|rtrim|btrim|substring|substr|replace|"
+    r"repeat|left|right|lpad|rpad|initcap|translate|regexp_replace|"
+    r"format_string|printf|format|chr|string_agg|strip_accents|"
+    r"nfc_normalize|to_base|bar|typeof|md5|sha256|array_to_string|"
+    r"list_aggregate)\s*\(",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_call_subscripts(sql: str) -> str:
     """Statement-level: a subscript whose base is a parenthesized call —
     ``split(s, '_')[2]``, ``array(1, 2)[1]``, ``(expr)[i]`` — becomes
-    element_at/slice with DuckDB's 1-based semantics. Literal-masked, so
-    string arguments inside the base don't break the balance scan; loops
-    so chains (``f(x)[1][2]``) resolve outermost-last."""
+    element_at/slice with DuckDB's 1-based semantics (string-returning
+    calls and string LITERALS take the substring form). Literal-masked,
+    so string arguments inside the base don't break the balance scan;
+    loops so chains (``f(x)[1][2]``) resolve outermost-last."""
+    # string-literal bases first: '...'[i]
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for a, b in _spans(sql):
+            m2 = re.match(r"\s*\[", sql[b:])
+            if m2:
+                hit = (a, b, b + m2.end() - 1)
+                break
+        if hit is None:
+            break
+        a, b, open_br = hit
+        end_br = _scan_balanced(sql, open_br, "[", "]")
+        if end_br == -1:
+            raise UnsupportedDialect("unbalanced subscript bracket")
+        content = sql[open_br + 1 : end_br - 1].strip()
+        repl = _subscript_content_str(sql[a:b], content)
+        sql = sql[:a] + repl + sql[end_br:]
     while True:
         mask = _literal_mask(sql)
         m = None
@@ -1149,7 +1221,10 @@ def _rewrite_call_subscripts(sql: str) -> str:
             raise UnsupportedDialect("unbalanced subscript bracket")
         base = sql[base_start : close + 1]
         content = sql[open_br + 1 : end_br - 1].strip()
-        repl = _subscript_content(base, content)
+        if _STRING_BASE_RE.match(base):
+            repl = _subscript_content_str(base, content)
+        else:
+            repl = _subscript_content(base, content)
         sql = sql[:base_start] + repl + sql[end_br:]
 
 

@@ -892,7 +892,7 @@ def _from_schema(spark, stripped: str, translate: Translate):
 
 
 _MAP_SUBSCRIPT_RE = re.compile(
-    r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[([^\[\]:]+)\]"
+    r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[([^\[\]]+)\]"
 )
 
 
@@ -981,18 +981,17 @@ def rewrite_map_subscripts(
     for m in hits:
         base, key = m.group(1), m.group(2)
         leaf = base.split(".")[-1].lower()
-        if leaf in map_cols:
+        if leaf in map_cols and ":" not in key:
             repl = f"map_extract({base}, {key})"
         elif leaf in str_cols:
-            # DuckDB single-index string subscript: 1-based CODEPOINT,
-            # index 0 and out-of-range -> '' (measured; Spark substring
-            # treats 0 as 1, so it needs the explicit guard), negative
-            # from the back. The generic lowering emits element_at,
-            # which Spark rejects on STRING.
-            repl = (
-                f"(CASE WHEN ({key}) = 0 THEN '' "
-                f"ELSE substring({base}, {key}, 1) END)"
-            )
+            # DuckDB string subscripts/slices: 1-based CODEPOINT, index 0
+            # and out-of-range -> '', negative from the back, inclusive
+            # slice ends. The generic lowering emits element_at/slice,
+            # which Spark rejects on STRING — reuse the dialect's string
+            # subscript math.
+            from .dialect import _subscript_content_str
+
+            repl = _subscript_content_str(base, key.strip())
         else:
             continue
         out.append(stripped[last : m.start()])

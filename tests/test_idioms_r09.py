@@ -254,3 +254,21 @@ DISTINCT_FILTER_AGGS = [
 @pytest.mark.parametrize("expr", DISTINCT_FILTER_AGGS)
 def test_r09_distinct_filter_agg_matches_duckdb(spark, con, expr):
     _compare(spark, con, f"{expr} AS v")
+
+
+STRING_SUBSCRIPT_CASES = [
+    "'xyz'[1]", "'xyz'[0]", "'xyz'[-1]", "'xyz'[5]", "'xyz'[2:3]",
+    "'héllo'[2]", "'abcde'[0:2]", "'abcde'[2:1]", "'abcde'[-2:-1]",
+    "'abcde'[2:]", "'abcde'[:2]", "'abcde'[1:99]", "'abcde'[-9:2]",
+    "'abcde'[2:-1]", "upper('abc')[2]", "substr('hello', 2)[1]",
+    "lpad('x', 3, '_')[1]",
+]
+
+
+@pytest.mark.parametrize("expr", STRING_SUBSCRIPT_CASES)
+def test_r09_string_subscript_matches_duckdb(spark, con, expr):
+    # string-literal and string-returning-call bases take the substring
+    # form (measured: codepoint-based, index 0 / out-of-range -> '',
+    # slices identical to list slice math); bare COLUMN bases are
+    # schema-resolved at the service layer (test_map_subscript_r09)
+    _compare(spark, con, f"u, {expr} AS v", " ORDER BY u")

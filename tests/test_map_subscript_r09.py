@@ -76,3 +76,22 @@ def test_float_column_floordiv_matches_duckdb(spark, engines):
         got = [tuple(r) for r in eng.query_df(q).collect()]
         want = con.execute(q).fetchall()
         assert got == want, f"{q}: {got} != {want}"
+
+
+def test_string_column_subscripts_and_slices(engines):
+    # bare string-column subscripts + slices through the schema route
+    import duckdb
+
+    eng, _ = engines
+    con = duckdb.connect()
+    for ex in (eng.execute, con.execute):
+        ex("CREATE TABLE st (id INTEGER, s VARCHAR)")
+        ex("INSERT INTO st VALUES (1, 'abcde'), (2, 'héllo'), (3, '')")
+    for q in [
+        "SELECT id, s[2] AS a, s[0] AS b, s[-1] AS c FROM st ORDER BY id",
+        "SELECT id, s[2:3] AS a, s[2:] AS b, s[:2] AS c, s[2:-1] AS d FROM st ORDER BY id",
+        "SELECT id FROM st WHERE s[1] = 'a'",
+    ]:
+        got = [tuple(r) for r in eng.query_df(q).collect()]
+        want = con.execute(q).fetchall()
+        assert got == want, f"{q}: {got} != {want}"
