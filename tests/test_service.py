@@ -327,12 +327,14 @@ def test_dialect_list_comprehension_and_struct_literals(spark):
 def test_dialect_bracket_tokenizer_edges():
     """Round-5 tokenizer fixes: (1) a string literal ends a pending
     identifier — `SELECT 'abc'[2]` must NOT read the subscript as a
-    keyword-context constructor; (2) whitespace completes identifiers —
-    `SELECT array[1,2]` must recognize the ARRAY-keyword form instead of
-    merging into 'selectarray'."""
+    keyword-context constructor (r09: it now lowers to the measured DuckDB
+    STRING-subscript form instead of passing through to a Spark error);
+    (2) whitespace completes identifiers — `SELECT array[1,2]` must
+    recognize the ARRAY-keyword form instead of merging into
+    'selectarray'."""
     from duckdb_service_spark.service.dialect import translate
 
-    assert translate("SELECT 'abc'[2] AS c") == "SELECT 'abc'[2] AS c"
+    assert translate("SELECT 'abc'[2] AS c") == "SELECT substring('abc', 2, 1) AS c"
     assert translate("SELECT array[1,2] AS a") == "SELECT array(1,2) AS a"
     assert translate("SELECT ARRAY[1, 2] AS a") == "SELECT ARRAY(1, 2) AS a"
     assert "element_at(l, 2)" in translate("SELECT l[2] FROM t")
