@@ -76,7 +76,12 @@ def get_spark(app_name: str = "duckdb-service-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g: local[32] runs the whole engine in the driver JVM — at 8g the
+        # bench suite's accumulated persists GC-thrash and evict each other
+        # (measured: full 22-query suite Spark total 29.2s at 8g vs 21.0s at
+        # 16g on the same quiet box; the corpus-pipeline queries' walls were
+        # 2-2.5x their scoped values purely from cache pressure)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # keep stdout clean for the bench JSON line and shave the progress-
         # bar redraw overhead from per-query walls
