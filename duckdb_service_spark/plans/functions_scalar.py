@@ -1052,6 +1052,9 @@ SELECT o_orderkey,
        CAST(try_strptime(o_orderpriority, '%Y-%m-%d') AS VARCHAR)   AS not_a_date,
        CAST(md5_number_lower(o_orderpriority) AS VARCHAR)           AS h_lo,
        CAST(md5_number_upper(o_orderpriority) AS VARCHAR)           AS h_hi,
+       CAST(md5_number(CASE WHEN o_orderpriority IN
+           ('1-URGENT', '4-NOT SPECIFIED', '5-LOW')
+           THEN o_orderpriority END) AS VARCHAR)                    AS h_full,
        format('{}: {:.2f} ({:d})', o_orderstatus, o_totalprice, o_orderkey) AS line
 FROM orders
 WHERE o_orderkey <= 2000
@@ -1066,8 +1069,11 @@ def fn_battery_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
     decade floor-division part, bidirectional epoch_ms, strftime %I/%p
     12-hour directives, try_strptime NULL-on-miss, the little-endian
     md5_number halves (UBIGINT as DECIMAL(20,0), serialized VARCHAR for
-    the driver hash), and fmt-style format() numeric specs. Differential
-    tests in tests/test_idioms_r08.py."""
+    the driver hash) plus the r10 FULL md5_number composition (signed
+    HUGEINT as DECIMAL(38,0) where |v| < 1e38; the CASE keeps the battery
+    on the composable subset and exercises the NULL path — true overflow
+    raises, tests/test_idioms_r10.py), and fmt-style format() numeric
+    specs. Differential tests in tests/test_idioms_r08.py."""
     from ..service.dialect import translate
 
     load_tables(spark, sf_dir).view("orders")

@@ -47,78 +47,68 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-9 rotation (VERDICT r08 task 1 — finish the rotation for
-# good): (a) the 27 remaining r04-era rows — after this round no query's
-# latest driver CORRECTNESS row is older than r05; (b) queries new or
-# code-path-changed in round 9 (perf-reworked corpus-pipeline queries,
-# the persisted k-means assignment in cluster-balanced sampling, the new
-# JSON tail + sweep-driven fixes, skew-proofed triangles); (c) the
-# next-stalest r05-era rows fill the remaining slots.
+# order. Round-10 rotation (VERDICT r09 task 2 — keep the cadence): (a) all
+# 34 rows whose latest driver CORRECTNESS check is r05-era — after this
+# round nothing is staler than r06; (b) the stalest r06-era rows fill the
+# remaining slots, fn batteries first (the round-10 dialect fixes — OVER\b
+# alias capture, _split_args angle anchoring, bare-NULL list ||,
+# subquery-scoped subscripts — live on their translate paths).
 PRIORITY: list[str] = [
-    # (a) r04-era rotation debt — the last of it (27 rows)
-    "agg_string_agg",
-    "agg_collect_list_set",
-    "proj_expressions",
-    "select_exclude_replace",
-    "filter_predicates",
-    "filter_ilike",
-    "distinct_basic",
-    "distinct_on_latest_order",
-    "values_relation",
-    "generate_series_step",
-    "limit_offset",
-    "order_nulls_last",
-    "subquery_correlated_scalar",
-    "setop_intersect_all",
-    "setop_except_all",
-    "sim_topk_bruteforce",
-    "sim_lsh_buckets",
-    "sim_quantize_int8",
-    "io_parquet_roundtrip",
-    "sql_read_parquet_routing",
-    "sql_read_csv_routing",
-    "sql_read_json_routing",
-    "sql_sample_routing",
-    "sql_summarize_routing",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h",
-    "stream_dedup_exact",
-    # (b) new or code-path-changed in round 9 (perf rework of the three
-    # >2x corpus-pipeline queries; persisted k-means assignment;
-    # skew-proofed triangle pair generation; JSON tail additions)
-    "text_line_dedup",
-    "dedup_minhash_lsh",
-    "pipeline_corpus_curation",
-    "pipeline_cluster_balanced_sample",
-    "graph_triangle_count",
-    "fn_json_ops",
-    "pipeline_semdedup",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_windowed_funnel",
-    "orders_rfm_segmentation",
-    "text_bm25_topk",
-    "sim_embedding_covariance",
-    # (c) next-stalest r05-era fill (driver checks first 50; new r09
-    # queries registered above this comment displace the tail of this
-    # fill automatically — keep the fill LAST)
-    "agg_bool_bit",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_group_by_all",
-    "agg_median_percentile",
-    "dedup_exact",
-    "fn_string",
-    "fn_regex",
-    "join_inner_equi",
-    "join_left_outer",
-    "join_semi_exists",
+    # (a) r05-era rows — all 34
+    "fn_battery_r5",
+    "fn_battery_r6",
+    "fn_battery_r7",
     "join_asof",
+    "join_full_outer",
+    "join_in_subquery",
+    "join_right_outer",
+    "join_semi_exists",
     "mm_frame_sample",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_waiting",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sql_bare_path_from",
+    "sql_columns_expr",
+    "sql_dml_returning",
+    "sql_from_first_routing",
+    "sql_lateral_unnest",
     "sql_list_comprehension",
     "sql_order_by_all",
-    "sql_dml_returning",
+    "sql_unnest_select",
+    "sql_unpivot_routing",
+    "stream_static_enrich",
+    "stream_stream_join",
     "win_ignore_nulls",
+    # (b) new or code-path-changed in round 10 (keep ABOVE the fill —
+    # anything registered here displaces the fill tail automatically)
+    "fn_battery_r12",  # + h_full: full md5_number composition (r09 task 8)
+    # (c) stalest r06-era fill, fn batteries + window/dialect-heavy first
+    "fn_battery_r8",
+    "fn_array_agg_lambda",
+    "fn_bit",
+    "fn_datetime",
+    "fn_format",
+    "fn_hash",
+    "fn_interval",
+    "fn_json",
+    "fn_math",
+    "fn_timestamp_parts",
+    "fn_try_arithmetic",
+    "win_lag_lead",
+    "win_ranks",
+    "agg_rollup",
+    "join_cross",
+    "join_theta_nonequi",
 ]
 
 

@@ -581,6 +581,11 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_K = 8
+# literal-centroid plans carry K x DIM doubles in the plan tree itself;
+# past this bound the single-row broadcast form delivers the same structs
+# without a multi-megabyte plan (K=256 x 64 dims x ~20 chars ≈ 300 KB of
+# plan text is the sanity edge; K ∝ n per tools/scale_semdedup.py)
+_KMEANS_LITERAL_MAX = 256
 
 
 def _kmeans_oracle() -> str:
@@ -657,18 +662,32 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e)
 
 
-def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
-    """(d, cluster) of the nearest centroid as a single map-side expression:
-    the K centroids are embedded as a literal array of structs and the
-    argmin is `array_min` over per-centroid (L2^2, cluster) structs —
-    lexicographic struct ordering IS the (distance, cluster-id) tie-break.
-    Same ordered 64-term `_l2sq` fold as before, so values are
-    bit-identical; what changed (round 9, VERDICT r08 task 4) is topology:
-    no K x n cross join, no groupBy(vec_id) carrying the vector through a
-    SortAggregate — assignment is pure projection inside whole-stage
-    codegen."""
+def _argmin_over(cent_array):
+    """(d, cluster) of the nearest centroid over ANY array<struct<cluster,
+    centroid>> expression: `array_min` over per-centroid (L2^2, cluster)
+    structs — lexicographic struct ordering IS the (distance, cluster-id)
+    tie-break. The ordered 64-term `_l2sq` fold keeps values bit-identical
+    across both centroid-delivery forms (literal / broadcast)."""
     from ..operators.similarity import _l2sq
 
+    return F.array_min(
+        F.transform(
+            cent_array,
+            lambda ct: F.struct(
+                _l2sq(F.col("v"), ct["centroid"]).alias("d"),
+                ct["cluster"].alias("cluster"),
+            ),
+        )
+    )
+
+
+def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
+    """(d, cluster) of the nearest centroid as a single map-side expression:
+    the K centroids are embedded as a literal array of structs. Same
+    ordered 64-term `_l2sq` fold as before, so values are bit-identical;
+    what changed (round 9, VERDICT r08 task 4) is topology: no K x n cross
+    join, no groupBy(vec_id) carrying the vector through a SortAggregate —
+    assignment is pure projection inside whole-stage codegen."""
     lit = F.array(
         *[
             F.struct(
@@ -678,15 +697,39 @@ def _kmeans_argmin(cents: list[tuple[int, list[float]]]):
             for c, vec in cents
         ]
     )
-    return F.array_min(
-        F.transform(
-            lit,
-            lambda ct: F.struct(
-                _l2sq(F.col("v"), ct["centroid"]).alias("d"),
-                ct["cluster"].alias("cluster"),
-            ),
-        )
+    return _argmin_over(lit)
+
+
+def _assign_with_centroids(
+    e: DataFrame, cents: list[tuple[int, list[float]]], k: int
+) -> tuple[DataFrame, "F.Column"]:
+    """(relation, argmin-struct-column) for one Lloyd assignment pass,
+    auto-switching centroid delivery on K (VERDICT r09 task 3):
+
+    - K <= _KMEANS_LITERAL_MAX: centroids as a literal array — pure
+      projection, zero joins, zero exchanges in the assignment stage;
+    - larger K: a SINGLE-ROW broadcast relation carrying the same
+      array<struct> cross-joined in (BroadcastNestedLoopJoin against one
+      row = a map over `e`; no shuffle Exchange, no per-row K-way
+      expansion, no multi-megabyte literal plan for K ~ 10^4 per the
+      K ∝ n law in tools/scale_semdedup.py).
+
+    Both forms evaluate the IDENTICAL argmin expression over the identical
+    centroid structs, so results are bit-identical (asserted in
+    tests/test_operators.py::test_kmeans_broadcast_form_identical)."""
+    if k <= _KMEANS_LITERAL_MAX:
+        return e, _kmeans_argmin(cents)
+    spark = e.sparkSession
+    payload = [
+        {"cluster": int(c), "centroid": [float(x) for x in vec]}
+        for c, vec in cents
+    ]
+    cdf = spark.createDataFrame(
+        [(payload,)],
+        schema="__cents array<struct<cluster:int,centroid:array<double>>>",
     )
+    joined = e.crossJoin(F.broadcast(cdf))
+    return joined, _argmin_over(F.col("__cents"))
 
 
 def kmeans_assign(
@@ -698,18 +741,20 @@ def kmeans_assign(
     per-vector argmin with cluster-id tie-break, L2^2 rounded at 4.
 
     The K centroids are driver-collected (K x 64 doubles — bounded by K
-    like the seed-id list, never corpus-proportional) and embedded as
-    literals, so both Lloyd passes are map-only projections over `e`; the
-    only shuffle is the K*DIM-group re-centering mean. For K large enough
-    that a literal array stops being sensible (K proportional to n per the
-    scale law in tools/scale_semdedup.py), the broadcast-join form of the
-    argmin is the fallback — the collect bound is K, which that law keeps
-    at ~10^2-10^3."""
+    like the seed-id list, never corpus-proportional). Centroid delivery
+    auto-switches on K (_assign_with_centroids): literals for
+    K <= _KMEANS_LITERAL_MAX (map-only projection), a single-row broadcast
+    relation beyond (same argmin expression, BroadcastNestedLoopJoin
+    against one row, still no shuffle in the assignment stage) — so a
+    caller at K ~ 10^4 per the K ∝ n law in tools/scale_semdedup.py never
+    builds a multi-megabyte literal plan. The only shuffle either way is
+    the K*DIM-group re-centering mean."""
     # ids AND vectors in ONE TakeOrdered job (K rows over the wire)
     seeds = e.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
     init = [(c, list(r[1])) for c, r in enumerate(seeds)]
 
-    a1 = e.withColumn("cluster", _kmeans_argmin(init)["cluster"])
+    rel1, best1 = _assign_with_centroids(e, init, k)
+    a1 = rel1.withColumn("cluster", best1["cluster"])
     mean_rows = (
         a1.select("cluster", F.posexplode("v").alias("i", "val"))
         .groupBy("cluster", "i")
@@ -729,7 +774,7 @@ def kmeans_assign(
         (c, [dims[i] for i in sorted(dims)])
         for c, dims in sorted(by_cluster.items())
     ]
-    best = _kmeans_argmin(cent)
+    rel2, best = _assign_with_centroids(e, cent, k)
     cols = [
         F.col("vec_id"),
         best["cluster"].alias("cluster"),
@@ -740,7 +785,7 @@ def kmeans_assign(
         # verify) take it straight off the projection — a vec_id join back
         # to the corpus would shuffle the vectors twice for nothing
         cols.append(F.col("v"))
-    return e.select(*cols)
+    return rel2.select(*cols)
 
 
 _SEMDEDUP_CUT = 0.5

@@ -515,7 +515,7 @@ FUNCTION_ALIASES = {
     "from_binary": "__duck_from_binary",
     "current_query": "__duck_current_query",
     # introspection / unrepresentable — clean raises, never silent
-    "md5_number": "__duck_unsupported_introspect",
+    "md5_number": "__duck_md5_number",
     "stats": "__duck_unsupported_introspect",
     "vector_type": "__duck_unsupported_introspect",
     "in_search_path": "__duck_unsupported_introspect",
@@ -2232,6 +2232,34 @@ def _rewrite_agg_inline_order(sql: str) -> str:
 _WIN_DISTINCT_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(\s*DISTINCT\b", re.IGNORECASE)
 
 
+# O(frame) collect-based window rewrites (DISTINCT aggregates over
+# windows, list/array_agg window forms, RANGE-EXCLUDE min-max/sum/avg)
+# materialize the frame per row. At 100 TB a silently wide frame OOMs an
+# executor; past this per-frame element bound the query fails loudly at
+# runtime instead (VERDICT r09 task 4 — the RANGE-EXCLUDE tie-guard
+# pattern applied to frame SIZE). Settable per engine via
+# ``SET window_frame_element_bound = N``; <= 0 disables the guard.
+WINDOW_FRAME_ELEMENT_BOUND = 1_000_000
+
+
+def _frame_guard(expr: str, count_over: str) -> str:
+    """Wrap a frame-materializing window expression with a runtime bound:
+    a cheap O(1)-state ``count(1)`` rides the IDENTICAL window attachment
+    (so counted rows >= collected elements, and Spark's window planner
+    folds it into the same Window operator), and past the bound the row
+    raises instead of letting the collect OOM the executor."""
+    bound = WINDOW_FRAME_ELEMENT_BOUND
+    if bound is None or bound <= 0:
+        return expr
+    return (
+        f"(CASE WHEN count(1){count_over} <= {bound} THEN {expr} "
+        f"WHEN raise_error('window frame exceeds "
+        f"window_frame_element_bound ({bound} elements): this collect-based "
+        f"window rewrite materializes the frame per row - narrow the frame "
+        f"or SET window_frame_element_bound') IS NULL THEN NULL END)"
+    )
+
+
 def _rewrite_window_distinct(sql: str) -> str:
     """DuckDB allows DISTINCT aggregates as window functions
     (``count(DISTINCT x) OVER (...)``); Spark's grammar rejects them.
@@ -2277,7 +2305,9 @@ def _rewrite_window_distinct(sql: str) -> str:
             inner = sql[open_at + 1 : close - 1]
             expr = re.sub(r"^\s*DISTINCT\b", "", inner, flags=re.IGNORECASE).strip()
             spec = sql[spec_open + 1 : spec_close - 1]
-            cs = f"collect_set({expr}) OVER ({spec})"
+            cs = _frame_guard(
+                f"collect_set({expr}) OVER ({spec})", f" OVER ({spec})"
+            )
             if fname == "count":
                 repl = f"size({cs})"
             elif fname in ("min", "max"):
@@ -2987,9 +3017,10 @@ def _rewrite_frame_exclude(sql: str) -> str:
         if mode == "RANGE":
             # current row (hence the WHOLE peer group) is in frame
             if fname in ("min", "max"):
-                cl = (
+                cl = _frame_guard(
                     f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
-                    f" OVER ({base_spec})"
+                    f" OVER ({base_spec})",
+                    f" OVER ({base_spec})",
                 )
                 m_out = (
                     f"{arr_agg}(transform(filter({cl}, "
@@ -3002,7 +3033,12 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 else:  # CURRENT ROW: comb with peer-group-minus-self
                     peers = ", ".join(part + order) if (part or order) else ""
                     pspec = f"PARTITION BY {peers}" if peers else ""
-                    ga = f"array_sort(collect_list({x}) OVER ({pspec}))"
+                    ga = "array_sort({})".format(
+                        _frame_guard(
+                            f"collect_list({x}) OVER ({pspec})",
+                            f" OVER ({pspec})",
+                        )
+                    )
                     if fname == "max":
                         ga = f"reverse({ga})"
                     m_grp_excl_me = (
@@ -3065,9 +3101,10 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 else:
 
                     def _seg_agg(seg: str) -> str:
-                        cl = (
+                        cl = _frame_guard(
                             f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
-                            f" OVER ({seg})"
+                            f" OVER ({seg})",
+                            f" OVER ({seg})",
                         )
                         return (
                             f"{arr_agg}(transform(filter({cl}, "
@@ -3112,9 +3149,10 @@ def _rewrite_frame_exclude(sql: str) -> str:
                 for s in (segA, segB):
                     if s is None:
                         continue
-                    cl = (
+                    cl = _frame_guard(
                         f"collect_list(named_struct('k', {kexpr}, 'x', ({x})))"
-                        f" OVER ({s})"
+                        f" OVER ({s})",
+                        f" OVER ({s})",
                     )
                     nn = (
                         f"filter(transform(filter({cl}, "
@@ -3158,15 +3196,21 @@ _LISTISH_OPERAND_RE = re.compile(
 
 
 def _rewrite_list_concat_nulls(sql: str) -> str:
-    """DuckDB's list ``||`` is list_concat: a NULL side is treated as
-    empty unless BOTH sides are NULL (measured: NULL || [9] = [9],
-    [9] || NULL = [9], NULL || NULL = NULL); Spark's ``||``/concat
-    propagates any NULL. Rewrite ``A || B`` into the NULL-dispatching CASE
-    when either operand is syntactically a list (an ``array(...)`` literal
-    emitted by the list-literal pass, or a list-returning call). String
-    and unknown-typed operands keep the passthrough, which IS DuckDB's
-    string semantics; a list-typed bare column on both sides remains a
-    documented textual-unknowability divergence."""
+    """DuckDB's list ``||`` is list_concat: a list-TYPED NULL side is
+    treated as empty unless BOTH sides are NULL (measured on 1.0.0:
+    ``NULL::INT[] || [9]`` = [9], ``[9] || NULL::INT[]`` = [9],
+    ``NULL::INT[] || NULL::INT[]`` = NULL — but a BARE untyped NULL
+    resolves as string concat and yields NULL: ``NULL || [9]`` = NULL);
+    Spark's ``||``/concat propagates any NULL. Rewrite ``A || B`` into
+    the NULL-dispatching CASE when either operand is syntactically a list
+    (an ``array(...)`` literal emitted by the list-literal pass, or a
+    list-returning call) and NEITHER operand is the bare literal NULL
+    (whose measured DuckDB result is plain NULL — the Spark passthrough).
+    String and unknown-typed operands keep the passthrough, which IS
+    DuckDB's string semantics; a list-typed bare column on both sides
+    remains a documented textual-unknowability divergence, as does the
+    textual re-evaluation of operands inside the CASE (nondeterministic
+    operands are evaluated more than once)."""
     mask = _literal_mask(sql)
     i = 0
     while True:
@@ -3185,6 +3229,17 @@ def _rewrite_list_concat_nulls(sql: str) -> str:
         b = sql[j + 2 : hi].strip()
         if not (_LISTISH_OPERAND_RE.match(a) or _LISTISH_OPERAND_RE.match(b)):
             i = j + 2
+            continue
+        if a.upper() == "NULL" or b.upper() == "NULL":
+            # bare untyped NULL: DuckDB resolves the || as VARCHAR concat
+            # and returns a string-typed NULL (measured:
+            # typeof(NULL || [9]) = VARCHAR, value NULL); Spark's concat
+            # rejects the string/array mix at analysis, so emit the typed
+            # NULL directly
+            repl = "CAST(NULL AS STRING)"
+            sql = sql[:lo] + repl + sql[hi:]
+            mask = _literal_mask(sql)
+            i = lo + len(repl)
             continue
         repl = (
             f"(CASE WHEN ({a}) IS NULL THEN {b} "
@@ -3727,6 +3782,8 @@ def _emit_list_plain(args: list[str], suffix: str = "") -> str:
     dm = re.match(r"\s*DISTINCT\s+(.*)$", x, re.IGNORECASE | re.DOTALL)
     fn, x = ("collect_set", dm.group(1)) if dm else ("collect_list", x)
     cl = f"{fn}(named_struct('v', ({x}))){suffix}"
+    if "OVER" in suffix.upper():
+        cl = _frame_guard(cl, suffix)
     return (
         f"(CASE WHEN count(*){suffix} = 0 THEN NULL "
         f"ELSE transform({cl}, __s -> __s.v) END)"
@@ -4719,6 +4776,45 @@ def _emit_geomean(args: list[str]) -> str:
     return f"exp(avg(ln({args[0]})))"
 
 
+def _emit_md5_number(args: list[str]) -> str:
+    """md5_number(s): DuckDB's HUGEINT (SIGNED 128-bit) little-endian
+    interpretation of all 16 md5 bytes (measured: value = signed(lower) *
+    2^64 + upper, with lower = LE(bytes 8..16) = md5_number_lower and
+    upper = LE(bytes 0..8) = md5_number_upper; 'abc' → 1.5219…e38,
+    'world' → −3.2950…e37). The signed value fits DECIMAL(38,0) iff
+    |v| < 1e38 (~59% of the hash space) — composable values are computed
+    exactly from the half emitters, TRUE overflow raises at runtime with
+    the halves as the escape hatch (r09 verdict task 8; previously every
+    call raised at translate time)."""
+    if len(args) != 1:
+        raise UnsupportedDialect("md5_number expects one argument")
+    lo = _md5_half_le(args, False)  # LE(bytes 8..16) = bits 64..127
+    up = _md5_half_le(args, True)  # LE(bytes 0..8)  = bits 0..63
+    two64 = "CAST(18446744073709551616 AS DECIMAL(38,0))"
+    signed_lo = (
+        f"(CASE WHEN {lo} >= 9223372036854775808 "
+        f"THEN CAST({lo} AS DECIMAL(38,0)) - {two64} "
+        f"ELSE CAST({lo} AS DECIMAL(38,0)) END)"
+    )
+    # |v| < 1e38 boundaries, exact: divmod(±(1e38-1), 2^64)
+    fits = (
+        f"(({signed_lo} < 5421010862427522170 OR "
+        f"({signed_lo} = 5421010862427522170 AND "
+        f"{up} <= 687399551400673279)) AND "
+        f"({signed_lo} > -5421010862427522171 OR "
+        f"({signed_lo} = -5421010862427522171 AND "
+        f"{up} >= 17759344522308878337)))"
+    )
+    val = f"({signed_lo} * {two64} + CAST({up} AS DECIMAL(38,0)))"
+    return (
+        f"(CASE WHEN ({args[0]}) IS NULL THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"WHEN {fits} THEN {val} "
+        f"ELSE CAST(raise_error('md5_number: HUGEINT value exceeds "
+        f"DECIMAL(38) - use md5_number_lower/md5_number_upper') "
+        f"AS DECIMAL(38,0)) END)"
+    )
+
+
 def _emit_unsupported_fn(args: list[str]) -> str:
     raise UnsupportedDialect(
         "this DuckDB function has no exact Spark equivalent "
@@ -4730,8 +4826,7 @@ def _emit_unsupported_introspect(args: list[str]) -> str:
     raise UnsupportedDialect(
         "engine-introspection or unrepresentable-type function "
         "(stats/vector_type/in_search_path/txid_current/create_sort_key/"
-        "bit_position, and md5_number whose UHUGEINT exceeds DECIMAL(38) — "
-        "use md5_number_lower/md5_number_upper)"
+        "bit_position)"
     )
 
 
@@ -5035,6 +5130,7 @@ _ROUND5_EMITTERS = {
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
     "__duck_json_extract": _emit_json_extract,
+    "__duck_md5_number": _emit_md5_number,
     "__duck_md5_num_lower": lambda a: _md5_half_le(a, False),
     "__duck_md5_num_upper": lambda a: _md5_half_le(a, True),
     "__duck_timezone": _emit_timezone,
@@ -5124,7 +5220,10 @@ def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
                 if fclose != -1:
                     suffix += " " + sql[j + fm.start() : fclose].strip()
                     j = fclose
-            om = re.match(r"\s*OVER\s*", sql[j:], re.IGNORECASE)
+            # \b after OVER: an implicit (no-AS) alias starting with
+            # "over" (e.g. ``product(x) overall``) must NOT be consumed
+            # as a named-window reference (mirrors the FILTER-OVER pass).
+            om = re.match(r"\s*OVER\b\s*", sql[j:], re.IGNORECASE)
             if om:
                 k = j + om.end()
                 if k < len(sql) and sql[k] == "(":
@@ -5152,7 +5251,12 @@ def _rewrite_balanced_call(sql: str, marker: str, emit) -> str:
     return "".join(out)
 
 
-_TYPE_ANGLE_RE = re.compile(r"(?:MAP|STRUCT|ARRAY)\s*$", re.IGNORECASE)
+_TYPE_ANGLE_RE = re.compile(
+    # leading boundary so identifiers ENDING in a type keyword (bitmap,
+    # my_array) before a '<' comparison never open phantom angle depth
+    r"(?:\A|[^0-9A-Za-z_])(?:MAP|STRUCT|ARRAY)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_args(body: str) -> list[str]:

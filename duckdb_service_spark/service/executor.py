@@ -1108,6 +1108,14 @@ class Engine:
                 "preserve_insertion_order",
                 "checkpoint_threshold",
             }
+            if key == "window_frame_element_bound":
+                # runtime bound for the O(frame) collect-based window
+                # rewrites (dialect._frame_guard); <= 0 disables the guard
+                from . import dialect as _dialect
+
+                _dialect.WINDOW_FRAME_ELEMENT_BOUND = int(val)
+                self._pragmas[key] = val
+                return ExecuteOutcome(0)
             if key in mapped:
                 self.spark.conf.set(mapped[key], val)
                 self._pragmas[key] = val

@@ -891,9 +891,61 @@ def _from_schema(spark, stripped: str, translate: Translate):
         return None
 
 
-_MAP_SUBSCRIPT_RE = re.compile(
-    r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[([^\[\]]+)\]"
-)
+_IDENT_BRACKET_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\[")
+
+
+class _Subscript:
+    __slots__ = ("start", "end", "base", "key")
+
+    def __init__(self, start, end, base, key):
+        self.start, self.end = start, end
+        self.base, self.key = base, key
+
+
+def _iter_subscripts(stripped: str, mask: list[bool]):
+    """Yield identifier[...] subscripts with a quote- and bracket-aware
+    key scan, so string keys containing ']' (``m['a]b']``) and nested
+    subscripts survive intact (a bare ``[^\\[\\]]+`` key pattern truncates
+    them and emits corrupted SQL)."""
+    for m in _IDENT_BRACKET_RE.finditer(stripped):
+        if mask[m.start()]:
+            continue
+        open_at = m.end() - 1
+        depth, j = 1, open_at + 1
+        while j < len(stripped) and depth:
+            if not mask[j]:
+                if stripped[j] == "[":
+                    depth += 1
+                elif stripped[j] == "]":
+                    depth -= 1
+            j += 1
+        if depth:
+            continue
+        yield _Subscript(m.start(), j, m.group(1), stripped[open_at + 1 : j - 1])
+
+
+_NESTED_QUERY_OPEN_RE = re.compile(r"\(\s*(?:SELECT|WITH|FROM)\b", re.IGNORECASE)
+
+
+def _nested_query_spans(stripped: str, mask: list[bool]) -> list[tuple[int, int]]:
+    """Spans of parenthesized subqueries ``(SELECT ...`` / ``(WITH ...`` /
+    ``(FROM ...`` — regions whose identifiers bind to their OWN FROM scope,
+    so schema-driven rewrites resolved against the outer FROM must not
+    touch them (a leaf-name collision would silently change semantics)."""
+    spans = []
+    for m in _NESTED_QUERY_OPEN_RE.finditer(stripped):
+        if mask[m.start()]:
+            continue
+        depth, j = 1, m.start() + 1
+        while j < len(stripped) and depth:
+            if not mask[j]:
+                if stripped[j] == "(":
+                    depth += 1
+                elif stripped[j] == ")":
+                    depth -= 1
+            j += 1
+        spans.append((m.start(), j))
+    return spans
 
 
 _FLOORDIV_RE = re.compile(r"//")
@@ -959,14 +1011,20 @@ def rewrite_map_subscripts(
     schema (the route_star_replace/COLUMNS() trick: ``SELECT * FROM ...
     LIMIT 0``) and rewrite map-typed bases to ``map_extract(m, k)``, whose
     emitter already carries the measured LIST semantics. Bases that don't
-    resolve to a MAP column keep the generic lowering. VERDICT r08 task 7."""
+    resolve to a MAP column keep the generic lowering, as do subscripts
+    inside parenthesized subqueries (their identifiers bind to their own
+    FROM scope, not the outer relation's). VERDICT r08 task 7."""
     stripped = sql.strip().rstrip(";")
     if "[" not in _code_only(stripped):
         return sql
+    from .dialect import _literal_mask
+
+    mask = _literal_mask(stripped)
+    nested = _nested_query_spans(stripped, mask)
     hits = [
-        m
-        for m in _MAP_SUBSCRIPT_RE.finditer(stripped)
-        if not _in_literal(stripped, m.start())
+        s
+        for s in _iter_subscripts(stripped, mask)
+        if not any(lo < s.start < hi for lo, hi in nested)
     ]
     if not hits:
         return sql
@@ -979,9 +1037,9 @@ def rewrite_map_subscripts(
         return sql
     out, last = [], 0
     for m in hits:
-        base, key = m.group(1), m.group(2)
+        base, key = m.base, m.key
         leaf = base.split(".")[-1].lower()
-        if leaf in map_cols and ":" not in key:
+        if leaf in map_cols and ":" not in _code_only(key):
             repl = f"map_extract({base}, {key})"
         elif leaf in str_cols:
             # DuckDB string subscripts/slices: 1-based CODEPOINT, index 0
@@ -994,9 +1052,9 @@ def rewrite_map_subscripts(
             repl = _subscript_content_str(base, key.strip())
         else:
             continue
-        out.append(stripped[last : m.start()])
+        out.append(stripped[last : m.start])
         out.append(repl)
-        last = m.end()
+        last = m.end
     if not out:
         return sql
     out.append(stripped[last:])
@@ -1004,11 +1062,12 @@ def rewrite_map_subscripts(
 
 
 def _in_literal(sql: str, pos: int) -> bool:
-    in_str = False
-    for i in range(pos):
-        if sql[i] == "'":
-            in_str = not in_str
-    return in_str
+    """True when ``pos`` falls inside a string literal, with doubled ''
+    quote escapes treated as part of ONE literal (a naive quote toggle
+    splits ``'a''b'`` into two and misjudges positions at the pair)."""
+    from .dialect import _STRING_RE
+
+    return any(m.start() < pos < m.end() - 1 for m in _STRING_RE.finditer(sql))
 
 
 def _pivot_literal(v) -> str:

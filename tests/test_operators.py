@@ -222,3 +222,72 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
         per_vec.setdefault(r.vec_id, []).append(r.code)
         assert 0 <= r.code < PQ_K
     assert all(len(v) == PQ_M for v in per_vec.values())
+
+
+def test_kmeans_broadcast_form_identical(spark, sf_dir, monkeypatch):
+    """VERDICT r09 task 3: the two centroid-delivery forms of
+    kmeans_assign (literal array for K <= _KMEANS_LITERAL_MAX, single-row
+    broadcast relation beyond) evaluate the identical argmin expression —
+    assignments, distances, and carried vectors must be bit-identical."""
+    from duckdb_service_spark.plans import similarity as S
+    from duckdb_service_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    lit = kv = None
+    for force_broadcast in (False, True):
+        monkeypatch.setattr(
+            S, "_KMEANS_LITERAL_MAX", 0 if force_broadcast else 256
+        )
+        rows = sorted(
+            (r.vec_id, r.cluster, r.dist2)
+            for r in S.kmeans_assign(e).collect()
+        )
+        vrows = sorted(
+            (r.vec_id, r.cluster, tuple(r.v))
+            for r in S.kmeans_assign(e, with_vector=True).collect()
+        )
+        if lit is None:
+            lit, kv = rows, vrows
+        else:
+            assert rows == lit, "broadcast argmin diverged from literal form"
+            assert vrows == kv, "with_vector broadcast form diverged"
+    assert len(lit) > 0
+
+
+def test_kmeans_assignment_stage_map_only(spark, sf_dir, monkeypatch):
+    """Both centroid-delivery forms keep the ASSIGNMENT stage shuffle-free:
+    the literal plan is a bare projection (zero Exchange nodes of any
+    kind); the broadcast plan adds exactly a BroadcastExchange +
+    BroadcastNestedLoopJoin against the 1-row centroid relation but never
+    a shuffle (Exchange hashpartitioning)."""
+    import re as _re
+
+    from duckdb_service_spark.plans import similarity as S
+    from duckdb_service_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def _plan(df):
+        return df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    monkeypatch.setattr(S, "_KMEANS_LITERAL_MAX", 256)
+    plan_lit = _plan(S.kmeans_assign(e))
+    assert "Exchange" not in plan_lit, plan_lit
+
+    monkeypatch.setattr(S, "_KMEANS_LITERAL_MAX", 0)
+    plan_bc = _plan(S.kmeans_assign(e))
+    assert not _re.search(r"Exchange hashpartitioning", plan_bc), plan_bc
+    assert "BroadcastNestedLoopJoin" in plan_bc, plan_bc
