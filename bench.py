@@ -72,9 +72,26 @@ def main() -> None:
     names = [n for n in BENCH if n in QUERIES]
     load_start = os.getloadavg()
 
+    # Each QUERIES[name] call builds a FRESH plan with fresh persists; the
+    # previous call's cached relations are never reused, only hoarded.
+    # Across warm + timed passes that garbage measured as driver-heap GC
+    # thrash inflating the 1-3s corpus-pipeline walls (r09 "what's wrong"
+    # #1, mechanism isolated in SCALING.md r09). Clearing BETWEEN queries
+    # (outside both engines' timers) keeps every timed run on the same
+    # empty-cache footing as a scoped measurement — each run still pays
+    # for its OWN persists inside the timer, exactly like the first run.
+    def _clear_cache():
+        # (measured r10: an explicit System.gc() here helps nothing and
+        # adds jitter — plain clearCache is the right protocol)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+
     # 1. untimed warm pass, full suite, both engines
     for name in names:
         _materialize(QUERIES[name](spark, sf_dir))
+        _clear_cache()
         sql = ORACLES.get(name)
         if con is not None and sql is not None:
             try:
@@ -98,6 +115,7 @@ def main() -> None:
                     rec["duck"][name] = round(time.perf_counter() - t0, 4)
                 except Exception:  # noqa: BLE001
                     pass
+            _clear_cache()
         passes.append(rec)
 
     # 3. headline = per-query minimum across passes, both engines
@@ -152,13 +170,16 @@ def main() -> None:
         ),
         "loadavg": round(load_start[0], 2),
     }
-    # r09 adjudication (VERDICT r08 task 2): the three corpus-pipeline
-    # queries sit at ~1.7-1.9x under the SAME protocol run scoped to just
-    # them on a quiet box (min-of-5, tools/bench_three.py; SCALING.md r09
-    # entry) — a >2x reading here is full-suite load variance on ~1-3s
-    # walls, not plan topology (their only >floor costs are AQE
-    # late-broadcast conversion of corpus-derived relations that must not
-    # be hint-broadcast at 100 TB).
+    # r10 adjudication (SCALING.md r10): with the honest per-query cache
+    # clearing (without it, Spark's plan-keyed CacheManager silently
+    # REUSED pass 1's materialized persists in passes 2-3, so pre-r10
+    # numbers under-reported the persisting queries), the corpus-pipeline
+    # trio measures its true recompute wall every pass: 1-4s absolute vs
+    # DuckDB's embedded 0.5-1.5s. The gap is multi-job scheduling floor
+    # (~8 AQE jobs/query) + in-timer persist materialization, not plan
+    # topology — shuffle-minimal shapes pinned in test_plan_quality.py,
+    # 10x growth laws in tools/scale_minhash.py / scale_curation.py /
+    # scale_line_dedup.py.
     over = [
         n
         for n in ("text_line_dedup", "dedup_minhash_lsh", "pipeline_corpus_curation")
@@ -166,9 +187,11 @@ def main() -> None:
     ]
     if over:
         summary["note_2x"] = (
-            f"{','.join(over)}: quiet scoped min-of-5 = 1.74/1.85/1.81x "
-            "(SCALING.md r09); residual here is suite-load variance, "
-            "topology unchanged"
+            f"{','.join(over)}: honest-recompute walls (r10 protocol "
+            "clears plan-keyed cache reuse between passes; pre-r10 "
+            "numbers were flattered); absolute walls 1-4s vs embedded "
+            "DuckDB 0.5-1.5s = job floor + in-timer persists, "
+            "topology pinned (SCALING.md r10)"
         )
     detail = dict(
         summary,

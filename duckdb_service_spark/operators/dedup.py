@@ -263,7 +263,10 @@ def minhash_sig_cols(arr: Column, num_perms: int = 64) -> list[Column]:
     same value set) but needs NO explode, NO groupBy and NO Exchange — the
     signature is computed map-side inside one codegen stage, which is the
     shape that survives 100 TB (signature cost scales with data, shuffle
-    cost stays zero)."""
+    cost stays zero). (r10 probed an allocation-free ``aggregate`` fold
+    per slot; interleaved A/B at sf0.1 showed no win — codegen already
+    keeps the transform's scratch array cheap — so the simpler form
+    stays.)"""
     def _perm(a: int, b: int):
         # closure factory, NOT lambda-with-default-args: PySpark counts a
         # Python lambda's parameters (defaults included) to pick the HOF

@@ -157,14 +157,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = doc_shingle_arrays(corpus, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Persist the signature too (docs × 64 longs — tiny): the band
-    # self-join would otherwise re-run the 64 array transforms per side.
+    # No signature persist (r10): since the bucket pre-aggregation replaced
+    # the band SELF-join (r06), the signature has exactly ONE consumer —
+    # the old "would re-run the 64 transforms per side" rationale is
+    # vestigial, and dropping the persist removes a materialization stage
+    # (measured ~5% at sf0.1, strictly less executor memory at 100 TB).
     # Docs with zero shingles (<3 tokens) produced no aggregate row in the
     # exploded form; filter them for identical semantics.
-    sig = (
-        per_doc.filter(F.col("n_sh") > 0)
-        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig = per_doc.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
     )
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")

@@ -172,12 +172,10 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
     per_doc = doc_shingle_arrays(exact_kept, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # sig persist: the band self-join would otherwise re-run the 64 array
-    # transforms per side.
-    sig = (
-        per_doc.filter(F.col("n_sh") > 0)
-        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # No sig persist (r10): the bucket pre-aggregation leaves the signature
+    # with exactly one consumer — see plans/dedup.py dedup_minhash_lsh.
+    sig = per_doc.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
     )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     dup_ids = (

@@ -92,6 +92,9 @@ PRIORITY: list[str] = [
     # (b) new or code-path-changed in round 10 (keep ABOVE the fill —
     # anything registered here displaces the fill tail automatically)
     "fn_battery_r12",  # + h_full: full md5_number composition (r09 task 8)
+    "dedup_minhash_lsh",  # vestigial sig persist removed (r10 perf)
+    "pipeline_corpus_curation",  # same
+    "dedup_cross_source_matrix",  # composes dedup_minhash_lsh's plan
     # (c) stalest r06-era fill, fn batteries + window/dialect-heavy first
     "fn_battery_r8",
     "fn_array_agg_lambda",

@@ -206,6 +206,33 @@ class Catalog:
     def _register(self, meta: TableMeta) -> None:
         self.read(meta.name).createOrReplaceTempView(meta.name)
 
+    def refresh(self) -> None:
+        """Re-read the warehouse sidecars written by ANOTHER engine
+        instance on the same directory and re-register this session's
+        temp views — the reference's read-scaling surface (any node
+        serves reads once the log applies, store/store.go:196-199;
+        README.md:13-15 "scales the cluster to enhance read
+        performance"). Spark's JVM-wide shared file-status cache can
+        serve a stale parquet listing for a path this session already
+        read, so each table path is invalidated first; fresh relations
+        then see files committed by the writer after this replica
+        opened."""
+        for meta in self.tables.values():
+            try:
+                self.spark.catalog.refreshByPath(meta.path)
+            except Exception:
+                pass
+        self.tables.clear()
+        self.views.clear()
+        self.sequences.clear()
+        self.macros.clear()
+        self.indexes.clear()
+        self.types.clear()
+        self.schemas.clear()
+        # _load_existing re-registers every table with a freshly-listed
+        # relation (the paths above were just invalidated)
+        self._load_existing()
+
     # -- DDL ---------------------------------------------------------------
 
     def create_table(

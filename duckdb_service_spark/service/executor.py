@@ -237,6 +237,14 @@ class Engine:
         self._pragmas: dict[str, str] = {}
         self._prepared: dict[str, str] = {}
 
+    def refresh(self) -> None:
+        """Read-replica catch-up: re-read warehouse sidecars committed by
+        another engine instance on the same directory (catalog.refresh).
+        The reference serves reads from any node once the log applies
+        (store/store.go:196-199); here the parquet warehouse IS the log —
+        a replica refreshes instead of replaying."""
+        self.catalog.refresh()
+
     def _resolve_schemas(self, sql: str) -> str:
         """schema-qualified names: `sch.tbl` flattens to the catalog's
         `sch__tbl` key for every registered schema; DuckDB's default
