@@ -1346,7 +1346,12 @@ def _rewrite_division_double(code: str) -> str:
             end -= 1
         lhs = code[start:end]
         u = lhs.upper()
-        if u.startswith("CAST(") and u.rstrip().endswith("DOUBLE)"):
+        if u.startswith("CAST(") and u.rstrip().endswith(("DOUBLE)", "FLOAT)")):
+            # FLOAT-cast lhs: Spark promotes float division to DOUBLE by
+            # itself, and wrapping would build a cast(cast(x AS FLOAT) AS
+            # DOUBLE) chain that Catalyst COLLAPSES to cast(x AS DOUBLE) —
+            # destroying the 32-bit rounding the float-lane pass inserted
+            # (measured, r10)
             i = j + 1
             continue
         repl = f"CAST({lhs} AS DOUBLE)"

@@ -419,7 +419,10 @@ class Engine:
         # constructs with no Spark-SQL equivalent route to DataFrame
         # operators before the dialect shim (which raises on them)
         from .sql_routing import (
+            rewrite_bool_compare,
             rewrite_columns_expr,
+            rewrite_list_concat_cols,
+            rewrite_numeric_date_lanes,
             rewrite_float_floordiv,
             rewrite_from_first,
             rewrite_map_subscripts,
@@ -439,6 +442,9 @@ class Engine:
         stripped = rewrite_columns_expr(self.spark, stripped, translate)
         stripped = rewrite_map_subscripts(self.spark, stripped, translate)
         stripped = rewrite_float_floordiv(self.spark, stripped, translate)
+        stripped = rewrite_bool_compare(self.spark, stripped, translate)
+        stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
+        stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

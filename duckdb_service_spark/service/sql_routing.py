@@ -1000,6 +1000,510 @@ def rewrite_float_floordiv(
     return "".join(out)
 
 
+_CMP_OP_RE = re.compile(r"<=|>=|<>|!=|==|=|<|>")
+_NUM_LITERAL_RE = re.compile(r"^-?\d+(?:\.\d+)?$")
+_IDENT_RE_TEXT = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
+
+
+def rewrite_bool_compare(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB coerces a BOOLEAN operand in mixed comparisons (measured):
+    bool vs numeric orders as 0/1 (``2 < true`` FALSE, ``0 < true`` TRUE,
+    ``b <= 0`` per-row), and a bool COLUMN vs a VARCHAR COLUMN compares
+    as strings (``'42' = b`` on columns is FALSE, never an error). Spark
+    rejects bool-vs-numeric ordering at analysis and NULLs
+    bool-vs-string-column equality (casts the string side to boolean).
+    The bool side is textually unknowable, so resolve bare-identifier
+    operands against the FROM schema (same trick as
+    rewrite_float_floordiv) and cast the BOOLEAN side: INT against
+    numeric, STRING against a varchar column. Bool vs STRING LITERAL is
+    left alone — DuckDB casts the literal to BOOL there, which is
+    Spark's native behavior too (unparseable literals: DuckDB raises,
+    Spark yields NULL — documented leniency)."""
+    stripped = sql.strip().rstrip(";")
+    code = _code_only(stripped)
+    if (
+        "<" not in code
+        and ">" not in code
+        and "=" not in code
+        and not re.search(r"\bBETWEEN\b|\bIN\s*\(", code, re.IGNORECASE)
+    ):
+        return sql
+    schema = _from_schema(spark, stripped, translate)
+    if schema is None:
+        return sql
+    bool_cols = {n.lower() for n, t in schema if t == "boolean"}
+    if not bool_cols:
+        return sql
+    num_cols = {
+        n.lower()
+        for n, t in schema
+        if t.startswith(("tinyint", "smallint", "int", "bigint", "double",
+                         "float", "decimal"))
+    }
+    str_cols = {n.lower() for n, t in schema if t == "string"}
+    from .dialect import _literal_mask
+
+    mask = _literal_mask(stripped)
+    nested = _nested_query_spans(stripped, mask)
+    ident = re.compile(_IDENT_RE_TEXT)
+
+    def _class(tok: str | None) -> str | None:
+        if tok is None:
+            return None
+        leaf = tok.split(".")[-1].lower()
+        if leaf in bool_cols:
+            return "bool"
+        if leaf in num_cols or _NUM_LITERAL_RE.match(tok):
+            return "num"
+        if leaf in str_cols:
+            return "strcol"
+        return None
+
+    out, last = [], 0
+    for m in _CMP_OP_RE.finditer(stripped):
+        if mask[m.start()] or any(lo < m.start() < hi for lo, hi in nested):
+            continue
+        lm = re.search(rf"({_IDENT_RE_TEXT}|-?\d+(?:\.\d+)?)\s*$",
+                       stripped[: m.start()])
+        k = m.end()
+        while k < len(stripped) and stripped[k].isspace():
+            k += 1
+        rm = ident.match(stripped, k) or re.compile(
+            r"-?\d+(?:\.\d+)?"
+        ).match(stripped, k)
+        lcls, rcls = _class(lm.group(1) if lm else None), _class(
+            rm.group(0) if rm else None
+        )
+        if "bool" not in (lcls, rcls) or lcls == rcls:
+            continue
+        other = rcls if lcls == "bool" else lcls
+        if other == "num":
+            cast_t = "INT"
+        elif other == "strcol":
+            cast_t = "VARCHAR"
+        else:
+            continue
+        if lcls == "bool":
+            span_lo, span_hi = lm.start(1), lm.end(1)
+            tok = lm.group(1)
+        else:
+            span_lo, span_hi = rm.start(), rm.end()
+            tok = rm.group(0)
+        out.append(stripped[last:span_lo])
+        out.append(f"CAST({tok} AS {cast_t})")
+        last = span_hi
+    if out:
+        out.append(stripped[last:])
+        stripped = "".join(out)
+        mask = _literal_mask(stripped)
+        nested = _nested_query_spans(stripped, mask)
+        changed = True
+    else:
+        changed = False
+
+    # BETWEEN with a boolean bound or subject: DuckDB lowers it to the
+    # same >=/<= pair, so the bool side coerces to 0/1 there too
+    # (measured: i8 BETWEEN b AND 5 binds) — rewrite any bool-classified
+    # token among (subject, lo, hi) when a numeric token is also present.
+    tok_re = rf"({_IDENT_RE_TEXT}|-?\d+(?:\.\d+)?)"
+    btw = re.compile(
+        rf"{tok_re}\s+BETWEEN\s+{tok_re}\s+AND\s+{tok_re}", re.IGNORECASE
+    )
+    out, last = [], 0
+    for m in btw.finditer(stripped):
+        if mask[m.start()] or any(lo < m.start() < hi for lo, hi in nested):
+            continue
+        classes = [_class(m.group(i)) for i in (1, 2, 3)]
+        if "bool" not in classes or "num" not in classes:
+            continue
+        out.append(stripped[last : m.start()])
+        piece = stripped[m.start() : m.end()]
+        for i in (3, 2, 1):  # right-to-left so spans stay valid
+            if classes[i - 1] == "bool":
+                lo_rel, hi_rel = (
+                    m.start(i) - m.start(),
+                    m.end(i) - m.start(),
+                )
+                piece = (
+                    piece[:lo_rel]
+                    + f"CAST({m.group(i)} AS INT)"
+                    + piece[hi_rel:]
+                )
+        out.append(piece)
+        last = m.end()
+    if out:
+        out.append(stripped[last:])
+        stripped = "".join(out)
+        mask = _literal_mask(stripped)
+        nested = _nested_query_spans(stripped, mask)
+        changed = True
+
+    # bool IN (numeric list): DuckDB casts the BOOL side to INT
+    # (measured: true IN (2, 0) is FALSE — 1 != 2 — not a list-to-bool
+    # cast); Spark rejects the mixed-type IN. Rewrite the subject.
+    in_re = re.compile(rf"({_IDENT_RE_TEXT})\s+IN\s*\(", re.IGNORECASE)
+    out, last = [], 0
+    for m in in_re.finditer(stripped):
+        if mask[m.start()] or any(lo < m.start() < hi for lo, hi in nested):
+            continue
+        if _class(m.group(1)) != "bool":
+            continue
+        close = _scan_list_close(stripped, m.end() - 1, mask)
+        if close == -1:
+            continue
+        items = stripped[m.end() : close - 1]
+        if not any(
+            _class(tok.strip()) == "num"
+            for tok in items.split(",")
+        ):
+            continue
+        out.append(stripped[last : m.start(1)])
+        out.append(f"CAST({m.group(1)} AS INT)")
+        last = m.end(1)
+    if not out and not changed:
+        return sql
+    if out:
+        out.append(stripped[last:])
+        stripped = "".join(out)
+    return stripped
+
+
+def _scan_list_close(sql: str, open_at: int, mask: list[bool]) -> int:
+    depth, j = 1, open_at + 1
+    while j < len(sql) and depth:
+        if not mask[j]:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+        j += 1
+    return j if not depth else -1
+
+
+_FRAC_LITERAL_RE = re.compile(r"^-?\d+\.\d+$")
+_ARITH_OP_RE = re.compile(r"[+\-*/%]")
+
+
+def rewrite_numeric_date_lanes(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """Schema-resolved result-lane fixes for mixed arithmetic (measured
+    against DuckDB 1.0; all need the FROM schema, so they live here):
+
+    - FLOAT lane: ``flt <op> x`` where x is a BIGINT column, DECIMAL
+      column, or fractional literal returns FLOAT in DuckDB, computed
+      WIDE then narrowed (measured: dc18 + flt = float32(double sum),
+      NOT float32(dc18) + flt; flt / dc18 = float32(4/-1e-6) = -4e6
+      exactly). Spark promotes those pairs to DOUBLE and never narrows.
+      Wrap the whole binary span in CAST(... AS FLOAT) — Spark then
+      computes wide exactly like DuckDB and narrows the result — but
+      ONLY when the span sits at clear expression boundaries
+      (start/'('/','/comparison before, end/')'/','/keyword after);
+      compound chains keep Spark's native lane (documented).
+      (TINYINT/SMALLINT/INT partners already resolve to FLOAT in
+      Spark; DOUBLE partners resolve to DOUBLE in both.)
+    - DATE - DATE (both columns): DuckDB yields BIGINT day counts;
+      Spark yields an INTERVAL. Rewrite to datediff cast BIGINT (the
+      dialect handles the date-minus-LITERAL forms textually; the
+      column-column form is only knowable here).
+    - DATE ± INTERVAL: DuckDB returns TIMESTAMP (typeof measured);
+      Spark returns DATE. Cast the date side to TIMESTAMP.
+
+    Operands must be bare identifiers adjacent to the operator — the
+    same documented heuristic as rewrite_float_floordiv; compound
+    sub-expressions keep Spark's native lanes."""
+    stripped = sql.strip().rstrip(";")
+    code = _code_only(stripped)
+    if not _ARITH_OP_RE.search(code):
+        return sql
+    schema = _from_schema(spark, stripped, translate)
+    if schema is None:
+        return sql
+    flt_cols = {n.lower() for n, t in schema if t == "float"}
+    wide_cols = {
+        n.lower() for n, t in schema if t == "bigint" or t.startswith("decimal")
+    }
+    dec_scale = {
+        n.lower(): int(m.group(2))
+        for n, t in schema
+        if (m := re.match(r"decimal\((\d+),(\d+)\)", t))
+    }
+    date_cols = {n.lower() for n, t in schema if t == "date"}
+    if not flt_cols and not date_cols:
+        return sql
+    from .dialect import _literal_mask
+
+    ident = re.compile(_IDENT_RE_TEXT)
+
+    def _leaf(tok: str) -> str:
+        return tok.split(".")[-1].lower()
+
+    # pass 1: date - date -> datediff (span replacement, adjacency only)
+    if date_cols:
+        changed = True
+        while changed:
+            changed = False
+            mask = _literal_mask(stripped)
+            nested = _nested_query_spans(stripped, mask)
+            for m in re.finditer(
+                rf"({_IDENT_RE_TEXT})\s*-\s*({_IDENT_RE_TEXT})", stripped
+            ):
+                if mask[m.start()] or any(
+                    lo < m.start() < hi for lo, hi in nested
+                ):
+                    continue
+                if (
+                    _leaf(m.group(1)) in date_cols
+                    and _leaf(m.group(2)) in date_cols
+                ):
+                    # DuckDB-dialect spelling (these passes run BEFORE
+                    # translate): date_diff('day', start, end) = end-start
+                    repl = (
+                        f"CAST(date_diff('day', {m.group(2)}, "
+                        f"{m.group(1)}) AS BIGINT)"
+                    )
+                    stripped = stripped[: m.start()] + repl + stripped[m.end():]
+                    changed = True
+                    break
+
+        # pass 2: date ± INTERVAL -> timestamp lane
+        changed = True
+        while changed:
+            changed = False
+            mask = _literal_mask(stripped)
+            nested = _nested_query_spans(stripped, mask)
+            for m in re.finditer(
+                rf"({_IDENT_RE_TEXT})(\s*[+\-]\s*INTERVAL\b)",
+                stripped,
+                re.IGNORECASE,
+            ):
+                if mask[m.start()] or any(
+                    lo < m.start() < hi for lo, hi in nested
+                ):
+                    continue
+                if _leaf(m.group(1)) in date_cols:
+                    repl = f"CAST({m.group(1)} AS TIMESTAMP)"
+                    stripped = (
+                        stripped[: m.start(1)]
+                        + repl
+                        + stripped[m.end(1):]
+                    )
+                    changed = True
+                    break
+
+    # pass 3: FLOAT lane — wrap the (flt op wide) span in a result
+    # narrowing CAST, at clear expression boundaries only
+    if flt_cols:
+        changed = True
+        while changed:
+            changed = False
+            mask = _literal_mask(stripped)
+            nested = _nested_query_spans(stripped, mask)
+            for m in _ARITH_OP_RE.finditer(stripped):
+                if mask[m.start()] or any(
+                    lo < m.start() < hi for lo, hi in nested
+                ):
+                    continue
+                lm = re.search(
+                    rf"({_IDENT_RE_TEXT}|-?\d+(?:\.\d+)?)\s*$",
+                    stripped[: m.start()],
+                )
+                k = m.end()
+                while k < len(stripped) and stripped[k].isspace():
+                    k += 1
+                rm = ident.match(stripped, k) or re.compile(
+                    r"\d+(?:\.\d+)?"
+                ).match(stripped, k)
+                ltok = lm.group(1) if lm else None
+                rtok = rm.group(0) if rm else None
+
+                def _is_flt(tok):
+                    return tok is not None and _leaf(tok) in flt_cols
+
+                def _is_wide(tok):
+                    return tok is not None and (
+                        _leaf(tok) in wide_cols
+                        or _FRAC_LITERAL_RE.match(tok)
+                    )
+
+                if not (
+                    (_is_flt(ltok) and _is_wide(rtok))
+                    or (_is_flt(rtok) and _is_wide(ltok))
+                ):
+                    continue
+                span_lo, span_hi = lm.start(1), (
+                    rm.end() if hasattr(rm, "end") else k
+                )
+                before = stripped[:span_lo].rstrip()
+                after_txt = stripped[span_hi:].lstrip()
+                ok_before = (
+                    not before
+                    or before[-1] in "(,="
+                    or before[-1] in "<>"
+                    or re.search(
+                        r"\b(SELECT|WHERE|WHEN|THEN|ELSE|AND|OR|BY|ON|"
+                        r"HAVING|RETURN|RETURNING|SET|VALUES|IN|AS|DISTINCT)$",
+                        before,
+                        re.IGNORECASE,
+                    )
+                )
+                ok_after = (
+                    not after_txt
+                    or after_txt[0] in "),;"
+                    or after_txt[0] in "<>="
+                    or re.match(
+                        r"(AS|FROM|AND|OR|WHEN|THEN|ELSE|END|ORDER|GROUP|"
+                        r"LIMIT|WHERE|HAVING|DESC|ASC|IS|IN|BETWEEN|UNION)\b",
+                        after_txt,
+                        re.IGNORECASE,
+                    )
+                )
+                if not (ok_before and ok_after):
+                    continue
+                if before.upper().endswith("CAST(("):
+                    continue  # already wrapped by a previous iteration
+                span = stripped[span_lo:span_hi]
+                # DuckDB's DECIMAL->FLOAT cast divides unscaled/10^scale
+                # IN FLOAT32 (measured: f32(123456789)/f32(1e6) =
+                # 123.4567947..., not the exact-value rounding
+                # 123.4567871) — substitute that expression for a
+                # decimal operand so the 32-bit lane matches bit-for-bit
+                def _duckfloat(tok: str) -> str:
+                    s = dec_scale.get(_leaf(tok))
+                    if s is None:
+                        return tok
+                    p = 10 ** s
+                    # the + CAST(0 AS FLOAT) is a COLLAPSE BARRIER, not
+                    # math: Catalyst rewrites cast(cast(x AS FLOAT) AS
+                    # DOUBLE) — which the division's type coercion builds
+                    # around a bare float cast — into cast(x AS DOUBLE),
+                    # silently discarding the 32-bit rounding (verified
+                    # in the optimized plan over a parquet scan). A float
+                    # Add is a computation, so the widening cast wraps it
+                    # un-collapsed; x + 0.0f is value-exact. The outer
+                    # CAST narrows Spark's double division back to the
+                    # 32-bit value DuckDB's decimal->float cast produces.
+                    return (
+                        f"CAST(((CAST(CAST({tok} * {p} AS BIGINT) AS FLOAT)"
+                        f" + CAST(0 AS FLOAT))"
+                        f" / CAST({p} AS FLOAT)) AS FLOAT)"
+                    )
+
+                for dtok in (ltok, rtok):
+                    if dtok and _leaf(dtok) in dec_scale:
+                        span = re.sub(
+                            rf"(?<![\w.]){re.escape(dtok)}(?![\w.])",
+                            _duckfloat(dtok).replace("\\", "\\\\"),
+                            span,
+                        )
+                repl = f"CAST(({span}) AS FLOAT)"
+                stripped = stripped[:span_lo] + repl + stripped[span_hi:]
+                changed = True
+                break
+    return stripped
+
+
+def rewrite_list_concat_cols(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """Schema-resolved ``||`` over LIST columns — the cases the textual
+    dialect pass (dialect._rewrite_list_concat_nulls, which only sees
+    list-SHAPED calls/literals) marks as unknowable:
+
+    - list col || list col: DuckDB list_concat treats one NULL side as
+      empty (measured); Spark concat propagates NULL → NULL-dispatching
+      CASE.
+    - list col || string/numeric col, literal, or bare NULL: DuckDB
+      resolves to VARCHAR concat — 'apple' || [1,2] = 'apple[1, 2]',
+      7 || [1,2] = '7[1, 2]', [..] || NULL = string NULL (all measured;
+      Spark's array-to-string cast format matches DuckDB exactly, incl.
+      empties and decimal padding) → cast the LIST side to STRING and
+      let concat run as strings.
+
+    Operands are classified only when they are bare identifiers (plus
+    string/numeric literals and bare NULL on the non-list side);
+    expression operands keep the dialect's behavior."""
+    stripped = sql.strip().rstrip(";")
+    if "||" not in _code_only(stripped):
+        return sql
+    schema = _from_schema(spark, stripped, translate)
+    if schema is None:
+        return sql
+    arr_cols = {n.lower() for n, t in schema if t.startswith("array<")}
+    if not arr_cols:
+        return sql
+    other_cols = {n.lower() for n, t in schema if not t.startswith("array<")}
+    from .dialect import _literal_mask
+
+    mask = _literal_mask(stripped)
+    nested = _nested_query_spans(stripped, mask)
+    ident = re.compile(_IDENT_RE_TEXT)
+
+    def _cls(tok: str | None, masked_literal: bool) -> str | None:
+        if masked_literal:
+            return "scalar"  # quoted string literal
+        if tok is None:
+            return None
+        leaf = tok.split(".")[-1].lower()
+        if leaf in arr_cols:
+            return "arr"
+        if leaf in other_cols or _NUM_LITERAL_RE.match(tok):
+            return "scalar"
+        if tok.upper() == "NULL":
+            return "scalar"
+        return None
+
+    i = 0
+    while True:
+        j = stripped.find("||", i)
+        if j == -1:
+            break
+        if mask[j] or any(lo < j < hi for lo, hi in nested):
+            i = j + 2
+            continue
+        lm = re.search(
+            rf"({_IDENT_RE_TEXT}|-?\d+(?:\.\d+)?|NULL)\s*$",
+            stripped[:j],
+            re.IGNORECASE,
+        )
+        l_lit = j > 0 and mask[j - 1]
+        k = j + 2
+        while k < len(stripped) and stripped[k].isspace():
+            k += 1
+        rm = re.compile(
+            rf"({_IDENT_RE_TEXT}|-?\d+(?:\.\d+)?|NULL)", re.IGNORECASE
+        ).match(stripped, k)
+        r_lit = k < len(stripped) and mask[k]
+        lcls = _cls(lm.group(1) if lm else None, l_lit)
+        rcls = _cls(rm.group(1) if rm else None, r_lit)
+        if "arr" not in (lcls, rcls) or None in (lcls, rcls):
+            i = j + 2
+            continue
+        if lcls == "arr" and rcls == "arr":
+            a, b = lm.group(1), rm.group(1)
+            repl = (
+                f"(CASE WHEN {a} IS NULL THEN {b} "
+                f"WHEN {b} IS NULL THEN {a} ELSE concat({a}, {b}) END)"
+            )
+            lo_at, hi_at = lm.start(1), rm.end(1)
+            stripped = stripped[:lo_at] + repl + stripped[hi_at:]
+            i = lo_at + len(repl)
+        else:
+            # exactly one list side: VARCHAR concat — cast it to STRING
+            if lcls == "arr":
+                lo_at, hi_at, tok = lm.start(1), lm.end(1), lm.group(1)
+            else:
+                lo_at, hi_at, tok = rm.start(1), rm.end(1), rm.group(1)
+            repl = f"CAST({tok} AS STRING)"
+            stripped = stripped[:lo_at] + repl + stripped[hi_at:]
+            i = max(j, lo_at) + (len(repl) - (hi_at - lo_at)) + 2
+        mask = _literal_mask(stripped)
+        nested = _nested_query_spans(stripped, mask)
+    return stripped
+
+
 def rewrite_map_subscripts(
     spark: SparkSession, sql: str, translate: Translate
 ) -> str:

@@ -62,3 +62,70 @@ def test_md5_number_matches_half_composition(spark, con):
         "AS eq FROM (VALUES ('c'), ('world'), ('foo')) t(s)"
     )
     assert all(r[0] for r in con.execute(sql).fetchall())
+
+
+# ---- 2. implicit-cast matrix sweep fixes (r09 task 5) ---------------------
+#
+# Probed by tools/sweep_coercion.py through the ENGINE path (the
+# schema-resolved routing passes only exist there); every divergence or
+# analysis error on valid DuckDB input is frozen here.
+
+
+@pytest.fixture(scope="module")
+def coerce_engines(spark):
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="warehouse_coerce_"))
+    con = duckdb.connect()
+    for ex in (eng.execute, con.execute):
+        ex(
+            "CREATE TABLE ct (u INTEGER, i8 TINYINT, i64 BIGINT, "
+            "dc5 DECIMAL(5,2), dc18 DECIMAL(18,6), flt FLOAT, "
+            "b BOOLEAN, s VARCHAR, dt DATE, li INTEGER[])"
+        )
+        ex(
+            "INSERT INTO ct VALUES "
+            "(1, 3, 4000000, 1.25, 123.456789, 0.5, true, '42', "
+            "DATE '2024-01-05', [1,2]), "
+            "(2, -2, -12, -99.99, -0.000001, 4.0, false, 'apple', "
+            "DATE '2023-12-31', [3]), "
+            "(3, NULL, 250, 3.5, 1.5, -1.5, NULL, NULL, NULL, NULL)"
+        )
+    return eng, con
+
+
+COERCION_QUERIES = [
+    # FLOAT result lane: DuckDB computes wide, narrows the result, and
+    # its DECIMAL->FLOAT operand cast divides unscaled/10^scale in f32
+    "SELECT u, dc5 + flt AS a, dc18 + flt AS b2, flt - dc18 AS c, "
+    "dc18 * flt AS d, i64 / flt AS e, dc18 % flt AS f FROM ct ORDER BY u",
+    "SELECT u, dc5 // flt AS a, i64 // flt AS b2 FROM ct ORDER BY u",
+    # bool vs numeric comparisons order as 0/1 (measured)
+    "SELECT u, i8 < b AS a, b >= i64 AS b2, i8 BETWEEN b AND 5 AS c, "
+    "b IN (1, 0) AS d, b IN (2, 0) AS e FROM ct ORDER BY u",
+    # bool column vs varchar COLUMN compares as strings (never an error)
+    "SELECT u, s = b AS a FROM ct ORDER BY u",
+    # DATE - DATE columns = BIGINT days; DATE +/- INTERVAL = TIMESTAMP
+    "SELECT u, dt - dt AS a, dt + INTERVAL 2 DAY AS b2, "
+    "dt - INTERVAL 36 HOUR AS c FROM ct ORDER BY u",
+    # list col || scalar col/NULL resolves as VARCHAR concat (measured:
+    # 'apple' || [1,2] = 'apple[1, 2]'); list col || list col keeps
+    # list_concat's NULL-as-empty dispatch
+    "SELECT u, s || li AS a, li || NULL AS b2, li || li AS c FROM ct ORDER BY u",
+]
+
+
+@pytest.mark.parametrize("q", COERCION_QUERIES)
+def test_coercion_matrix_matches_duckdb(coerce_engines, q):
+    eng, con = coerce_engines
+    got = [
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in eng.query_df(q).collect()
+    ]
+    want = [
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in con.execute(q).fetchall()
+    ]
+    assert got == want, f"{q}: spark={got!r} duck={want!r}"

