@@ -82,6 +82,36 @@ def main() -> None:
     print(f"pair-space growth with K~n : {p10b / p1:.1f}x (the published rule)")
     assert p10a / p1 > 20, "fixed-K blowup should be near-quadratic"
     assert p10b / p1 < p10a / p1 / 2, "scaling K must shrink the pair space"
+
+    # r10 (VERDICT r09 task 3): K ∝ n crosses _KMEANS_LITERAL_MAX at
+    # n ≈ 256 * target-cluster-size — past it kmeans_assign delivers the
+    # SAME centroid structs through a single-row broadcast relation
+    # instead of a literal plan. Assert the crossover at the law's scale:
+    # both forms bit-identical on the 10x corpus at K=80, and the
+    # projected K at 1000x (K=8 * 1000 = 8000) lands on the broadcast
+    # side of the threshold.
+    from duckdb_service_spark.plans import similarity as S
+
+    lit_max = S._KMEANS_LITERAL_MAX
+    rows_lit = sorted(
+        (r.vec_id, r.cluster) for r in S.kmeans_assign(c10, 80).collect()
+    )
+    try:
+        S._KMEANS_LITERAL_MAX = 0  # force the broadcast form
+        rows_bc = sorted(
+            (r.vec_id, r.cluster) for r in S.kmeans_assign(c10, 80).collect()
+        )
+    finally:
+        S._KMEANS_LITERAL_MAX = lit_max
+    assert rows_lit == rows_bc, "broadcast/literal centroid forms diverged"
+    assert 8 * 1000 > lit_max, (
+        "K ∝ n at 1000x exceeds the literal-plan bound — the auto-switch "
+        "is the form that runs there"
+    )
+    print(
+        f"kmeans crossover: literal for K <= {lit_max}, broadcast beyond; "
+        f"forms identical at K=80 on the 10x corpus ({len(rows_lit)} rows)"
+    )
     print("PASS")
 
 
