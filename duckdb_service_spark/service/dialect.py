@@ -1732,7 +1732,10 @@ def _rewrite_int_casts(sql: str) -> str:
     the residual divergence is a DECIMAL-typed column hitting an exact .5
     tie, documented in COVERAGE.md. TRY_CAST keeps its null-on-failure
     contract via an inner TRY_CAST."""
-    if not re.search(r"\bCAST\s*\(", sql, re.IGNORECASE):
+    # gate must use the TRY_-aware regex: \bCAST never matches inside
+    # TRY_CAST (underscore is a word char), so a statement whose only
+    # casts are TRY_CASTs skipped the whole pass (r10 sweep finding)
+    if not _CAST_OPEN_RE.search(sql):
         return sql
     while True:
         mask = _literal_mask(sql)

@@ -422,6 +422,7 @@ class Engine:
             rewrite_bool_compare,
             rewrite_columns_expr,
             rewrite_list_concat_cols,
+            rewrite_cast_contract,
             rewrite_numeric_date_lanes,
             rewrite_float_floordiv,
             rewrite_from_first,
@@ -445,6 +446,7 @@ class Engine:
         stripped = rewrite_bool_compare(self.spark, stripped, translate)
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
+        stripped = rewrite_cast_contract(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

@@ -1185,6 +1185,345 @@ def _scan_list_close(sql: str, open_at: int, mask: list[bool]) -> int:
 _FRAC_LITERAL_RE = re.compile(r"^-?\d+\.\d+$")
 _ARITH_OP_RE = re.compile(r"[+\-*/%]")
 
+# ---------------------------------------------------------------------------
+# CAST error-contract pass (r10, tools/sweep_casts.py findings)
+# ---------------------------------------------------------------------------
+
+_INT_RANK = {"tinyint": 0, "smallint": 1, "integer": 2, "bigint": 3}
+_INT_MAX = {
+    "tinyint": 127,
+    "smallint": 32767,
+    "integer": 2147483647,
+    "bigint": 9223372036854775807,
+}
+_NUMERIC_CLASSES = {
+    "tinyint", "smallint", "integer", "bigint",
+    "decimal", "double", "float",
+}
+# DuckDB raises "Conversion Error: Unimplemented type for cast" for these
+# (src, tgt) class pairs on NON-NULL values; TRY_CAST yields NULL
+# (measured: date/timestamp <-> numeric/boolean, numeric/boolean ->
+# date/timestamp; date <-> timestamp IS implemented)
+_UNIMPL_SRC_TGT = [
+    ({"date", "timestamp"}, _NUMERIC_CLASSES | {"boolean"}),
+    (_NUMERIC_CLASSES | {"boolean"}, {"date", "timestamp"}),
+]
+
+_CAST_OPEN_SCAN_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_TYPE_NORM_RE = re.compile(
+    r"^(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT|SIGNED|BIGINT|"
+    r"INT8|LONG|HUGEINT|DECIMAL|NUMERIC|DOUBLE|FLOAT8|FLOAT4|FLOAT|REAL|"
+    r"BOOLEAN|BOOL|LOGICAL|DATE|TIMESTAMP|DATETIME|VARCHAR|TEXT|STRING|"
+    r"CHAR|BPCHAR)\b",
+    re.IGNORECASE,
+)
+_TYPE_CLASS = {
+    "tinyint": "tinyint", "int1": "tinyint",
+    "smallint": "smallint", "int2": "smallint", "short": "smallint",
+    "integer": "integer", "int4": "integer", "int": "integer",
+    "signed": "integer",
+    "bigint": "bigint", "int8": "bigint", "long": "bigint",
+    "hugeint": "decimal",
+    "decimal": "decimal", "numeric": "decimal",
+    "double": "double", "float8": "double",
+    "float4": "float", "float": "float", "real": "float",
+    "boolean": "boolean", "bool": "boolean", "logical": "boolean",
+    "date": "date", "timestamp": "timestamp", "datetime": "timestamp",
+    "varchar": "string", "text": "string", "string": "string",
+    "char": "string", "bpchar": "string",
+}
+
+_SRC_LITERAL_RES = [
+    (re.compile(r"^DATE\s*'", re.IGNORECASE), "date"),
+    (re.compile(r"^TIMESTAMP(?:TZ)?\s*'", re.IGNORECASE), "timestamp"),
+    (re.compile(r"^(TRUE|FALSE)$", re.IGNORECASE), "boolean"),
+    (re.compile(r"^-?\d+$"), "integer"),
+    (re.compile(r"^-?\d+\.\d+$"), "decimal"),
+    (re.compile(r"^-?\d*\.?\d+[eE][+-]?\d+$"), "double"),
+    (re.compile(r"^'(?:[^']|'')*'$"), "string"),
+]
+
+
+def _decimal_units(t: str) -> "int | None":
+    """Integer-digit capacity 10^(p-s) boundary of a decimal type text."""
+    m = re.match(r"(?:DECIMAL|NUMERIC)\s*\((\d+)\s*(?:,\s*(\d+))?\)", t,
+                 re.IGNORECASE)
+    if not m:
+        return None  # bare DECIMAL = (18,3) in DuckDB
+    return int(m.group(1)) - int(m.group(2) or 0)
+
+
+def _src_class(inner: str, schema_classes: dict) -> "tuple[str, str] | tuple[None, None]":
+    """(type class, type text) of a cast's source expression — from its
+    literal shape, a cast suffix, or the resolved FROM schema."""
+    s = inner.strip()
+    for rx, cls in _SRC_LITERAL_RES:
+        if rx.match(s):
+            return cls, cls
+    m = re.match(r"^(?:TRY_)?CAST\s*\(.*\s+AS\s+([A-Za-z_0-9()\s,]+)\)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        txt = m.group(1).strip()
+        tm = _TYPE_NORM_RE.match(txt)
+        if tm:
+            return _TYPE_CLASS.get(tm.group(1).lower()), txt
+    if re.match(rf"^{_IDENT_RE_TEXT}$", s):
+        got = schema_classes.get(s.split(".")[-1].lower())
+        if got:
+            return got
+        return None, None
+    m = re.match(r"^(.*)::\s*([A-Za-z_0-9()]+)$", s, re.DOTALL)
+    if m:
+        tm = _TYPE_NORM_RE.match(m.group(2))
+        if tm:
+            return _TYPE_CLASS.get(tm.group(1).lower()), m.group(2)
+    return None, None
+
+
+def _cast_needs_guard(src: str, tgt: str, tgt_text: str, src_text: str) -> bool:
+    """True when DuckDB's CAST can raise where Spark's silently wraps,
+    saturates, or NULLs: string -> anything, numeric narrowing, and
+    float/double -> anything narrower."""
+    if src == "string" and tgt != "string":
+        return True
+    if src in _NUMERIC_CLASSES and tgt in _NUMERIC_CLASSES:
+        if tgt == "double":
+            return False  # widening, can't fail
+        if src in _INT_RANK and tgt in _INT_RANK:
+            return _INT_RANK[tgt] < _INT_RANK[src]
+        if src in _INT_RANK and tgt == "float":
+            return False  # int -> float saturates identically (no error)
+        if tgt == "decimal":
+            units = _decimal_units(tgt_text)
+            if units is None:
+                return True
+            if src in _INT_RANK:
+                return 10 ** units <= _INT_MAX[src]
+            return True  # decimal/double/float source: range unknowable
+        if src == "decimal" and tgt in _INT_RANK:
+            return True
+        if src in ("double", "float") and tgt in _INT_RANK:
+            return True
+        if src == "double" and tgt == "float":
+            return True
+        if src == "decimal" and tgt == "decimal":
+            u_src = _decimal_units(src_text) if src_text else None
+            u_tgt = _decimal_units(tgt_text)
+            if u_src is not None and u_tgt is not None:
+                return u_tgt < u_src
+            return True
+        if src == "decimal" and tgt == "float":
+            return True
+    return False
+
+
+def rewrite_cast_contract(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB's CAST error contract, reproduced (tools/sweep_casts.py —
+    every divergence measured against DuckDB 1.0):
+
+    - "Unimplemented type for cast" pairs (date/timestamp <-> numeric or
+      boolean, numeric/boolean -> date/timestamp): CAST raises on any
+      NON-NULL value (NULL passes through), TRY_CAST yields NULL. Spark
+      either computes a value (timestamp -> bigint = epoch seconds) or
+      rejects at analysis — both replaced by the DuckDB contract.
+    - failable conversions (string -> anything, numeric narrowing,
+      double -> float, decimal tightening): Spark's non-ANSI CAST wraps
+      integers / saturates floats / NULLs bad strings SILENTLY; DuckDB
+      raises a Conversion Error. Rewritten to a TRY_CAST-probe guard
+      that raises exactly when a non-NULL value fails to convert.
+      (Spark's TRY_CAST already matches DuckDB's TRY_CAST on these
+      pairs, so TRY_CAST forms pass through.)
+    - string -> BOOLEAN: DuckDB accepts exactly t/f/true/false/1/0
+      case-insensitively with NO trimming (measured: ' true ' raises);
+      Spark trims and accepts y/n/yes/no too — emulated token set for
+      both CAST (raise on miss) and TRY_CAST (NULL on miss).
+
+    Source types come from literal shape, a cast-suffix, or the FROM
+    schema; casts whose source type is unknowable keep Spark semantics
+    (documented)."""
+    stripped = sql.strip().rstrip(";")
+    if not _CAST_OPEN_SCAN_RE.search(_code_only(stripped)):
+        return sql
+    schema = _from_schema(spark, stripped, translate)
+    schema_classes: dict[str, tuple[str, str]] = {}
+    if schema:
+        for n, t in schema:
+            base = t.split("(")[0]
+            cls = _TYPE_CLASS.get(base)
+            if base.startswith("timestamp"):
+                cls = "timestamp"
+            if cls:
+                schema_classes[n.lower()] = (cls, t)
+    from .dialect import _literal_mask
+
+    # outermost spans, replaced right-to-left so offsets stay valid;
+    # nested-query spans are excluded — their identifiers bind to their
+    # own FROM scope (the same leaf-name-collision rule as the other
+    # schema-driven passes), so casts inside them keep Spark semantics
+    mask = _literal_mask(stripped)
+    nested = _nested_query_spans(stripped, mask)
+    spans = []
+    for m in _CAST_OPEN_SCAN_RE.finditer(stripped):
+        if mask[m.start()] or any(lo < m.start() < hi for lo, hi in nested):
+            continue
+        close = _scan_list_close(stripped, m.end() - 1, mask)
+        if close == -1:
+            continue
+        spans.append((m.start(), close, m.group(1).upper()))
+    # keep outermost only
+    outer = []
+    for s in spans:
+        if not any(o[0] < s[0] and s[1] <= o[1] for o in spans if o != s):
+            outer.append(s)
+    for start, close, form in sorted(outer, reverse=True):
+        body = stripped[stripped.index("(", start) + 1 : close - 1]
+        as_at = _top_level_as(body)
+        if as_at is None:
+            continue
+        inner, tgt_text = body[:as_at].strip(), body[as_at + 4 :].strip()
+        tm = _TYPE_NORM_RE.match(tgt_text)
+        if not tm:
+            continue
+        tgt = _TYPE_CLASS.get(tm.group(1).lower())
+        src, src_text = _src_class(inner, schema_classes)
+        if src is None or tgt is None or src == tgt:
+            continue
+        repl = _cast_contract_repl(form, inner, src, tgt, tgt_text, src_text)
+        if repl is None:
+            continue
+        stripped = stripped[:start] + repl + stripped[close:]
+    return stripped
+
+
+def _top_level_as(body: str) -> "int | None":
+    """Position of the LAST top-level ' AS ' in a cast body."""
+    depth, in_str, pos = 0, False, None
+    i = 0
+    up = body.upper()
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif depth == 0 and up[i : i + 4] == " AS " :
+            pos = i
+        i += 1
+    return pos
+
+
+def _cast_contract_repl(
+    form: str, inner: str, src: str, tgt: str, tgt_text: str,
+    src_text: "str | None",
+) -> "str | None":
+    unimpl = any(
+        src in srcs and tgt in tgts for srcs, tgts in _UNIMPL_SRC_TGT
+    )
+    null_t = f"TRY_CAST(NULL AS {tgt_text})"
+    if unimpl:
+        if form == "TRY_CAST":
+            return null_t  # NULL for every input (measured)
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"ELSE CAST(raise_error('Conversion Error: Unimplemented type "
+            f"for cast ({src} -> {tgt})') AS {tgt_text}) END)"
+        )
+    if src == "string" and tgt == "boolean":
+        low = f"lower({inner})"
+        miss = (
+            null_t
+            if form == "TRY_CAST"
+            else f"CAST(raise_error(concat('Conversion Error: Could not "
+            f"convert string ', {inner}, ' to BOOL')) AS BOOLEAN)"
+        )
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"WHEN {low} IN ('t', 'true', '1') THEN true "
+            f"WHEN {low} IN ('f', 'false', '0') THEN false "
+            f"ELSE {miss} END)"
+        )
+    # DECIMAL source -> integer target: DuckDB rounds HALF-AWAY
+    # (measured: CAST(0.5 AS INT)=1, -2.5 -> -3); Spark truncates, and
+    # the dialect's textual pass can only see literal-shaped sources.
+    # DECIMAL(38,9) carries any 64-bit value exactly; overflow past the
+    # target keeps the NULL-probe/raise contract.
+    if src == "decimal" and tgt in _INT_RANK:
+        rounded = f"ROUND(TRY_CAST(({inner}) AS DECIMAL(38,9)), 0)"
+        probe = f"TRY_CAST({rounded} AS {tgt_text})"
+        if form == "TRY_CAST":
+            return (
+                f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+                f"ELSE {probe} END)"
+            )
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"WHEN {probe} IS NULL THEN "
+            f"CAST(raise_error(concat('Conversion Error: Could not cast "
+            f"value ', CAST(({inner}) AS STRING), ' to {tgt_text}')) "
+            f"AS {tgt_text}) ELSE {probe} END)"
+        )
+    # DECIMAL source -> FLOAT: DuckDB divides unscaled/10^scale IN
+    # float32 (the measured double-rounding lane, same as
+    # rewrite_numeric_date_lanes) — emulate when the scale is known and
+    # the unscaled value fits BIGINT (p <= 18)
+    if src == "decimal" and tgt == "float" and src_text:
+        pm = re.match(
+            r"(?:DECIMAL|NUMERIC)\s*\((\d+)\s*(?:,\s*(\d+))?\)",
+            src_text, re.IGNORECASE,
+        )
+        if pm and int(pm.group(1)) <= 18:
+            p = 10 ** int(pm.group(2) or 0)
+            return (
+                f"(CASE WHEN ({inner}) IS NULL THEN {null_t} ELSE "
+                f"CAST(((CAST(CAST(({inner}) * {p} AS BIGINT) AS FLOAT)"
+                f" + CAST(0 AS FLOAT)) / CAST({p} AS FLOAT)) AS FLOAT) "
+                f"END)"
+            )
+    # DOUBLE/FLOAT -> VARCHAR: DuckDB's shortest-round-trip format with
+    # its exponent thresholds == Python float repr / NumPy float32 str
+    # (measured value-by-value) — Spark prints Java-style '1.0E8'
+    if src in ("double", "float") and tgt == "string":
+        fn = "duck_double_str" if src == "double" else "duck_float_str"
+        return f"{fn}({inner})"
+    if form == "TRY_CAST":
+        if src in ("double", "float", "decimal") and tgt == "float":
+            # Spark's double->float TRY_CAST saturates to +/-Infinity;
+            # DuckDB's yields NULL out of range (measured)
+            return (
+                f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+                f"WHEN isnan(CAST(({inner}) AS DOUBLE)) THEN "
+                f"TRY_CAST(({inner}) AS {tgt_text}) "
+                f"WHEN abs(CAST(({inner}) AS DOUBLE)) > 3.4028234663852886E38 "
+                f"THEN {null_t} ELSE TRY_CAST(({inner}) AS {tgt_text}) END)"
+            )
+        return None  # Spark TRY_CAST already matches DuckDB's
+    if not _cast_needs_guard(src, tgt, tgt_text, src_text or ""):
+        return None
+    probe = f"TRY_CAST(({inner}) AS {tgt_text})"
+    extra_fail = ""
+    if src in ("double", "float", "decimal") and tgt == "float":
+        extra_fail = (
+            f"WHEN NOT isnan(CAST(({inner}) AS DOUBLE)) AND "
+            f"abs(CAST(({inner}) AS DOUBLE)) > 3.4028234663852886E38 THEN "
+            f"CAST(raise_error('Conversion Error: value out of FLOAT "
+            f"range') AS {tgt_text}) "
+        )
+    return (
+        f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+        f"{extra_fail}"
+        f"WHEN {probe} IS NULL THEN "
+        f"CAST(raise_error(concat('Conversion Error: Could not cast value ',"
+        f" CAST(({inner}) AS STRING), ' to {tgt_text}')) AS {tgt_text}) "
+        f"ELSE {probe} END)"
+    )
+
 
 def rewrite_numeric_date_lanes(
     spark: SparkSession, sql: str, translate: Translate

@@ -33,6 +33,7 @@ def tune(spark: SparkSession) -> SparkSession:
     # DuckDB-surface scalar functions Spark lacks (jaro*/damerau) — Arrow
     # pandas UDFs, registered idempotently on every session routed through
     # the engine (incl. the driver's vanilla session via load_tables→tune)
+    from .functions.format_udfs import ensure_format_udfs
     from .functions.json_udfs import ensure_json_udfs
     from .functions.libm_udfs import ensure_libm_udfs
     from .functions.similarity_udfs import ensure_similarity_udfs
@@ -40,6 +41,7 @@ def tune(spark: SparkSession) -> SparkSession:
     ensure_similarity_udfs(spark)
     ensure_libm_udfs(spark)
     ensure_json_udfs(spark)
+    ensure_format_udfs(spark)
     # TIME type (SURVEY §1.3 edge): feature-flagged in Spark 4.1
     spark.conf.set("spark.sql.timeType.enabled", "true")
     # Scan-split size. The local fixtures are SINGLE parquet files (10 MB

@@ -129,3 +129,75 @@ def test_coercion_matrix_matches_duckdb(coerce_engines, q):
         for r in con.execute(q).fetchall()
     ]
     assert got == want, f"{q}: spark={got!r} duck={want!r}"
+
+
+# ---- 3. CAST error contract (tools/sweep_casts.py, r10) -------------------
+#
+# DuckDB CAST raises Conversion Errors where Spark's non-ANSI cast wraps
+# integers, saturates floats, or NULLs bad strings silently; TRY_CAST
+# yields NULL. The service rewrite_cast_contract pass reproduces the
+# contract (final sweep: 547 MATCH + 173 BOTH-ERR, zero divergence).
+
+CAST_MATCH_QUERIES = [
+    # unimplemented pairs: TRY -> NULL; NULL input passes through CAST
+    "SELECT TRY_CAST(TIMESTAMP '2024-01-05 01:02:03' AS BIGINT) AS a, "
+    "TRY_CAST(DATE '2024-01-05' AS INTEGER) AS b2, "
+    "TRY_CAST(7 AS TIMESTAMP) AS c, "
+    "CAST(CAST(NULL AS DATE) AS INTEGER) AS d",
+    # decimal -> int rounds HALF-AWAY in both CAST and TRY_CAST
+    "SELECT CAST(CAST(-0.5 AS DECIMAL(9,3)) AS INTEGER) AS a, "
+    "TRY_CAST(CAST(2.5 AS DECIMAL(9,3)) AS TINYINT) AS b2, "
+    "CAST(CAST(1.5 AS DECIMAL(9,3)) AS BIGINT) AS c",
+    # string -> int parses through decimal then rounds (measured -7.25
+    # -> -7, -7.5 -> -8); TRY_CAST included (the \\bCAST gate fix)
+    "SELECT CAST('-7.25' AS INTEGER) AS a, TRY_CAST('-7.25' AS TINYINT) AS b2, "
+    "CAST('-7.5' AS SMALLINT) AS c",
+    # string -> boolean: duck's exact token set, no trimming
+    "SELECT CAST('T' AS BOOLEAN) AS a, CAST('0' AS BOOLEAN) AS b2, "
+    "TRY_CAST('yes' AS BOOLEAN) AS c, TRY_CAST(' true ' AS BOOLEAN) AS d",
+    # decimal -> float: the scaled-int float32 lane
+    "SELECT CAST(CAST(123456.654321 AS DECIMAL(18,6)) AS FLOAT) AS a",
+    # double/float -> varchar: shortest-round-trip + duck's exponent
+    # thresholds (Python repr / numpy float32 parity, measured)
+    "SELECT CAST(CAST(1e8 AS DOUBLE) AS VARCHAR) AS a, "
+    "CAST(CAST(-1e300 AS DOUBLE) AS VARCHAR) AS b2, "
+    "CAST(CAST(1e-7 AS DOUBLE) AS VARCHAR) AS c, "
+    "CAST(CAST(0.1 AS FLOAT) AS VARCHAR) AS d, "
+    "CAST(CAST(3.4e38 AS FLOAT) AS VARCHAR) AS e",
+]
+
+
+@pytest.fixture(scope="module")
+def cast_engine(spark):
+    import tempfile
+
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_cast_"))
+
+
+@pytest.mark.parametrize("q", CAST_MATCH_QUERIES)
+def test_cast_contract_matches_duckdb(cast_engine, con, q):
+    got = [tuple(r) for r in cast_engine.query_df(q).collect()]
+    want = con.execute(q).fetchall()
+    assert got == want, f"{q}: spark={got!r} duck={want!r}"
+
+
+CAST_RAISE_QUERIES = [
+    "SELECT CAST(300 AS TINYINT) AS v",              # int overflow wraps in Spark
+    "SELECT CAST('apple' AS INTEGER) AS v",          # bad string NULLs in Spark
+    "SELECT CAST('42' AS BOOLEAN) AS v",             # not in duck's token set
+    "SELECT CAST(' true ' AS BOOLEAN) AS v",         # duck does NOT trim
+    "SELECT CAST(-1e300 AS FLOAT) AS v",             # float range saturates in Spark
+    "SELECT CAST(TIMESTAMP '2024-01-05 01:02:03' AS BIGINT) AS v",  # unimplemented pair
+    "SELECT CAST(DATE '2024-01-05' AS DOUBLE) AS v",
+    "SELECT CAST(true AS TIMESTAMP) AS v",
+]
+
+
+@pytest.mark.parametrize("q", CAST_RAISE_QUERIES)
+def test_cast_contract_raises_like_duckdb(cast_engine, con, q):
+    with pytest.raises(Exception):
+        con.execute(q).fetchall()
+    with pytest.raises(Exception, match="Conversion Error"):
+        cast_engine.query_df(q).collect()
