@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "dedup_minhash_lsh",  # vestigial sig persist removed (r10 perf)
     "pipeline_corpus_curation",  # same
     "dedup_cross_source_matrix",  # composes dedup_minhash_lsh's plan
+    "cast_try_cast",  # dialect int-cast \bCAST gate fix touches its path
     # (c) stalest r06-era fill, fn batteries + window/dialect-heavy first
     "fn_battery_r8",
     "fn_array_agg_lambda",
