@@ -25,12 +25,19 @@ class UnsupportedDialect(Exception):
 # ---- literal-safe text surgery -------------------------------------------
 
 _STRING_RE = re.compile(r"'(?:[^']|'')*'")
+# string literals PLUS backtick-quoted identifiers: neither is code, and
+# rewrite passes must never touch the inside of an identifier (r10: the
+# alias() pass emits duck-named `alias(arg)` columns that the function
+# marker pass would otherwise re-rewrite)
+_MASKED_RE = re.compile(r"'(?:[^']|'')*'|`[^`]*`")
 
 
 def _split_literals(sql: str) -> list[tuple[bool, str]]:
-    """[(is_literal, chunk)] — rewrites apply only to non-literal chunks."""
+    """[(is_literal, chunk)] — rewrites apply only to non-literal chunks.
+    Backtick-quoted identifiers count as literal chunks too (their
+    insides are names, not code)."""
     out, last = [], 0
-    for m in _STRING_RE.finditer(sql):
+    for m in _MASKED_RE.finditer(sql):
         if m.start() > last:
             out.append((False, sql[last : m.start()]))
         out.append((True, m.group(0)))
@@ -379,7 +386,7 @@ FUNCTION_ALIASES = {
     "make_timestamptz": "__duck_make_tstz",
     "pg_typeof": "__duck_pg_typeof",
     "typeof": "__duck_typeof",
-    "alias": "__duck_unsupported_fn",
+    "alias": "__duck_alias",
     "like_escape": "__duck_like_escape",
     "not_like_escape": "__duck_not_like_escape",
     "ilike_escape": "__duck_ilike_escape",
@@ -1453,7 +1460,7 @@ _CAST_AS_JSON_RE = re.compile(r"\bAS\s+JSON\b", re.IGNORECASE)
 
 def _literal_mask(sql: str) -> list[bool]:
     mask = [False] * len(sql)
-    for m in _STRING_RE.finditer(sql):
+    for m in _MASKED_RE.finditer(sql):
         for i in range(m.start(), m.end()):
             mask[i] = True
     return mask
@@ -3377,6 +3384,9 @@ def translate(sql: str) -> str:
     sql = re.sub(
         r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
     )
+    # alias() needs select-item context (the AS name wins) — must run
+    # before the function-marker pass turns unhandled calls into raises
+    sql = _rewrite_alias_fn(sql)
     # JSON arrows first: later passes EMIT Spark lambda arrows, which this
     # pass must never see
     sql = _rewrite_json_arrows(sql)
@@ -4780,6 +4790,115 @@ def _emit_array_to_string(args: list[str]) -> str:
     return f"(CASE WHEN size({args[0]}) = 0 THEN NULL ELSE {joined} END)"
 
 
+_ALIAS_CALL_RE = re.compile(r"\balias\s*\(", re.IGNORECASE)
+
+
+def _alias_display(arg: str) -> "str | None":
+    """DuckDB display name of an alias() argument — identifiers and
+    literals only (measured: t.c -> 'c', 42 -> '42', NULL -> 'NULL',
+    'hello' -> "'hello'" quotes kept); compound expressions need
+    DuckDB's AST printer and return None (the caller leaves the call
+    for the marker pass's clean raise)."""
+    a = arg.strip()
+    if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", a):
+        return a.split(".")[-1]
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", a) or a.upper() == "NULL":
+        return a
+    if re.fullmatch(r"'(?:[^']|'')*'", a):
+        return a
+    return None
+
+
+def _rewrite_alias_fn(sql: str) -> str:
+    """DuckDB ``alias(expr)`` returns the SELECT ITEM's output name as a
+    string (measured): with an explicit/implicit alias the user name wins
+    (``alias(c1) AS v`` -> 'v'); a bare whole-item call returns the
+    argument's display name and names the column ``alias(arg)``; NESTED
+    calls (``upper(alias(c1))``) always use the argument's display name.
+    Identifiers/literals handled; compound arguments keep the documented
+    clean raise (marker pass)."""
+    if not _ALIAS_CALL_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _ALIAS_CALL_RE.finditer(sql):
+            # skip string literals AND the backticked `alias(...)` column
+            # names this pass itself emits
+            if not mask[cand.start()] and (
+                cand.start() == 0 or sql[cand.start() - 1] != "`"
+            ):
+                m = cand
+                break
+        if m is None:
+            return sql
+        close = _scan_balanced(sql, m.end() - 1, "(", ")")
+        if close == -1:
+            return sql
+        arg = sql[m.end() : close - 1]
+        disp = _alias_display(arg)
+        if disp is None:
+            return sql  # compound: leave for the marker raise
+        lit = "'" + disp.replace("'", "''") + "'"
+        before = sql[: m.start()].rstrip()
+        after = sql[close:]
+        whole_item_start = (
+            not before
+            or before.endswith(",")
+            or re.search(r"\bSELECT(\s+DISTINCT)?$", before, re.IGNORECASE)
+        )
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)", after, re.IGNORECASE
+        )
+        boundary = re.match(r"\s*(,|$|FROM\b)", after, re.IGNORECASE)
+        if whole_item_start and am and am.group(1).upper() not in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+            "WINDOW", "QUALIFY",
+        ):
+            # whole select item WITH a user alias: the user name wins
+            sql = (
+                sql[: m.start()] + "'" + am.group(1) + "' " + after.lstrip()[:0]
+                + sql[close:]
+            )
+            continue
+        if whole_item_start and boundary:
+            # bare whole item: display-name value, duck-style column name
+            sql = (
+                sql[: m.start()]
+                + f"{lit} AS `alias({arg.strip()})`"
+                + sql[close:]
+            )
+            continue
+        # nested: just the display-name literal
+        sql = sql[: m.start()] + lit + sql[close:]
+
+
+def _emit_alias(args: list[str]) -> str:
+    """alias(expr): DuckDB returns the expression's DISPLAY NAME as a
+    string (measured: bare column -> its name, t.c -> leaf 'c',
+    42 -> '42', 4.5 -> '4.5', NULL -> 'NULL', 'hello' -> "'hello'"
+    with quotes kept). Identifiers and literals are textually knowable
+    and emitted as that literal; arbitrary expressions would need
+    DuckDB's own AST printer ('(c1 + 1)' canonical spacing) and keep
+    the documented clean raise."""
+    if len(args) != 1:
+        raise UnsupportedDialect("alias expects one argument")
+    a = args[0].strip()
+    if re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", a):
+        leaf = a.split(".")[-1]
+        return "'" + leaf + "'"
+    if re.fullmatch(r"-?\d+(?:\.\d+)?", a) or a.upper() == "NULL":
+        return "'" + a + "'"
+    if re.fullmatch(r"'(?:[^']|'')*'", a):
+        # string literal: duck keeps the quotes in the display name
+        inner = a
+        return "'" + inner.replace("'", "''") + "'"
+    raise UnsupportedDialect(
+        "alias() of a compound expression needs DuckDB's AST printer; "
+        "supported: identifiers and literals"
+    )
+
+
 def _emit_geomean(args: list[str]) -> str:
     return f"exp(avg(ln({args[0]})))"
 
@@ -5138,6 +5257,7 @@ _ROUND5_EMITTERS = {
     "__duck_geomean": _emit_geomean,
     "__duck_array_to_string": _emit_array_to_string,
     "__duck_json_extract": _emit_json_extract,
+    "__duck_alias": _emit_alias,
     "__duck_md5_number": _emit_md5_number,
     "__duck_md5_num_lower": lambda a: _md5_half_le(a, False),
     "__duck_md5_num_upper": lambda a: _md5_half_le(a, True),

@@ -16,7 +16,8 @@ against DuckDB on the verbatim statement (same model as test_idioms_r07):
   gen_random_uuid/uuidv4 -> uuid, to_base64 -> base64,
   make_timestamptz under pinned UTC,
 - clean UnsupportedDialect raises for the genuinely non-emittable
-  (jaro*, damerau_levenshtein, nextafter, gamma, lgamma, alias).
+  (jaro*, damerau_levenshtein, nextafter, gamma, lgamma; alias
+  graduated to a real emitter in r10).
 """
 
 from __future__ import annotations
@@ -121,7 +122,8 @@ def test_uuid_functions_translate_and_run(spark):
         # jaro*/damerau and gamma/lgamma/nextafter moved to IMPLEMENTED in
         # late r08 (Arrow pandas UDFs — tests/test_similarity_udfs.py and
         # tests/test_libm_udfs.py cover them)
-        "alias(42)",
+        # alias() graduated to a real select-item-name emitter in r10
+        #   (tests/test_idioms_r10.py::test_alias_fn_matches_duckdb)
     ],
 )
 def test_r08_unsupported_raise_cleanly(expr):

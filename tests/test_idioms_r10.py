@@ -201,3 +201,39 @@ def test_cast_contract_raises_like_duckdb(cast_engine, con, q):
         con.execute(q).fetchall()
     with pytest.raises(Exception, match="Conversion Error"):
         cast_engine.query_df(q).collect()
+
+
+# ---- 4. alias() (the last named dialect-tail item) ------------------------
+#
+# DuckDB alias(expr) returns the SELECT ITEM's output name (measured:
+# the user AS/implicit alias wins; a bare whole-item call returns the
+# argument's display name and names the column `alias(arg)`; nested
+# calls always use the argument's display name). Identifier/literal
+# arguments are handled; compound arguments keep the clean raise.
+
+ALIAS_QUERIES = [
+    "SELECT alias(c1) AS v FROM (VALUES (1)) t(c1)",
+    "SELECT alias(c1) v2 FROM (VALUES (1)) t(c1)",
+    "SELECT alias(c1) FROM (VALUES (1)) t(c1)",
+    "SELECT alias(t.c1) AS v FROM (VALUES (1)) t(c1)",
+    "SELECT alias(42) AS v, alias(4.5) AS w, alias(NULL) AS x",
+    "SELECT alias('hello') AS v",
+    "SELECT upper(alias(c1)) AS u FROM (VALUES (1)) t(c1)",
+    "SELECT c1, alias(c1) AS n FROM (VALUES (1)) t(c1)",
+]
+
+
+@pytest.mark.parametrize("q", ALIAS_QUERIES)
+def test_alias_fn_matches_duckdb(spark, con, q):
+    d = con.execute(q)
+    want, wcols = d.fetchall(), [x[0] for x in d.description]
+    df = spark.sql(translate(q))
+    assert df.columns == wcols, (df.columns, wcols)
+    assert [tuple(r) for r in df.collect()] == want
+
+
+def test_alias_fn_compound_raises():
+    from duckdb_service_spark.service.dialect import UnsupportedDialect
+
+    with pytest.raises(UnsupportedDialect):
+        translate("SELECT alias(c1 + 1) FROM t")
