@@ -4848,18 +4848,28 @@ def _rewrite_alias_fn(sql: str) -> str:
             or re.search(r"\bSELECT(\s+DISTINCT)?$", before, re.IGNORECASE)
         )
         am = re.match(
-            r"\s*(?:AS\s+)?([A-Za-z_]\w*)", after, re.IGNORECASE
+            r"\s*(AS\s+)?([A-Za-z_]\w*)", after, re.IGNORECASE
         )
         boundary = re.match(r"\s*(,|$|FROM\b)", after, re.IGNORECASE)
-        if whole_item_start and am and am.group(1).upper() not in (
+        # the candidate token is a user alias only with an explicit AS,
+        # or when a select-item boundary follows it — expression
+        # continuations (alias(c1) IS NULL / IN (...) / BETWEEN ...)
+        # must fall through to the nested-call branch
+        is_user_alias = bool(am) and am.group(2).upper() not in (
             "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
-            "WINDOW", "QUALIFY",
-        ):
+            "WINDOW", "QUALIFY", "IS", "IN", "NOT", "LIKE", "ILIKE", "AND",
+            "OR", "BETWEEN", "COLLATE",
+        ) and (
+            bool(am.group(1))
+            or bool(re.match(
+                r"\s*(,|$|FROM\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|"
+                r"HAVING\b|UNION\b|WINDOW\b|QUALIFY\b)",
+                after[am.end():], re.IGNORECASE,
+            ))
+        )
+        if whole_item_start and is_user_alias:
             # whole select item WITH a user alias: the user name wins
-            sql = (
-                sql[: m.start()] + "'" + am.group(1) + "' " + after.lstrip()[:0]
-                + sql[close:]
-            )
+            sql = sql[: m.start()] + "'" + am.group(2) + "' " + sql[close:]
             continue
         if whole_item_start and boundary:
             # bare whole item: display-name value, duck-style column name

@@ -1126,10 +1126,20 @@ class Engine:
             }
             if key == "window_frame_element_bound":
                 # runtime bound for the O(frame) collect-based window
-                # rewrites (dialect._frame_guard); <= 0 disables the guard
+                # rewrites (dialect._frame_guard); <= 0 disables the
+                # guard. PROCESS-WIDE: translate() is a module-level
+                # pipeline with no engine context, so the bound applies
+                # to every Engine in the process (like a Spark conf).
                 from . import dialect as _dialect
 
-                _dialect.WINDOW_FRAME_ELEMENT_BOUND = int(val)
+                try:
+                    bound = int(val)
+                except ValueError:
+                    raise ValueError(
+                        f"SET window_frame_element_bound: expected an "
+                        f"integer, got {val!r}"
+                    ) from None
+                _dialect.WINDOW_FRAME_ELEMENT_BOUND = bound
                 self._pragmas[key] = val
                 return ExecuteOutcome(0)
             if key in mapped:

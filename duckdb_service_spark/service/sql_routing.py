@@ -1246,11 +1246,20 @@ _SRC_LITERAL_RES = [
 
 def _decimal_units(t: str) -> "int | None":
     """Integer-digit capacity 10^(p-s) boundary of a decimal type text."""
+    ps = _decimal_prec_scale(t)
+    return None if ps is None else ps[0] - ps[1]
+
+
+def _decimal_prec_scale(t: str) -> "tuple[int, int] | None":
+    """(precision, scale) of a decimal type text; None when unparsable
+    (a bare DECIMAL is (18,3) in DuckDB, but cast sources whose text is
+    just the class name carry no usable bounds — callers treat None as
+    'range unknowable, guard')."""
     m = re.match(r"(?:DECIMAL|NUMERIC)\s*\((\d+)\s*(?:,\s*(\d+))?\)", t,
                  re.IGNORECASE)
     if not m:
-        return None  # bare DECIMAL = (18,3) in DuckDB
-    return int(m.group(1)) - int(m.group(2) or 0)
+        return None
+    return int(m.group(1)), int(m.group(2) or 0)
 
 
 def _src_class(inner: str, schema_classes: dict) -> "tuple[str, str] | tuple[None, None]":
@@ -1259,6 +1268,15 @@ def _src_class(inner: str, schema_classes: dict) -> "tuple[str, str] | tuple[Non
     s = inner.strip()
     for rx, cls in _SRC_LITERAL_RES:
         if rx.match(s):
+            if cls == "decimal":
+                # exact bounds from the literal's shape (DuckDB types
+                # 1.999999 as DECIMAL(7,6)) so the decimal->decimal
+                # lane can decide tightening precisely
+                dm = re.match(r"^-?(\d+)\.(\d+)$", s)
+                if dm:
+                    units = len(dm.group(1).lstrip("0"))
+                    scale = len(dm.group(2))
+                    return cls, f"DECIMAL({max(units, 0) + scale},{scale})"
             return cls, cls
     m = re.match(r"^(?:TRY_)?CAST\s*\(.*\s+AS\s+([A-Za-z_0-9()\s,]+)\)$", s,
                  re.IGNORECASE | re.DOTALL)
@@ -1307,6 +1325,10 @@ def _cast_needs_guard(src: str, tgt: str, tgt_text: str, src_text: str) -> bool:
         if src == "double" and tgt == "float":
             return True
         if src == "decimal" and tgt == "decimal":
+            # units (integer-digit) tightening can raise; a pure scale
+            # shrink TRUNCATES toward zero in DuckDB (measured r11:
+            # 1.999999 -> DECIMAL(9,3) = 1.999) and cannot overflow —
+            # the repl's truncation lane handles that separately
             u_src = _decimal_units(src_text) if src_text else None
             u_tgt = _decimal_units(tgt_text)
             if u_src is not None and u_tgt is not None:
@@ -1356,29 +1378,42 @@ def rewrite_cast_contract(
                 cls = "timestamp"
             if cls:
                 schema_classes[n.lower()] = (cls, t)
+    return _rewrite_casts_in(stripped, schema_classes)
+
+
+def _rewrite_casts_in(text: str, schema_classes: dict) -> str:
+    """Apply the cast error contract to every CAST/TRY_CAST span in
+    ``text``, recursing into cast bodies so an inner failable cast keeps
+    the contract even when its outer cast needs no guard (DuckDB raises
+    the INNERMOST failing conversion first; a guarded outer span embeds
+    its processed inner text, so inner guards fire first at runtime).
+
+    Spans inside parenthesized subqueries resolve their source type
+    WITHOUT the outer FROM schema (literal shape / cast suffix / ``::``
+    only) — their identifiers bind to their own FROM scope, so only
+    schema-resolved identifier sources need the scope exclusion."""
     from .dialect import _literal_mask
 
-    # outermost spans, replaced right-to-left so offsets stay valid;
-    # nested-query spans are excluded — their identifiers bind to their
-    # own FROM scope (the same leaf-name-collision rule as the other
-    # schema-driven passes), so casts inside them keep Spark semantics
-    mask = _literal_mask(stripped)
-    nested = _nested_query_spans(stripped, mask)
+    mask = _literal_mask(text)
+    nested = _nested_query_spans(text, mask)
     spans = []
-    for m in _CAST_OPEN_SCAN_RE.finditer(stripped):
-        if mask[m.start()] or any(lo < m.start() < hi for lo, hi in nested):
+    for m in _CAST_OPEN_SCAN_RE.finditer(text):
+        if mask[m.start()]:
             continue
-        close = _scan_list_close(stripped, m.end() - 1, mask)
+        close = _scan_list_close(text, m.end() - 1, mask)
         if close == -1:
             continue
-        spans.append((m.start(), close, m.group(1).upper()))
-    # keep outermost only
+        in_nested = any(lo < m.start() < hi for lo, hi in nested)
+        spans.append((m.start(), close, m.group(1).upper(), in_nested))
+    # outermost spans only, replaced right-to-left so offsets stay valid;
+    # inner spans are handled by the recursion into each body
     outer = []
     for s in spans:
-        if not any(o[0] < s[0] and s[1] <= o[1] for o in spans if o != s):
+        if not any(o[0] < s[0] and s[1] <= o[1] for o in spans if o is not s):
             outer.append(s)
-    for start, close, form in sorted(outer, reverse=True):
-        body = stripped[stripped.index("(", start) + 1 : close - 1]
+    for start, close, form, in_nested in sorted(outer, reverse=True):
+        body = text[text.index("(", start) + 1 : close - 1]
+        scope = {} if in_nested else schema_classes
         as_at = _top_level_as(body)
         if as_at is None:
             continue
@@ -1387,14 +1422,33 @@ def rewrite_cast_contract(
         if not tm:
             continue
         tgt = _TYPE_CLASS.get(tm.group(1).lower())
-        src, src_text = _src_class(inner, schema_classes)
-        if src is None or tgt is None or src == tgt:
-            continue
-        repl = _cast_contract_repl(form, inner, src, tgt, tgt_text, src_text)
+        # bare DECIMAL/NUMERIC target: DuckDB defaults to DECIMAL(18,3)
+        # (measured), Spark to DECIMAL(10,0) — normalize the target text
+        # so the emitted cast carries DuckDB's default
+        norm_tgt = tgt_text
+        if tgt == "decimal" and _decimal_prec_scale(tgt_text) is None and (
+            tm.group(1).lower() in ("decimal", "numeric")
+        ):
+            norm_tgt = "DECIMAL(18,3)" + tgt_text[tm.end():]
+        # source class from the ORIGINAL inner text (literal shape /
+        # cast suffix), BEFORE the recursion rewrites inner casts away
+        src, src_text = _src_class(inner, scope)
+        new_inner = _rewrite_casts_in(inner, scope)
+        repl = None
+        # decimal -> decimal is the one same-class pair that can raise
+        # (tightening); every other same-class cast is the identity
+        if src is not None and tgt is not None and (
+            src != tgt or src == "decimal"
+        ):
+            repl = _cast_contract_repl(
+                form, new_inner, src, tgt, norm_tgt, src_text
+            )
         if repl is None:
-            continue
-        stripped = stripped[:start] + repl + stripped[close:]
-    return stripped
+            if new_inner == inner and norm_tgt == tgt_text:
+                continue
+            repl = f"{form}(({new_inner}) AS {norm_tgt})"
+        text = text[:start] + repl + text[close:]
+    return text
 
 
 def _top_level_as(body: str) -> "int | None":
@@ -1449,6 +1503,61 @@ def _cast_contract_repl(
             f"WHEN {low} IN ('f', 'false', '0') THEN false "
             f"ELSE {miss} END)"
         )
+    # DECIMAL -> DECIMAL: DuckDB TRUNCATES toward zero on a scale shrink
+    # (measured r11: CAST(1.999999::DECIMAL(18,6) AS DECIMAL(9,3)) =
+    # 1.999, NOT Spark's HALF_UP 2.000) and raises only when the
+    # truncated value's integer digits exceed the target's units.
+    # ``x - (x % step)`` is exact decimal truncation in Spark.
+    if src == "decimal" and tgt == "decimal":
+        ps_src = _decimal_prec_scale(src_text) if src_text else None
+        ps_tgt = _decimal_prec_scale(tgt_text)
+        s_src = ps_src[1] if ps_src else None
+        s_tgt = ps_tgt[1] if ps_tgt else None
+        trunc = s_tgt is not None and (s_src is None or s_tgt < s_src)
+        val = inner
+        if trunc:
+            step = "1" if s_tgt == 0 else "0." + "0" * (s_tgt - 1) + "1"
+            val = f"(({inner}) - (({inner}) % {step}))"
+        units_guard = _cast_needs_guard(src, tgt, tgt_text, src_text or "")
+        if not trunc and not units_guard:
+            return None
+        probe = f"TRY_CAST({val} AS {tgt_text})"
+        if form == "TRY_CAST" or not units_guard:
+            # Spark TRY_CAST NULLs on overflow like DuckDB; without a
+            # units guard the truncated value always fits
+            return (
+                f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+                f"ELSE {probe} END)"
+            )
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"WHEN {probe} IS NULL THEN "
+            f"CAST(raise_error(concat('Conversion Error: Could not cast "
+            f"value ', CAST(({inner}) AS STRING), ' to {tgt_text}')) "
+            f"AS {tgt_text}) ELSE {probe} END)"
+        )
+    # FLOAT source -> DECIMAL target: DuckDB rounds HALF-EVEN on the
+    # float lane (measured r11: 2.5::FLOAT -> DECIMAL(12,0) = 2,
+    # 3.5 -> 4, -2.5 -> -2) while the DOUBLE lane rounds half-away
+    # (2.5::DOUBLE -> 3, matching Spark's HALF_UP). Spark's bround()
+    # is exactly half-even; float -> double widening is exact.
+    if src == "float" and tgt == "decimal":
+        ps_tgt = _decimal_prec_scale(tgt_text)
+        s_t = ps_tgt[1] if ps_tgt else 3
+        rounded = f"bround(CAST(({inner}) AS DOUBLE), {s_t})"
+        probe = f"TRY_CAST({rounded} AS {tgt_text})"
+        if form == "TRY_CAST":
+            return (
+                f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+                f"ELSE {probe} END)"
+            )
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"WHEN {probe} IS NULL THEN "
+            f"CAST(raise_error(concat('Conversion Error: Could not cast "
+            f"value ', CAST(({inner}) AS STRING), ' to {tgt_text}')) "
+            f"AS {tgt_text}) ELSE {probe} END)"
+        )
     # DECIMAL source -> integer target: DuckDB rounds HALF-AWAY
     # (measured: CAST(0.5 AS INT)=1, -2.5 -> -3); Spark truncates, and
     # the dialect's textual pass can only see literal-shaped sources.
@@ -1490,8 +1599,14 @@ def _cast_contract_repl(
     # its exponent thresholds == Python float repr / NumPy float32 str
     # (measured value-by-value) — Spark prints Java-style '1.0E8'
     if src in ("double", "float") and tgt == "string":
+        # the UDF sees Arrow float64 batches where SQL NULL arrives as
+        # NaN — the SQL-level IS NULL check is the only place the two
+        # are distinguishable (DuckDB: CAST(NULL AS VARCHAR) is NULL)
         fn = "duck_double_str" if src == "double" else "duck_float_str"
-        return f"{fn}({inner})"
+        return (
+            f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
+            f"ELSE {fn}({inner}) END)"
+        )
     if form == "TRY_CAST":
         if src in ("double", "float", "decimal") and tgt == "float":
             # Spark's double->float TRY_CAST saturates to +/-Infinity;
@@ -1878,30 +1993,42 @@ def rewrite_map_subscripts(
     str_cols = {name.lower() for name, t in schema if t == "string"}
     if not map_cols and not str_cols:
         return sql
-    out, last = [], 0
-    for m in hits:
-        base, key = m.base, m.key
-        leaf = base.split(".")[-1].lower()
-        if leaf in map_cols and ":" not in _code_only(key):
-            repl = f"map_extract({base}, {key})"
-        elif leaf in str_cols:
-            # DuckDB string subscripts/slices: 1-based CODEPOINT, index 0
-            # and out-of-range -> '', negative from the back, inclusive
-            # slice ends. The generic lowering emits element_at/slice,
-            # which Spark rejects on STRING — reuse the dialect's string
-            # subscript math.
-            from .dialect import _subscript_content_str
 
-            repl = _subscript_content_str(base, key.strip())
-        else:
-            continue
-        out.append(stripped[last : m.start])
-        out.append(repl)
-        last = m.end
-    if not out:
-        return sql
-    out.append(stripped[last:])
-    return "".join(out)
+    def _subst(text: str, hits) -> str:
+        # keep OUTERMOST hits only — _iter_subscripts also yields the
+        # inner span of a nested subscript (m[s[2]] yields both m[...]
+        # and s[2]), and splicing overlapping spans corrupts the SQL;
+        # the key text is rewritten by recursion instead
+        out, last, prev_end = [], 0, -1
+        for m in hits:
+            if m.start < prev_end:
+                continue
+            base, key = m.base, m.key
+            kmask = _literal_mask(key)
+            key = _subst(key, list(_iter_subscripts(key, kmask)))
+            leaf = base.split(".")[-1].lower()
+            if leaf in map_cols and ":" not in _code_only(key):
+                repl = f"map_extract({base}, {key})"
+            elif leaf in str_cols:
+                # DuckDB string subscripts/slices: 1-based CODEPOINT,
+                # index 0 and out-of-range -> '', negative from the
+                # back, inclusive slice ends. The generic lowering
+                # emits element_at/slice, which Spark rejects on
+                # STRING — reuse the dialect's string subscript math.
+                from .dialect import _subscript_content_str
+
+                repl = _subscript_content_str(base, key.strip())
+            else:
+                continue
+            out.append(text[last : m.start])
+            out.append(repl)
+            last, prev_end = m.end, m.end
+        if not out:
+            return text
+        out.append(text[last:])
+        return "".join(out)
+
+    return _subst(stripped, hits)
 
 
 def _in_literal(sql: str, pos: int) -> bool:

@@ -199,3 +199,31 @@ def test_int_cast_literal_decimal_rounding_matches_duckdb(whole, frac):
         _d.Decimal(lit).quantize(_d.Decimal(1), rounding=_d.ROUND_HALF_UP)
     )
     assert got == want, (lit, got, want)
+
+
+# ---- r11: cast-body scanners vs adversarial quoted literals ----------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(content=st.text(alphabet="ab'() ASc<>,", max_size=14))
+def test_top_level_as_survives_doubled_quotes(content):
+    """_top_level_as splits a cast body at the LAST top-level ' AS ' —
+    doubled '' escapes, stray parens/angles, and ' AS ' INSIDE the
+    literal must not shift the split (VERDICT r10 task 6)."""
+    from duckdb_service_spark.service.sql_routing import _top_level_as
+
+    lit = "'" + content.replace("'", "''") + "'"
+    body = lit + " AS INTEGER"
+    assert _top_level_as(body) == len(lit), body
+
+
+@settings(max_examples=300, deadline=None)
+@given(content=st.text(alphabet="ab' ASc,", max_size=10))
+def test_src_class_string_literal_with_quotes(content):
+    """_src_class must classify ANY doubled-quote-escaped literal as a
+    string source (a misparse silently skips the error contract)."""
+    from duckdb_service_spark.service.sql_routing import _src_class
+
+    lit = "'" + content.replace("'", "''") + "'"
+    cls, _ = _src_class(lit, {})
+    assert cls == "string", lit

@@ -29,31 +29,60 @@ import duckdb
 from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
 from duckdb_service_spark.session import get_spark
 
-# source values per source type: valid, boundary, and invalid-for-most-
-# targets specimens (NULL is implicit via the last row)
+# source values per source type: valid, boundary, invalid-for-most-
+# targets, and NULL specimens (r11: explicit NULL rows — the r10 sweep
+# carried none, which hid the NULL-double -> 'nan' VARCHAR divergence)
 SOURCES: dict[str, list[str]] = {
     "TINYINT": ["CAST(7 AS TINYINT)", "CAST(-128 AS TINYINT)"],
     "SMALLINT": ["CAST(300 AS SMALLINT)", "CAST(-32768 AS SMALLINT)"],
-    "INTEGER": ["CAST(70000 AS INTEGER)", "CAST(-2147483648 AS INTEGER)"],
-    "BIGINT": ["CAST(9007199254740993 AS BIGINT)", "CAST(-12 AS BIGINT)"],
-    "DECIMAL(9,3)": ["CAST(123.456 AS DECIMAL(9,3))", "CAST(-0.5 AS DECIMAL(9,3))"],
-    "DECIMAL(18,6)": ["CAST(123456.654321 AS DECIMAL(18,6))"],
-    "DOUBLE": ["CAST(2.75 AS DOUBLE)", "CAST(-1e300 AS DOUBLE)", "CAST(0.1 AS DOUBLE)"],
-    "FLOAT": ["CAST(2.5 AS FLOAT)", "CAST(-0.125 AS FLOAT)"],
-    "BOOLEAN": ["true", "false"],
+    "INTEGER": ["CAST(70000 AS INTEGER)", "CAST(-2147483648 AS INTEGER)",
+                "CAST(NULL AS INTEGER)"],
+    "BIGINT": ["CAST(9007199254740993 AS BIGINT)", "CAST(-12 AS BIGINT)",
+               "CAST(NULL AS BIGINT)"],
+    "DECIMAL(9,3)": ["CAST(123.456 AS DECIMAL(9,3))", "CAST(-0.5 AS DECIMAL(9,3))",
+                     "CAST(NULL AS DECIMAL(9,3))"],
+    # r11: overflowing-tightening + truncation-sensitive specimens (the
+    # r10 sweep's only tightening probe happened to fit, masking both
+    # the dead decimal->decimal guard AND duck's truncate-on-shrink)
+    "DECIMAL(18,6)": ["CAST(123456.654321 AS DECIMAL(18,6))",
+                      "CAST(9999999.999999 AS DECIMAL(18,6))",
+                      "CAST(-1.999999 AS DECIMAL(18,6))"],
+    "DECIMAL(13,1)": ["CAST(999999999999.9 AS DECIMAL(13,1))"],
+    "DOUBLE": ["CAST(2.75 AS DOUBLE)", "CAST(-1e300 AS DOUBLE)",
+               "CAST(0.1 AS DOUBLE)", "CAST(NULL AS DOUBLE)"],
+    "FLOAT": ["CAST(2.5 AS FLOAT)", "CAST(-0.125 AS FLOAT)",
+              "CAST(NULL AS FLOAT)"],
+    "BOOLEAN": ["true", "false", "CAST(NULL AS BOOLEAN)"],
     "VARCHAR(num)": ["'42'", "'-7.25'", "' 13 '"],
-    "VARCHAR(text)": ["'apple'", "''"],
+    "VARCHAR(text)": ["'apple'", "''", "CAST(NULL AS VARCHAR)"],
     "VARCHAR(bool)": ["'true'", "'F'", "'1'"],
     "VARCHAR(date)": ["'2024-01-05'", "'2024-1-5'"],
     "VARCHAR(ts)": ["'2024-01-05 01:02:03'", "'2024-01-05T01:02:03'"],
-    "DATE": ["DATE '2024-01-05'", "DATE '1969-12-31'"],
-    "TIMESTAMP": ["TIMESTAMP '2024-01-05 01:02:03'"],
+    "DATE": ["DATE '2024-01-05'", "DATE '1969-12-31'", "CAST(NULL AS DATE)"],
+    "TIMESTAMP": ["TIMESTAMP '2024-01-05 01:02:03'",
+                  "CAST(NULL AS TIMESTAMP)"],
 }
 
 TARGETS = [
     "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-    "DECIMAL(9,3)", "DECIMAL(18,6)", "DOUBLE", "FLOAT",
-    "BOOLEAN", "VARCHAR", "DATE", "TIMESTAMP",
+    "DECIMAL(9,3)", "DECIMAL(18,6)", "DECIMAL(12,0)", "DECIMAL",
+    "DOUBLE", "FLOAT", "BOOLEAN", "VARCHAR", "DATE", "TIMESTAMP",
+]
+
+# r11: structural forms the outer-span-only r10 pass missed — casts
+# inside subqueries (literal sources keep the contract there) and
+# nested failable casts under a no-guard outer cast
+STRUCTURAL: list[str] = [
+    "SELECT v FROM (SELECT CAST('apple' AS INTEGER) AS v) t",
+    "SELECT v FROM (SELECT TRY_CAST('apple' AS INTEGER) AS v) t",
+    "SELECT v FROM (SELECT CAST('42' AS INTEGER) AS v) t",
+    "SELECT v FROM (SELECT CAST(9999999.999999 AS DECIMAL(9,3)) AS v) t",
+    "SELECT CAST(CAST('apple' AS INTEGER) AS BIGINT) AS v",
+    "SELECT CAST(CAST('17' AS INTEGER) AS BIGINT) AS v",
+    "SELECT TRY_CAST(CAST(300 AS SMALLINT) AS TINYINT) AS v",
+    "SELECT CAST(CAST(CAST(9999999.999999 AS DECIMAL(18,6)) AS DECIMAL(20,6)) AS DECIMAL(9,3)) AS v",
+    "SELECT CAST('it''s' AS VARCHAR) AS v",
+    "SELECT CAST('a'' AS ''b' AS VARCHAR) AS v",
 ]
 
 
@@ -73,7 +102,10 @@ def norm(v):
 
 
 def classify(engine, con, expr: str) -> tuple[str, str]:
-    sql = f"SELECT {expr} AS v"
+    return classify_sql(engine, con, f"SELECT {expr} AS v")
+
+
+def classify_sql(engine, con, sql: str) -> tuple[str, str]:
     duck_err = None
     try:
         want = [tuple(norm(c) for c in r) for r in con.execute(sql).fetchall()]
@@ -122,8 +154,12 @@ def main() -> None:
         for src_t, values in SOURCES.items():
             for val in values:
                 for tgt in TARGETS:
-                    if tgt.split("(")[0] in src_t:
-                        continue  # identity-ish, skip
+                    # skip exact-identity pairs and string->string only;
+                    # decimal<->decimal precision changes ARE probed (r11)
+                    if tgt == src_t or (
+                        tgt == "VARCHAR" and src_t.startswith("VARCHAR")
+                    ):
+                        continue
                     expr = f"{form}({val} AS {tgt})"
                     verdict, detail = classify(engine, con, expr)
                     buckets[verdict] = buckets.get(verdict, 0) + 1
@@ -131,6 +167,13 @@ def main() -> None:
                         print(f"{verdict:11s} {expr}")
                         if detail:
                             print(f"            {detail}")
+    for sql in STRUCTURAL:
+        verdict, detail = classify_sql(engine, con, sql)
+        buckets[verdict] = buckets.get(verdict, 0) + 1
+        if verdict not in ("MATCH", "DUCK-ERR", "BOTH-ERR"):
+            print(f"{verdict:11s} {sql}")
+            if detail:
+                print(f"            {detail}")
     print("\n== summary ==")
     for k in sorted(buckets):
         print(f"{k:11s} {buckets[k]}")
