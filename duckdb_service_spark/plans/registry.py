@@ -47,72 +47,70 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-10 rotation (VERDICT r09 task 2 — keep the cadence): (a) all
-# 34 rows whose latest driver CORRECTNESS check is r05-era — after this
-# round nothing is staler than r06; (b) the stalest r06-era rows fill the
-# remaining slots, fn batteries first (the round-10 dialect fixes — OVER\b
-# alias capture, _split_args angle anchoring, bare-NULL list ||,
-# subquery-scoped subscripts — live on their translate paths).
+# order. Round-11 rotation (VERDICT r10 task 3 — keep the cadence): (a) all
+# 32 rows whose latest driver CORRECTNESS check is r06-era (including the
+# five r10-PRIORITY entries that fell past slot 50 last round) — after this
+# round nothing is staler than r07; (b) queries whose code path changed
+# this round: cast_try_cast (the r11 cast-contract closure — decimal
+# tightening, subquery literals, nested-cast recursion, NULL float →
+# VARCHAR — lives on its translate path) and the NEW sql_branch_unification
+# (the multi-branch type-unification passes); (c) 16 of the stalest
+# r07-era rows, preferring the ones whose statements traverse the new
+# branch-type passes (setops, CASE/COALESCE, typed fn batteries).
 PRIORITY: list[str] = [
-    # (a) r05-era rows — all 34
-    "fn_battery_r5",
-    "fn_battery_r6",
-    "fn_battery_r7",
-    "join_asof",
-    "join_full_outer",
-    "join_in_subquery",
-    "join_right_outer",
-    "join_semi_exists",
-    "mm_frame_sample",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_waiting",
-    "q22_global_sales_opportunity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "sql_bare_path_from",
-    "sql_columns_expr",
-    "sql_dml_returning",
-    "sql_from_first_routing",
-    "sql_lateral_unnest",
-    "sql_list_comprehension",
-    "sql_order_by_all",
-    "sql_unnest_select",
-    "sql_unpivot_routing",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "win_ignore_nulls",
-    # (b) new or code-path-changed in round 10 (keep ABOVE the fill —
-    # anything registered here displaces the fill tail automatically)
-    "fn_battery_r12",  # + h_full: full md5_number composition (r09 task 8)
-    "dedup_minhash_lsh",  # vestigial sig persist removed (r10 perf)
-    "pipeline_corpus_curation",  # same
-    "dedup_cross_source_matrix",  # composes dedup_minhash_lsh's plan
-    "cast_try_cast",  # dialect int-cast \bCAST gate fix touches its path
-    # (c) stalest r06-era fill, fn batteries + window/dialect-heavy first
-    "fn_battery_r8",
-    "fn_array_agg_lambda",
-    "fn_bit",
-    "fn_datetime",
-    "fn_format",
-    "fn_hash",
-    "fn_interval",
-    "fn_json",
-    "fn_math",
-    "fn_timestamp_parts",
-    "fn_try_arithmetic",
+    # (a) r06-era rows — all 32
+    "agg_rollup",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_longest",
+    "dedup_incremental_exact",
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_lsh",
+    "dedup_simhash",
+    "graph_pagerank",
+    "join_anti_not_exists",
+    "join_cross",
+    "join_range_interval",
+    "join_theta_nonequi",
+    "join_using_natural",
+    "mm_audio_energy",
+    "mm_image_resize",
+    "pipeline_multimodal_curation",
+    "pipeline_training_mix",
+    "q11_important_stock",
+    "q16_parts_supplier_relation",
+    "q20_potential_promotion",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "sql_pivot_multi",
+    "sql_pivot_routing",
+    "text_bigram_lm",
+    "text_gopher_rules",
+    "text_tfidf_top_terms",
+    "text_unigram_fc_buckets",
     "win_lag_lead",
     "win_ranks",
-    "agg_rollup",
-    "join_cross",
-    "join_theta_nonequi",
+    # (b) new or code-path-changed in round 11
+    "cast_try_cast",
+    "sql_branch_unification",
+    # (c) r07-era fill — branch-type-pass-adjacent statements first
+    "case_coalesce_nullif",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_by_name",
+    "setop_union_distinct",
+    "fn_type_fidelity",
+    "fn_variant",
+    "fn_union_type",
+    "fn_json_struct",
+    "fn_struct_map",
+    "fn_array",
+    "fn_time",
+    "fn_timestamp_ns",
+    "fn_battery_r9",
+    "sql_prepare_execute",
 ]
 
 

@@ -624,3 +624,53 @@ def sql_prepare_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, tempfile.mkdtemp(prefix="wh_prepare_"))
     eng.execute(f"PREPARE r7_prio AS {_PREPARE_BODY_SQL}")
     return eng.query_df(f"EXECUTE r7_prio({', '.join(_PREPARE_ARGS)})")
+
+
+_BRANCH_UNIFY_SQL = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 2 = 0 THEN is_f ELSE small END AS bool_int_case,
+       COALESCE(gap, fl) AS dec_float_coalesce,
+       GREATEST(small, big) AS gl_bigint,
+       LEAST(small, dc) AS gl_double,
+       (o_orderstatus COLLATE NOCASE) = 'f' AS nocase_hit
+FROM (SELECT o_orderkey, o_orderstatus,
+             o_orderstatus = 'F' AS is_f,
+             CAST(o_orderkey % 5 AS TINYINT) AS small,
+             o_orderkey * 3 AS big,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS dc,
+             CAST(o_totalprice AS FLOAT) AS fl,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,6)) END AS gap
+      FROM orders WHERE o_orderkey % 97 = 0) s
+UNION ALL
+SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f
+FROM (SELECT o_orderkey, o_orderstatus = 'F' AS is_f,
+             CAST(o_orderkey % 5 AS TINYINT) AS small,
+             o_orderkey * 3 AS big,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS dc,
+             CAST(o_totalprice AS FLOAT) AS fl
+      FROM orders WHERE o_orderkey % 89 = 0) s2
+"""
+
+
+@query("sql_branch_unification", oracle=_BRANCH_UNIFY_SQL)
+def sql_branch_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch result-type unification through the service executor
+    (VERDICT r10 task 4 — the last unswept lattice; reference reach:
+    db/db.go:70 passthrough). One statement exercises every measured
+    DuckDB rule the r11 passes reproduce: a CASE with BOOLEAN-vs-TINYINT
+    branches (DuckDB coerces the bool to 0/1, Spark raises
+    DATA_DIFF_TYPES), COALESCE over DECIMAL-vs-FLOAT (DuckDB unifies to
+    FLOAT through its scaled-int float32 lane — value-visible), GREATEST
+    integer promotion to BIGINT and LEAST fractional promotion to DOUBLE,
+    a UNION ALL whose second branch puts BOOLEAN under the first branch's
+    numeric/varchar columns, and a COLLATE NOCASE comparison (mapped to
+    Spark's UTF8_LCASE — measured value-identical down to ORDER BY tie
+    order). The oracle runs the VERBATIM statement in DuckDB."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    load_tables(spark, sf_dir).view("orders")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_branch_"))
+    return eng.query_df(_BRANCH_UNIFY_SQL)

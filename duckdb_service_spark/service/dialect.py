@@ -3346,6 +3346,36 @@ def _rewrite_date_date_sub(sql: str) -> str:
         i = lo + len(repl)
 
 
+_COLLATE_RE = re.compile(r'\bCOLLATE\s+("?)([A-Za-z_][\w.]*)\1', re.IGNORECASE)
+
+
+def _rewrite_collate(sql: str) -> str:
+    """DuckDB collations (reference reach: db/db.go:70; DuckDB ships
+    NOCASE/NOACCENT/NFC plus ICU locales). NOCASE maps to Spark 4's
+    UTF8_LCASE collation — equality, ORDER BY (including the stable
+    tie order of case variants), GROUP BY representative, min/max and
+    '<' comparisons all measured identical to DuckDB (r11 probes; frozen
+    in tests/test_idioms_r11.py). Every other collation raises cleanly
+    with the workaround named instead of surfacing Spark's raw
+    COLLATION_INVALID_NAME."""
+    if not re.search(r"\bCOLLATE\b", sql, re.IGNORECASE):
+        return sql
+
+    def repl(m: "re.Match[str]") -> str:
+        name = m.group(2).upper()
+        if name == "NOCASE":
+            return "COLLATE UTF8_LCASE"
+        raise UnsupportedDialect(
+            f"COLLATE {name} is not supported: only NOCASE maps to a Spark "
+            f"collation (UTF8_LCASE). For NOACCENT/NFC/ICU-locale collations, "
+            f"normalize the expression instead and compare the normalized "
+            f"value (e.g. strip accents with translate()/regexp_replace, or "
+            f"pre-normalize to NFC at ingest)"
+        )
+
+    return _rewrite_code(sql, lambda chunk: _COLLATE_RE.sub(repl, chunk))
+
+
 def translate(sql: str) -> str:
     """DuckDB dialect → Spark SQL. Raises UnsupportedDialect for constructs
     that need the DataFrame-level operators (operators/asof.py,
@@ -3384,6 +3414,7 @@ def translate(sql: str) -> str:
     sql = re.sub(
         r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
     )
+    sql = _rewrite_collate(sql)
     # alias() needs select-item context (the AS name wins) — must run
     # before the function-marker pass turns unhandled calls into raises
     sql = _rewrite_alias_fn(sql)

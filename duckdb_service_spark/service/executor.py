@@ -422,8 +422,11 @@ class Engine:
             rewrite_bool_compare,
             rewrite_columns_expr,
             rewrite_list_concat_cols,
+            rewrite_branch_expr_types,
             rewrite_cast_contract,
             rewrite_numeric_date_lanes,
+            rewrite_setop_branch_types,
+            rewrite_values_typing,
             rewrite_float_floordiv,
             rewrite_from_first,
             rewrite_map_subscripts,
@@ -446,7 +449,12 @@ class Engine:
         stripped = rewrite_bool_compare(self.spark, stripped, translate)
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
+        stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
+        # after the cast contract: the emitted inline-table CASTs must stay
+        # plain (Spark can't evaluate raise_error guards in VALUES rows)
+        stripped = rewrite_values_typing(stripped)
+        stripped = rewrite_setop_branch_types(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:
             routed = route_unpivot_statement(

@@ -36,7 +36,10 @@ _SIMPLE = {
     T.TimestampNTZType: "TIMESTAMP",
     T.TimeType: "TIME",
     T.VariantType: "JSON",  # Spark VARIANT ≅ DuckDB's JSON logical type
-    T.NullType: '"NULL"',
+    # DuckDB binds an untyped NULL projection to INTEGER (measured r11:
+    # `SELECT NULL` / `SELECT NULL UNION ALL SELECT NULL` both report
+    # INTEGER result columns; typeof(NULL)='"NULL"' is value-level only)
+    T.NullType: "INTEGER",
 }
 
 

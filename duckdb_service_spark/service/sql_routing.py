@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dialect import UnsupportedDialect, _split_literals
+from .dialect import UnsupportedDialect, _split_args, _split_literals
 
 Resolver = Callable[[str], DataFrame]
 Translate = Callable[[str], str]
@@ -2197,6 +2197,552 @@ def route_unpivot_statement(
         out.createOrReplaceTempView("__unpivot_out")
         out = spark.sql(f"SELECT * FROM __unpivot_out{m.group('tail')}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-branch expression result-type unification (r11,
+# tools/sweep_branch_types.py): CASE / COALESCE / IFNULL / IF branch lanes,
+# GREATEST/LEAST numeric promotion, VALUES-list literal typing
+# ---------------------------------------------------------------------------
+
+_NUM_RANKS = {
+    "tinyint": 1, "smallint": 2, "integer": 3, "bigint": 4,
+    "decimal": 5, "float": 6, "double": 7, "string": 8,
+}
+_BRANCH_FN_RE = re.compile(
+    r"\b(COALESCE|IFNULL|IF|GREATEST|LEAST)\s*\(", re.IGNORECASE
+)
+_BRANCH_GATE_RE = re.compile(
+    r"\b(CASE|COALESCE|IFNULL|IF|GREATEST|LEAST)\b", re.IGNORECASE
+)
+_CASE_TOKEN_RE = re.compile(r"\b(CASE|WHEN|THEN|ELSE|END)\b", re.IGNORECASE)
+
+
+def _schema_class_map(spark, stripped: str, translate: Translate) -> dict:
+    """lower-name -> (type class, Spark dtype text) for the statement's
+    FROM relation (empty when it doesn't resolve)."""
+    schema = _from_schema(spark, stripped, translate)
+    out: dict[str, tuple[str, str]] = {}
+    if schema:
+        for n, t in schema:
+            base = t.split("(")[0]
+            cls = _TYPE_CLASS.get(base)
+            if base.startswith("timestamp"):
+                cls = "timestamp"
+            if cls:
+                out[n.lower()] = (cls, t)
+    return out
+
+
+def _branch_cast_templates(
+    lanes: "list[tuple[str | None, str | None]]",
+) -> "list[str | None] | None":
+    """Per-branch cast templates ({x} = the branch text) reproducing
+    DuckDB's multi-branch unification where Spark's differs (measured):
+
+    - BOOLEAN branch vs numeric/varchar branches: DuckDB coerces the bool
+      INTO the other lane (true -> 1 / 'true'); Spark raises
+      DATA_DIFF_TYPES.
+    - DECIMAL vs FLOAT (no DOUBLE): DuckDB unifies to FLOAT through the
+      scaled-int float32 lane; Spark unifies to DOUBLE (value-visible).
+    - FLOAT/DOUBLE vs VARCHAR: DuckDB renders the float side with its
+      shortest-round-trip format (duck_float_str / duck_double_str).
+
+    None = nothing to coerce. NULL literals and unknown-class branches
+    never force or receive a coercion."""
+    known = {k for k, _ in lanes if k}
+    if len(known) < 2:
+        return None
+    tpl: "list[str | None]" = [None] * len(lanes)
+    changed = False
+    if "boolean" in known:
+        others = known - {"boolean"}
+        if others and others <= set(_NUM_RANKS):
+            tk, tt = max(
+                ((k, t) for k, t in lanes if k in others),
+                key=lambda p: _NUM_RANKS[p[0]],
+            )
+            tgt = "STRING" if tk == "string" else tt
+            for i, (k, _) in enumerate(lanes):
+                if k == "boolean":
+                    tpl[i] = f"CAST({{x}} AS {tgt})"
+                    changed = True
+    if known == {"decimal", "float"}:
+        for i, (k, t) in enumerate(lanes):
+            if k == "decimal" and t:
+                repl = _cast_contract_repl(
+                    "CAST", "{x}", "decimal", "float", "FLOAT", t
+                )
+                if repl:
+                    tpl[i] = repl
+                    changed = True
+    if "string" in known and known & {"float", "double"}:
+        for i, (k, _) in enumerate(lanes):
+            if k in ("float", "double"):
+                fn = "duck_double_str" if k == "double" else "duck_float_str"
+                tpl[i] = (
+                    "(CASE WHEN {x} IS NULL THEN CAST(NULL AS STRING) "
+                    f"ELSE {fn}({{x}}) END)"
+                )
+                changed = True
+    return tpl if changed else None
+
+
+def _expr_lane(expr: str, classes: dict) -> "tuple[str | None, str | None]":
+    s = expr.strip()
+    if re.match(r"^NULL$", s, re.IGNORECASE):
+        return None, None
+    return _src_class(s, classes)
+
+
+def _apply_branch_casts(
+    parts: list[str], classes: dict
+) -> "list[str] | None":
+    lanes = [_expr_lane(p, classes) for p in parts]
+    tpl = _branch_cast_templates(lanes)
+    if tpl is None:
+        return None
+    return [
+        p if t is None else t.format(x=f"({p.strip()})")
+        for p, t in zip(parts, tpl)
+    ]
+
+
+def _case_result_spans(body: str, mask: list[bool]) -> "list[tuple[int, int]] | None":
+    """Spans (start, end) of the THEN/ELSE result expressions of the CASE
+    whose body (text between its CASE and END keywords) is given; nested
+    CASEs inside results stay opaque (their own spans are inside the
+    returned result spans and classify as unknown)."""
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    case_depth = 0
+    collecting: "int | None" = None
+    i = 0
+    while i < len(body):
+        if mask[i] or body[i] in "()":
+            if not mask[i]:
+                depth += 1 if body[i] == "(" else -1
+            i += 1
+            continue
+        m = _CASE_TOKEN_RE.match(body, i)
+        if not m or depth != 0:
+            i += 1
+            continue
+        kw = m.group(1).upper()
+        if kw == "CASE":
+            case_depth += 1
+        elif kw == "END":
+            if case_depth == 0:
+                return None  # malformed; bail
+            case_depth -= 1
+        elif case_depth == 0:
+            if kw in ("WHEN", "ELSE") and collecting is not None:
+                spans.append((collecting, i))
+                collecting = None
+            if kw == "THEN" or kw == "ELSE":
+                collecting = m.end()
+        i = m.end()
+    if collecting is not None:
+        spans.append((collecting, len(body)))
+    return spans
+
+
+def rewrite_branch_expr_types(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """Apply DuckDB's multi-branch result-type unification (measured,
+    tools/sweep_branch_types.py) to CASE THEN/ELSE results and COALESCE /
+    IFNULL / IF branch arguments, plus DuckDB's GREATEST/LEAST numeric
+    promotion (all-integer args -> BIGINT, any fractional arg -> DOUBLE —
+    measured; DuckDB itself rejects BOOLEAN args). Branch types come from
+    literal shape, cast suffix, or the FROM schema; branches whose type is
+    unknowable contribute nothing and are never wrapped (reference reach:
+    db/db.go:70 passthrough)."""
+    stripped = sql.strip().rstrip(";")
+    if not _BRANCH_GATE_RE.search(_code_only(stripped)):
+        return sql
+    from .dialect import _literal_mask
+
+    classes = _schema_class_map(spark, stripped, translate)
+    text = stripped
+    # 1. function-arg forms, outermost right-to-left (args are spliced in
+    # place; nested calls inside args resolve as unknown and stay put)
+    mask = _literal_mask(text)
+    nested: list[tuple[int, int, str]] = []
+    for m in _BRANCH_FN_RE.finditer(text):
+        if mask[m.start()]:
+            continue
+        close = _scan_list_close(text, m.end() - 1, mask)
+        if close != -1:
+            nested.append((m.start(), close, m.group(1).upper()))
+    outer = [
+        s for s in nested
+        if not any(o[0] < s[0] and s[1] <= o[1] for o in nested if o is not s)
+    ]
+    for start, close, fn in sorted(outer, reverse=True):
+        body = text[text.index("(", start) + 1 : close - 1]
+        args = _split_args(body)
+        if fn in ("GREATEST", "LEAST"):
+            lanes = [
+                _expr_lane(a, classes)
+                for a in args
+                if not re.match(r"^NULL$", a.strip(), re.IGNORECASE)
+            ]
+            kinds = {k for k, _ in lanes}
+            if not lanes or None in kinds or "boolean" in kinds:
+                continue
+            if not kinds <= (set(_INT_RANK) | {"decimal", "float", "double"}):
+                continue
+            tgt = "BIGINT" if kinds <= set(_INT_RANK) else "DOUBLE"
+            repl = f"CAST({fn}({body}) AS {tgt})"
+            text = text[:start] + repl + text[close:]
+            continue
+        coerce_args = args if fn != "IF" else args[1:]
+        if fn == "IF" and len(args) != 3:
+            continue
+        new_args = _apply_branch_casts(coerce_args, classes)
+        if new_args is None:
+            continue
+        rebuilt = args[:1] + new_args if fn == "IF" else new_args
+        repl = f"{fn}({', '.join(a.strip() for a in rebuilt)})"
+        text = text[:start] + repl + text[close:]
+    # 2. CASE expressions: rewrite THEN/ELSE results, innermost-last via
+    # right-to-left span processing on the refreshed text
+    if re.search(r"\bCASE\b", _code_only(text), re.IGNORECASE):
+        mask = _literal_mask(text)
+        cases: list[tuple[int, int]] = []
+        i = 0
+        while i < len(text):
+            if not mask[i] and _CASE_TOKEN_RE.match(text, i) and (
+                text[i : i + 4].upper() == "CASE"
+            ) and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                # find matching END
+                depth_case, j = 1, i + 4
+                while j < len(text) and depth_case:
+                    if not mask[j]:
+                        m = _CASE_TOKEN_RE.match(text, j)
+                        if m and not (
+                            j > 0 and (text[j - 1].isalnum() or text[j - 1] == "_")
+                        ):
+                            kw = m.group(1).upper()
+                            if kw == "CASE":
+                                depth_case += 1
+                            elif kw == "END":
+                                depth_case -= 1
+                            j = m.end()
+                            continue
+                    j += 1
+                if not depth_case:
+                    cases.append((i, j))
+                i += 4
+                continue
+            i += 1
+        outer_cases = [
+            s for s in cases
+            if not any(o[0] < s[0] and s[1] <= o[1] for o in cases if o is not s)
+        ]
+        for start, end in sorted(outer_cases, reverse=True):
+            body_start = start + 4
+            body_end = end - 3  # before END
+            body = text[body_start:body_end]
+            bmask = _literal_mask(body)
+            spans = _case_result_spans(body, bmask)
+            if not spans or len(spans) < 2:
+                continue
+            parts = [body[a:b] for a, b in spans]
+            new_parts = _apply_branch_casts(parts, classes)
+            if new_parts is None:
+                continue
+            for (a, b), np in sorted(zip(spans, new_parts), reverse=True):
+                body = body[:a] + f" {np.strip()} " + body[b:]
+            text = text[:body_start] + body + text[body_end:]
+    return text
+
+
+_VALUES_KW_RE = re.compile(r"\bVALUES\s*\(", re.IGNORECASE)
+
+
+def rewrite_values_typing(sql: str) -> str:
+    """DuckDB types a VALUES list by unifying ALL rows' cells per column —
+    string literals coerce INTO a numeric/date lane and booleans into a
+    numeric lane (measured: (1),('42') -> INTEGER; (1),(true) -> INTEGER;
+    (1),(2.5),('7') -> DECIMAL; (DATE ...),('2024-02-02') -> DATE). Spark's
+    inline-table resolution rejects those mixes, so the string/bool cells
+    get explicit CASTs to the unified lane. Rows whose cells aren't plain
+    literals pass through untouched."""
+    stripped = sql.strip().rstrip(";")
+    if not _VALUES_KW_RE.search(_code_only(stripped)):
+        return sql
+    from .dialect import _literal_mask
+
+    text = stripped
+    mask = _literal_mask(text)
+    for m in sorted(
+        _VALUES_KW_RE.finditer(text), key=lambda x: -x.start()
+    ):
+        if mask[m.start()]:
+            continue
+        # collect the row list: ( ... ) [, ( ... )]*
+        rows: list[tuple[int, int]] = []
+        j = text.index("(", m.start())
+        while True:
+            close = _scan_list_close(text, j, mask)
+            if close == -1:
+                rows = []
+                break
+            rows.append((j + 1, close - 1))
+            k = close
+            while k < len(text) and text[k].isspace():
+                k += 1
+            if k < len(text) and text[k] == ",":
+                k += 1
+                while k < len(text) and text[k].isspace():
+                    k += 1
+                if k < len(text) and text[k] == "(":
+                    j = k
+                    continue
+                rows = []
+            break
+        if len(rows) < 2:
+            continue
+        cells = [_split_args(text[a:b]) for a, b in rows]
+        ncols = len(cells[0])
+        if any(len(r) != ncols for r in cells):
+            continue
+        new_cells = [list(row) for row in cells]
+        changed = False
+        for col in range(ncols):
+            lanes: list[tuple[str, "str | None"]] = []
+            ok = True
+            for r in range(len(cells)):
+                cell = cells[r][col].strip()
+                if re.match(r"^NULL$", cell, re.IGNORECASE):
+                    lanes.append(("null", None))
+                    continue
+                k, t = _src_class(cell, {})
+                if k is None:
+                    ok = False  # non-literal cell: leave the column alone
+                    break
+                lanes.append((k, t))
+            if not ok:
+                continue
+            kinds = {k for k, _ in lanes if k != "null"}
+            if len(kinds) < 2:
+                continue
+            non_str = kinds - {"string"}
+            if not non_str:
+                continue
+            if non_str <= set(_INT_RANK) | {"boolean"}:
+                tgt = "INTEGER" if non_str - {"boolean"} else None
+                if tgt is None:
+                    continue
+            elif non_str <= set(_INT_RANK) | {"boolean", "decimal"}:
+                tgt = "DECIMAL(18,3)"
+            elif non_str <= set(_INT_RANK) | {"boolean", "decimal", "float", "double"}:
+                tgt = "DOUBLE"
+            elif non_str == {"date"}:
+                tgt = "DATE"
+            elif non_str <= {"date", "timestamp"}:
+                tgt = "TIMESTAMP"
+            else:
+                continue
+            for r in range(len(cells)):
+                k = lanes[r][0]
+                if k in ("string", "boolean") and tgt is not None:
+                    new_cells[r][col] = (
+                        f"CAST({cells[r][col].strip()} AS {tgt})"
+                    )
+                    changed = True
+        if not changed:
+            continue
+        for (a, b), row in sorted(zip(rows, new_cells), reverse=True):
+            text = text[:a] + ", ".join(c.strip() for c in row) + text[b:]
+        mask = _literal_mask(text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Set-operation branch-type unification (r11, tools/sweep_branch_types.py)
+# ---------------------------------------------------------------------------
+
+_SETOP_KW_RE = re.compile(
+    r"^(UNION|INTERSECT|EXCEPT)(\s+(?:ALL|DISTINCT))?(\s+BY\s+NAME)?\b",
+    re.IGNORECASE,
+)
+_SETOP_GATE_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+_TRAIL_CLAUSE_RE = re.compile(r"^(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+# DuckDB's numeric-unification ladder for set-operation branches
+# (measured, tools/sweep_branch_types.py): BOOLEAN coerces INTO the other
+# branch's lane (bool ∪ TINYINT → TINYINT with 0/1, bool ∪ VARCHAR →
+# VARCHAR with 'true'/'false'); DECIMAL ∪ FLOAT → FLOAT (the scaled-int
+# float32 lane); everything else Spark already unifies identically.
+_SETOP_RANK = {
+    "boolean": 0, "tinyint": 1, "smallint": 2, "int": 3, "integer": 3,
+    "bigint": 4, "decimal": 5, "float": 6, "double": 7, "string": 8,
+}
+
+
+def _split_setop_branches(body: str) -> "tuple[list[str], list[str]] | None":
+    """Split on top-level UNION/INTERSECT/EXCEPT keywords (outside parens
+    and literals). Returns (branches, ops) or None when there is no
+    top-level set operation."""
+    parts: list[str] = []
+    ops: list[str] = []
+    depth, in_str, i, last = 0, False, 0, 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (
+            i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        ):
+            m = _SETOP_KW_RE.match(body[i:])
+            if m:
+                parts.append(body[last:i])
+                ops.append(m.group(0))
+                i += m.end()
+                last = i
+                continue
+        i += 1
+    if not ops:
+        return None
+    parts.append(body[last:])
+    return parts, ops
+
+
+def _setop_lane(dt: str) -> "tuple[str, str]":
+    """(unification lane, cast-target text) of a Spark simpleString dtype."""
+    base = dt.split("(")[0].lower()
+    return base, dt
+
+
+def rewrite_setop_branch_types(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """Reproduce DuckDB's set-operation branch-type unification where
+    Spark's differs (measured, tools/sweep_branch_types.py r11):
+
+    - BOOLEAN ∪ numeric: DuckDB coerces the bool branch into the numeric
+      lane (true→1); Spark raises INCOMPATIBLE_COLUMN_TYPE. The bool
+      column is wrapped in a CAST to the widest non-bool branch type.
+    - BOOLEAN ∪ VARCHAR: DuckDB renders 'true'/'false' — CAST AS STRING
+      matches exactly.
+    - DECIMAL ∪ FLOAT (no DOUBLE branch): DuckDB unifies to FLOAT through
+      its scaled-int float32 lane; Spark unifies to DOUBLE (a value-level
+      divergence: -99.99 reads back -99.989998 in DuckDB). The decimal
+      branch rides the same float32 emulation the cast contract uses.
+    - FLOAT/DOUBLE ∪ VARCHAR: DuckDB formats the float side with its
+      shortest-round-trip renderer — routed through duck_float_str /
+      duck_double_str like the cast contract's VARCHAR lane.
+
+    Branch output schemas resolve through Spark analysis of each branch
+    (reference reach: db/db.go:70 passthrough). Statements whose branches
+    fail standalone analysis (or with duplicate output names) pass through
+    untouched — Spark then reports its own error, same as before."""
+    stripped = sql.strip().rstrip(";")
+    if not _SETOP_GATE_RE.search(_code_only(stripped)):
+        return sql
+    prologue, body = "", stripped
+    if re.match(r"^\s*WITH\b", stripped, re.IGNORECASE):
+        main_at = _top_level_kw(
+            stripped[4:], re.compile(r"^(SELECT|VALUES|FROM)\b", re.IGNORECASE)
+        )
+        if main_at is None:
+            return sql
+        prologue, body = stripped[: 4 + main_at], stripped[4 + main_at:]
+    split = _split_setop_branches(body)
+    if split is None:
+        return sql
+    branches, ops = split
+    # trailing ORDER BY / LIMIT / OFFSET binds to the WHOLE set operation —
+    # keep it outside the last branch
+    tail = ""
+    tail_at = _top_level_kw(branches[-1], _TRAIL_CLAUSE_RE)
+    if tail_at is not None:
+        tail = branches[-1][tail_at:]
+        branches[-1] = branches[-1][:tail_at]
+    if any(_SETOP_GATE_RE.match(op.upper()) and "BY" in op.upper() for op in ops):
+        return sql  # UNION BY NAME is routed by _union_by_name upstream
+    schemas = []
+    for b in branches:
+        try:
+            fields = spark.sql(translate(prologue + b)).schema.fields
+        except Exception:  # noqa: BLE001 — let Spark report on the full stmt
+            return sql
+        names = [f.name for f in fields]
+        if len(set(n.lower() for n in names)) != len(names):
+            return sql
+        schemas.append([(f.name, f.dataType.simpleString()) for f in fields])
+    ncols = len(schemas[0])
+    if any(len(s) != ncols for s in schemas):
+        return sql
+    # per-column: decide each branch's required cast (None = untouched)
+    casts: list[list["str | None"]] = [[None] * ncols for _ in branches]
+    changed = False
+    for c in range(ncols):
+        lanes = [_setop_lane(s[c][1]) for s in schemas]
+        kinds = {k for k, _ in lanes}
+        known = kinds & set(_SETOP_RANK)
+        if len(kinds) < 2 or kinds != known:
+            continue
+        target_kind, target_text = max(
+            (lane for lane in lanes), key=lambda p: _SETOP_RANK[p[0]]
+        )
+        if "boolean" in kinds and target_kind != "boolean":
+            tgt = "STRING" if target_kind == "string" else target_text
+            for bi, (k, _) in enumerate(lanes):
+                if k == "boolean":
+                    casts[bi][c] = f"CAST({{col}} AS {tgt})"
+                    changed = True
+        if kinds == {"decimal", "float"}:
+            for bi, (k, txt) in enumerate(lanes):
+                if k != "decimal":
+                    continue
+                repl = _cast_contract_repl(
+                    "CAST", "{col}", "decimal", "float", "FLOAT", txt
+                )
+                if repl:
+                    casts[bi][c] = repl
+                    changed = True
+        if target_kind == "string" and kinds & {"float", "double"}:
+            for bi, (k, _) in enumerate(lanes):
+                if k in ("float", "double"):
+                    fn = "duck_double_str" if k == "double" else "duck_float_str"
+                    casts[bi][c] = (
+                        "(CASE WHEN {col} IS NULL THEN CAST(NULL AS STRING) "
+                        f"ELSE {fn}({{col}}) END)"
+                    )
+                    changed = True
+    if not changed:
+        return sql
+    out = []
+    for bi, b in enumerate(branches):
+        if all(x is None for x in casts[bi]):
+            out.append(b)
+            continue
+        items = []
+        for c, (name, _) in enumerate(schemas[bi]):
+            q = f"`{name}`"
+            tpl = casts[bi][c]
+            items.append(q if tpl is None else f"{tpl.format(col=q)} AS {q}")
+        out.append(
+            f" SELECT {', '.join(items)} FROM ({b.strip()}) __setop_b{bi} "
+        )
+    rebuilt = prologue + out[0]
+    for op, b in zip(ops, out[1:]):
+        rebuilt += f" {op} {b}"
+    return rebuilt + tail
 
 
 __all__ = [

@@ -1,0 +1,245 @@
+"""Round-11 multi-branch result-type unification, differentially verified
+against live DuckDB (VERDICT r10 task 4 — the last unswept lattice;
+tools/sweep_branch_types.py final state: 0 DIVERGE / 0 SPARK-ERR /
+0 TYPE-DIFF across setop/case/coalesce/greatest/in/values families).
+
+Measured DuckDB rules reproduced:
+- Set operations: BOOLEAN branch coerces INTO the other lane (bool ∪
+  TINYINT -> TINYINT 0/1, bool ∪ VARCHAR -> VARCHAR 'true'/'false');
+  DECIMAL ∪ FLOAT -> FLOAT through the scaled-int float32 lane (Spark
+  unified to DOUBLE — a value-level divergence: -99.99::DECIMAL(5,2)
+  reads back -99.989998 in DuckDB's float32).
+- CASE/COALESCE/IF branches: the same lanes at expression level (Spark
+  raises DATA_DIFF_TYPES on bool-vs-int branches DuckDB accepts).
+- GREATEST/LEAST: all-integer args promote to BIGINT, any fractional
+  arg to DOUBLE (DuckDB itself rejects BOOLEAN args).
+- VALUES lists: string literals coerce INTO a numeric/date lane and
+  booleans into a numeric lane ((1),('42') -> INTEGER; (1),(true) ->
+  INTEGER; (1),(2.5),('7') -> DECIMAL).
+- An untyped NULL projection serializes as INTEGER (DuckDB binds bare
+  NULL to INTEGER; typeof()'s '"NULL"' is value-level only).
+
+Reference reach: db/db.go:70 (raw SQL passthrough to linked DuckDB).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_r11i_"))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+REL = (
+    "(SELECT CAST(c0 AS TINYINT) AS i8, CAST(c1 AS INTEGER) AS i32, "
+    "CAST(c2 AS DECIMAL(5,2)) AS dc5, CAST(c3 AS DECIMAL(18,6)) AS dc18, "
+    "CAST(c4 AS FLOAT) AS flt, CAST(c5 AS DOUBLE) AS dbl, "
+    "CAST(c6 AS BOOLEAN) AS b, c7 AS vtxt, c8 AS u "
+    "FROM (VALUES (3, -7, 1.25, 123.456789, 0.5, 2.5, true, 'apple', 1), "
+    "(-2, 999, -99.99, -0.000001, 4.0, -0.125, false, 'pie', 2), "
+    "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 3)"
+    ") v(c0,c1,c2,c3,c4,c5,c6,c7,c8))"
+)
+
+
+def _diff(eng, con, sql):
+    def n(v):
+        if isinstance(v, float) or str(type(v)).find("Decimal") > 0:
+            return round(float(v), 6)
+        return v
+
+    want = sorted(
+        (tuple(n(c) for c in r) for r in con.execute(sql).fetchall()),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(n(c) for c in r) for r in eng.query_df(sql).collect()),
+        key=repr,
+    )
+    assert got == want, f"{sql!r}:\n  spark={got}\n  duck ={want}"
+
+
+# ---- set operations ------------------------------------------------------
+
+
+def test_setop_bool_vs_int_branch(eng, con):
+    _diff(eng, con, f"SELECT i8 AS v FROM {REL} UNION ALL SELECT b FROM {REL}")
+
+
+def test_setop_bool_vs_varchar_branch(eng, con):
+    _diff(eng, con, f"SELECT vtxt AS v FROM {REL} UNION SELECT b FROM {REL}")
+
+
+def test_setop_decimal_vs_float_is_float32_lane(eng, con):
+    # -99.99 must read back -99.989998 (DuckDB's scaled-int float32)
+    _diff(eng, con, f"SELECT dc5 AS v FROM {REL} UNION ALL SELECT flt FROM {REL}")
+    _diff(eng, con, f"SELECT dc18 AS v FROM {REL} EXCEPT SELECT flt FROM {REL}")
+
+
+def test_setop_intersect_bool_numeric(eng, con):
+    _diff(
+        eng, con,
+        f"SELECT i32 AS v FROM {REL} INTERSECT SELECT b FROM {REL}",
+    )
+
+
+def test_setop_order_by_tail_stays_outside(eng, con):
+    _diff(
+        eng, con,
+        f"SELECT i8 AS v FROM {REL} UNION ALL SELECT b FROM {REL} "
+        "ORDER BY v NULLS LAST LIMIT 4",
+    )
+
+
+def test_null_projection_serializes_integer(eng):
+    from duckdb_service_spark.service.serializer import duckdb_type_name
+
+    df = eng.query_df("SELECT NULL AS v UNION ALL SELECT NULL")
+    assert duckdb_type_name(df.schema.fields[0].dataType) == "INTEGER"
+
+
+# ---- CASE / COALESCE / IF ------------------------------------------------
+
+
+def test_case_bool_vs_int_branches(eng, con):
+    _diff(
+        eng, con,
+        f"SELECT u, CASE WHEN u = 1 THEN i8 ELSE b END AS v FROM {REL}",
+    )
+
+
+def test_case_decimal_vs_float_branches(eng, con):
+    _diff(
+        eng, con,
+        f"SELECT u, CASE WHEN u = 1 THEN dc18 ELSE flt END AS v FROM {REL}",
+    )
+
+
+def test_case_multi_when_mixed(eng, con):
+    _diff(
+        eng, con,
+        f"SELECT u, CASE WHEN u = 1 THEN b WHEN u = 2 THEN i32 "
+        f"ELSE i8 END AS v FROM {REL}",
+    )
+
+
+def test_coalesce_bool_int(eng, con):
+    _diff(eng, con, f"SELECT u, COALESCE(i32, b) AS v FROM {REL}")
+
+
+def test_coalesce_decimal_float(eng, con):
+    _diff(eng, con, f"SELECT u, COALESCE(dc5, flt) AS v FROM {REL}")
+    _diff(eng, con, f"SELECT u, COALESCE(dc18, flt) AS v FROM {REL}")
+
+
+def test_ifnull_bool_int(eng, con):
+    _diff(eng, con, f"SELECT u, IFNULL(b, i8) AS v FROM {REL}")
+
+
+# ---- GREATEST / LEAST ----------------------------------------------------
+
+
+def test_greatest_int_widths_promote_bigint(eng, con):
+    sql = f"SELECT u, GREATEST(i8, i32) AS v FROM {REL}"
+    _diff(eng, con, sql)
+    assert eng.query_df(sql).schema.fields[1].dataType.simpleString() == "bigint"
+
+
+def test_greatest_fractional_promotes_double(eng, con):
+    sql = f"SELECT u, LEAST(i8, dc5, flt) AS v FROM {REL}"
+    _diff(eng, con, sql)
+    assert eng.query_df(sql).schema.fields[1].dataType.simpleString() == "double"
+
+
+def test_greatest_strings_untouched(eng, con):
+    _diff(eng, con, f"SELECT u, GREATEST(vtxt, 'mango') AS v FROM {REL}")
+
+
+# ---- VALUES-list typing --------------------------------------------------
+
+
+def test_values_string_into_int_lane(eng, con):
+    _diff(eng, con, "SELECT v FROM (VALUES (1), ('42')) t(v)")
+
+
+def test_values_bool_into_int_lane(eng, con):
+    _diff(eng, con, "SELECT v FROM (VALUES (1), (true)) t(v)")
+
+
+def test_values_string_into_decimal_lane(eng, con):
+    _diff(eng, con, "SELECT v FROM (VALUES (1), (2.5), ('7')) t(v)")
+
+
+def test_values_string_into_date_lane(eng, con):
+    _diff(
+        eng, con,
+        "SELECT v FROM (VALUES (DATE '2024-01-05'), ('2024-02-02')) t(v)",
+    )
+
+
+def test_values_all_strings_untouched(eng, con):
+    _diff(eng, con, "SELECT v FROM (VALUES ('a'), ('b')) t(v)")
+
+
+def test_values_null_rows_keep_lane(eng, con):
+    _diff(eng, con, "SELECT v FROM (VALUES (1), (NULL), ('3')) t(v)")
+
+
+# ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
+
+
+def _diff_ordered(eng, con, sql):
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    got = [tuple(r) for r in eng.query_df(sql).collect()]
+    assert got == want, f"{sql!r}:\n  spark={got}\n  duck ={want}"
+
+
+def test_collate_nocase_equality(eng, con):
+    _diff(eng, con, "SELECT 'Apple' COLLATE NOCASE = 'apple' AS v")
+    _diff(eng, con, "SELECT 'Apple' = 'apple' COLLATE NOCASE AS v")
+    _diff(eng, con, "SELECT 'Ω' COLLATE NOCASE = 'ω' AS v")
+
+
+def test_collate_nocase_order_by_tie_order(eng, con):
+    # case variants tie; both engines keep first-seen order ('A','a','b','B')
+    _diff_ordered(
+        eng, con,
+        "SELECT v FROM (VALUES ('b'), ('A'), ('a'), ('B')) t(v) "
+        "ORDER BY v COLLATE NOCASE",
+    )
+
+
+def test_collate_nocase_group_by(eng, con):
+    _diff(
+        eng, con,
+        "SELECT v COLLATE NOCASE AS g, count(*) AS n FROM "
+        "(VALUES ('Apple'), ('apple'), ('APPLE'), ('pie')) t(v) GROUP BY g",
+    )
+
+
+def test_collate_nocase_comparison_and_max(eng, con):
+    _diff(eng, con, "SELECT 'a' < 'B' COLLATE NOCASE AS v")
+    _diff(
+        eng, con,
+        "SELECT max(v COLLATE NOCASE) AS v FROM (VALUES ('b'), ('A')) t(v)",
+    )
+
+
+def test_collate_other_names_raise_cleanly(eng):
+    from duckdb_service_spark.service.dialect import UnsupportedDialect
+
+    for name in ("NOACCENT", "NFC", "de", "NOCASE.NOACCENT"):
+        with pytest.raises(UnsupportedDialect, match="COLLATE"):
+            eng.query_df(f"SELECT 'a' COLLATE {name} = 'b' AS v").collect()
