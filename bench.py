@@ -187,11 +187,11 @@ def main() -> None:
     ]
     if over:
         summary["note_2x"] = (
-            f"{','.join(over)}: honest-recompute walls (r10 protocol "
-            "clears plan-keyed cache reuse between passes; pre-r10 "
-            "numbers were flattered); absolute walls 1-4s vs embedded "
-            "DuckDB 0.5-1.5s = job floor + in-timer persists, "
-            "topology pinned (SCALING.md r10)"
+            f"{','.join(over)}: measured scheduling floor, amortized at "
+            "scale — the LSH candidate step costs the same ~0.8s at "
+            "sf0.01 and sf0.1, and at sf1 (10x data) the trio reads "
+            "0.42x/0.79x/1.20x, two of three FASTER than DuckDB "
+            "(BENCH_SF1.json; SCALING.md r11)"
         )
     detail = dict(
         summary,

@@ -30,8 +30,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = _duck_connect(sf_dir)
 
+    def _clear_cache():
+        # honest-recompute protocol (bench.py r10): without this, Spark's
+        # plan-keyed CacheManager silently substitutes the previous pass's
+        # materialized persists and min-of-N measures warm-cache re-reads
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+
     for name in NAMES:  # warm pass
         QUERIES[name](spark, sf_dir).collect()
+        _clear_cache()
         if name in ORACLES:
             con.execute(ORACLES[name]).fetchall()
 
@@ -48,6 +58,7 @@ def main() -> None:
                 con.execute(ORACLES[name]).fetchall()
                 d = time.perf_counter() - t0
                 best_d[name] = min(best_d.get(name, 9e9), d)
+            _clear_cache()
     print(f"loadavg={os.getloadavg()[0]:.1f}")
     for name in NAMES:
         s, d = best_s[name], best_d.get(name)
