@@ -3348,6 +3348,21 @@ def _rewrite_date_date_sub(sql: str) -> str:
 
 _COLLATE_RE = re.compile(r'\bCOLLATE\s+("?)([A-Za-z_][\w.]*)\1', re.IGNORECASE)
 
+# DuckDB ICU-locale collations whose Spark 4 collation of the SAME name
+# produced the identical ORDER BY result on the r11 accent/digraph/case
+# probe set (tools-level sweep over pragma_collations(); both engines are
+# ICU-backed, so sort keys agree). NOT on the list and raising cleanly:
+# region variants (de_at, zh_cn, ... — Spark rejects the names), nb/nn
+# (ICU-version tailoring drift, measured order difference), yue, and
+# DuckDB's non-locale collations noaccent/nfc + dot-combinations.
+_COLLATE_ICU_VERIFIED = frozenset(
+    "af am ar az be bg bn bo br bs ca ceb chr cs cy da de dsb dz ee el en "
+    "eo es et fa ff fi fil fo fr fy ga gl gu ha haw he hi hr hsb hu hy id "
+    "ig it ja ka kk kl km kn ko kok ku ky lb lkt ln lo lt lv mk ml mn mr "
+    "ms mt my ne nl om pa pl ps pt ro ru sa se si sk sl smn sq sr sv sw "
+    "ta te th tk tr ug uk ur uz vi wae wo xh yi yo zh zu".split()
+)
+
 
 def _rewrite_collate(sql: str) -> str:
     """DuckDB collations (reference reach: db/db.go:70; DuckDB ships
@@ -3355,9 +3370,13 @@ def _rewrite_collate(sql: str) -> str:
     UTF8_LCASE collation — equality, ORDER BY (including the stable
     tie order of case variants), GROUP BY representative, min/max and
     '<' comparisons all measured identical to DuckDB (r11 probes; frozen
-    in tests/test_idioms_r11.py). Every other collation raises cleanly
-    with the workaround named instead of surfacing Spark's raw
-    COLLATION_INVALID_NAME."""
+    in tests/test_idioms_r11.py). ICU locale names pass through to
+    Spark's ICU collation of the same name when on the VERIFIED list
+    (identical ordering measured per locale — both engines sort with ICU
+    keys; equality strength also matches: 'straße' != 'strasse' under
+    de, the Turkish dotted/dotless i distinction holds under tr). Every
+    other collation raises cleanly with the workaround named instead of
+    surfacing Spark's raw COLLATION_INVALID_NAME."""
     if not re.search(r"\bCOLLATE\b", sql, re.IGNORECASE):
         return sql
 
@@ -3365,12 +3384,16 @@ def _rewrite_collate(sql: str) -> str:
         name = m.group(2).upper()
         if name == "NOCASE":
             return "COLLATE UTF8_LCASE"
+        if name.lower() in _COLLATE_ICU_VERIFIED:
+            return f"COLLATE {name.lower()}"
         raise UnsupportedDialect(
-            f"COLLATE {name} is not supported: only NOCASE maps to a Spark "
-            f"collation (UTF8_LCASE). For NOACCENT/NFC/ICU-locale collations, "
-            f"normalize the expression instead and compare the normalized "
-            f"value (e.g. strip accents with translate()/regexp_replace, or "
-            f"pre-normalize to NFC at ingest)"
+            f"COLLATE {name} is not supported: NOCASE maps to Spark's "
+            f"UTF8_LCASE and {len(_COLLATE_ICU_VERIFIED)} verified ICU "
+            f"locale collations pass through by name. For NOACCENT/NFC/"
+            f"region-variant collations, normalize the expression instead "
+            f"and compare the normalized value (e.g. strip accents with "
+            f"translate()/regexp_replace, or pre-normalize to NFC at "
+            f"ingest)"
         )
 
     return _rewrite_code(sql, lambda chunk: _COLLATE_RE.sub(repl, chunk))

@@ -237,9 +237,24 @@ def test_collate_nocase_comparison_and_max(eng, con):
     )
 
 
+def test_collate_icu_locales_order_and_equality(eng, con):
+    vals = (
+        "('zebra'), ('Österreich'), ('apple'), ('Ähre'), ('côte'), "
+        "('cote'), ('coté'), ('straße'), ('ABC'), ('abc')"
+    )
+    for loc in ("de", "fr", "tr", "sv"):
+        _diff_ordered(
+            eng, con,
+            f"SELECT v FROM (VALUES {vals}) t(v) ORDER BY v COLLATE {loc}",
+        )
+    # ICU tertiary strength holds on equality in both engines
+    _diff(eng, con, "SELECT 'straße' COLLATE de = 'strasse' AS v")
+    _diff(eng, con, "SELECT 'i' COLLATE tr = 'İ' AS v")
+
+
 def test_collate_other_names_raise_cleanly(eng):
     from duckdb_service_spark.service.dialect import UnsupportedDialect
 
-    for name in ("NOACCENT", "NFC", "de", "NOCASE.NOACCENT"):
+    for name in ("NOACCENT", "NFC", "de_at", "nb", "NOCASE.NOACCENT"):
         with pytest.raises(UnsupportedDialect, match="COLLATE"):
             eng.query_df(f"SELECT 'a' COLLATE {name} = 'b' AS v").collect()
