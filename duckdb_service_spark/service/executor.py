@@ -424,6 +424,7 @@ class Engine:
             rewrite_list_concat_cols,
             rewrite_branch_expr_types,
             rewrite_cast_contract,
+            rewrite_list_literal_types,
             rewrite_numeric_date_lanes,
             rewrite_setop_branch_types,
             rewrite_values_typing,
@@ -449,6 +450,7 @@ class Engine:
         stripped = rewrite_bool_compare(self.spark, stripped, translate)
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
+        stripped = rewrite_list_literal_types(stripped)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay

@@ -2462,6 +2462,152 @@ def rewrite_branch_expr_types(
 _VALUES_KW_RE = re.compile(r"\bVALUES\s*\(", re.IGNORECASE)
 
 
+def _literal_union_target(
+    lanes: "list[tuple[str, str | None]]", cell_texts: list[str]
+) -> "str | None":
+    """DuckDB's literal-lane union type for a VALUES column or list
+    literal whose cells are PLAIN literals (measured r11):
+
+    - strings coerce INTO the lane the non-string cells choose
+      ((1),('42') -> INTEGER; ['7', 1.25] -> DECIMAL(3,2); strings never
+      contribute to the lane or its width);
+    - booleans unify with the INTEGER lane only ([true,1] -> INTEGER[];
+      bool+decimal is a DuckDB binder error — left to error in Spark too)
+      and with strings as BOOLEAN ((true),('false') -> BOOLEAN);
+    - the decimal width is the exact union of the numeric cells
+      ([123.456, 1] -> DECIMAL(13,3): max units 10 for an int cell +
+      max scale 3);
+    - any float-shaped (scientific) literal pushes the lane to DOUBLE;
+    - DATE/TIMESTAMP literals pull date-shaped strings into their lane,
+      and a date+timestamp mix unifies to TIMESTAMP.
+
+    None = no coercion needed / not safely decidable (pass through)."""
+    kinds = {k for k, _ in lanes if k != "null"}
+    if len(kinds) < 2:
+        return None
+    non_str = kinds - {"string"}
+    if not non_str:
+        return None
+    if non_str == {"boolean"}:
+        return "BOOLEAN"
+    if "boolean" in non_str and not non_str <= {"boolean", "integer"}:
+        return None  # DuckDB rejects bool+fractional too
+    if non_str <= {"boolean", "integer"}:
+        big = any(
+            k == "integer" and abs(int(txt)) > 2147483647
+            for (k, _), txt in zip(lanes, cell_texts)
+        )
+        return "BIGINT" if big else "INTEGER"
+    if non_str <= {"integer", "decimal"}:
+        units, scale = 1, 0
+        for (k, _), txt in zip(lanes, cell_texts):
+            if k == "integer":
+                units = max(units, 19 if abs(int(txt)) > 2147483647 else 10)
+            elif k == "decimal":
+                dm = re.match(r"^-?(\d+)\.(\d+)$", txt)
+                if not dm:
+                    return None
+                units = max(units, len(dm.group(1).lstrip("0")) or 1)
+                scale = max(scale, len(dm.group(2)))
+        return f"DECIMAL({min(units + scale, 38)},{scale})"
+    if non_str <= {"integer", "decimal", "double", "float"}:
+        return "DOUBLE"
+    if non_str == {"date"}:
+        return "DATE"
+    if non_str <= {"date", "timestamp"}:
+        return "TIMESTAMP"
+    return None
+
+
+def _literal_cell_needs_cast(kind: str, tgt: str) -> bool:
+    if kind == "string":
+        return True
+    if kind == "boolean" and tgt != "BOOLEAN":
+        return True
+    if kind == "date" and tgt == "TIMESTAMP":
+        return True
+    return False
+
+
+_LIST_OPEN_RE = re.compile(r"\[")
+
+
+def rewrite_list_literal_types(sql: str) -> str:
+    """DuckDB unifies LIST-literal element types across the same lanes as
+    VALUES columns (measured r11: [1, '2'] -> INTEGER[] = [1, 2];
+    ['1.5', 2] -> INTEGER[] = [2, 2] — string->int rounds; [true, 1] ->
+    INTEGER[]; [DATE ..., '2024-02-02'] -> DATE[]), where Spark's array()
+    either rejects the mix (bool+int) or unifies to STRING (keeping '2'
+    as text — a silent divergence). String/bool/date cells of mixed
+    PLAIN-literal lists get explicit CASTs to the unified lane; the
+    emitted casts ride the dialect's measured string->int rounding and
+    the service cast error contract (bad strings raise like DuckDB's
+    binder). Lists with any non-literal element pass through untouched
+    (column elements already resolve identically in both engines)."""
+    stripped = sql.strip().rstrip(";")
+    if "[" not in _code_only(stripped):
+        return sql
+    from .dialect import _literal_mask
+
+    text = stripped
+    mask = _literal_mask(text)
+    spans: list[tuple[int, int]] = []
+    for m in _LIST_OPEN_RE.finditer(text):
+        i = m.start()
+        if mask[i]:
+            continue
+        # subscript (identifier/call/literal/list base), not a list
+        # literal — subscripts bind with NO whitespace (`x[1]`), so only
+        # the immediately preceding character decides
+        if i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_)]'"):
+            continue
+        depth, j = 1, i + 1
+        while j < len(text) and depth:
+            if not mask[j]:
+                if text[j] == "[":
+                    depth += 1
+                elif text[j] == "]":
+                    depth -= 1
+            j += 1
+        if depth:
+            continue
+        spans.append((i, j))
+    # outermost only; nested lists have non-literal cells and pass through
+    outer = [
+        s for s in spans
+        if not any(o[0] < s[0] and s[1] <= o[1] for o in spans if o is not s)
+    ]
+    for start, end in sorted(outer, reverse=True):
+        body = text[start + 1 : end - 1]
+        if not body.strip():
+            continue
+        cells = [c.strip() for c in _split_args(body)]
+        lanes: "list[tuple[str, str | None]]" = []
+        ok = True
+        for cell in cells:
+            if re.match(r"^NULL$", cell, re.IGNORECASE):
+                lanes.append(("null", None))
+                continue
+            k, t = _src_class(cell, {})
+            if k is None or "[" in cell:
+                ok = False
+                break
+            lanes.append((k, t))
+        if not ok:
+            continue
+        tgt = _literal_union_target(lanes, cells)
+        if tgt is None:
+            continue
+        new_cells = [
+            f"CAST({c} AS {tgt})" if _literal_cell_needs_cast(k, tgt) else c
+            for c, (k, _) in zip(cells, lanes)
+        ]
+        if new_cells == cells:
+            continue
+        text = text[:start] + "[" + ", ".join(new_cells) + "]" + text[end:]
+    return text
+
+
 def rewrite_values_typing(sql: str) -> str:
     """DuckDB types a VALUES list by unifying ALL rows' cells per column —
     string literals coerce INTO a numeric/date lane and booleans into a
@@ -2526,29 +2672,13 @@ def rewrite_values_typing(sql: str) -> str:
                 lanes.append((k, t))
             if not ok:
                 continue
-            kinds = {k for k, _ in lanes if k != "null"}
-            if len(kinds) < 2:
-                continue
-            non_str = kinds - {"string"}
-            if not non_str:
-                continue
-            if non_str <= set(_INT_RANK) | {"boolean"}:
-                tgt = "INTEGER" if non_str - {"boolean"} else None
-                if tgt is None:
-                    continue
-            elif non_str <= set(_INT_RANK) | {"boolean", "decimal"}:
-                tgt = "DECIMAL(18,3)"
-            elif non_str <= set(_INT_RANK) | {"boolean", "decimal", "float", "double"}:
-                tgt = "DOUBLE"
-            elif non_str == {"date"}:
-                tgt = "DATE"
-            elif non_str <= {"date", "timestamp"}:
-                tgt = "TIMESTAMP"
-            else:
+            tgt = _literal_union_target(
+                lanes, [cells[r][col].strip() for r in range(len(cells))]
+            )
+            if tgt is None:
                 continue
             for r in range(len(cells)):
-                k = lanes[r][0]
-                if k in ("string", "boolean") and tgt is not None:
+                if _literal_cell_needs_cast(lanes[r][0], tgt):
                     new_cells[r][col] = (
                         f"CAST({cells[r][col].strip()} AS {tgt})"
                     )

@@ -197,6 +197,47 @@ def test_values_null_rows_keep_lane(eng, con):
     _diff(eng, con, "SELECT v FROM (VALUES (1), (NULL), ('3')) t(v)")
 
 
+# ---- LIST-literal element unification --------------------------------------
+
+
+def test_list_string_into_int_lane(eng, con):
+    _diff(eng, con, "SELECT [1, '42'] AS v")
+    # string -> int ROUNDS through decimal in DuckDB (measured)
+    _diff(eng, con, "SELECT ['1.5', 2] AS v")
+
+
+def test_list_bool_into_int_lane(eng, con):
+    _diff(eng, con, "SELECT [true, 1] AS v")
+
+
+def test_list_string_into_exact_decimal_width(eng, con):
+    # the union type is the EXACT decimal union of the numeric cells
+    _diff(eng, con, "SELECT [2.55, '1.5'] AS v")
+    _diff(eng, con, "SELECT ['7', 1.25] AS v")
+    _diff(eng, con, "SELECT [1, 2.5, '7'] AS v")
+
+
+def test_list_string_into_date_lane(eng, con):
+    _diff(eng, con, "SELECT [DATE '2024-01-05', '2024-02-02'] AS v")
+
+
+def test_list_date_ts_mix_is_timestamp(eng, con):
+    _diff(
+        eng, con,
+        "SELECT [DATE '2024-01-05', TIMESTAMP '2024-02-02 01:00:00'] AS v",
+    )
+
+
+def test_list_subscripts_untouched(eng, con):
+    _diff(eng, con, "SELECT ([10, '20'])[2] AS v")
+    _diff(eng, con, "SELECT li[1] AS v FROM (SELECT [4, 5] AS li) t")
+
+
+def test_list_null_and_bigint_cells(eng, con):
+    _diff(eng, con, "SELECT [NULL, 1, '3'] AS v")
+    _diff(eng, con, "SELECT [1, 4000000000, '7'] AS v")
+
+
 # ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
 
 

@@ -144,6 +144,23 @@ def probes(what: str) -> list[str]:
                 "b IN (i8)",
             )
         ]
+    if what in ("all", "list"):
+        for ai, a in enumerate(LITS):
+            for b in LITS[ai:]:
+                out.append(f"SELECT [{a}, {b}] AS v")
+        out += [
+            "SELECT [1, 2.5, '7'] AS v",
+            "SELECT ['1.5', 2] AS v",
+            "SELECT [2.55, '1.5'] AS v",
+            "SELECT ['7', 1.25] AS v",
+            "SELECT [123.456, 1] AS v",
+            "SELECT [true, 'false', 1] AS v",
+            "SELECT [1, 4000000000, '7'] AS v",
+            "SELECT [DATE '2024-01-05', TIMESTAMP '2024-02-02 01:00:00'] AS v",
+            "SELECT [NULL, 1, '3'] AS v",
+            "SELECT ['a', 'b'] AS v",
+            "SELECT [[1, 2], [3]] AS v",
+        ]
     if what in ("all", "values"):
         for ai, a in enumerate(LITS):
             for b in LITS[ai:]:
