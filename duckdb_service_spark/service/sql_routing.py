@@ -2558,9 +2558,15 @@ def rewrite_list_literal_types(sql: str) -> str:
             continue
         # subscript (identifier/call/literal/list base), not a list
         # literal — subscripts bind with NO whitespace (`x[1]`), so only
-        # the immediately preceding character decides
+        # the immediately preceding character decides; the one keyword
+        # exception is DuckDB's ARRAY[...] constructor form
         if i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_)]'"):
-            continue
+            before = text[max(0, i - 6) : i]
+            if not (
+                before.upper().endswith("ARRAY")
+                and (i == 5 or not (text[i - 6].isalnum() or text[i - 6] == "_"))
+            ):
+                continue
         depth, j = 1, i + 1
         while j < len(text) and depth:
             if not mask[j]:
