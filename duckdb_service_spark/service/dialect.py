@@ -990,7 +990,7 @@ def _rewrite_struct_literals(sql: str) -> str:
         if end == -1:
             raise UnsupportedDialect("unbalanced '{' in statement")
         body = _rewrite_struct_literals(sql[open_at + 1 : end - 1])
-        pairs = []
+        keys, vals = [], []
         for item in split_top_level(body):
             k_at = _find_top_kw_colon(item)
             if k_at == -1:
@@ -1000,10 +1000,43 @@ def _rewrite_struct_literals(sql: str) -> str:
                 raise UnsupportedDialect(
                     f"struct literal key must be a quoted string: {key!r}"
                 )
-            pairs.append(f"{key}, {val}")
+            keys.append(key)
+            vals.append(val)
         # `MAP {...}` prefix selects the map constructor
         head = sql[:open_at]
         hm = re.search(r"\bMAP\s*$", head, re.IGNORECASE)
+        if hm and len(vals) > 1:
+            # DuckDB unifies MAP-literal VALUES across the same literal
+            # lanes as VALUES columns and list literals (measured r11:
+            # MAP {'x': 1, 'y': '2'} has INTEGER values [1, 2]); Spark's
+            # map() would unify to STRING ('1') or reject bool+int.
+            # Lazy import: sql_routing imports this module at load time.
+            from .sql_routing import (
+                _literal_cell_needs_cast,
+                _literal_union_target,
+                _src_class,
+            )
+
+            lanes, ok = [], True
+            for v in vals:
+                if re.match(r"^NULL$", v, re.IGNORECASE):
+                    lanes.append(("null", None))
+                    continue
+                cls, txt = _src_class(v, {})
+                if cls is None or "(" in v:
+                    ok = False  # non-literal value: leave the map alone
+                    break
+                lanes.append((cls, txt))
+            if ok:
+                tgt = _literal_union_target(lanes, list(vals))
+                if tgt:
+                    vals = [
+                        f"CAST({v} AS {tgt})"
+                        if _literal_cell_needs_cast(k, tgt)
+                        else v
+                        for v, (k, _) in zip(vals, lanes)
+                    ]
+        pairs = [f"{k}, {v}" for k, v in zip(keys, vals)]
         if hm:
             # __spark_map: marker so the per-chunk map-constructor alias
             # (DuckDB 2-list map()) does not re-interpret the VARIADIC

@@ -238,6 +238,22 @@ def test_list_null_and_bigint_cells(eng, con):
     _diff(eng, con, "SELECT [1, 4000000000, '7'] AS v")
 
 
+def test_array_keyword_form_unifies(eng, con):
+    _diff(eng, con, "SELECT ARRAY[1, '42'] AS v")
+
+
+def test_map_literal_values_unify(eng, con):
+    # compare via map_values: DuckDB's map cell shape differs from
+    # Spark's dict, but the value LIST is directly comparable
+    _diff(eng, con, "SELECT map_values(MAP {'x': 1, 'y': '2'}) AS v")
+    _diff(eng, con, "SELECT map_values(MAP {'x': true, 'y': 1}) AS v")
+    _diff(eng, con, "SELECT map_values(MAP {'a': 1, 'b': 2.5, 'c': '7'}) AS v")
+
+
+def test_struct_field_list_unifies(eng, con):
+    _diff(eng, con, "SELECT s.a AS v FROM (SELECT {'a': [1, '2']} AS s) t")
+
+
 # ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
 
 

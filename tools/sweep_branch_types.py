@@ -160,6 +160,13 @@ def probes(what: str) -> list[str]:
             "SELECT [NULL, 1, '3'] AS v",
             "SELECT ['a', 'b'] AS v",
             "SELECT [[1, 2], [3]] AS v",
+            "SELECT ARRAY[1, '42'] AS v",
+            "SELECT map_values(MAP {'x': 1, 'y': '2'}) AS v",
+            "SELECT map_values(MAP {'x': true, 'y': 1}) AS v",
+            "SELECT map_values(MAP {'a': 1, 'b': 2.5, 'c': '7'}) AS v",
+            # struct cells compare as dict-vs-Row in this harness; the
+            # field-extracted form is value-checked in test_idioms_r11.py
+            "SELECT s.a AS v FROM (SELECT {'a': [1, '2']} AS s) t",
         ]
     if what in ("all", "values"):
         for ai, a in enumerate(LITS):
