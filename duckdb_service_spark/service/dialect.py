@@ -990,52 +990,33 @@ def _rewrite_struct_literals(sql: str) -> str:
         if end == -1:
             raise UnsupportedDialect("unbalanced '{' in statement")
         body = _rewrite_struct_literals(sql[open_at + 1 : end - 1])
+        # `MAP {...}` prefix selects the map constructor
+        head = sql[:open_at]
+        hm = re.search(r"\bMAP\s*$", head, re.IGNORECASE)
         keys, vals = [], []
         for item in split_top_level(body):
             k_at = _find_top_kw_colon(item)
             if k_at == -1:
                 raise UnsupportedDialect(f"struct literal item without ':': {item!r}")
             key, val = item[:k_at].strip(), item[k_at + 1 :].strip()
-            if not re.match(r"^'(?:[^']|'')*'$", key):
+            if not re.match(r"^'(?:[^']|'')*'$", key) and not hm:
+                # struct-literal grammar: DuckDB itself requires quoted
+                # string keys; MAP keys may be any expression
                 raise UnsupportedDialect(
                     f"struct literal key must be a quoted string: {key!r}"
                 )
             keys.append(key)
             vals.append(val)
-        # `MAP {...}` prefix selects the map constructor
-        head = sql[:open_at]
-        hm = re.search(r"\bMAP\s*$", head, re.IGNORECASE)
+        if hm and len(keys) > 1:
+            # DuckDB unifies MAP-literal KEYS across the literal lanes
+            # too (measured r11: MAP {1: 'a', '2': 'b'} has INTEGER keys
+            # [1, 2]); same helper, same pass-through rules
+            keys = _unify_literal_cells(keys) or keys
         if hm and len(vals) > 1:
-            # DuckDB unifies MAP-literal VALUES across the same literal
-            # lanes as VALUES columns and list literals (measured r11:
-            # MAP {'x': 1, 'y': '2'} has INTEGER values [1, 2]); Spark's
-            # map() would unify to STRING ('1') or reject bool+int.
-            # Lazy import: sql_routing imports this module at load time.
-            from .sql_routing import (
-                _literal_cell_needs_cast,
-                _literal_union_target,
-                _src_class,
-            )
-
-            lanes, ok = [], True
-            for v in vals:
-                if re.match(r"^NULL$", v, re.IGNORECASE):
-                    lanes.append(("null", None))
-                    continue
-                cls, txt = _src_class(v, {})
-                if cls is None or "(" in v:
-                    ok = False  # non-literal value: leave the map alone
-                    break
-                lanes.append((cls, txt))
-            if ok:
-                tgt = _literal_union_target(lanes, list(vals))
-                if tgt:
-                    vals = [
-                        f"CAST({v} AS {tgt})"
-                        if _literal_cell_needs_cast(k, tgt)
-                        else v
-                        for v, (k, _) in zip(vals, lanes)
-                    ]
+            # ... and MAP-literal VALUES (measured r11: MAP {'x': 1,
+            # 'y': '2'} has INTEGER values [1, 2]); Spark's map() would
+            # unify to STRING ('1') or reject bool+int
+            vals = _unify_literal_cells(vals) or vals
         pairs = [f"{k}, {v}" for k, v in zip(keys, vals)]
         if hm:
             # __spark_map: marker so the per-chunk map-constructor alias
@@ -1048,6 +1029,37 @@ def _rewrite_struct_literals(sql: str) -> str:
             repl = f"named_struct({', '.join(pairs)})"
             sql = head + repl + sql[end:]
             i = open_at + len(repl)
+
+
+def _unify_literal_cells(cells: list[str]) -> "list[str] | None":
+    """Coerce a mixed PLAIN-literal cell list to DuckDB's union lane
+    (the shared VALUES/list-literal/MAP-literal rule set measured in
+    tools/sweep_branch_types.py). None when nothing needs coercion or a
+    cell is not a recognizable literal (pass through — Spark's own
+    resolution already matches DuckDB for those shapes). Lazy import:
+    sql_routing imports this module at load time."""
+    from .sql_routing import (
+        _literal_cell_needs_cast,
+        _literal_union_target,
+        _src_class,
+    )
+
+    lanes = []
+    for c in cells:
+        if re.match(r"^NULL$", c, re.IGNORECASE):
+            lanes.append(("null", None))
+            continue
+        cls, txt = _src_class(c, {})
+        if cls is None or "(" in c:
+            return None
+        lanes.append((cls, txt))
+    tgt = _literal_union_target(lanes, list(cells))
+    if not tgt:
+        return None
+    return [
+        f"CAST({c} AS {tgt})" if _literal_cell_needs_cast(k, tgt) else c
+        for c, (k, _) in zip(cells, lanes)
+    ]
 
 
 def _find_top_kw_colon(item: str) -> int:

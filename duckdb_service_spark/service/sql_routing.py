@@ -1958,6 +1958,77 @@ def rewrite_list_concat_cols(
     return stripped
 
 
+_MAPLIT_SUB_RE = re.compile(r"[)}]\s*\[")
+
+
+def _rewrite_map_literal_subscripts(text: str, mask: list[bool]) -> str:
+    """Map subscripts whose base is STATICALLY a map literal —
+    ``(MAP {...})[k]`` or ``MAP {...}[k]`` — need no schema resolution:
+    rewrite them to ``map_extract(base, k)`` (DuckDB's measured LIST
+    semantics: ``[value]`` on hit, ``[]`` on miss) before the generic
+    subscript lowering turns them into bare-value element_at."""
+    for m in sorted(
+        _MAPLIT_SUB_RE.finditer(text), key=lambda x: -x.start()
+    ):
+        if mask[m.start()]:
+            continue
+        close_ch = text[m.start()]
+        open_ch = "(" if close_ch == ")" else "{"
+        depth, p = 1, m.start() - 1
+        while p >= 0 and depth:
+            if not mask[p]:
+                if text[p] == close_ch:
+                    depth += 1
+                elif text[p] == open_ch:
+                    depth -= 1
+            if depth:
+                p -= 1
+        if depth:
+            continue
+        if close_ch == ")":
+            if not re.match(
+                r"\(\s*MAP\s*\{", text[p : m.start() + 1], re.IGNORECASE
+            ):
+                continue
+            base = text[p : m.start() + 1]
+            base_start = p
+        else:
+            hm = re.search(r"\bMAP\s*$", text[:p], re.IGNORECASE)
+            if hm is None:
+                continue
+            base = "(" + text[hm.start() : m.start() + 1] + ")"
+            base_start = hm.start()
+        open_br = text.index("[", m.start())
+        close_br = -1
+        bdepth, j = 1, open_br + 1
+        while j < len(text) and bdepth:
+            if not mask[j]:
+                if text[j] == "[":
+                    bdepth += 1
+                elif text[j] == "]":
+                    bdepth -= 1
+            j += 1
+        if bdepth:
+            continue
+        close_br = j
+        key = text[open_br + 1 : close_br - 1]
+        if ":" in _code_only(key):
+            continue  # slice syntax — keep the generic lowering
+        text = (
+            text[:base_start]
+            + f"map_extract({base}, {key})"
+            + text[close_br:]
+        )
+        mask = _literal_mask_routing(text)
+    return text
+
+
+def _literal_mask_routing(text: str) -> list[bool]:
+    from .dialect import _literal_mask
+
+    return _literal_mask(text)
+
+
 def rewrite_map_subscripts(
     spark: SparkSession, sql: str, translate: Translate
 ) -> str:
@@ -1978,6 +2049,10 @@ def rewrite_map_subscripts(
     from .dialect import _literal_mask
 
     mask = _literal_mask(stripped)
+    stripped2 = _rewrite_map_literal_subscripts(stripped, mask)
+    if stripped2 != stripped:
+        stripped = stripped2
+        mask = _literal_mask(stripped)
     nested = _nested_query_spans(stripped, mask)
     hits = [
         s
@@ -1985,7 +2060,7 @@ def rewrite_map_subscripts(
         if not any(lo < s.start < hi for lo, hi in nested)
     ]
     if not hits:
-        return sql
+        return stripped
     schema = _from_schema(spark, stripped, translate)
     if schema is None:
         return sql

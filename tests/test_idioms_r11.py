@@ -254,6 +254,24 @@ def test_struct_field_list_unifies(eng, con):
     _diff(eng, con, "SELECT s.a AS v FROM (SELECT {'a': [1, '2']} AS s) t")
 
 
+def test_map_literal_nonstring_keys_unify(eng, con):
+    _diff(eng, con, "SELECT map_keys(MAP {1: 'a', '2': 'b'}) AS v")
+    _diff(eng, con, "SELECT map_keys(MAP {1: 'a', 2: 'b'}) AS v")
+    _diff(
+        eng, con,
+        "SELECT map_keys(MAP {DATE '2024-01-05': 1, '2024-02-02': 2}) AS v",
+    )
+
+
+def test_map_literal_base_subscript_is_list(eng, con):
+    # DuckDB's map[k] returns [value] / []; the literal-base form needs
+    # no schema and rewrites statically
+    _diff(eng, con, "SELECT (MAP {1: 'a', '2': 'b'})[2] AS v")
+    _diff(eng, con, "SELECT (MAP {'a': 1, 'b': 2})['b'] AS v")
+    _diff(eng, con, "SELECT MAP {'a': 1}['a'] AS v")
+    _diff(eng, con, "SELECT (MAP {'a': 1})['zz'] AS v")
+
+
 # ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
 
 
