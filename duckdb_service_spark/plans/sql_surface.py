@@ -632,7 +632,9 @@ SELECT o_orderkey AS k,
        COALESCE(gap, fl) AS dec_float_coalesce,
        GREATEST(small, big) AS gl_bigint,
        LEAST(small, dc) AS gl_double,
-       (o_orderstatus COLLATE NOCASE) = 'f' AS nocase_hit
+       (o_orderstatus COLLATE NOCASE) = 'f' AS nocase_hit,
+       ([10, '42', 6])[2] AS list_lane,
+       ((MAP {'x': 5, 'y': '6'})['y'])[1] AS map_lane
 FROM (SELECT o_orderkey, o_orderstatus,
              o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
@@ -643,7 +645,7 @@ FROM (SELECT o_orderkey, o_orderstatus,
                   THEN CAST(o_totalprice AS DECIMAL(18,6)) END AS gap
       FROM orders WHERE o_orderkey % 97 = 0) s
 UNION ALL
-SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f
+SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f, small, small AS ml
 FROM (SELECT o_orderkey, o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
              o_orderkey * 3 AS big,
