@@ -272,6 +272,47 @@ def test_map_literal_base_subscript_is_list(eng, con):
     _diff(eng, con, "SELECT (MAP {'a': 1})['zz'] AS v")
 
 
+# ---- adversarial literals vs the r11 scanners ------------------------------
+
+
+def test_setop_keywords_inside_literals_do_not_split(eng, con):
+    _diff(
+        eng, con,
+        "SELECT 'a UNION ALL b' AS v UNION ALL SELECT b FROM "
+        "(SELECT true AS b) t",
+    )
+    _diff(eng, con, "SELECT 'x INTERSECT y' AS v")
+
+
+def test_case_keywords_inside_literals_do_not_shift_spans(eng, con):
+    _diff(
+        eng, con,
+        "SELECT CASE WHEN 1 = 1 THEN 'a THEN b' ELSE 'c ELSE END d' END AS v",
+    )
+    _diff(
+        eng, con,
+        "SELECT u, CASE WHEN u = 1 THEN b ELSE i8 END AS v FROM "
+        f"{REL} WHERE vtxt IS NULL OR vtxt <> 'WHEN x THEN y'",
+    )
+
+
+def test_list_brackets_inside_literals_do_not_corrupt(eng, con):
+    _diff(eng, con, "SELECT ['a[', ']b'] AS v")
+    _diff(eng, con, "SELECT ['it''s', 'fine'] AS v")
+    # '4]2' cannot convert to the int lane: BOTH engines raise (error
+    # parity — the bracket inside the literal must not derail the scan)
+    sql = "SELECT [1, '4]2'] AS v"
+    with pytest.raises(Exception, match="(?i)conver"):
+        con.execute(sql).fetchall()
+    with pytest.raises(Exception, match="(?i)conver"):
+        eng.query_df(sql).collect()
+
+
+def test_map_literal_quoted_edges(eng, con):
+    _diff(eng, con, "SELECT map_values(MAP {'a]': 1, 'b[': '2'}) AS v")
+    _diff(eng, con, "SELECT (MAP {'it''s': 7})['it''s'] AS v")
+
+
 # ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
 
 
