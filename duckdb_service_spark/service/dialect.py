@@ -3313,6 +3313,56 @@ def _rewrite_list_concat_nulls(sql: str) -> str:
 _DATE_LITERAL_RHS_RE = re.compile(r"\s*DATE\s*'", re.IGNORECASE)
 
 
+_DATE_LIT_INTERVAL_RE = re.compile(
+    r"(DATE\s*'[^']*'|'[^']*'\s*::\s*DATE)(\s*[+-]\s*)(?=INTERVAL\b)",
+    re.IGNORECASE,
+)
+_INTERVAL_DATE_LIT_RE = re.compile(
+    r"(\bINTERVAL\s+(?:'[^']*'\s*[A-Za-z]*|\d+\s+[A-Za-z]+)\s*\+\s*)"
+    r"(DATE\s*'[^']*'|'[^']*'\s*::\s*DATE)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_date_literal_interval(sql: str) -> str:
+    """DATE ± INTERVAL returns TIMESTAMP in DuckDB (typeof measured, any
+    interval granularity — DATE '2024-01-05' + INTERVAL 1 DAY is
+    2024-01-06 00:00:00); Spark keeps day-granularity results as DATE.
+    The COLUMN form is lane-fixed at the service layer
+    (rewrite_numeric_date_lanes); this handles the schema-free LITERAL
+    forms (DATE '...' and '...'::DATE, either operand order) by casting
+    the date side to TIMESTAMP."""
+    if not re.search(r"\bINTERVAL\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    out = sql
+    for m in sorted(
+        _DATE_LIT_INTERVAL_RE.finditer(sql), key=lambda x: -x.start()
+    ):
+        sign_at = m.start(2) + m.group(2).index(m.group(2).strip()[0])
+        if mask[sign_at]:
+            continue
+        out = (
+            out[: m.start(1)]
+            + f"CAST({m.group(1)} AS TIMESTAMP){m.group(2)}"
+            + out[m.end(2):]
+        )
+    sql = out
+    mask = _literal_mask(sql)
+    out = sql
+    for m in sorted(
+        _INTERVAL_DATE_LIT_RE.finditer(sql), key=lambda x: -x.start()
+    ):
+        if mask[m.start(1)]:
+            continue
+        out = (
+            out[: m.start(2)]
+            + f"CAST({m.group(2)} AS TIMESTAMP)"
+            + out[m.end(2):]
+        )
+    return out
+
+
 def _rewrite_date_date_sub(sql: str) -> str:
     """DuckDB ``x - DATE '...'`` (date minus date) returns BIGINT days
     (measured); Spark returns INTERVAL DAY. When the RIGHT operand of a
@@ -3516,6 +3566,7 @@ def translate(sql: str) -> str:
     # after the function renames so the emitted Spark datediff() is not
     # re-captured by the DuckDB datediff('part', a, b) mapping
     sql = _rewrite_date_date_sub(sql)
+    sql = _rewrite_date_literal_interval(sql)
     # array-type cast suffixes (INT[][]) rewrite BEFORE the subscript pass
     # so its `][` complex-base guard only ever sees VALUE subscripts
     sql = _rewrite_array_type_casts(sql)

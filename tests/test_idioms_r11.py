@@ -313,6 +313,21 @@ def test_map_literal_quoted_edges(eng, con):
     _diff(eng, con, "SELECT (MAP {'it''s': 7})['it''s'] AS v")
 
 
+# ---- DATE literal ± INTERVAL is TIMESTAMP ----------------------------------
+
+
+def test_date_literal_interval_is_timestamp(eng, con):
+    _diff(eng, con, "SELECT DATE '2024-01-05' + INTERVAL 1 DAY AS v")
+    _diff(eng, con, "SELECT '2024-01-05'::DATE - INTERVAL 1 DAY AS v")
+    _diff(eng, con, "SELECT INTERVAL 1 DAY + DATE '2024-01-05' AS v")
+    _diff(
+        eng, con,
+        "SELECT (('2024-01-05'::DATE + INTERVAL 1 DAY))::VARCHAR AS v",
+    )
+    # date + INTEGER stays DATE (day arithmetic, unchanged)
+    _diff(eng, con, "SELECT DATE '2024-01-05' + 3 AS v")
+
+
 # ---- COLLATE NOCASE (VERDICT r10 task 5) ----------------------------------
 
 
