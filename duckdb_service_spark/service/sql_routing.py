@@ -742,8 +742,27 @@ def rewrite_from_first(sql: str) -> str:
 _COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
 
 
-def _columns_matching(arg: str, cols: list[str]) -> list[str]:
+def _columns_matching(
+    arg: str,
+    cols: list[str],
+    spark: "SparkSession | None" = None,
+    translate: "Translate | None" = None,
+) -> list[str]:
     arg = arg.strip()
+    lm = re.match(r"^([A-Za-z_]\w*)\s*->\s*(.+)$", arg, re.DOTALL)
+    if lm and spark is not None and translate is not None:
+        # lambda form (DuckDB 1.2: COLUMNS(c -> predicate over the NAME)) —
+        # evaluate the user's predicate verbatim over the literal name
+        # array with Spark's filter() HOF, through translate so DuckDB
+        # function names inside the body resolve; order preserved
+        arr = ", ".join("'" + c.replace("'", "''") + "'" for c in cols)
+        probe = f"SELECT filter(array({arr}), {lm.group(1)} -> {lm.group(2)}) AS m"
+        matched = list(spark.sql(translate(probe)).collect()[0][0])
+        if not matched:
+            raise UnsupportedDialect(
+                "COLUMNS: lambda matched no columns (DuckDB raises here too)"
+            )
+        return matched
     if arg.startswith("*"):
         excl: set[str] = set()
         em = re.match(r"^\*\s+EXCLUDE\s*\(([^)]*)\)$", arg, re.IGNORECASE)
@@ -824,7 +843,7 @@ def rewrite_columns_expr(
         if depth:
             raise UnsupportedDialect("COLUMNS: unbalanced parentheses")
         arg = expr[m.end() : i - 1]
-        for c in _columns_matching(arg, cols):
+        for c in _columns_matching(arg, cols, spark, translate):
             expanded = expr[: m.start()] + c + expr[i:]
             if alias_tpl is not None:
                 name = alias_tpl.replace("\\0", c)

@@ -313,6 +313,35 @@ def test_map_literal_quoted_edges(eng, con):
     _diff(eng, con, "SELECT (MAP {'it''s': 7})['it''s'] AS v")
 
 
+# ---- COLUMNS(lambda) --------------------------------------------------------
+
+
+def test_columns_lambda_expansion(eng, con):
+    _diff_ordered(
+        eng, con,
+        "SELECT COLUMNS(c -> c LIKE 'r_%') FROM "
+        "(SELECT 1 AS r_a, 2 AS r_b, 3 AS x) t",
+    )
+    _diff_ordered(
+        eng, con,
+        "SELECT min(COLUMNS(c -> c SIMILAR TO 'l_q.*')) FROM "
+        "(SELECT 1 AS l_qty, 2 AS l_qmax, 3 AS other) t",
+    )
+    _diff_ordered(
+        eng, con,
+        "SELECT COLUMNS(c -> length(c) = 1) FROM (SELECT 1 AS a, 2 AS bb) t",
+    )
+
+
+def test_columns_lambda_no_match_raises(eng):
+    from duckdb_service_spark.service.dialect import UnsupportedDialect
+
+    with pytest.raises(Exception):
+        eng.query_df(
+            "SELECT COLUMNS(c -> c LIKE 'zz%') FROM (SELECT 1 AS a) t"
+        ).collect()
+
+
 # ---- DATE literal ± INTERVAL is TIMESTAMP ----------------------------------
 
 
