@@ -295,7 +295,7 @@ FUNCTION_ALIASES = {
     "fmod": "__duck_fmod",
     "strip_accents": "__duck_strip_accents",
     "list_grade_up": "__duck_grade_up",
-    "epoch": "unix_timestamp",
+    "epoch": "__duck_epoch_sec",
     "to_timestamp": "to_timestamp",
     "nextval": "nextval",  # handled by executor (sequences)
     "len": "__duck_len",  # resolved to length/size by a wrapper function
@@ -3324,6 +3324,105 @@ _INTERVAL_DATE_LIT_RE = re.compile(
 )
 
 
+# DuckDB date-part field aliases -> the engine's measured function-form
+# emitters (tools-level EXTRACT sweep r11: every function form matches
+# DuckDB value-for-value; Spark's native EXTRACT diverges on dow (+1),
+# second (includes the fraction), and rejects isodow/isoyear/era/epoch/
+# millisecond/microsecond/millennium/julian/weekday/yearweek outright)
+_DP_FIELD_MAP = {
+    "dow": "dayofweek", "doy": "dayofyear", "dayofmonth": "day",
+    "years": "year", "months": "month", "days": "day", "hours": "hour",
+    "minutes": "minute", "seconds": "second", "mon": "month",
+    "mons": "month", "weeks": "week", "quarters": "quarter",
+    "decades": "decade", "centuries": "century",
+    "millenniums": "millennium", "millennia": "millennium",
+    "us": "microsecond", "usec": "microsecond", "usecs": "microsecond",
+    "useconds": "microsecond", "microseconds": "microsecond",
+    "ms": "millisecond", "msec": "millisecond", "msecs": "millisecond",
+    "mseconds": "millisecond", "milliseconds": "millisecond",
+}
+
+_EXTRACT_OPEN_RE = re.compile(r"\bEXTRACT\s*\(", re.IGNORECASE)
+_DATE_PART_OPEN_RE = re.compile(r"\b(?:date_part|datepart)\s*\(", re.IGNORECASE)
+_DP_QUOTED_FIELD_RE = re.compile(r"^'(\w+)'$")
+
+
+def _dp_fn(field: str) -> str:
+    f = field.lower()
+    return _DP_FIELD_MAP.get(f, f)
+
+
+def _rewrite_extract_datepart(sql: str) -> str:
+    """``EXTRACT(field FROM x)`` and ``date_part('field', x)`` route to
+    the engine's per-field function emitters instead of Spark's native
+    forms (which diverge: dow is Sunday=1 in Spark vs Sunday=0 in DuckDB,
+    SECOND carries the fraction, and most DuckDB fields don't exist).
+    The list form ``date_part(['f1','f2'], x)`` builds DuckDB's struct
+    result from the same emitters. Runs BEFORE the function-rename pass
+    so the emitted names (isodow, epoch, ...) resolve to their measured
+    emitters."""
+    if not re.search(r"\b(EXTRACT|date_part|datepart)\b", sql, re.IGNORECASE):
+        return sql
+    # EXTRACT(field FROM expr), right-to-left
+    mask = _literal_mask(sql)
+    for m in sorted(
+        _EXTRACT_OPEN_RE.finditer(sql), key=lambda x: -x.start()
+    ):
+        if mask[m.start()]:
+            continue
+        close = _scan_balanced(sql, m.end() - 1, "(", ")")
+        if close == -1:
+            continue
+        inner = sql[m.end() : close - 1]
+        fm = re.match(r"^\s*('?)(\w+)\1\s+FROM\s+(.+)$", inner,
+                      re.IGNORECASE | re.DOTALL)
+        if not fm:
+            continue
+        fn, expr = _dp_fn(fm.group(2)), fm.group(3).strip()
+        sql = sql[: m.start()] + f"{fn}({expr})" + sql[close:]
+        mask = _literal_mask(sql)
+    # date_part('field', expr) / date_part(['f1','f2'], expr)
+    for m in sorted(
+        _DATE_PART_OPEN_RE.finditer(sql), key=lambda x: -x.start()
+    ):
+        if mask[m.start()]:
+            continue
+        close = _scan_balanced(sql, m.end() - 1, "(", ")")
+        if close == -1:
+            continue
+        body = sql[m.end() : close - 1]
+        bs = body.lstrip()
+        if bs.startswith("["):
+            # list-of-fields form: _split_args doesn't track square
+            # brackets, so split at the bracket close by hand
+            br = _scan_balanced(bs, bs.index("["), "[", "]")
+            if br == -1 or not bs[br:].lstrip().startswith(","):
+                continue
+            field_arg = bs[:br].strip()
+            expr = bs[br:].lstrip()[1:].strip()
+        else:
+            args = _split_args(body)
+            if len(args) != 2:
+                continue
+            field_arg, expr = args[0].strip(), args[1].strip()
+        qm = _DP_QUOTED_FIELD_RE.match(field_arg)
+        if qm:
+            repl = f"{_dp_fn(qm.group(1))}({expr})"
+        elif field_arg.startswith("[") and field_arg.endswith("]"):
+            names = [a.strip() for a in _split_args(field_arg[1:-1])]
+            if not all(_DP_QUOTED_FIELD_RE.match(n) for n in names):
+                continue
+            items = ", ".join(
+                f"{n}, {_dp_fn(n[1:-1])}({expr})" for n in names
+            )
+            repl = f"named_struct({items})"
+        else:
+            continue
+        sql = sql[: m.start()] + repl + sql[close:]
+        mask = _literal_mask(sql)
+    return sql
+
+
 def _rewrite_date_literal_interval(sql: str) -> str:
     """DATE ± INTERVAL returns TIMESTAMP in DuckDB (typeof measured, any
     interval granularity — DATE '2024-01-05' + INTERVAL 1 DAY is
@@ -3551,6 +3650,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_frame_exclude(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
+    sql = _rewrite_extract_datepart(sql)
     sql = _rewrite_list_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_struct_literals(sql)
@@ -3601,6 +3701,19 @@ def translate(sql: str) -> str:
 
 
 # ---- round-5 function emitters (semantics verified against DuckDB 1.x) ----
+
+
+def _emit_epoch_sec(args: list[str]) -> str:
+    # DuckDB epoch() is DOUBLE seconds INCLUDING the fraction for any
+    # date/timestamp input (measured: epoch(TS '1969-03-05 23:59:59.5')
+    # = -26006400.5; epoch(DATE ...) is DOUBLE too) — exact via
+    # microseconds, session timezone is UTC
+    if len(args) != 1:
+        raise UnsupportedDialect("epoch expects (timestamp)")
+    return (
+        f"(CAST(unix_micros(CAST(({args[0]}) AS TIMESTAMP)) AS DOUBLE)"
+        f" / 1000000.0)"
+    )
 
 
 def _emit_rsort(args: list[str]) -> str:
@@ -5277,6 +5390,7 @@ def _emit_from_binary(args: list[str]) -> str:
 
 
 _ROUND5_EMITTERS = {
+    "__duck_epoch_sec": _emit_epoch_sec,
     "__duck_rsort": _emit_rsort,
     "__duck_monthname": _emit_monthname,
     "__duck_dayname": _emit_dayname,

@@ -313,6 +313,35 @@ def test_map_literal_quoted_edges(eng, con):
     _diff(eng, con, "SELECT (MAP {'it''s': 7})['it''s'] AS v")
 
 
+# ---- EXTRACT / date_part field routing --------------------------------------
+
+
+def test_extract_routes_to_measured_field_emitters(eng, con):
+    ts = "TIMESTAMP '2024-01-05 01:02:03.123456'"
+    for field in ("dow", "isodow", "doy", "week", "isoyear", "era",
+                  "second", "millisecond", "microsecond", "millennium",
+                  "months", "us", "ms"):
+        _diff(eng, con, f"SELECT EXTRACT({field} FROM {ts}) AS v")
+
+
+def test_extract_epoch_is_fractional_double(eng, con):
+    _diff(
+        eng, con,
+        "SELECT EXTRACT(epoch FROM TIMESTAMP '1969-03-05 23:59:59.5') AS v",
+    )
+    _diff(eng, con, "SELECT epoch(DATE '2021-12-31') AS v")
+    _diff(eng, con, "SELECT date_part('epoch', TIMESTAMP '2024-01-05 01:02:03.5') AS v")
+
+
+def test_date_part_quoted_and_list_forms(eng, con):
+    _diff(eng, con, "SELECT date_part('dow', DATE '2024-01-05') AS v")
+    _diff(eng, con, "SELECT datepart('hour', TIMESTAMP '2024-01-05 07:02:03') AS v")
+    _diff(
+        eng, con,
+        "SELECT (date_part(['year','month','dow'], DATE '2024-01-05')).dow AS v",
+    )
+
+
 # ---- COLUMNS(lambda) --------------------------------------------------------
 
 
