@@ -313,6 +313,53 @@ def test_map_literal_quoted_edges(eng, con):
     _diff(eng, con, "SELECT (MAP {'it''s': 7})['it''s'] AS v")
 
 
+# ---- numeric underscores / AT TIME ZONE -------------------------------------
+
+
+def _diff_tz(eng, con, sql):
+    import datetime
+
+    def n(v):
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat()
+        return v
+
+    want = [tuple(n(c) for c in r) for r in con.execute(sql).fetchall()]
+    got = [tuple(n(c) for c in r) for r in eng.query_df(sql).collect()]
+    assert got == want, f"{sql!r}: spark={got} duck={want}"
+
+
+def test_numeric_underscore_literals(eng, con):
+    _diff(eng, con, "SELECT 1_000_000 AS v")
+    _diff(eng, con, "SELECT 1_000.5_0 AS v")
+    _diff(eng, con, "SELECT 1_000 + 2_000 AS v")
+    # identifiers with digit-underscore runs stay untouched
+    _diff(eng, con, "SELECT a_1 AS v FROM (SELECT 7 AS a_1) t")
+
+
+def test_at_time_zone_is_timezone_fn(eng, con):
+    _diff_tz(
+        eng, con,
+        "SELECT TIMESTAMP '2024-06-05 01:02:03' "
+        "AT TIME ZONE 'America/New_York' AS v",
+    )
+    _diff_tz(
+        eng, con,
+        "SELECT (TIMESTAMP '2024-06-05 01:02:03' + INTERVAL 1 DAY) "
+        "AT TIME ZONE 'UTC' AS v",
+    )
+    _diff_tz(
+        eng, con,
+        "SELECT '2024-06-05 01:02:03'::TIMESTAMP "
+        "AT TIME ZONE 'America/New_York' AS v",
+    )
+    _diff_tz(
+        eng, con,
+        "SELECT ts AT TIME ZONE 'UTC' AS v FROM "
+        "(SELECT TIMESTAMP '2024-06-05 01:02:03' AS ts) t",
+    )
+
+
 # ---- EXTRACT / date_part field routing --------------------------------------
 
 
