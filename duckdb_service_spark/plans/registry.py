@@ -108,9 +108,11 @@ PRIORITY: list[str] = [
     "fn_struct_map",
     "fn_array",
     "fn_time",
-    "fn_timestamp_ns",
     "fn_battery_r9",
-    "sql_prepare_execute",
+    # r10-era rows whose code paths changed this round (epoch emitter,
+    # EXTRACT/date_part field routing) — re-rotated ahead of two fills
+    "fn_datetime",
+    "fn_timestamp_parts",
 ]
 
 
