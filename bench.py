@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -133,11 +134,10 @@ def main() -> None:
         if oracle_timings[n] > 0
     }
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+    # regex, not str.replace: the sf1 run's dir is ".sf1", which
+    # replace("sf","") turned into ".1" and stamped sf=0.1 (ADVICE r12)
+    sf_m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf_val = float(sf_m.group(1)) if sf_m else os.path.basename(sf_dir.rstrip("/"))
     total = round(sum(timings.values()), 4)
     shared_total = round(sum(timings[n] for n in oracle_timings), 4)
     oracle_total = round(sum(oracle_timings.values()), 4) if oracle_timings else None
@@ -190,7 +190,7 @@ def main() -> None:
             f"{','.join(over)}: measured scheduling floor, amortized at "
             "scale — the LSH candidate step costs the same ~0.8s at "
             "sf0.01 and sf0.1, and at sf1 (10x data) the trio reads "
-            "0.42x/0.79x/1.20x, two of three FASTER than DuckDB "
+            "0.48x/0.51x/0.81x, all three at-or-faster than DuckDB "
             "(BENCH_SF1.json; SCALING.md r11)"
         )
     detail = dict(

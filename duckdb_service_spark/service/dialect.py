@@ -3325,15 +3325,18 @@ _INTERVAL_DATE_LIT_RE = re.compile(
 
 
 _UNDERSCORE_NUM_RE = re.compile(
-    r"(?<![\w.$])(\d[\d_]*(?:\.\d[\d_]*)?)(?![\w])"
+    r"(?<![\w.$])(\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?)(?![\w])"
 )
 
 
 def _rewrite_numeric_underscores(sql: str) -> str:
     """DuckDB numeric literals allow readability underscores
     (1_000_000, 1_000.5_0 — measured: the DECIMAL shape counts digits
-    only); Spark's parser rejects them. Strip the underscores in
-    code chunks."""
+    only), but only SINGLE underscores between digits: 1__0 parses as
+    literal 1 with implicit alias __0 and 1_000_ as 1_000 aliased _
+    (measured r12), so doubled/trailing-underscore shapes pass through
+    untouched. Spark's parser rejects the underscored literals — strip
+    the underscores in code chunks."""
     if "_" not in sql:
         return sql
 
@@ -3362,18 +3365,29 @@ def _rewrite_at_time_zone(sql: str) -> str:
     emitter. The operand scans backward over one primary expression:
     a parenthesized/call form, a (TIMESTAMP/DATE-prefixed) string
     literal, or a dotted identifier chain with optional ``::TYPE``
-    suffixes."""
+    suffixes. Chained postfixes (``x AT TIME ZONE 'UTC' AT TIME ZONE
+    'Asia/Tokyo'`` — DuckDB's tz round-trip idiom) rewrite one match
+    per pass, re-scanning after each splice so the inner rewrite's
+    timezone(...) call becomes the outer operand (stale finditer
+    offsets corrupted the splice before r12)."""
     if not re.search(r"\bAT\s+TIME\s+ZONE\b", sql, re.IGNORECASE):
         return sql
-    mask = _literal_mask(sql)
-    for m in sorted(_AT_TIME_ZONE_RE.finditer(sql), key=lambda x: -x.start()):
-        if mask[m.start()]:
-            continue
+    pos = 0  # scan cursor; unrewritable matches advance it
+    while True:
+        mask = _literal_mask(sql)
+        m = None
+        for cand in _AT_TIME_ZONE_RE.finditer(sql, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return sql
         zone = m.group(1)
         j = m.start() - 1
         while j >= 0 and sql[j].isspace():
             j -= 1
         if j < 0:
+            pos = m.end()
             continue
         start = None
         while True:
@@ -3418,10 +3432,198 @@ def _rewrite_at_time_zone(sql: str) -> str:
                 continue
             break
         if start is None:
+            pos = m.end()
             continue
         operand = sql[start : m.start()].rstrip()
         sql = sql[:start] + f"timezone({zone}, {operand})" + sql[m.end():]
-        mask = _literal_mask(sql)
+        pos = 0  # re-scan: a chain's next postfix now follows the splice
+
+
+# ---------------------------------------------------------------------------
+# DuckDB interval-string grammar (measured r12): space-separated signed
+# `N unit` terms plus an optional trailing H:MM:SS[.ffffff] clock; terms
+# after a clock are silently ignored (measured: '01:02:03 1 month' is
+# 01:02:03). Fraction carry-down is per-unit: year/decade/century/
+# millennium fractions truncate at months, quarter/month fractions carry
+# one level into days (truncated there), week/day fractions carry into
+# micros, and time-unit fractions are exact micros.
+# ---------------------------------------------------------------------------
+
+_IV_MONTH_UNITS = {
+    "mil": 12000, "mils": 12000, "millennium": 12000,
+    "millenniums": 12000, "millennia": 12000,
+    "century": 1200, "centuries": 1200,
+    "decade": 120, "decades": 120, "dec": 120, "decs": 120,
+    "y": 12, "yr": 12, "yrs": 12, "year": 12, "years": 12,
+    "quarter": 3, "quarters": 3,
+    "mon": 1, "mons": 1, "month": 1, "months": 1,
+}
+_IV_MONTH_DAY_CARRY = {"quarter", "quarters", "mon", "mons", "month",
+                       "months"}
+_IV_DAY_UNITS = {
+    "w": 7, "week": 7, "weeks": 7,
+    "d": 1, "day": 1, "days": 1,
+}
+_IV_MICRO_UNITS = {
+    "h": 3_600_000_000, "hr": 3_600_000_000, "hrs": 3_600_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "m": 60_000_000, "min": 60_000_000, "mins": 60_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "s": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "ms": 1_000, "msec": 1_000, "msecs": 1_000,
+    "millisecond": 1_000, "milliseconds": 1_000,
+    "us": 1, "usec": 1, "usecs": 1,
+    "microsecond": 1, "microseconds": 1,
+}
+_IV_TERM_RE = re.compile(r"^(-?\d+(?:\.\d+)?)\s*([A-Za-z]+)\s*")
+_IV_CLOCK_RE = re.compile(r"^(-?)(\d+):(\d{1,2}):(\d{1,2}(?:\.\d+)?)\s*")
+
+
+def _parse_duck_interval(text: str) -> "tuple[int, int, int] | None":
+    """(months, days, micros) of a DuckDB interval string, or None when
+    the text doesn't parse (DuckDB raises its Conversion Error there;
+    callers leave the SQL untouched so Spark raises too)."""
+    from decimal import Decimal
+
+    s = text.strip()
+    months = days = micros = 0
+    if not s:
+        return None
+    while s:
+        cm = _IV_CLOCK_RE.match(s)
+        if cm:
+            sign = -1 if cm.group(1) == "-" else 1
+            total = (
+                int(cm.group(2)) * 3_600_000_000
+                + int(cm.group(3)) * 60_000_000
+                + int(Decimal(cm.group(4)) * 1_000_000)
+            )
+            micros += sign * total
+            return months, days, micros  # rest ignored (measured)
+        tm = _IV_TERM_RE.match(s)
+        if not tm:
+            return None
+        v = Decimal(tm.group(1))
+        unit = tm.group(2).lower()
+        if unit in _IV_MONTH_UNITS:
+            total = v * _IV_MONTH_UNITS[unit]
+            whole = int(total)
+            months += whole
+            if unit in _IV_MONTH_DAY_CARRY:
+                days += int((total - whole) * 30)
+        elif unit in _IV_DAY_UNITS:
+            total = v * _IV_DAY_UNITS[unit]
+            whole = int(total)
+            days += whole
+            micros += int((total - whole) * 86_400_000_000)
+        elif unit in _IV_MICRO_UNITS:
+            micros += int(v * _IV_MICRO_UNITS[unit])
+        else:
+            return None
+        s = s[tm.end():]
+    return months, days, micros
+
+
+def _micros_to_second_literal(us: int) -> str:
+    sign = "-" if us < 0 else ""
+    a = abs(us)
+    frac = f".{a % 1_000_000:06d}".rstrip("0").rstrip(".")
+    return f"{sign}{a // 1_000_000}{frac}"
+
+
+def _emit_interval_parts(
+    months: int, days: int, micros: int
+) -> "tuple[str | None, str | None]":
+    """(year-month SQL, day-time SQL) as Spark typed-interval sums."""
+    ym = f"INTERVAL '{months}' MONTH" if months else None
+    dt_terms = []
+    if days:
+        dt_terms.append(f"INTERVAL '{days}' DAY")
+    if micros:
+        dt_terms.append(
+            f"INTERVAL '{_micros_to_second_literal(micros)}' SECOND"
+        )
+    dt = " + ".join(dt_terms) if dt_terms else None
+    return ym, dt
+
+
+_IV_STRING_RE = re.compile(
+    r"\bINTERVAL\s+'([^']*)'"
+    r"(?!\s*(?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|QUARTER"
+    r"|MILLISECOND|MICROSECOND)S?\b)",
+    re.IGNORECASE,
+)
+_IV_CAST_STRING_RE = re.compile(
+    r"'([^']*)'\s*::\s*INTERVAL\b", re.IGNORECASE
+)
+
+
+def _rewrite_interval_strings(sql: str) -> str:
+    """DuckDB's string-form interval literals (``INTERVAL '1 month
+    2 days'``, ``'1:02:03'::INTERVAL`` — the forms its docs lead with)
+    onto Spark typed-interval arithmetic. Pure year-month or pure
+    day-time strings become a typed literal (sum); mixed-class strings
+    are spliced into the surrounding ``±`` chain (``ts - INTERVAL '1
+    month 2 days'`` -> ``ts - INTERVAL '1' MONTH - INTERVAL '2' DAY``,
+    sign distributed, months-then-days-then-micros order = DuckDB's
+    add order) because Spark has no collectable mixed-interval value;
+    a mixed literal outside a ± chain raises UnsupportedDialect with
+    the workaround named. Unparsable strings pass through (Spark's
+    parser raises where DuckDB's conversion does)."""
+    if not re.search(r"\bINTERVAL\b|::\s*INTERVAL\b", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    # time_bucket's emitter consumes INTERVAL '...' shapes itself (its
+    # month-space widths need the raw string); leave its spans alone
+    skip: list[tuple[int, int]] = []
+    for fm in re.finditer(r"\btime_bucket\s*\(", sql, re.IGNORECASE):
+        if mask[fm.start()]:
+            continue
+        close = _scan_balanced(sql, fm.end() - 1, "(", ")")
+        if close != -1:
+            skip.append((fm.start(), close))
+    matches = [
+        (m, m.group(1)) for m in _IV_STRING_RE.finditer(sql)
+        if not mask[m.start()]
+        and not any(a < m.start() < b for a, b in skip)
+    ] + [
+        (m, m.group(1)) for m in _IV_CAST_STRING_RE.finditer(sql)
+        if not mask[m.end() - 1]
+        and not any(a < m.start() < b for a, b in skip)
+    ]
+    for m, body in sorted(matches, key=lambda p: -p[0].start()):
+        parsed = _parse_duck_interval(body)
+        if parsed is None:
+            continue
+        ym, dt = _emit_interval_parts(*parsed)
+        if ym and dt:
+            # mixed classes: distribute into the enclosing ± chain
+            j = m.start() - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            k = m.end()
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k < len(sql) and sql[k] in "*/":
+                continue  # precedence-unsafe; leave for Spark to reject
+            if j >= 0 and sql[j] == "+":
+                repl = f"{ym} + {dt}"
+            elif j >= 0 and sql[j] == "-":
+                repl = f"{ym} - {dt.replace(' + ', ' - ')}"
+            else:
+                raise UnsupportedDialect(
+                    "INTERVAL literal mixing year-month and day-time "
+                    f"parts ({body!r}) is only supported in +/- "
+                    "arithmetic; add the parts as separate INTERVAL "
+                    "terms instead"
+                )
+        elif ym or dt:
+            one = ym or dt
+            repl = f"({one})" if " + " in one else one
+        else:
+            repl = "INTERVAL '0' SECOND"
+        sql = sql[: m.start()] + repl + sql[m.end():]
     return sql
 
 
@@ -3453,6 +3655,87 @@ def _dp_fn(field: str) -> str:
     return _DP_FIELD_MAP.get(f, f)
 
 
+def _interval_literal_parts(expr: str) -> "tuple[int, int, int] | None":
+    """(months, days, micros) when the expression is an INTERVAL literal
+    (string, typed, or quoted-typed form); None otherwise."""
+    s = expr.strip()
+    m = re.match(r"^INTERVAL\s+'([^']*)'\s*$", s, re.IGNORECASE)
+    if m:
+        return _parse_duck_interval(m.group(1))
+    m = re.match(
+        r"^INTERVAL\s+(?:'(-?\d+(?:\.\d+)?)'|(-?\d+(?:\.\d+)?))"
+        r"\s+([A-Za-z]+)\s*$",
+        s, re.IGNORECASE,
+    )
+    if m:
+        num = m.group(1) or m.group(2)
+        return _parse_duck_interval(f"{num} {m.group(3)}")
+    return None
+
+
+def _fold_interval_extract(field: str, expr: str) -> "str | None":
+    """Constant-fold EXTRACT(field FROM <interval literal>) with DuckDB's
+    component semantics (measured r12: DuckDB keeps months/days/micros
+    unnormalized — hour of INTERVAL 36 HOUR is 36, minute of INTERVAL
+    '90' SECOND is 1; epoch counts years at 365.25 days and leftover
+    months at 30; dow/week/... raise its Not-implemented error). Spark's
+    native EXTRACT normalizes day-time intervals (hour of 36h = 12) and
+    rejects cross-class fields, so the literal form folds here; None =
+    not an interval literal (datetime emitters proceed)."""
+    parts = _interval_literal_parts(expr)
+    if parts is None:
+        return None
+    mo, d, us = parts
+    f = _dp_fn(field)
+
+    def tz(a: int, b: int) -> int:  # truncate-toward-zero division
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    if f == "year":
+        return f"CAST({tz(mo, 12)} AS BIGINT)"
+    if f == "month":
+        return f"CAST({mo - tz(mo, 12) * 12} AS BIGINT)"
+    if f == "day":
+        return f"CAST({d} AS BIGINT)"
+    if f == "decade":
+        return f"CAST({tz(mo, 120)} AS BIGINT)"
+    if f == "century":
+        return f"CAST({tz(mo, 1200)} AS BIGINT)"
+    if f == "millennium":
+        return f"CAST({tz(mo, 12000)} AS BIGINT)"
+    if f == "quarter":
+        return f"CAST({(mo - tz(mo, 12) * 12) // 3 + 1} AS BIGINT)"
+    if f == "hour":
+        return f"CAST({tz(us, 3_600_000_000)} AS BIGINT)"
+    if f == "minute":
+        return (
+            f"CAST({tz(us, 60_000_000) - tz(us, 3_600_000_000) * 60}"
+            f" AS BIGINT)"
+        )
+    if f == "second":
+        return (
+            f"CAST({tz(us, 1_000_000) - tz(us, 60_000_000) * 60}"
+            f" AS BIGINT)"
+        )
+    if f == "millisecond":
+        return f"CAST({tz(us - tz(us, 60_000_000) * 60_000_000, 1000)} AS BIGINT)"
+    if f == "microsecond":
+        return f"CAST({us - tz(us, 60_000_000) * 60_000_000} AS BIGINT)"
+    if f == "epoch":
+        years = tz(mo, 12)
+        secs = (
+            years * 365.25 * 86400
+            + (mo - years * 12) * 30 * 86400
+            + d * 86400
+            + us / 1e6
+        )
+        return f"CAST({secs!r} AS DOUBLE)"
+    raise ValueError(
+        f'Not implemented Error: interval units "{field}" not recognized'
+    )
+
+
 def _rewrite_extract_datepart(sql: str) -> str:
     """``EXTRACT(field FROM x)`` and ``date_part('field', x)`` route to
     the engine's per-field function emitters instead of Spark's native
@@ -3480,7 +3763,9 @@ def _rewrite_extract_datepart(sql: str) -> str:
         if not fm:
             continue
         fn, expr = _dp_fn(fm.group(2)), fm.group(3).strip()
-        sql = sql[: m.start()] + f"{fn}({expr})" + sql[close:]
+        folded = _fold_interval_extract(fm.group(2), expr)
+        repl = folded if folded is not None else f"{fn}({expr})"
+        sql = sql[: m.start()] + repl + sql[close:]
         mask = _literal_mask(sql)
     # date_part('field', expr) / date_part(['f1','f2'], expr)
     for m in sorted(
@@ -3508,7 +3793,11 @@ def _rewrite_extract_datepart(sql: str) -> str:
             field_arg, expr = args[0].strip(), args[1].strip()
         qm = _DP_QUOTED_FIELD_RE.match(field_arg)
         if qm:
-            repl = f"{_dp_fn(qm.group(1))}({expr})"
+            folded = _fold_interval_extract(qm.group(1), expr)
+            repl = (
+                folded if folded is not None
+                else f"{_dp_fn(qm.group(1))}({expr})"
+            )
         elif field_arg.startswith("[") and field_arg.endswith("]"):
             names = [a.strip() for a in _split_args(field_arg[1:-1])]
             if not all(_DP_QUOTED_FIELD_RE.match(n) for n in names):
@@ -3753,6 +4042,7 @@ def translate(sql: str) -> str:
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_numeric_underscores(sql)
     sql = _rewrite_extract_datepart(sql)
+    sql = _rewrite_interval_strings(sql)
     sql = _rewrite_at_time_zone(sql)
     sql = _rewrite_list_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
@@ -4929,16 +5219,56 @@ def _emit_timezone(args: list[str]) -> str:
     (pinned UTC -> 0); 2-arg timezone('tz', naive_ts) interprets the naive
     timestamp IN that zone and yields the session-zone instant (measured:
     timezone('America/New_York', 12:00) = 16:00 UTC) = to_utc_timestamp.
-    The TIMESTAMPTZ-input direction is inexpressible here (tz-typed inputs
-    ride NTZ, SURVEY §1.3) — naive inputs are the supported surface."""
+    On a TIMESTAMPTZ input DuckDB CONVERTS instead (instant -> naive wall
+    clock in the zone — the ``AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/
+    Tokyo'`` round-trip idiom); tz-typed inputs are only produced by a
+    timezone() emission here (tz values ride NTZ, SURVEY §1.3), so the
+    chain is detected textually and flipped to from_utc_timestamp
+    (measured r12: matches DuckDB's chain value)."""
     if len(args) == 1:
         return (
             f"(CASE WHEN ({args[0]}) IS NULL THEN NULL "
             f"ELSE CAST(0 AS BIGINT) END)"
         )
     if len(args) == 2:
+        if _tz_input_aware(args[1]):
+            return f"from_utc_timestamp({args[1]}, {args[0]})"
         return f"to_utc_timestamp({args[1]}, {args[0]})"
     raise UnsupportedDialect("timezone expects 1 or 2 arguments")
+
+
+def _tz_input_aware(expr: str) -> bool:
+    """Whether a timezone() operand is tz-aware — alternates down a chain:
+    to_utc_timestamp yields an aware instant, from_utc_timestamp a naive
+    wall clock, and a (not-yet-emitted) timezone()/marker call flips
+    whatever its own operand is. Atomic operands are naive (tz values
+    ride NTZ, SURVEY §1.3)."""
+    s = expr.strip()
+    while s.startswith("("):
+        close = _scan_balanced(s, 0, "(", ")")
+        if close == len(s):
+            s = s[1:-1].strip()
+        else:
+            break
+    m = re.match(
+        r"^(to_utc_timestamp|from_utc_timestamp|__duck_timezone|timezone)"
+        r"\s*\(",
+        s, re.IGNORECASE,
+    )
+    if not m:
+        return False
+    fn = m.group(1).lower()
+    if fn == "to_utc_timestamp":
+        return True
+    if fn == "from_utc_timestamp":
+        return False
+    close = _scan_balanced(s, m.end() - 1, "(", ")")
+    if close == -1:
+        return False
+    args = _split_args(s[m.end(): close - 1])
+    if len(args) != 2:
+        return False
+    return not _tz_input_aware(args[1])
 
 
 _TRUNC_DATEISH_RE = re.compile(

@@ -2334,13 +2334,15 @@ def _branch_cast_templates(
     """Per-branch cast templates ({x} = the branch text) reproducing
     DuckDB's multi-branch unification where Spark's differs (measured):
 
-    - BOOLEAN branch vs numeric/varchar branches: DuckDB coerces the bool
-      INTO the other lane (true -> 1 / 'true'); Spark raises
-      DATA_DIFF_TYPES.
+    - BOOLEAN branch vs numeric branches: DuckDB coerces the bool
+      INTO the numeric lane (true -> 1); Spark raises DATA_DIFF_TYPES.
     - DECIMAL vs FLOAT (no DOUBLE): DuckDB unifies to FLOAT through the
       scaled-int float32 lane; Spark unifies to DOUBLE (value-visible).
-    - FLOAT/DOUBLE vs VARCHAR: DuckDB renders the float side with its
-      shortest-round-trip format (duck_float_str / duck_double_str).
+
+    String-vs-anything mixes are NOT handled here — DuckDB coerces
+    string LITERALS into the other lane and binder-errors on VARCHAR
+    columns (measured r12), which the `_run_branch_fold` pass models;
+    this legacy path only sees branch sets the fold declined.
 
     None = nothing to coerce. NULL literals and unknown-class branches
     never force or receive a coercion."""
@@ -2350,16 +2352,15 @@ def _branch_cast_templates(
     tpl: "list[str | None]" = [None] * len(lanes)
     changed = False
     if "boolean" in known:
-        others = known - {"boolean"}
-        if others and others <= set(_NUM_RANKS):
+        others = known - {"boolean", "string"}
+        if others and others <= (set(_NUM_RANKS) - {"string"}):
             tk, tt = max(
                 ((k, t) for k, t in lanes if k in others),
                 key=lambda p: _NUM_RANKS[p[0]],
             )
-            tgt = "STRING" if tk == "string" else tt
             for i, (k, _) in enumerate(lanes):
                 if k == "boolean":
-                    tpl[i] = f"CAST({{x}} AS {tgt})"
+                    tpl[i] = f"CAST({{x}} AS {tt})"
                     changed = True
     if known == {"decimal", "float"}:
         for i, (k, t) in enumerate(lanes):
@@ -2370,15 +2371,6 @@ def _branch_cast_templates(
                 if repl:
                     tpl[i] = repl
                     changed = True
-    if "string" in known and known & {"float", "double"}:
-        for i, (k, _) in enumerate(lanes):
-            if k in ("float", "double"):
-                fn = "duck_double_str" if k == "double" else "duck_float_str"
-                tpl[i] = (
-                    "(CASE WHEN {x} IS NULL THEN CAST(NULL AS STRING) "
-                    f"ELSE {fn}({{x}}) END)"
-                )
-                changed = True
     return tpl if changed else None
 
 
@@ -2389,9 +2381,223 @@ def _expr_lane(expr: str, classes: dict) -> "tuple[str | None, str | None]":
     return _src_class(s, classes)
 
 
+_BRANCH_FAMILY = {
+    "tinyint": "numeric", "smallint": "numeric", "integer": "numeric",
+    "bigint": "numeric", "decimal": "numeric", "float": "numeric",
+    "double": "numeric",
+    "date": "datetime", "timestamp": "datetime",
+    "boolean": "boolean",
+}
+_INT_CLASS_UNITS = {"tinyint": 3, "smallint": 5, "integer": 10, "bigint": 19}
+_UNITS_INT_TYPE = {3: "TINYINT", 5: "SMALLINT", 10: "INTEGER", 19: "BIGINT"}
+
+
+def _branch_atom(
+    expr: str, classes: dict
+) -> "tuple[str, str | None, bool, str] | None":
+    """(type class, type text, is_literal, source text) of a branch
+    expression — 'null' for a NULL literal, literal shapes first, then
+    cast suffixes / FROM-schema columns. None = unknowable."""
+    s = expr.strip()
+    if re.match(r"^NULL$", s, re.IGNORECASE):
+        return ("null", None, True, s)
+    for rx, _cls in _SRC_LITERAL_RES:
+        if rx.match(s):
+            k, t = _src_class(s, {})
+            return (k, t, True, s) if k else None
+    k, t = _src_class(s, classes)
+    if k is None:
+        return None
+    return (k, t, False, s)
+
+
+def _atom_duck_name(atom, literal_strings: bool = False) -> str:
+    """DuckDB's binder-message name for a branch atom (measured: int
+    literals print INTEGER_LITERAL, decimal literals their exact
+    DECIMAL(p,s); string literals print VARCHAR in Cannot-mix messages
+    but STRING_LITERAL in greatest/least overload messages)."""
+    k, t, lit, _s = atom
+    if k == "null":
+        return "NULL"
+    if k == "string":
+        return "STRING_LITERAL" if (lit and literal_strings) else "VARCHAR"
+    if lit:
+        if k == "integer":
+            return "INTEGER_LITERAL"
+        if k == "decimal":
+            return (t or "DECIMAL").upper()
+        return {"double": "DOUBLE", "date": "DATE",
+                "timestamp": "TIMESTAMP", "boolean": "BOOLEAN"}.get(
+                    k, k.upper())
+    tt = (t or k).lower()
+    base = tt.split("(")[0].strip()
+    if base.startswith("timestamp"):
+        return "TIMESTAMP"
+    if base.startswith("decimal") or base.startswith("numeric"):
+        return tt.upper()
+    return {
+        "int": "INTEGER", "integer": "INTEGER", "bigint": "BIGINT",
+        "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "DOUBLE",
+        "float": "FLOAT", "string": "VARCHAR", "varchar": "VARCHAR",
+        "boolean": "BOOLEAN", "date": "DATE",
+    }.get(base, tt.upper())
+
+
+def _binder_mix_error(a: str, b: str, family_label: str) -> ValueError:
+    return ValueError(
+        f"Binder Error: Cannot mix values of type {a} and {b} in "
+        f"{family_label} - an explicit cast is required"
+    )
+
+
+def _run_branch_fold(acc_atom, fold_atoms, family_label: str) -> bool:
+    """DuckDB's branch-type accumulator, measured exhaustively (324
+    NULL/int-literal/string-literal orderings plus decimal/date/bool/
+    column lanes, r12): CASE folds THEN results left-to-right onto the
+    ELSE type (SQLNULL when the ELSE is missing); COALESCE folds its
+    arguments onto the first. A string LITERAL coerces into whatever
+    single non-string lane the fold holds (either direction), but a
+    NULL or a second string degrades a pending string literal to plain
+    VARCHAR, and VARCHAR meeting a lane is a binder error — raised here
+    with DuckDB's message, operand order included. Returns True when
+    string literals need coercion casts."""
+    coerce = False
+    lane_name = None
+    if acc_atom is None or acc_atom[0] == "null":
+        state = "N"
+    elif acc_atom[0] == "string":
+        state = "SL" if acc_atom[2] else "V"
+    else:
+        state, lane_name = "LANE", _atom_duck_name(acc_atom)
+    for a in fold_atoms:
+        k = a[0]
+        if k == "null":
+            if state == "SL":
+                state = "V"
+            continue
+        if k == "string":
+            if state == "LANE":
+                if a[2]:
+                    coerce = True
+                else:
+                    raise _binder_mix_error(lane_name, "VARCHAR",
+                                            family_label)
+            elif state in ("N", "SL"):
+                state = "V"
+            continue
+        if state == "V":
+            raise _binder_mix_error("VARCHAR", _atom_duck_name(a),
+                                    family_label)
+        if state == "SL":
+            coerce = True
+        if state != "LANE":
+            lane_name = _atom_duck_name(a)
+        state = "LANE"
+    return coerce
+
+
+def _branch_union_target(atoms) -> "str | None":
+    """Union type of the non-string, non-null atoms when they sit in one
+    family (measured: the string branches never contribute to the lane
+    or its width; decimal width is the exact union — COALESCE(1, '2',
+    1.5) is DECIMAL(11,1); any float keeps FLOAT, any double DOUBLE;
+    date+timestamp unifies to TIMESTAMP). None = mixed families or
+    width unknowable (caller falls back to the legacy templates)."""
+    nn = [a for a in atoms if a[0] not in ("null", "string")]
+    if not nn:
+        return None
+    kinds = {a[0] for a in nn}
+    fams = {_BRANCH_FAMILY[k] for k in kinds}
+    if len(fams) != 1:
+        return None
+    fam = fams.pop()
+    if fam == "boolean":
+        return "BOOLEAN"
+    if fam == "datetime":
+        return "TIMESTAMP" if "timestamp" in kinds else "DATE"
+    if "double" in kinds:
+        return "DOUBLE"
+    if "float" in kinds:
+        return "FLOAT"
+    units, scale = 0, 0
+    for k, t, lit, s in nn:
+        if k == "decimal":
+            ps = _decimal_prec_scale(t or "")
+            if ps is None:
+                return None
+            units = max(units, ps[0] - ps[1])
+            scale = max(scale, ps[1])
+        elif lit:
+            try:
+                units = max(
+                    units, 19 if abs(int(s)) > 2147483647 else 10
+                )
+            except ValueError:
+                return None
+        else:
+            u = _INT_CLASS_UNITS.get(k)
+            if u is None:
+                return None
+            units = max(units, u)
+    if scale:
+        return f"DECIMAL({min(units + scale, 38)},{scale})"
+    return _UNITS_INT_TYPE.get(units, "BIGINT")
+
+
 def _apply_branch_casts(
-    parts: list[str], classes: dict
+    parts: list[str], classes: dict, family_label: str,
+    acc_index: "int | None",
 ) -> "list[str] | None":
+    """Rewrite the branch list (textual order) with DuckDB's unification
+    casts. The literal-lane fold handles every string-vs-lane mix
+    (coercion casts on string literals, binder raise on VARCHAR
+    columns); branch sets it declines (unknown expressions, mixed
+    families) fall back to the legacy measured templates."""
+    atoms = [_branch_atom(p, classes) for p in parts]
+    if all(a is not None for a in atoms):
+        # DuckDB narrows an INTEGER_LITERAL into a narrow int COLUMN lane
+        # when the value fits (measured r12: COALESCE(i8, 1) is TINYINT,
+        # COALESCE(i8, 300) is INTEGER); Spark unifies to INT — cast the
+        # fitting literals down to the widest column class.
+        kinds = {a[0] for a in atoms if a[0] != "null"}
+        cols = [a for a in atoms if a[0] != "null" and not a[2]]
+        lits = [a for a in atoms if a[0] != "null" and a[2]]
+        if kinds and kinds <= set(_INT_RANK) and cols and lits:
+            cls = max((a[0] for a in cols), key=lambda k: _INT_RANK[k])
+            if _INT_RANK[cls] < _INT_RANK["integer"] and all(
+                abs(int(a[3])) <= _INT_MAX[cls] for a in lits
+            ):
+                return [
+                    f"CAST({p.strip()} AS {cls.upper()})"
+                    if (a[0] != "null" and a[2]) else p
+                    for p, a in zip(parts, atoms)
+                ]
+    if all(a is not None for a in atoms) and any(
+        a[0] == "string" for a in atoms
+    ):
+        tgt = _branch_union_target(atoms)
+        if tgt is not None:
+            acc_atom = atoms[acc_index] if acc_index is not None else None
+            fold_atoms = [
+                a for i, a in enumerate(atoms) if i != acc_index
+            ]
+            if _run_branch_fold(acc_atom, fold_atoms, family_label):
+                out = []
+                for p, a in zip(parts, atoms):
+                    if a[0] == "string" and a[2]:
+                        out.append(f"CAST({p.strip()} AS {tgt})")
+                    elif a[0] == "decimal" and tgt == "FLOAT":
+                        repl = _cast_contract_repl(
+                            "CAST", "{x}", "decimal", "float", "FLOAT",
+                            a[1],
+                        )
+                        out.append(
+                            repl.format(x=f"({p.strip()})") if repl else p
+                        )
+                    else:
+                        out.append(p)
+                return out
+            return None
     lanes = [_expr_lane(p, classes) for p in parts]
     tpl = _branch_cast_templates(lanes)
     if tpl is None:
@@ -2402,14 +2608,18 @@ def _apply_branch_casts(
     ]
 
 
-def _case_result_spans(body: str, mask: list[bool]) -> "list[tuple[int, int]] | None":
-    """Spans (start, end) of the THEN/ELSE result expressions of the CASE
-    whose body (text between its CASE and END keywords) is given; nested
-    CASEs inside results stay opaque (their own spans are inside the
-    returned result spans and classify as unknown)."""
+def _case_result_spans(
+    body: str, mask: list[bool]
+) -> "tuple[list[tuple[int, int]], bool] | None":
+    """(spans, saw_else): spans (start, end) of the THEN/ELSE result
+    expressions of the CASE whose body (text between its CASE and END
+    keywords) is given — the last span is the ELSE result iff saw_else —
+    and nested CASEs inside results stay opaque (their own spans are
+    inside the returned result spans and classify as unknown)."""
     spans: list[tuple[int, int]] = []
     depth = 0
     case_depth = 0
+    saw_else = False
     collecting: "int | None" = None
     i = 0
     while i < len(body):
@@ -2435,10 +2645,12 @@ def _case_result_spans(body: str, mask: list[bool]) -> "list[tuple[int, int]] | 
                 collecting = None
             if kw == "THEN" or kw == "ELSE":
                 collecting = m.end()
+            if kw == "ELSE":
+                saw_else = True
         i = m.end()
     if collecting is not None:
         spans.append((collecting, len(body)))
-    return spans
+    return spans, saw_else
 
 
 def rewrite_branch_expr_types(
@@ -2477,24 +2689,70 @@ def rewrite_branch_expr_types(
         body = text[text.index("(", start) + 1 : close - 1]
         args = _split_args(body)
         if fn in ("GREATEST", "LEAST"):
-            lanes = [
-                _expr_lane(a, classes)
-                for a in args
-                if not re.match(r"^NULL$", a.strip(), re.IGNORECASE)
+            # Measured r12: string LITERALS coerce into the single
+            # non-string lane (GREATEST(1,'2') -> BIGINT 2;
+            # GREATEST(DATE..., '2020-02-02') -> DATE); a NULL argument
+            # votes for the BIGINT overload, so all-string-plus-NULL is
+            # numeric too (GREATEST(NULL,'2') -> BIGINT); VARCHAR
+            # COLUMNS against a lane and any BOOLEAN argument are
+            # DuckDB binder errors ("No function matches").
+            atoms = [_branch_atom(a, classes) for a in args]
+            if any(a is None for a in atoms):
+                continue
+            kinds = {a[0] for a in atoms if a[0] != "null"}
+            if "boolean" in kinds:
+                names = ", ".join(
+                    _atom_duck_name(a, literal_strings=True) for a in atoms
+                )
+                raise ValueError(
+                    f"Binder Error: No function matches the given name "
+                    f"and argument types '{fn.lower()}({names})'. You "
+                    f"might need to add explicit type casts."
+                )
+            str_lit = [a for a in atoms if a[0] == "string" and a[2]]
+            str_col = [a for a in atoms if a[0] == "string" and not a[2]]
+            non_string = kinds - {"string"}
+            has_null = any(a[0] == "null" for a in atoms)
+            if str_col and non_string:
+                names = ", ".join(
+                    _atom_duck_name(a, literal_strings=True) for a in atoms
+                )
+                raise ValueError(
+                    f"Binder Error: No function matches the given name "
+                    f"and argument types '{fn.lower()}({names})'. You "
+                    f"might need to add explicit type casts."
+                )
+            if not non_string:
+                if not (str_lit and has_null and not str_col):
+                    continue  # pure VARCHAR compare: Spark matches
+                tgt = "BIGINT"
+            elif non_string <= (set(_INT_RANK) | {"decimal", "float",
+                                                  "double"}):
+                tgt = "BIGINT" if non_string <= set(_INT_RANK) else "DOUBLE"
+            elif non_string <= {"date", "timestamp"} and str_lit:
+                tgt = "TIMESTAMP" if "timestamp" in non_string else "DATE"
+            else:
+                continue
+            new_args = [
+                f"CAST({a[3]} AS {tgt})"
+                if a[0] == "string" and a[2] else a[3]
+                for a in atoms
             ]
-            kinds = {k for k, _ in lanes}
-            if not lanes or None in kinds or "boolean" in kinds:
-                continue
-            if not kinds <= (set(_INT_RANK) | {"decimal", "float", "double"}):
-                continue
-            tgt = "BIGINT" if kinds <= set(_INT_RANK) else "DOUBLE"
-            repl = f"CAST({fn}({body}) AS {tgt})"
+            inner = f"{fn}({', '.join(new_args)})"
+            if tgt in ("DATE", "TIMESTAMP"):
+                repl = inner  # lane already exact, no promotion cast
+            else:
+                repl = f"CAST({inner} AS {tgt})"
             text = text[:start] + repl + text[close:]
             continue
         coerce_args = args if fn != "IF" else args[1:]
         if fn == "IF" and len(args) != 3:
             continue
-        new_args = _apply_branch_casts(coerce_args, classes)
+        # accumulator: the ELSE value for IF (CASE sugar), the first
+        # argument for COALESCE/IFNULL (measured fold order)
+        fam = "CASE expression" if fn == "IF" else "COALESCE operator"
+        acc_index = 1 if fn == "IF" else 0
+        new_args = _apply_branch_casts(coerce_args, classes, fam, acc_index)
         if new_args is None:
             continue
         rebuilt = args[:1] + new_args if fn == "IF" else new_args
@@ -2540,11 +2798,15 @@ def rewrite_branch_expr_types(
             body_end = end - 3  # before END
             body = text[body_start:body_end]
             bmask = _literal_mask(body)
-            spans = _case_result_spans(body, bmask)
-            if not spans or len(spans) < 2:
+            got = _case_result_spans(body, bmask)
+            if not got or not got[0] or len(got[0]) < 2:
                 continue
+            spans, saw_else = got
             parts = [body[a:b] for a, b in spans]
-            new_parts = _apply_branch_casts(parts, classes)
+            new_parts = _apply_branch_casts(
+                parts, classes, "CASE expression",
+                len(parts) - 1 if saw_else else None,
+            )
             if new_parts is None:
                 continue
             for (a, b), np in sorted(zip(spans, new_parts), reverse=True):

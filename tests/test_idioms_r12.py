@@ -1,0 +1,251 @@
+"""Round-12 regression tests — VERDICT r11 tasks 1/2/4 + ADVICE r12,
+each differentially verified against live DuckDB:
+
+1. (VERDICT #1/#2) The plain-literal union lane is wired into CASE /
+   COALESCE / IF / IFNULL branch unification and GREATEST/LEAST:
+   string LITERALS coerce into the single non-string lane (CASE WHEN
+   1=1 THEN 1 ELSE '2' END is INTEGER 1, COALESCE('2', 1) is INTEGER
+   2, GREATEST(1,'2') is BIGINT 2), VARCHAR COLUMNS against a lane
+   reproduce DuckDB's binder error, and the NULL-position semantics
+   follow the measured accumulator model (CASE folds THENs onto the
+   ELSE type, COALESCE onto its first argument; a NULL or second
+   string degrades a pending string literal to VARCHAR, and VARCHAR
+   meeting a lane is the binder error — so COALESCE(NULL, '2', 1)
+   errors while COALESCE(1, NULL, '2') is INTEGER 1).
+2. (ADVICE r12 medium / VERDICT #2) chained AT TIME ZONE rewrites one
+   postfix per pass, and timezone() flips direction with chain parity
+   (aware -> naive conversion), so the tz round-trip idiom matches.
+3. (VERDICT #4) string-form multi-unit INTERVAL literals — the DuckDB
+   grammar (signed terms, unit aliases, fraction carry-down, trailing
+   clock shape, '::INTERVAL') rides typed-interval arithmetic.
+4. (ADVICE r12 low) EXTRACT/date_part over INTERVAL literals constant-
+   folds DuckDB's unnormalized component semantics (hour of INTERVAL
+   36 HOUR is 36) instead of regressing to a raw Spark error; fields
+   DuckDB rejects raise its Not-implemented message.
+5. (ADVICE r12 low) numeric-underscore literals only accept single
+   underscores between digits — 1__0 / 1_000_ pass through untouched
+   (DuckDB parses them as literal + implicit alias; the engine now
+   errs loudly instead of silently emitting 10 / 1000).
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import os
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.sweep_coercion import REL  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_r12_"))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _differential(eng, con, sql):
+    try:
+        want = ("OK", con.execute(sql).fetchall())
+    except Exception as e:
+        want = ("ERR", str(e).splitlines()[0])
+    try:
+        got = ("OK", [tuple(r) for r in eng.query_df(sql).collect()])
+    except Exception as e:
+        got = ("ERR", str(e).splitlines()[0])
+    assert got[0] == want[0], f"{sql!r}: spark={got} duck={want}"
+    if got[0] == "OK":
+        assert got[1] == want[1], f"{sql!r}: spark={got[1]} duck={want[1]}"
+
+
+# ---- 1a. branch literal-lane coercion (values + binder errors) ------------
+
+BRANCH_LITERALS = [
+    # the five VERDICT r11 "What's wrong #1/#2" probes
+    "SELECT CASE WHEN 1=1 THEN 1 ELSE '2' END AS v",
+    "SELECT CASE WHEN 1=1 THEN 1.5 ELSE '2' END AS v",
+    "SELECT CASE WHEN 1=1 THEN DATE '2020-01-01' ELSE '2020-02-02' END AS v",
+    "SELECT COALESCE('2', 1) AS v",
+    "SELECT COALESCE(NULL, '2', 1) AS v",  # DuckDB binder error
+    "SELECT GREATEST(1, '2') AS v",
+    # value-side: the untaken branch coerces too
+    "SELECT CASE WHEN 1=0 THEN 1 ELSE '2' END AS v",
+    "SELECT CASE WHEN 1=0 THEN 1.5 ELSE '2' END AS v",
+    # exact decimal union width (strings never contribute)
+    "SELECT COALESCE(1, '2', 1.5) AS v",
+    "SELECT CASE WHEN 1=1 THEN 1 WHEN 1=0 THEN '2' ELSE 3.25 END AS v",
+    # NULL-position accumulator model
+    "SELECT COALESCE(1, NULL, '2') AS v",
+    "SELECT COALESCE('2', NULL, 1) AS v",  # binder error
+    "SELECT CASE WHEN 1=0 THEN NULL WHEN 1=1 THEN 1 ELSE '2' END AS v",  # err
+    "SELECT CASE WHEN 1=0 THEN 1 WHEN 1=1 THEN NULL ELSE '2' END AS v",
+    "SELECT CASE WHEN 1=0 THEN '2' WHEN 1=1 THEN 1 END AS v",  # binder error
+    "SELECT CASE WHEN 1=0 THEN 1 WHEN 1=1 THEN '2' END AS v",
+    # bool / date / timestamp lanes
+    "SELECT COALESCE(true, '2') AS v",
+    "SELECT CASE WHEN 1=1 THEN true ELSE 'false' END AS v",
+    "SELECT COALESCE('2020-01-01', DATE '2021-01-01') AS v",
+    "SELECT CASE WHEN 1=0 THEN TIMESTAMP '2020-01-01 01:02:03' "
+    "ELSE '2020-02-02' END AS v",
+    # IF / IFNULL are the same families
+    "SELECT IF(1=1, 1, '2') AS v",
+    "SELECT IFNULL('2', 1) AS v",
+    # all-string stays VARCHAR
+    "SELECT COALESCE(NULL, '2') AS v",
+    "SELECT GREATEST('2', '10') AS v",
+]
+
+
+@pytest.mark.parametrize("q", BRANCH_LITERALS)
+def test_branch_literal_lane(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 1b. literal-vs-column asymmetry ---------------------------------------
+
+BRANCH_COLUMNS = [
+    # string literal coerces into a COLUMN lane
+    f"SELECT u, CASE WHEN u = 1 THEN i32 ELSE '2' END AS v FROM {REL} ORDER BY u",
+    f"SELECT u, COALESCE(i32, '7') AS v FROM {REL} ORDER BY u",
+    f"SELECT u, GREATEST(i32, '2') AS v FROM {REL} ORDER BY u",
+    f"SELECT u, COALESCE(dc5, '7') AS v FROM {REL} ORDER BY u",
+    f"SELECT u, COALESCE(dt, '2020-01-01') AS v FROM {REL} ORDER BY u",
+    # VARCHAR COLUMN against a lane = DuckDB binder error, both engines
+    f"SELECT u, COALESCE(vtxt, 1) AS v FROM {REL} ORDER BY u",
+    f"SELECT u, CASE WHEN u = 1 THEN i32 ELSE vtxt END AS v FROM {REL} ORDER BY u",
+    f"SELECT u, CASE WHEN u = 1 THEN dbl ELSE vnum END AS v FROM {REL} ORDER BY u",
+    f"SELECT u, GREATEST(i32, vtxt) AS v FROM {REL} ORDER BY u",
+    f"SELECT u, COALESCE(b, vtxt) AS v FROM {REL} ORDER BY u",
+]
+
+
+@pytest.mark.parametrize("q", BRANCH_COLUMNS)
+def test_branch_column_asymmetry(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 1c. GREATEST/LEAST overload semantics --------------------------------
+
+GL_SHAPES = [
+    "SELECT GREATEST(1.5, '2') AS v",           # DOUBLE
+    "SELECT LEAST(1, '2.5') AS v",              # BIGINT, string rounds
+    "SELECT GREATEST(NULL, '2') AS v",          # NULL votes BIGINT overload
+    "SELECT LEAST('5', NULL) AS v",
+    "SELECT GREATEST(DATE '2020-01-01', '2020-02-02') AS v",
+    "SELECT GREATEST(TIMESTAMP '2020-01-01 01:02:03', '2021-01-01') AS v",
+    "SELECT GREATEST(true, 1) AS v",            # binder error (bool arg)
+    "SELECT GREATEST(true, false) AS v",        # binder error
+    "SELECT GREATEST(1, '2', 3.5) AS v",
+]
+
+
+@pytest.mark.parametrize("q", GL_SHAPES)
+def test_greatest_least_lanes(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 2. chained AT TIME ZONE ----------------------------------------------
+
+TZ_CHAINS = [
+    "SELECT epoch_ms((TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC') "
+    "AT TIME ZONE 'Asia/Tokyo') AS v",
+    "SELECT epoch_ms(TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC' "
+    "AT TIME ZONE 'America/New_York') AS v",
+    # triple chain: parity flips back to interpret
+    "SELECT epoch_ms(TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC' "
+    "AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC') AS v",
+    "SELECT epoch_ms(timezone('Asia/Tokyo', "
+    "timezone('UTC', TIMESTAMP '2020-01-01 00:00:00'))) AS v",
+]
+
+
+@pytest.mark.parametrize("q", TZ_CHAINS)
+def test_at_time_zone_chain(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 3. string-form multi-unit INTERVAL literals ---------------------------
+
+INTERVAL_STRINGS = [
+    "SELECT TIMESTAMP '2020-01-31 00:00:00' + INTERVAL '1 month 2 days' AS v",
+    "SELECT TIMESTAMP '2020-01-31 00:00:00' - INTERVAL '1 month 2 days' AS v",
+    "SELECT TIMESTAMP '2020-01-31 00:00:00' + INTERVAL '1 month -2 days' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '1:02:03' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' - INTERVAL '01:02:03.456789' AS v",
+    "SELECT DATE '2020-03-15' + INTERVAL '2 days 3 hours' AS v",
+    # fraction carry-down: month->days, day->time, year->months only
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '1.5 months' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '1.5 years' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '0.5 days' AS v",
+    # unit aliases and normalizing units
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '2 weeks' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '3 quarters' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '1h' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '90 seconds' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + INTERVAL '36 hours' AS v",
+    # full mixed shape + cast form
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + "
+    "INTERVAL '1 year 2 months 3 days 04:05:06.789' AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + '90 seconds'::INTERVAL AS v",
+    "SELECT TIMESTAMP '2020-03-15 10:00:00' + '1 month 2 days'::INTERVAL AS v",
+]
+
+
+@pytest.mark.parametrize("q", INTERVAL_STRINGS)
+def test_interval_string_literals(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 4. EXTRACT / date_part over INTERVAL literals -------------------------
+
+INTERVAL_EXTRACTS = [
+    "SELECT EXTRACT(hour FROM INTERVAL 36 HOUR) AS v",       # 36, not 12
+    "SELECT EXTRACT(minute FROM INTERVAL '90' SECOND) AS v",  # 1
+    "SELECT EXTRACT(second FROM INTERVAL '90' SECOND) AS v",  # 30
+    "SELECT EXTRACT(month FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(year FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(quarter FROM INTERVAL 14 MONTH) AS v",
+    "SELECT EXTRACT(millisecond FROM INTERVAL '90' SECOND) AS v",
+    "SELECT EXTRACT(microsecond FROM INTERVAL '90 seconds') AS v",
+    "SELECT EXTRACT(epoch FROM INTERVAL 14 MONTH) AS v",     # 365.25d years
+    "SELECT EXTRACT(epoch FROM INTERVAL '36 hours') AS v",
+    "SELECT EXTRACT(dow FROM INTERVAL 14 MONTH) AS v",       # both error
+    "SELECT date_part('hour', INTERVAL '1 day 2 hours') AS v",
+    "SELECT date_part('day', INTERVAL '1 day 2 hours') AS v",
+]
+
+
+@pytest.mark.parametrize("q", INTERVAL_EXTRACTS)
+def test_interval_extract_fold(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 5. underscore literal edges (unit-level: no silent value) -------------
+
+def test_underscore_edges_pass_through():
+    from duckdb_service_spark.service.dialect import (
+        _rewrite_numeric_underscores,
+    )
+
+    # valid single-underscore shapes strip
+    assert _rewrite_numeric_underscores("SELECT 1_000") == "SELECT 1000"
+    assert _rewrite_numeric_underscores("SELECT 1_0.5_0") == "SELECT 10.50"
+    # literal-continuation shapes DuckDB parses as literal+alias stay put
+    # (the engine errs loudly instead of silently emitting 10 / 1000)
+    assert _rewrite_numeric_underscores("SELECT 1__0") == "SELECT 1__0"
+    assert _rewrite_numeric_underscores("SELECT 1_000_") == "SELECT 1_000_"
+    # identifiers and strings untouched
+    assert (
+        _rewrite_numeric_underscores("SELECT a_1, '1_0'")
+        == "SELECT a_1, '1_0'"
+    )

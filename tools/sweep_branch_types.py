@@ -130,6 +130,48 @@ def probes(what: str) -> list[str]:
             f"SELECT u, LEAST(vnum, vtxt) AS v FROM {REL} ORDER BY u",
             f"SELECT u, GREATEST(i32, 2.5) AS v FROM {REL} ORDER BY u",
         ]
+    if what in ("all", "litbranch"):
+        # r12: plain-literal branch operands — the lane the r11 sweep
+        # missed (its only literal CASE probe used non-numeric 'x').
+        # String literals must coerce into the single non-string lane;
+        # NULL placement decides coerce-vs-binder-error (accumulator
+        # model, test_idioms_r12.py); columns mixed with string
+        # literals keep the literal coercion, VARCHAR columns against
+        # a lane are DuckDB binder errors.
+        lits = ["1", "2.5", "1e1", "'7'", "'2.5'", "true",
+                "DATE '2024-01-05'", "NULL"]
+        import itertools
+        for a, b in itertools.permutations(lits, 2):
+            out.append(f"SELECT CASE WHEN 1=1 THEN {a} ELSE {b} END AS v")
+            out.append(f"SELECT COALESCE({a}, {b}) AS v")
+            out.append(f"SELECT GREATEST({a}, {b}) AS v")
+        for a, b, c in [
+            ("NULL", "1", "'2'"), ("1", "NULL", "'2'"), ("'2'", "1", "NULL"),
+            ("NULL", "'2'", "1"), ("'2'", "NULL", "1"), ("1", "'2'", "NULL"),
+            ("1", "'2'", "1.5"), ("true", "NULL", "'false'"),
+            ("DATE '2024-01-05'", "NULL", "'2024-02-02'"),
+        ]:
+            out.append(
+                f"SELECT CASE WHEN 1=0 THEN {a} WHEN 1=0 THEN {b} "
+                f"ELSE {c} END AS v"
+            )
+            out.append(f"SELECT COALESCE({a}, {b}, {c}) AS v")
+            out.append(f"SELECT GREATEST({a}, {b}, {c}) AS v")
+        for col in ("i8", "i32", "dc5", "dbl", "flt", "dt", "ts", "b",
+                    "vnum", "vtxt"):
+            for lit in ("'7'", "'2.5'", "'2024-02-02'", "1", "NULL"):
+                out.append(
+                    f"SELECT u, CASE WHEN u = 1 THEN {col} ELSE {lit} END "
+                    f"AS v FROM {REL} ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, COALESCE({col}, {lit}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, GREATEST({col}, {lit}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
     if what in ("all", "in"):
         out += [
             f"SELECT u, {expr} AS v FROM {REL} ORDER BY u"
