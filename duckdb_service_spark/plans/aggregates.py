@@ -525,7 +525,10 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_returnflag,
       median(l_quantity)                                     AS med_qty,
       quantile_disc(l_quantity, 0.9)                         AS p90_qty_disc,
-      round(quantile_cont(l_extendedprice, 0.5), 4)          AS med_price
+      round(quantile_cont(l_extendedprice, 0.5), 4)          AS med_price,
+      median(CAST(l_quantity AS DECIMAL(12,1)))              AS med_qty_dec,
+      quantile_cont(CAST(l_extendedprice AS DECIMAL(14,2)), 0.25)
+                                                             AS p25_price_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -534,7 +537,12 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """median / quantile_cont / quantile_disc. Continuous quantiles involve
     one interpolation (rounded at 4); discrete quantiles are exact set
     members. DuckDB median(double) == continuous interpolation, same as
-    Spark's median."""
+    Spark's median — but over DECIMAL input DuckDB types the result
+    DECIMAL(p,s) with DISCRETE median (= quantile_disc 0.5) and
+    quantile_cont interpolating on the scaled ints then TRUNCATING
+    (measured r12; the SQL surface routes these through
+    rewrite_ordered_stat_decimals — the plan mirrors the scaled-integer
+    arithmetic)."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
@@ -545,5 +553,17 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p90_qty_disc"
             ),
             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med_price"),
+            # Spark's percentile_disc yields DOUBLE even over DECIMAL
+            # input; the element is an exact DECIMAL(12,1) member, so
+            # the cast back is lossless
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY CAST(l_quantity AS DECIMAL(12,1))) "
+                "AS DECIMAL(12,1))"
+            ).alias("med_qty_dec"),
+            F.expr(
+                "CAST(CAST(percentile(CAST(l_extendedprice AS DECIMAL(14,2))"
+                " * 100, 0.25) AS BIGINT) / 100.0 AS DECIMAL(14,2))"
+            ).alias("p25_price_dec"),
         )
     )

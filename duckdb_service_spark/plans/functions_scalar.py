@@ -1080,6 +1080,56 @@ def fn_battery_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(_R12_BATTERY_SQL))
 
 
+_TSTZ_SQL = """
+SELECT o_orderkey,
+       epoch_ms(TIMESTAMPTZ '2020-01-01 10:00:00+02')            AS tz_lit_ms,
+       epoch_ms('2020-06-01 12:00:00+02'::TIMESTAMPTZ)           AS tz_cast_ms,
+       CAST((CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC')
+            AT TIME ZONE 'Asia/Tokyo' AS VARCHAR)                AS tz_chain,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP)
+            AT TIME ZONE 'America/New_York')                     AS tz_interp_ms,
+       typeof(TIMESTAMPTZ '2020-01-01 00:00:00+00')              AS tz_typename,
+       typeof(CAST(o_orderdate AS TIMESTAMP))                    AS ts_typename,
+       CAST(CAST(o_orderdate AS TIMESTAMP)
+            + INTERVAL '1 month 2 days' AS VARCHAR)              AS iv_mixed,
+       CAST(CAST(o_orderdate AS TIMESTAMP)
+            - INTERVAL '36 hours' AS VARCHAR)                    AS iv_hours,
+       CAST(CAST(o_orderdate AS TIMESTAMP)
+            + INTERVAL '01:02:03' AS VARCHAR)                    AS iv_clock,
+       CAST(CAST(o_orderdate AS TIMESTAMP)
+            + INTERVAL '1.5 months' AS VARCHAR)                  AS iv_frac,
+       CAST(EXTRACT(hour FROM INTERVAL 36 HOUR) AS BIGINT)       AS iv_hr36,
+       EXTRACT(epoch FROM INTERVAL '1 month 2 days')             AS iv_epoch,
+       CAST((json_transform('{"a": ' || CAST(o_orderkey AS VARCHAR)
+            || ', "b": "x"}', '{"a": "BIGINT", "b": "VARCHAR"}')).a
+            AS BIGINT)                                           AS jt_a,
+       (json_transform('{"a": 1, "b": "' || o_orderstatus
+            || '"}', '{"a": "BIGINT", "b": "VARCHAR"}')).b       AS jt_b
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@query("fn_timestamptz", oracle=_TSTZ_SQL)
+def fn_timestamptz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP WITH TIME ZONE end-to-end (VERDICT r11 task 3) plus the
+    r12 interval-string and json_transform surfaces, all through the
+    verbatim SQL dialect: TIMESTAMPTZ literals and ::TIMESTAMPTZ casts
+    (Spark TIMESTAMP_LTZ under the pinned-UTC session), the chained
+    AT TIME ZONE round-trip idiom (tz-aware inputs CONVERT, naive inputs
+    INTERPRET — measured parity model), typeof reporting TIMESTAMP vs
+    TIMESTAMP WITH TIME ZONE, DuckDB's multi-unit/clock/fractional
+    INTERVAL string grammar riding typed-interval arithmetic, interval
+    EXTRACT constant folding (hour of INTERVAL 36 HOUR is 36, epoch at
+    365.25-day years), and json_transform onto from_json with the
+    structure literal compiled to a DDL schema. tz-typed values are
+    wrapped in epoch_ms (the canonicalizer compares naive text)."""
+    from ..service.dialect import translate
+
+    load_tables(spark, sf_dir).view("orders")
+    return spark.sql(translate(_TSTZ_SQL))
+
+
 _R13_BATTERY_SQL = """
 SELECT p_partkey,
        round(jaro_similarity(p_name, p_type), 9)              AS jaro_nt,

@@ -634,7 +634,10 @@ SELECT o_orderkey AS k,
        LEAST(small, dc) AS gl_double,
        (o_orderstatus COLLATE NOCASE) = 'f' AS nocase_hit,
        ([10, '42', 6])[2] AS list_lane,
-       ((MAP {'x': 5, 'y': '6'})['y'])[1] AS map_lane
+       ((MAP {'x': 5, 'y': '6'})['y'])[1] AS map_lane,
+       CASE WHEN o_orderkey % 2 = 0 THEN small ELSE '2' END AS lit_case,
+       CAST(COALESCE('7', small) AS VARCHAR) AS lit_coalesce,
+       GREATEST(1, '2', big) AS lit_gl
 FROM (SELECT o_orderkey, o_orderstatus,
              o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
@@ -645,7 +648,9 @@ FROM (SELECT o_orderkey, o_orderstatus,
                   THEN CAST(o_totalprice AS DECIMAL(18,6)) END AS gap
       FROM orders WHERE o_orderkey % 97 = 0) s
 UNION ALL
-SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f, small, small AS ml
+SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f, small, small AS ml,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE '3' END AS lc2,
+       CAST(COALESCE(dc, '7') AS VARCHAR) AS co2, LEAST(NULL, '5') AS gl2
 FROM (SELECT o_orderkey, o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
              o_orderkey * 3 AS big,

@@ -94,10 +94,12 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
-            # NTZ has no direct long cast; go via LTZ (session tz pinned UTC)
+            # NTZ has no direct long cast; go via LTZ (session tz pinned
+            # UTC; "timestamp" is conf-sensitive since the r12 NTZ flip,
+            # so the LTZ hop must be explicit)
             | (
-                F.col("ts").cast("timestamp").cast("long")
-                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                F.col("ts").cast("timestamp_ltz").cast("long")
+                - F.lag("ts").over(w).cast("timestamp_ltz").cast("long")
                 > 1800
             ),
             1,

@@ -445,6 +445,13 @@ FUNCTION_ALIASES = {
     # session) — measured DuckDB semantics, no Spark/VARIANT twin exists.
     # json_merge_patch is n-ary: folded left-to-right by the emitter.
     "json_merge_patch": "__duck_json_merge",
+    # json_transform rides from_json with the structure literal compiled
+    # to a Spark DDL schema (VERDICT r11 missing #3)
+    "json_transform": "__duck_json_transform",
+    "json_transform_strict": "__duck_json_transform_strict",
+    # UNION sum-type access over the tagged-struct shim (r12)
+    "union_tag": "__duck_union_tag",
+    "union_extract": "__duck_union_extract",
     # round-8 aggregate additions (each verified against DuckDB 1.x output)
     "skewness": "__duck_skewness",
     "kurtosis": "__duck_kurtosis",
@@ -663,6 +670,39 @@ def _rewrite_similar_glob(sql: str) -> str:
         return f"RLIKE '{anchored}'"
 
     return re.sub(r"\bGLOB\s+'((?:[^']|'')*)'", glob, sql, flags=re.IGNORECASE)
+
+
+_UNNEST_STRUCT_RE = re.compile(
+    r"\bunnest\s*\(\s*(?=named_struct\s*\(|struct\s*\()", re.IGNORECASE
+)
+
+
+def _rewrite_unnest_structs(sql: str) -> str:
+    """SELECT-list unnest(<struct>) expands the struct's fields into
+    columns in DuckDB (measured r12: SELECT unnest({'a':1,'b':'x'})
+    yields columns a, b) — Spark's equivalent is inline(array(st)),
+    which expands in place with surrounding columns intact. Runs after
+    the struct-literal rewrite (braces are already named_struct) and
+    before the rename pass maps remaining LIST unnests to explode.
+    Struct-typed COLUMNS under unnest still raise (no schema here)."""
+    if not _UNNEST_STRUCT_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _UNNEST_STRUCT_RE.finditer(sql)
+             if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _scan_balanced(sql, sql.index("(", m.start()), "(", ")")
+        if close == -1:
+            return sql
+        inner = sql[m.end(): close - 1].strip()
+        sql = (
+            sql[: m.start()] + f"inline(array({inner}))" + sql[close:]
+        )
 
 
 def _rewrite_from_unnest(sql: str) -> str:
@@ -1608,7 +1648,7 @@ def _emit_ts_precision(expr: str, tname: str) -> str:
         return f"CAST({expr} AS TIMESTAMP_NTZ)"
     unit = 1000000 if t == "TIMESTAMP_S" else 1000
     rebuild = "timestamp_seconds" if t == "TIMESTAMP_S" else "timestamp_millis"
-    m = f"unix_micros(CAST(({expr}) AS TIMESTAMP))"
+    m = f"unix_micros(CAST(({expr}) AS TIMESTAMP_LTZ))"
     half = unit // 2
     rounded = (
         f"(CASE WHEN {m} >= 0 THEN ({m} + {half}) div {unit} "
@@ -3324,6 +3364,105 @@ _INTERVAL_DATE_LIT_RE = re.compile(
 )
 
 
+_TSTZ_TOKEN_RE = re.compile(
+    r"\bTIMESTAMPTZ\b|\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", re.IGNORECASE
+)
+
+
+def _rewrite_timestamptz_type(sql: str) -> str:
+    """DuckDB's TIMESTAMPTZ / TIMESTAMP WITH TIME ZONE type token — as a
+    literal prefix (TIMESTAMPTZ '2020-01-01 10:00:00+02'), a cast target
+    (::TIMESTAMPTZ, CAST(x AS TIMESTAMPTZ)), or a column type — maps to
+    Spark's TIMESTAMP_LTZ, the engine's tz-aware lane (serializer and
+    typeof both report it as TIMESTAMP WITH TIME ZONE, r12)."""
+    if not re.search(r"TIMESTAMPTZ|WITH\s+TIME\s+ZONE", sql, re.IGNORECASE):
+        return sql
+    return _rewrite_code(
+        sql, lambda chunk: _TSTZ_TOKEN_RE.sub("TIMESTAMP_LTZ", chunk)
+    )
+
+
+_UNION_VALUE_RE = re.compile(r"\bunion_value\s*\(", re.IGNORECASE)
+
+
+def _rewrite_union_values(sql: str) -> str:
+    """union_value(tag := expr) — DuckDB's UNION sum-type constructor
+    (VERDICT r11 missing #4) — onto the engine's tagged-struct shim
+    (SURVEY §1.3, same layout fn_union_type reads): named_struct with a
+    'tag' field plus one nullable field per variant. A trailing
+    ::UNION(f1 T1, ...) cast supplies the full variant set (the DuckDB
+    idiom for unifying CASE branches); a bare constructor carries just
+    its own variant. union_tag/union_extract then route to plain field
+    access (emitters below)."""
+    if not _UNION_VALUE_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        m = next(
+            (c for c in _UNION_VALUE_RE.finditer(sql) if not mask[c.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _scan_balanced(sql, m.end() - 1, "(", ")")
+        if close == -1:
+            return sql
+        bm = re.match(
+            r"^\s*(\w+)\s*:=\s*(.+)$", sql[m.end(): close - 1], re.DOTALL
+        )
+        if bm is None:
+            raise UnsupportedDialect(
+                "union_value expects a single tag := value argument"
+            )
+        tag, val = bm.group(1), bm.group(2).strip()
+        end = close
+        fields: "list[tuple[str, str]] | None" = None
+        um = re.match(r"\s*::\s*UNION\s*\(", sql[close:], re.IGNORECASE)
+        if um:
+            uclose = _scan_balanced(sql, close + um.end() - 1, "(", ")")
+            if uclose != -1:
+                fields = []
+                for fd in _split_args(sql[close + um.end(): uclose - 1]):
+                    fm = re.match(r"^\s*(\w+)\s+(.+?)\s*$", fd, re.DOTALL)
+                    if not fm:
+                        fields = None
+                        break
+                    fields.append((fm.group(1), fm.group(2)))
+                if fields is not None:
+                    end = uclose
+        parts = ["'tag'", f"'{tag}'"]
+        if fields:
+            for fname, ftype in fields:
+                if fname.lower() == tag.lower():
+                    parts += [f"'{fname}'", f"CAST({val} AS {ftype})"]
+                else:
+                    parts += [f"'{fname}'", f"CAST(NULL AS {ftype})"]
+        else:
+            parts += [f"'{tag}'", val]
+        sql = (
+            sql[: m.start()]
+            + f"named_struct({', '.join(parts)})"
+            + sql[end:]
+        )
+
+
+def _emit_union_tag(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("union_tag expects one argument")
+    return f"({args[0]}).tag"
+
+
+def _emit_union_extract(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("union_extract expects (union, 'tag')")
+    nm = re.match(r"^\s*'(\w+)'\s*$", args[1])
+    if not nm:
+        raise UnsupportedDialect(
+            "union_extract: the tag must be a string literal"
+        )
+    return f"({args[0]}).{nm.group(1)}"
+
+
 _UNDERSCORE_NUM_RE = re.compile(
     r"(?<![\w.$])(\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?)(?![\w])"
 )
@@ -3625,6 +3764,61 @@ def _rewrite_interval_strings(sql: str) -> str:
             repl = "INTERVAL '0' SECOND"
         sql = sql[: m.start()] + repl + sql[m.end():]
     return sql
+
+
+# VARCHAR/TEXT only — the emitted replacement uses AS STRING, which must
+# stay outside the match set or the fixpoint loop would re-capture it
+_TZ_VARCHAR_TGT_RE = re.compile(r"^(?:VARCHAR|TEXT)\s*$", re.IGNORECASE)
+
+
+def _rewrite_tz_varchar_casts(sql: str) -> str:
+    """CAST(<tz-aware expr> AS VARCHAR) renders DuckDB's +00 offset
+    suffix ('2020-01-01 08:00:00+00', measured r12); Spark's LTZ→STRING
+    cast drops it. Aware sources are detected textually (timezone()
+    chains, TIMESTAMP_LTZ literals/casts, now()-family) — runs after
+    the AT TIME ZONE and TIMESTAMPTZ rewrites so those shapes are
+    already in detectable form."""
+    if not _CAST_OPEN_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for m in _CAST_OPEN_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            close = _scan_balanced(sql, m.end() - 1, "(", ")")
+            if close == -1:
+                continue
+            body = sql[m.end(): close - 1]
+            bmask = _literal_mask(body)
+            # last top-level AS
+            as_at = None
+            depth = 0
+            for am in re.finditer(r"\bAS\b", body, re.IGNORECASE):
+                if bmask[am.start()]:
+                    continue
+                d = 0
+                for ch, masked in zip(body[: am.start()],
+                                      bmask[: am.start()]):
+                    if not masked:
+                        d += 1 if ch == "(" else (-1 if ch == ")" else 0)
+                if d == 0:
+                    as_at = am
+            if as_at is None:
+                continue
+            src = body[: as_at.start()].strip()
+            tgt = body[as_at.end():].strip()
+            if _TZ_VARCHAR_TGT_RE.match(tgt) and _tz_input_aware(src):
+                hit = (m.start(), close, src)
+                break
+        if hit is None:
+            return sql
+        start, close, src = hit
+        sql = (
+            sql[:start]
+            + f"concat(CAST({src} AS STRING), '+00')"
+            + sql[close:]
+        )
 
 
 # DuckDB date-part field aliases -> the engine's measured function-form
@@ -4041,12 +4235,16 @@ def translate(sql: str) -> str:
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_numeric_underscores(sql)
+    sql = _rewrite_timestamptz_type(sql)
+    sql = _rewrite_union_values(sql)
     sql = _rewrite_extract_datepart(sql)
     sql = _rewrite_interval_strings(sql)
     sql = _rewrite_at_time_zone(sql)
+    sql = _rewrite_tz_varchar_casts(sql)
     sql = _rewrite_list_comprehensions(sql)
     sql = _rewrite_list_literals(sql)
     sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_unnest_structs(sql)
     sql = _rewrite_list_concat_nulls(sql)
     sql = _rewrite_from_unnest(sql)
     sql = _rewrite_similar_glob(sql)
@@ -4104,7 +4302,7 @@ def _emit_epoch_sec(args: list[str]) -> str:
     if len(args) != 1:
         raise UnsupportedDialect("epoch expects (timestamp)")
     return (
-        f"(CAST(unix_micros(CAST(({args[0]}) AS TIMESTAMP)) AS DOUBLE)"
+        f"(CAST(unix_micros(CAST(({args[0]}) AS TIMESTAMP_LTZ)) AS DOUBLE)"
         f" / 1000000.0)"
     )
 
@@ -4239,10 +4437,13 @@ def _emit_time_bucket(args: list[str]) -> str:
             origin = f"({origin} + ({third}))"  # offset shifts the origin
         else:
             origin = f"CAST(({third}) AS TIMESTAMP)"
-    w = f"unix_micros(CAST('1970-01-01 00:00:00' AS TIMESTAMP) + ({itv}))"
-    o = f"unix_micros({origin})"
+    w = (
+        f"unix_micros(CAST(CAST('1970-01-01 00:00:00' AS TIMESTAMP) "
+        f"+ ({itv}) AS TIMESTAMP_LTZ))"
+    )
+    o = f"unix_micros(CAST({origin} AS TIMESTAMP_LTZ))"
     b = (
-        f"timestamp_micros(CAST(floor((unix_micros(CAST(({ts}) AS TIMESTAMP)) "
+        f"timestamp_micros(CAST(floor((unix_micros(CAST(({ts}) AS TIMESTAMP_LTZ)) "
         f"- {o}) / {w}) * {w} + {o} AS BIGINT))"
     )
     if is_date:
@@ -4338,8 +4539,8 @@ def _emit_date_diff(args: list[str]) -> str:
         secs = {"hour": 3600, "minute": 60, "second": 1}[part]
         tr = part.upper()
         return (
-            f"CAST((unix_seconds(CAST(date_trunc('{tr}', {b}) AS TIMESTAMP)) - "
-            f"unix_seconds(CAST(date_trunc('{tr}', {a}) AS TIMESTAMP))) / {secs} AS BIGINT)"
+            f"CAST((unix_seconds(CAST(date_trunc('{tr}', {b}) AS TIMESTAMP_LTZ)) - "
+            f"unix_seconds(CAST(date_trunc('{tr}', {a}) AS TIMESTAMP_LTZ))) / {secs} AS BIGINT)"
         )
     raise UnsupportedDialect(
         f"date_diff: unsupported part {part!r} (day/month/quarter/year/"
@@ -4350,13 +4551,13 @@ def _emit_date_diff(args: list[str]) -> str:
 def _emit_epoch_ms(args: list[str]) -> str:
     if len(args) != 1:
         raise UnsupportedDialect("epoch_ms expects (timestamp)")
-    return f"unix_millis(CAST({args[0]} AS TIMESTAMP))"
+    return f"unix_millis(CAST({args[0]} AS TIMESTAMP_LTZ))"
 
 
 def _emit_epoch_us(args: list[str]) -> str:
     if len(args) != 1:
         raise UnsupportedDialect("epoch_us expects (timestamp)")
-    return f"unix_micros(CAST({args[0]} AS TIMESTAMP))"
+    return f"unix_micros(CAST({args[0]} AS TIMESTAMP_LTZ))"
 
 
 def _emit_interval_builder(kind: str, args: list[str]) -> str:
@@ -5046,7 +5247,7 @@ def _emit_julian(args: list[str]) -> str:
     # julian(DATE '2024-01-01') = 2460311.0, 18:00 -> .75)
     return (
         f"(CAST(2440588 AS DOUBLE) + "
-        f"unix_micros(CAST(({args[0]}) AS TIMESTAMP)) / 86400000000.0)"
+        f"unix_micros(CAST(({args[0]}) AS TIMESTAMP_LTZ)) / 86400000000.0)"
     )
 
 
@@ -5063,7 +5264,8 @@ def _emit_make_tstz(args: list[str]) -> str:
     (y,m,d,h,mi,s) or 1-arg (epoch micros) — both land on the same instant
     DuckDB produces with TimeZone=UTC."""
     if len(args) == 6:
-        return f"make_timestamp({', '.join(args)})"
+        # LTZ result: DuckDB reports TIMESTAMP WITH TIME ZONE here
+        return f"CAST(make_timestamp({', '.join(args)}) AS TIMESTAMP_LTZ)"
     if len(args) == 1:
         return f"timestamp_micros(CAST({args[0]} AS BIGINT))"
     raise UnsupportedDialect("make_timestamptz expects 1 or 6 arguments")
@@ -5232,7 +5434,12 @@ def _emit_timezone(args: list[str]) -> str:
         )
     if len(args) == 2:
         if _tz_input_aware(args[1]):
-            return f"from_utc_timestamp({args[1]}, {args[0]})"
+            # tz-aware -> naive wall clock: DuckDB reports TIMESTAMP
+            return (
+                f"CAST(from_utc_timestamp({args[1]}, {args[0]}) "
+                f"AS TIMESTAMP_NTZ)"
+            )
+        # naive -> instant: DuckDB reports TIMESTAMP WITH TIME ZONE (LTZ)
         return f"to_utc_timestamp({args[1]}, {args[0]})"
     raise UnsupportedDialect("timezone expects 1 or 2 arguments")
 
@@ -5250,6 +5457,15 @@ def _tz_input_aware(expr: str) -> bool:
             s = s[1:-1].strip()
         else:
             break
+    # explicit tz-typed shapes: TIMESTAMP_LTZ literal/cast (the rewritten
+    # TIMESTAMPTZ), now()/current_timestamp, make_timestamptz
+    if re.match(
+        r"^(?:TIMESTAMP_LTZ\s*'|CAST\s*\(.*\s+AS\s+TIMESTAMP_LTZ\s*\)$"
+        r"|.*::\s*TIMESTAMP_LTZ$|(?:now|current_timestamp"
+        r"|__duck_make_tstz|make_timestamptz)\s*\()",
+        s, re.IGNORECASE | re.DOTALL,
+    ):
+        return True
     m = re.match(
         r"^(to_utc_timestamp|from_utc_timestamp|__duck_timezone|timezone)"
         r"\s*\(",
@@ -5311,8 +5527,9 @@ def _emit_epoch_ms_dual(args: list[str]) -> str:
         a,
         re.IGNORECASE,
     ):
-        return f"timestamp_millis(CAST({a} AS BIGINT))"
-    return f"unix_millis(CAST({a} AS TIMESTAMP))"
+        # DuckDB's build direction returns naive TIMESTAMP
+        return f"CAST(timestamp_millis(CAST({a} AS BIGINT)) AS TIMESTAMP_NTZ)"
+    return f"unix_millis(CAST({a} AS TIMESTAMP_LTZ))"
 
 
 def _emit_millennium(args: list[str]) -> str:
@@ -5393,6 +5610,86 @@ def _emit_json_extract(args: list[str]) -> str:
     return (
         f"nullif(to_json(variant_get(parse_json({args[0]}), '{p}')), 'null')"
     )
+
+
+_JSON_TX_TYPES = {
+    "VARCHAR": "STRING", "TEXT": "STRING", "STRING": "STRING",
+    "JSON": "STRING",
+    "TINYINT": "TINYINT", "SMALLINT": "SMALLINT", "INTEGER": "INT",
+    "INT": "INT", "BIGINT": "BIGINT", "HUGEINT": "DECIMAL(38,0)",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INT", "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)",
+    "FLOAT": "FLOAT", "REAL": "FLOAT", "DOUBLE": "DOUBLE",
+    "BOOLEAN": "BOOLEAN", "DATE": "DATE", "TIMESTAMP": "TIMESTAMP",
+    "TIME": "STRING",
+}
+
+
+def _json_tx_ddl(node) -> str:
+    """DuckDB json_transform structure node -> Spark DDL type text."""
+    if isinstance(node, str):
+        t = node.strip().upper()
+        m = re.match(r"^(?:DECIMAL|NUMERIC)\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\)$", t)
+        if m:
+            return t.replace(" ", "")
+        out = _JSON_TX_TYPES.get(t)
+        if out is None:
+            raise UnsupportedDialect(
+                f"json_transform: unsupported leaf type {node!r}"
+            )
+        return out
+    if isinstance(node, list):
+        if len(node) != 1:
+            raise UnsupportedDialect(
+                "json_transform: array structure must have one element"
+            )
+        return f"ARRAY<{_json_tx_ddl(node[0])}>"
+    if isinstance(node, dict):
+        fields = ", ".join(
+            f"`{k}`: {_json_tx_ddl(v)}" for k, v in node.items()
+        )
+        return f"STRUCT<{fields}>"
+    raise UnsupportedDialect("json_transform: unsupported structure node")
+
+
+def _emit_json_transform(args: list[str], strict: bool = False) -> str:
+    """DuckDB json_transform(json, structure) -> typed STRUCT/LIST via
+    Spark from_json with the structure literal compiled to a DDL schema
+    (measured r12: uncastable leaves go NULL in the non-strict form —
+    from_json's PERMISSIVE mode matches; the root '"TYPE"' form is a
+    plain cast). The structure must be a string LITERAL (DuckDB allows
+    expressions; no Spark twin exists for a runtime schema). The strict
+    form raises — DuckDB errors on any failed leaf cast, which
+    from_json cannot reproduce leaf-by-leaf."""
+    if len(args) != 2:
+        raise UnsupportedDialect("json_transform expects (json, structure)")
+    if strict:
+        raise UnsupportedDialect(
+            "json_transform_strict is not supported; use json_transform "
+            "(NULL on failed leaf casts)"
+        )
+    sm = re.match(r"^\s*'((?:[^']|'')*)'\s*$", args[1])
+    if not sm:
+        raise UnsupportedDialect(
+            "json_transform: the structure argument must be a string "
+            "literal"
+        )
+    import json as _json
+
+    try:
+        node = _json.loads(sm.group(1).replace("''", "'"))
+    except ValueError as exc:
+        raise UnsupportedDialect(
+            f"json_transform: unparsable structure literal ({exc})"
+        ) from None
+    if isinstance(node, str):
+        if node.strip().upper() in ("VARCHAR", "TEXT", "STRING", "JSON"):
+            # DuckDB minifies the JSON text for the string root form
+            return f"to_json(parse_json({args[0]}))"
+        leaf = _json_tx_ddl(node)
+        return f"CAST({args[0]} AS {leaf})"
+    ddl = _json_tx_ddl(node)
+    return f"from_json({args[0]}, '{ddl}')"
 
 
 def _emit_json_quote(args: list[str]) -> str:
@@ -5885,14 +6182,14 @@ _ROUND5_EMITTERS = {
     ),
     "__duck_century": lambda a: f"(((year({a[0]}) - 1) div 100) + 1)",
     "__duck_decade": lambda a: f"(year({a[0]}) div 10)",
-    "__duck_epoch_ns": lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)",
+    "__duck_epoch_ns": lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP_LTZ)) * 1000)",
     # DuckDB micro/millisecond are SUB-MINUTE components (seconds included;
     # measured: 30.123456s -> 30123456 / 30123)
     "__duck_microsecond": lambda a: (
-        f"pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 60000000)"
+        f"pmod(unix_micros(CAST({a[0]} AS TIMESTAMP_LTZ)), 60000000)"
     ),
     "__duck_millisecond": lambda a: (
-        f"(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 60000000) div 1000)"
+        f"(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP_LTZ)), 60000000) div 1000)"
     ),
     "__duck_date_sub": _emit_date_sub3,
     "__duck_sha256": lambda a: f"sha2({a[0]}, 256)",
@@ -5998,6 +6295,12 @@ _ROUND5_EMITTERS = {
     "__duck_json_type": _emit_json_type,
     "__duck_unsupported_json": _emit_unsupported_json,
     "__duck_json_merge": _emit_json_merge,
+    "__duck_json_transform": _emit_json_transform,
+    "__duck_union_tag": _emit_union_tag,
+    "__duck_union_extract": _emit_union_extract,
+    "__duck_json_transform_strict": (
+        lambda a: _emit_json_transform(a, strict=True)
+    ),
     "__duck_gcd": _emit_gcd,
     "__duck_lcm": _emit_lcm,
     "__duck_hamming": _emit_hamming,

@@ -425,6 +425,7 @@ class Engine:
             rewrite_branch_expr_types,
             rewrite_cast_contract,
             rewrite_list_literal_types,
+            rewrite_ordered_stat_decimals,
             rewrite_numeric_date_lanes,
             rewrite_setop_branch_types,
             rewrite_values_typing,
@@ -452,6 +453,7 @@ class Engine:
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         stripped = rewrite_list_literal_types(stripped)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
+        stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay
         # plain (Spark can't evaluate raise_error guards in VALUES rows)

@@ -32,7 +32,14 @@ _SIMPLE = {
     T.StringType: "VARCHAR",
     T.BinaryType: "BLOB",
     T.DateType: "DATE",
-    T.TimestampType: "TIMESTAMP",
+    # Spark LTZ is the engine's tz-aware lane (session pinned UTC): SQL
+    # TIMESTAMP literals/casts resolve NTZ (session.py timestampType),
+    # so LTZ only flows out of tz-producing surfaces — timezone()/AT
+    # TIME ZONE's interpret direction, now()/current_timestamp,
+    # make_timestamptz, TIMESTAMPTZ casts — exactly DuckDB's
+    # TIMESTAMP WITH TIME ZONE set (r12; typeof agrees, dialect.py
+    # _TYPEOF_CASES)
+    T.TimestampType: "TIMESTAMP WITH TIME ZONE",
     T.TimestampNTZType: "TIMESTAMP",
     T.TimeType: "TIME",
     T.VariantType: "JSON",  # Spark VARIANT ≅ DuckDB's JSON logical type
@@ -79,14 +86,14 @@ def _json_value(v: Any) -> Any:
     if isinstance(v, (bytes, bytearray)):
         # reference coerces []byte to string, db/db.go:107-111
         return bytes(v).decode("utf-8", errors="replace")
+    if hasattr(v, "asDict"):  # Row IS a tuple — struct check must come first
+        return {k: _json_value(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_json_value(x) for x in v]
     if isinstance(v, dict):
         return {k: _json_value(x) for k, x in v.items()}
     if isinstance(v, T.VariantVal):
         return v.toJson()
-    if hasattr(v, "asDict"):  # Row
-        return {k: _json_value(x) for k, x in v.asDict().items()}
     return str(v)
 
 
@@ -95,6 +102,19 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
     if limit is not None:
         df = df.limit(limit)
     rows = df.collect()
+    # tz-aware (LTZ) columns render with DuckDB's +00 offset suffix —
+    # the session is pinned UTC, so the collected naive datetime IS the
+    # UTC instant (DuckDB: CAST(tstz AS VARCHAR) = '... 08:00:00+00')
+    tz_cols = {
+        i for i, f in enumerate(df.schema.fields)
+        if isinstance(f.dataType, T.TimestampType)
+    }
+
+    def cell(i: int, v: Any) -> Any:
+        if i in tz_cols and isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ") + "+00"
+        return _json_value(v)
+
     return {
         "columns": df.columns,
         # a field can carry its DuckDB-side type when Spark has no native
@@ -103,7 +123,7 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
             f.metadata.get("duckdb_type") or duckdb_type_name(f.dataType)
             for f in df.schema.fields
         ],
-        "values": [[_json_value(v) for v in row] for row in rows],
+        "values": [[cell(i, v) for i, v in enumerate(row)] for row in rows],
     }
 
 

@@ -2815,6 +2815,92 @@ def rewrite_branch_expr_types(
     return text
 
 
+_ORDERED_STAT_RE = re.compile(
+    r"\b(quantile_cont|median|mad)\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_ordered_stat_decimals(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB types ordered-statistic aggregates over DECIMAL(p,s) input
+    as DECIMAL(p,s) (measured r12): quantile_cont interpolates on the
+    scaled integers and TRUNCATES toward zero (quantile_cont(0.25) over
+    [1.00, 2.50, 3.50, 4.00] DECIMAL(5,2) = 2.12, not 2.125-rounded);
+    median over DECIMAL is the DISCRETE lower-middle (= quantile_disc
+    0.5 — interpolation only happens for non-decimal numerics); mad
+    interpolates deviations on the scaled ints and truncates. Rewrites
+    the three shapes onto scaled-integer arithmetic when the argument
+    resolves to a DECIMAL column; non-decimal inputs keep Spark's
+    native DOUBLE lane (measured identical). Windowed forms (OVER) pass
+    through untouched."""
+    if not _ORDERED_STAT_RE.search(_code_only(sql.strip())):
+        return sql
+    from .dialect import _literal_mask
+
+    stripped = sql.strip().rstrip(";")
+    classes = _schema_class_map(spark, stripped, translate)
+    if not classes:
+        return sql
+    text = stripped
+    mask = _literal_mask(text)
+    for m in sorted(
+        _ORDERED_STAT_RE.finditer(text), key=lambda x: -x.start()
+    ):
+        if mask[m.start()]:
+            continue
+        close = _scan_list_close(text, m.end() - 1, mask)
+        if close == -1:
+            continue
+        after = text[close:].lstrip()
+        if re.match(r"^OVER\b", after, re.IGNORECASE):
+            continue
+        fn = m.group(1).lower()
+        body = text[m.end(): close - 1]
+        args = _split_args(body)
+        if len(args) > 2 and args[1].lstrip().startswith("["):
+            # _split_args doesn't track square brackets: rejoin the
+            # quantile-list argument
+            args = [args[0], ", ".join(a.strip() for a in args[1:])]
+        if not args or len(args) > 2:
+            continue
+        k, t = _src_class(args[0].strip(), classes)
+        if k != "decimal" or not t:
+            continue
+        ps = _decimal_prec_scale(t)
+        if ps is None:
+            continue
+        p, s = ps
+        mul = 10 ** s
+        x = args[0].strip()
+        if fn == "median":
+            repl = f"quantile_disc({x}, 0.5)"
+        elif fn == "mad":
+            if len(args) != 1:
+                continue
+            repl = (
+                f"CAST(CAST(mad(({x}) * {mul}) AS BIGINT) / {mul}.0 "
+                f"AS DECIMAL({p},{s}))"
+            )
+        else:  # quantile_cont
+            if len(args) != 2:
+                continue
+            q = args[1].strip()
+            if q.startswith("["):
+                repl = (
+                    f"transform(quantile_cont(({x}) * {mul}, {q}), "
+                    f"__q_v -> CAST(CAST(__q_v AS BIGINT) / {mul}.0 "
+                    f"AS DECIMAL({p},{s})))"
+                )
+            else:
+                repl = (
+                    f"CAST(CAST(quantile_cont(({x}) * {mul}, {q}) "
+                    f"AS BIGINT) / {mul}.0 AS DECIMAL({p},{s}))"
+                )
+        text = text[: m.start()] + repl + text[close:]
+    return text
+
+
 _VALUES_KW_RE = re.compile(r"\bVALUES\s*\(", re.IGNORECASE)
 
 

@@ -30,6 +30,11 @@ def tune(spark: SparkSession) -> SparkSession:
     conf applied here (not only a builder conf).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # DuckDB's TIMESTAMP is timezone-naive: SQL TIMESTAMP literals/casts
+    # must resolve to TIMESTAMP_NTZ so the LTZ type is reserved for
+    # DuckDB's TIMESTAMP WITH TIME ZONE (serializer + typeof agree on
+    # that mapping, r12); parquet reads already land NTZ via load_tables
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
     # DuckDB-surface scalar functions Spark lacks (jaro*/damerau) — Arrow
     # pandas UDFs, registered idempotently on every session routed through
     # the engine (incl. the driver's vanilla session via load_tables→tune)

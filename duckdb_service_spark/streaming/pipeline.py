@@ -40,7 +40,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(batch_schema["ts"].dataType, LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # explicit LTZ: "timestamp" is conf-sensitive since the r12 NTZ
+        # flip and watermarks reject TIMESTAMP_NTZ event time
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return stream
 
 

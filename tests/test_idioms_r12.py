@@ -230,6 +230,147 @@ def test_interval_extract_fold(eng, con, q):
     _differential(eng, con, q)
 
 
+# ---- 6. TIMESTAMP WITH TIME ZONE end-to-end --------------------------------
+
+def _service_probe(eng, con, sql):
+    """Serialized types + value text vs DuckDB (the /db/query surface)."""
+    from duckdb_service_spark.service.serializer import query_result
+
+    rel = con.sql(sql)
+    want_types = [str(t) for t in rel.types]
+    want_vals = rel.fetchall()
+    res = query_result(eng.query_df(sql))
+    assert res["types"] == want_types, (sql, res["types"], want_types)
+    return res, want_vals
+
+
+TSTZ_CASES = [
+    ("SELECT TIMESTAMPTZ '2020-01-01 10:00:00+02' AS v",
+     "2020-01-01 08:00:00+00"),
+    ("SELECT '2020-01-01 10:00:00+02'::TIMESTAMPTZ AS v",
+     "2020-01-01 08:00:00+00"),
+    ("SELECT timezone('UTC', TIMESTAMP '2020-06-01 12:00:00') AS v",
+     "2020-06-01 12:00:00+00"),
+    ("SELECT TIMESTAMP '2020-06-01 12:00:00' "
+     "AT TIME ZONE 'America/New_York' AS v",
+     "2020-06-01 16:00:00+00"),
+]
+
+
+@pytest.mark.parametrize("q,rendered", TSTZ_CASES)
+def test_timestamptz_serialization(eng, con, q, rendered):
+    res, _ = _service_probe(eng, con, q)
+    assert res["values"][0][0] == rendered
+
+
+def test_timestamp_vs_tstz_typeof(eng, con):
+    _differential(
+        eng, con,
+        "SELECT typeof(TIMESTAMP '2020-01-01 00:00:00') AS a, "
+        "typeof(TIMESTAMPTZ '2020-01-01 00:00:00+00') AS b",
+    )
+
+
+def test_plain_timestamp_serializes_naive(eng, con):
+    res, _ = _service_probe(
+        eng, con, "SELECT TIMESTAMP '2020-01-01 05:06:07' AS v"
+    )
+    assert res["values"][0][0] == "2020-01-01 05:06:07"
+
+
+# ---- 7. ordered-statistic aggregates over DECIMAL ---------------------------
+
+DECIMAL_STATS_REL = (
+    "(SELECT CAST(v AS DECIMAL(5,2)) AS d FROM "
+    "(VALUES (1.0),(2.5),(3.5),(4.0)) t(v))"
+)
+
+DECIMAL_STATS = [
+    f"SELECT quantile_cont(d, 0.25) AS v FROM {DECIMAL_STATS_REL} t",
+    f"SELECT quantile_cont(d, [0.25, 0.75]) AS v FROM {DECIMAL_STATS_REL} t",
+    f"SELECT median(d) AS v FROM {DECIMAL_STATS_REL} t",  # discrete!
+    f"SELECT mad(d) AS v FROM {DECIMAL_STATS_REL} t",
+    f"SELECT quantile_disc(d, 0.5) AS v FROM {DECIMAL_STATS_REL} t",
+    # non-decimal numerics keep the interpolated DOUBLE lane
+    "SELECT median(l_quantity) AS v FROM "
+    "read_parquet('/root/testdata/sf0.001/lineitem.parquet')",
+    "SELECT mad(l_quantity) AS v FROM "
+    "read_parquet('/root/testdata/sf0.001/lineitem.parquet')",
+]
+
+
+@pytest.mark.parametrize("q", DECIMAL_STATS)
+def test_ordered_stats_decimal(eng, con, q):
+    _differential(eng, con, q)
+
+
+def test_ordered_stats_decimal_types(eng, con):
+    res, _ = _service_probe(
+        eng, con,
+        f"SELECT quantile_cont(d, 0.25) AS a, median(d) AS b, mad(d) AS c "
+        f"FROM {DECIMAL_STATS_REL} t",
+    )
+    assert res["types"] == ["DECIMAL(5,2)", "DECIMAL(5,2)", "DECIMAL(5,2)"]
+
+
+# ---- 8. json_transform ------------------------------------------------------
+
+JSON_TRANSFORM = [
+    '''SELECT (json_transform('{"a": 1, "b": "x"}',
+       '{"a": "INTEGER", "b": "VARCHAR"}')).a AS a''',
+    '''SELECT (json_transform('{"a": [1,2]}', '{"a": ["INTEGER"]}')).a AS v''',
+    '''SELECT json_transform('[1, 2.5]', '["DOUBLE"]') AS v''',
+    '''SELECT json_transform('{"a": 1}', '"VARCHAR"') AS v''',  # minified
+    '''SELECT (json_transform('{"a": "bad"}', '{"a": "INTEGER"}')).a AS v''',
+]
+
+
+@pytest.mark.parametrize("q", JSON_TRANSFORM)
+def test_json_transform(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 9. union_value constructor + unnest(struct) ----------------------------
+
+UNION_UNNEST = [
+    "SELECT union_tag(union_value(num := 2)) AS v",
+    "SELECT union_extract(union_value(num := 2), 'num') AS v",
+    "SELECT union_tag(CASE WHEN 1=1 THEN "
+    "union_value(num := 5)::UNION(num INTEGER, str VARCHAR) ELSE "
+    "union_value(str := 'x')::UNION(num INTEGER, str VARCHAR) END) AS v",
+    "SELECT union_extract(CASE WHEN 1=0 THEN "
+    "union_value(num := 5)::UNION(num INTEGER, str VARCHAR) ELSE "
+    "union_value(str := 'x')::UNION(num INTEGER, str VARCHAR) END, "
+    "'str') AS v",
+    "SELECT unnest({'a': 1, 'b': 'x'})",
+    "SELECT 5 AS c, unnest({'a': 1, 'b': 'x'})",
+    "SELECT unnest([1,2,3]) AS u",
+]
+
+
+@pytest.mark.parametrize("q", UNION_UNNEST)
+def test_union_value_unnest_struct(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 10. tz-aware VARCHAR casts ---------------------------------------------
+
+TZ_VARCHAR = [
+    "SELECT CAST(TIMESTAMPTZ '2020-01-01 10:00:00+02' AS VARCHAR) AS v",
+    "SELECT CAST(timezone('UTC', TIMESTAMP '2020-06-01 12:00:00') "
+    "AS VARCHAR) AS v",
+    # double chain lands naive again: no offset suffix
+    "SELECT CAST((TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC') "
+    "AT TIME ZONE 'Asia/Tokyo' AS VARCHAR) AS v",
+    "SELECT CAST(TIMESTAMP '2020-01-01 05:06:07' AS VARCHAR) AS v",
+]
+
+
+@pytest.mark.parametrize("q", TZ_VARCHAR)
+def test_tz_varchar_cast_offset(eng, con, q):
+    _differential(eng, con, q)
+
+
 # ---- 5. underscore literal edges (unit-level: no silent value) -------------
 
 def test_underscore_edges_pass_through():

@@ -51,7 +51,9 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     e = (
         load_tables(spark, sf_dir)["events"]
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .withColumn("ts", F.col("ts").cast("timestamp"))  # LTZ for watermark; tz pinned UTC
+        # explicit LTZ for the watermark ("timestamp" resolves NTZ since
+        # the r12 timestampType flip); tz pinned UTC
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     )
     feed = str(tmp_path / "deliveries")
     e.coalesce(1).write.mode("overwrite").parquet(feed)
