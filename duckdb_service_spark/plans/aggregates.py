@@ -412,8 +412,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.grouping("l_returnflag").alias("g_flag"),
-            F.grouping("l_linestatus").alias("g_status"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         )
     )
 

@@ -269,7 +269,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.join(twin, "doc_id").select(
         "doc_id",
         "simhash",
-        F.bit_count(F.col("simhash").bitwiseXOR(F.col("twin_sim"))).alias("twin_hamming"),
+        F.bit_count(F.col("simhash").bitwiseXOR(F.col("twin_sim"))).cast("tinyint").alias("twin_hamming"),
     )
 
 
@@ -382,7 +382,7 @@ def dedup_exact_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keyed.groupBy("fp").agg(
         F.max_by("doc_id", F.col("n") + F.col("doc_id") * 1e-9).alias("keep_id"),
-        F.max("n").alias("kept_len"),
+        F.max("n").cast("bigint").alias("kept_len"),
         F.count(F.lit(1)).alias("n_members"),
     )
 

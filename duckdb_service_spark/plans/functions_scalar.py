@@ -50,7 +50,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("lo"),
         F.upper("p_brand").alias("up"),
         F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
-        F.length("p_name").alias("len"),
+        F.length("p_name").cast("bigint").alias("len"),
         F.substring("p_name", 3, 5).alias("sub"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
         F.expr("left(p_name, 4)").alias("l4"),
@@ -62,7 +62,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
         F.startswith(F.col("p_name"), F.lit("a")).alias("sw"),
         F.contains(F.col("p_name"), F.lit("or")).alias("has_or"),
-        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("pos_a"),
         F.concat("p_brand", F.lit(":"), "p_type").alias("joined"),
     )
 
@@ -90,7 +90,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("table|join").alias("mentions_sql"),
         F.regexp_extract(F.col("text"), r"([a-z]+) (join|scan)", 1).alias("word_before"),
         F.regexp_replace(F.col("text"), r"[0-9]+", "#").alias("no_digits"),
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
 
 
@@ -281,7 +281,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 64).alias("last_v"),
         scaled(F.slice("embedding", 1, 4), 10000).alias("head4"),
         F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), lbl).alias("label_small"),
-        F.array_position(F.array(*[F.lit(i) for i in range(5)]), lbl).alias("label_pos"),
+        F.array_position(F.array(*[F.lit(i) for i in range(5)]), lbl).cast("int").alias("label_pos"),
         scaled(F.array_sort(F.slice("embedding", 1, 4)), 10000).alias("sorted4"),
         joined(F.array_sort(F.array_distinct(F.array(lbl, lbl, F.lit(0))))).alias("dl_len"),
         joined(F.flatten(F.array(F.array(lbl), F.array(lbl + 1)))).alias("flat"),
@@ -558,7 +558,7 @@ def fn_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln.bitwiseXOR(5).alias("b_xor"),
         F.shiftleft(ln, 2).alias("b_shl"),
         F.shiftright(ln, 1).alias("b_shr"),
-        F.bit_count(ln.cast("bigint")).alias("b_cnt"),
+        F.bit_count(ln.cast("bigint")).cast("tinyint").alias("b_cnt"),
     )
 
 
@@ -785,11 +785,16 @@ def fn_battery_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_diff boundary-crossing semantics for day/month/hour, epoch_ms,
     make_date), encodings (chr/to_hex/bin), null-skipping greatest/least,
     and list/map constructors (list_concat/flatten/map_keys/cardinality/
-    MAP literals). Same verbatim SQL on both sides."""
-    from ..service.dialect import translate
+    MAP literals). Same verbatim SQL on both sides — routed through the
+    full service executor (r12) so the GREATEST/LEAST BIGINT promotion
+    applies like any /db/query statement."""
+    import tempfile
+
+    from ..service.executor import Engine
 
     load_tables(spark, sf_dir).view("nation")
-    return spark.sql(translate(_FN_R6_SQL))
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_fnr6_"))
+    return eng.query_df(_FN_R6_SQL)
 
 
 _FN_R7_SQL = """

@@ -163,7 +163,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -313,7 +313,7 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -1096,12 +1096,12 @@ def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xi",
     )
     prods = pairs.select(
-        "i",
-        (F.col("i") + F.col("j0")).alias("j"),
+        F.col("i").cast("bigint").alias("i"),
+        (F.col("i") + F.col("j0")).cast("bigint").alias("j"),
         F.round(F.col("xi") * F.col("xj") * 1e6).cast("bigint").alias("p_u"),
     ).groupBy("i", "j").agg(F.sum("p_u").cast("bigint").alias("sxy_u"))
-    mi = means.select(F.col("i").alias("i"), F.col("s").alias("si"))
-    mj = means.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    mi = means.select(F.col("i").cast("bigint").alias("i"), F.col("s").alias("si"))
+    mj = means.select(F.col("i").cast("bigint").alias("j"), F.col("s").alias("sj"))
     return (
         prods.join(mi, "i")
         .join(mj, "j")

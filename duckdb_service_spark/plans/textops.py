@@ -1141,7 +1141,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
-        scored.select("*", F.row_number().over(w).alias("rnk"))
+        scored.select("*", F.row_number().over(w).cast("bigint").alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
 

@@ -361,7 +361,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -431,7 +431,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             (
                 F.sum(

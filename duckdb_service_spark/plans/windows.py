@@ -46,12 +46,12 @@ def win_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
             F.percent_rank().over(w).alias("prnk"),
             F.cume_dist().over(w).alias("cdist"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
     )
 

@@ -58,6 +58,10 @@ _DUCK_TO_SPARK = {
     "TIMESTAMP_S": T.TimestampNTZType(),
     "TIMESTAMP_MS": T.TimestampNTZType(),
     "TIMESTAMP_NS": T.TimestampNTZType(),
+    # tz-aware lane (r12): Spark LTZ under the pinned-UTC session; the
+    # serializer reports TIMESTAMP WITH TIME ZONE + '+00' values natively
+    "TIMESTAMPTZ": T.TimestampType(),
+    "TIMESTAMP WITH TIME ZONE": T.TimestampType(),
     "UUID": T.StringType(),
     # BIT (bitstring): Spark has no bitstring type — stored as a '0'/'1'
     # STRING; the serializer reports BIT via per-column metadata (SURVEY

@@ -95,6 +95,10 @@ def rewrite_series_tvf(sql: str) -> str:
             j += 1
         inner = rewrite_series_tvf(sql[open_at : j - 1])
         args = [a.strip() for a in _split_top_args(inner)]
+        if all(re.match(r"^-?\d+$", a) for a in args):
+            # DuckDB's integer series are BIGINT columns; Spark's
+            # sequence over int literals yields INT (measured r12)
+            args = [f"CAST({a} AS BIGINT)" for a in args]
         if fn == "generate_series":
             a, b, s = (
                 ("0", args[0], "1")
@@ -176,7 +180,8 @@ def _escape_literal_backslashes(sql: str) -> str:
 # ---- function alias table (word-boundary, case-insensitive) ---------------
 
 FUNCTION_ALIASES = {
-    "strpos": "instr",
+    "strpos": "__duck_instr_big",
+    "instr": "__duck_instr_big",
     "string_split_regex": "split",
     "string_split": "split",
     "str_split": "split",
@@ -203,7 +208,7 @@ FUNCTION_ALIASES = {
     "not_like_escape": "__duck_not_like_escape",
     "list_apply": "transform",
     "array_apply": "transform",
-    "array_length": "size",
+    "array_length": "__duck_array_len",  # BIGINT like DuckDB
     "json_keys": "json_object_keys",
     "list_zip": "__duck_list_zip",
     "list_has_any": "arrays_overlap",
@@ -299,6 +304,25 @@ FUNCTION_ALIASES = {
     "to_timestamp": "to_timestamp",
     "nextval": "nextval",  # handled by executor (sequences)
     "len": "__duck_len",  # resolved to length/size by a wrapper function
+    "length": "__duck_len",
+    # date-part functions are BIGINT in DuckDB (measured r12), INT in Spark
+    "year": "__duck_dp_year",
+    "month": "__duck_dp_month",
+    "day": "__duck_dp_day",
+    "dayofmonth": "__duck_dp_day",
+    "hour": "__duck_dp_hour",
+    "minute": "__duck_dp_minute",
+    "second": "__duck_dp_second",
+    "quarter": "__duck_dp_quarter",
+    "dayofyear": "__duck_dp_dayofyear",
+    "doy": "__duck_dp_dayofyear",
+    "weekofyear": "__duck_dp_week",
+    "bit_length": "__duck_bitlen_big",
+    # ranking window functions are BIGINT in DuckDB, INT in Spark
+    "row_number": "__duck_rank_rn",
+    "rank": "__duck_rank_rk",
+    "dense_rank": "__duck_rank_dr",
+    "ntile": "__duck_rank_nt",
     # round-5 battery additions (each verified against DuckDB 1.x output)
     "str_split_regex": "split",
     "starts_with": "startswith",
@@ -307,7 +331,7 @@ FUNCTION_ALIASES = {
     "unicode": "ascii",
     "ord": "ascii",
     "from_hex": "unhex",
-    "week": "weekofyear",
+    "week": "__duck_dp_week",
     "list_reverse_sort": "__duck_rsort",
     # Spark 4 has native monthname/dayname but they ABBREVIATE (Mar/Fri);
     # DuckDB returns full names — rewrite to date_format
@@ -366,7 +390,8 @@ FUNCTION_ALIASES = {
     "quantile_disc": "__duck_quantile_disc",
     "histogram": "__duck_histogram",
     # round-8 battery additions (each verified against DuckDB 1.x output)
-    "editdist3": "levenshtein",
+    "editdist3": "__duck_leven_big",
+    "levenshtein": "__duck_leven_big",
     "list_reverse": "reverse",
     "gen_random_uuid": "uuid",
     "uuidv4": "uuid",
@@ -395,7 +420,7 @@ FUNCTION_ALIASES = {
     "substring_grapheme": "substring",  # grapheme≈codepoint divergence noted
     "left_grapheme": "left",
     "right_grapheme": "right",
-    "length_grapheme": "length",
+    "length_grapheme": "__duck_len",
     "array_slice": "__duck_list_slice",
     "md5_number_lower": "__duck_md5_num_lower",
     "md5_number_upper": "__duck_md5_num_upper",
@@ -507,7 +532,7 @@ FUNCTION_ALIASES = {
     "array_grade_up": "__duck_grade_up",
     "array_value": "array",
     "unpivot_list": "array",
-    "strlen": "octet_length",  # DuckDB strlen is BYTE length
+    "strlen": "__duck_strlen_big",  # DuckDB strlen is BYTE length, BIGINT
     "array_cosine_similarity": "__duck_list_cos",
     "array_dot_product": "__duck_list_dot",
     "array_inner_product": "__duck_list_dot",
@@ -3446,6 +3471,48 @@ def _rewrite_union_values(sql: str) -> str:
         )
 
 
+# --- serialized integer-width parity (measured r12): DuckDB returns
+# BIGINT where Spark's builtins return INT -----------------------------------
+
+def _emit_instr_big(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("strpos/instr expects (string, search)")
+    return f"CAST(instr({args[0]}, {args[1]}) AS BIGINT)"
+
+
+def _emit_leven_big(args: list[str]) -> str:
+    if len(args) != 2:
+        raise UnsupportedDialect("levenshtein expects two strings")
+    return f"CAST(levenshtein({args[0]}, {args[1]}) AS BIGINT)"
+
+
+def _emit_array_len_big(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("array_length expects one argument")
+    return f"CAST(size({args[0]}) AS BIGINT)"
+
+
+def _emit_strlen_big(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("strlen expects one argument")
+    return f"CAST(octet_length({args[0]}) AS BIGINT)"
+
+
+def _emit_bitlen_big(args: list[str]) -> str:
+    if len(args) != 1:
+        raise UnsupportedDialect("bit_length expects one argument")
+    return f"CAST(bit_length({args[0]}) AS BIGINT)"
+
+
+def _mk_rank_big(name: str):
+    def emit(args: list[str], suffix: str = "") -> str:
+        body = ", ".join(a for a in args if a.strip())
+        return f"CAST({name}({body}){suffix} AS BIGINT)"
+
+    emit._window_aware = True
+    return emit
+
+
 def _emit_union_tag(args: list[str]) -> str:
     if len(args) != 1:
         raise UnsupportedDialect("union_tag expects one argument")
@@ -5535,7 +5602,7 @@ def _emit_epoch_ms_dual(args: list[str]) -> str:
 def _emit_millennium(args: list[str]) -> str:
     # ordinal millennium (measured: 2024 -> 3); century() uses the same
     # (y-1) div convention
-    return f"(((year({args[0]}) - 1) div 1000) + 1)"
+    return f"CAST(((year({args[0]}) - 1) div 1000) + 1 AS BIGINT)"
 
 
 def _emit_make_time(args: list[str]) -> str:
@@ -6176,12 +6243,13 @@ _ROUND5_EMITTERS = {
     "__duck_struct_pack": _emit_struct_pack,
     "__duck_xor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
     "__duck_format": _emit_format,
-    "__duck_dayofweek": lambda a: f"(dayofweek({a[0]}) - 1)",
+    "__duck_dayofweek": lambda a: f"CAST(dayofweek({a[0]}) - 1 AS BIGINT)",
     "__duck_yearweek": lambda a: (
-        f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + weekofyear({a[0]}))"
+        f"CAST(extract(YEAROFWEEK FROM {a[0]}) * 100 "
+        f"+ weekofyear({a[0]}) AS BIGINT)"
     ),
-    "__duck_century": lambda a: f"(((year({a[0]}) - 1) div 100) + 1)",
-    "__duck_decade": lambda a: f"(year({a[0]}) div 10)",
+    "__duck_century": lambda a: f"CAST(((year({a[0]}) - 1) div 100) + 1 AS BIGINT)",
+    "__duck_decade": lambda a: f"CAST(year({a[0]}) div 10 AS BIGINT)",
     "__duck_epoch_ns": lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP_LTZ)) * 1000)",
     # DuckDB micro/millisecond are SUB-MINUTE components (seconds included;
     # measured: 30.123456s -> 30123456 / 30123)
@@ -6266,7 +6334,7 @@ _ROUND5_EMITTERS = {
     "__duck_md5_num_lower": lambda a: _md5_half_le(a, False),
     "__duck_md5_num_upper": lambda a: _md5_half_le(a, True),
     "__duck_timezone": _emit_timezone,
-    "__duck_isoyear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
+    "__duck_isoyear": lambda a: f"CAST(extract(YEAROFWEEK FROM {a[0]}) AS BIGINT)",
     "__duck_date_trunc": _emit_date_trunc,
     "__duck_epoch_ms_dual": _emit_epoch_ms_dual,
     "__duck_millennium": _emit_millennium,
@@ -6298,6 +6366,24 @@ _ROUND5_EMITTERS = {
     "__duck_json_transform": _emit_json_transform,
     "__duck_union_tag": _emit_union_tag,
     "__duck_union_extract": _emit_union_extract,
+    "__duck_instr_big": _emit_instr_big,
+    "__duck_leven_big": _emit_leven_big,
+    "__duck_array_len": _emit_array_len_big,
+    "__duck_strlen_big": _emit_strlen_big,
+    "__duck_bitlen_big": _emit_bitlen_big,
+    "__duck_dp_year": lambda a: f"CAST(year({a[0]}) AS BIGINT)",
+    "__duck_dp_month": lambda a: f"CAST(month({a[0]}) AS BIGINT)",
+    "__duck_dp_day": lambda a: f"CAST(day({a[0]}) AS BIGINT)",
+    "__duck_dp_hour": lambda a: f"CAST(hour({a[0]}) AS BIGINT)",
+    "__duck_dp_minute": lambda a: f"CAST(minute({a[0]}) AS BIGINT)",
+    "__duck_dp_second": lambda a: f"CAST(second({a[0]}) AS BIGINT)",
+    "__duck_dp_quarter": lambda a: f"CAST(quarter({a[0]}) AS BIGINT)",
+    "__duck_dp_dayofyear": lambda a: f"CAST(dayofyear({a[0]}) AS BIGINT)",
+    "__duck_dp_week": lambda a: f"CAST(weekofyear({a[0]}) AS BIGINT)",
+    "__duck_rank_rn": _mk_rank_big("row_number"),
+    "__duck_rank_rk": _mk_rank_big("rank"),
+    "__duck_rank_dr": _mk_rank_big("dense_rank"),
+    "__duck_rank_nt": _mk_rank_big("ntile"),
     "__duck_json_transform_strict": (
         lambda a: _emit_json_transform(a, strict=True)
     ),
@@ -6467,6 +6553,8 @@ def _rewrite_len(sql: str) -> str:
         arg = _rewrite_len(sql[open_at : j - 1])  # handle nested len()
         fn = "size" if _ARRAY_ARG_RE.match(arg) else "length"
         out.append(sql[i:start])
-        out.append(f"{fn}({arg})")
+        # BIGINT like DuckDB's length/len (Spark's is INT — serialized
+        # width parity, measured r12)
+        out.append(f"CAST({fn}({arg}) AS BIGINT)")
         i = j
     return "".join(out)

@@ -371,6 +371,63 @@ def test_tz_varchar_cast_offset(eng, con, q):
     _differential(eng, con, q)
 
 
+# ---- 11. serialized integer-width parity ------------------------------------
+
+WIDTH_PARITY = [
+    "SELECT length('abc') AS v",
+    "SELECT len([1,2,3]) AS v",
+    "SELECT array_length([1,2]) AS v",
+    "SELECT strpos('abcb','b') AS v",
+    "SELECT levenshtein('ab','cd') AS v",
+    "SELECT bit_length('ab') AS v",
+    "SELECT strlen('ab') AS v",
+    "SELECT * FROM range(3)",
+    "SELECT * FROM generate_series(1, 5, 2)",
+    "SELECT n, row_number() OVER (ORDER BY n DESC) AS rn, "
+    "rank() OVER (ORDER BY n % 2) AS rk, ntile(2) OVER (ORDER BY n) AS nt "
+    "FROM range(4) t(n) ORDER BY n",
+    "SELECT year(TIMESTAMP '2020-06-01 12:30:45') AS y, "
+    "hour(TIMESTAMP '2020-06-01 12:30:45') AS h, "
+    "week(TIMESTAMP '2020-06-01 12:30:45') AS w, "
+    "dayofweek(TIMESTAMP '2020-06-01 12:30:45') AS dw, "
+    "isoyear(TIMESTAMP '2020-06-01 12:30:45') AS iy, "
+    "millennium(TIMESTAMP '2020-06-01 12:30:45') AS mil",
+    "SELECT EXTRACT(hour FROM TIMESTAMP '2020-06-01 12:30:45') AS v",
+]
+
+
+@pytest.mark.parametrize("q", WIDTH_PARITY)
+def test_serialized_int_widths(eng, con, q):
+    from duckdb_service_spark.service.serializer import duckdb_type_name
+
+    rel = con.sql(q)
+    want = ([str(t) for t in rel.types], rel.fetchall())
+    df = eng.query_df(q)
+    got = (
+        [duckdb_type_name(f.dataType) for f in df.schema.fields],
+        [tuple(r) for r in df.collect()],
+    )
+    assert got[0] == want[0], (q, got[0], want[0])
+    assert sorted(map(str, got[1])) == sorted(map(str, want[1]))
+
+
+# ---- 12. TIMESTAMPTZ column DDL round-trip ----------------------------------
+
+def test_timestamptz_column_roundtrip(eng, con):
+    from duckdb_service_spark.service.serializer import query_result
+
+    for s in (
+        "CREATE TABLE tz_rt (id INTEGER, ts TIMESTAMPTZ)",
+        "INSERT INTO tz_rt VALUES (1, TIMESTAMPTZ '2020-01-01 10:00:00+02')",
+    ):
+        eng.execute(s)
+        con.execute(s)
+    res = query_result(eng.query_df("SELECT * FROM tz_rt"))
+    rel = con.sql("SELECT * FROM tz_rt")
+    assert res["types"] == [str(t) for t in rel.types]
+    assert res["values"] == [[1, "2020-01-01 08:00:00+00"]]
+
+
 # ---- 5. underscore literal edges (unit-level: no silent value) -------------
 
 def test_underscore_edges_pass_through():

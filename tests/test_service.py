@@ -144,7 +144,11 @@ def test_snapshot_restore(engine):
 def test_dialect_shim():
     from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
 
-    assert translate("SELECT strpos(a, 'x') FROM t") == "SELECT instr(a, 'x') FROM t"
+    # BIGINT like DuckDB's strpos (width parity, r12)
+    assert (
+        translate("SELECT strpos(a, 'x') FROM t")
+        == "SELECT CAST(instr(a, 'x') AS BIGINT) FROM t"
+    )
     assert "get_json_object" in translate("SELECT json_extract_string(p, '$.k') FROM t")
     assert " div " in translate("SELECT pi // 4 FROM t")
     assert "'//'" in translate("SELECT '//' FROM t")  # literals untouched
