@@ -221,6 +221,9 @@ FUNCTION_ALIASES = {
     "list_reduce": "__duck_list_reduce",
     "json_valid": "__duck_json_valid",
     "json_array_length": "__duck_json_arr_len",
+    # UBIGINT in DuckDB; size() is INT — widen so the logical-type tag
+    # (executor metadata) can ride a BIGINT column
+    "cardinality": "__duck_cardinality",
     # r08 batch-5 sweep (value-differential over duckdb_functions())
     "log": "__duck_log10_or_base",  # 1-arg log is LOG10 in DuckDB, ln in Spark
     "generate_series": "__duck_gen_series_list",  # scalar LIST form
@@ -6367,6 +6370,7 @@ _ROUND5_EMITTERS = {
     "__duck_union_tag": _emit_union_tag,
     "__duck_union_extract": _emit_union_extract,
     "__duck_instr_big": _emit_instr_big,
+    "__duck_cardinality": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
     "__duck_leven_big": _emit_leven_big,
     "__duck_array_len": _emit_array_len_big,
     "__duck_strlen_big": _emit_strlen_big,

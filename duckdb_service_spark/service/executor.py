@@ -471,8 +471,52 @@ class Engine:
         if routed is None:
             routed = route_with_recursive(self.spark, stripped, translate)
         if routed is not None:
-            return routed
-        return self.spark.sql(translate(self._substitute_sequences(stripped)))
+            return self._tag_logical_types(routed, stripped)
+        return self._tag_logical_types(
+            self.spark.sql(translate(self._substitute_sequences(stripped))),
+            stripped,
+        )
+
+    # DuckDB logical types with no Spark twin: JSON rides STRING and
+    # UBIGINT rides BIGINT — /db/query reports the DuckDB name via the
+    # serializer's column-metadata override when the OUTERMOST select
+    # item is one of these producers (measured r12 type names).
+    _JSON_FN_RE = re.compile(
+        r"^\s*(?:json_extract|json_object|json_array|json_merge_patch"
+        r"|json_quote|json_structure|json_group_structure"
+        r"|json_group_array|json_group_object|to_json|row_to_json"
+        r"|array_to_json|json)\s*\(",
+        re.IGNORECASE,
+    )
+    _UBIGINT_FN_RE = re.compile(
+        r"^\s*(?:cardinality|json_array_length)\s*\(", re.IGNORECASE
+    )
+
+    def _tag_logical_types(self, df: DataFrame, stripped: str) -> DataFrame:
+        if not re.search(r"json|cardinality|->", stripped, re.IGNORECASE):
+            return df
+        from pyspark.sql import types as T
+
+        from .sql_routing import _split_args, _top_select_items
+
+        items = _top_select_items(stripped)
+        if not items:
+            return df
+        for expr, name in items:
+            if name is None or name not in df.columns:
+                continue
+            body = expr.strip()
+            # strip one balanced paren shell
+            is_arrow = bool(
+                re.search(r"->(?!>)", body)
+                and not re.search(r"->>", body)
+            )
+            dtype = dict(df.dtypes).get(name)
+            if (self._JSON_FN_RE.match(body) or is_arrow) and dtype == "string":
+                df = df.withMetadata(name, {"duckdb_type": "JSON"})
+            elif self._UBIGINT_FN_RE.match(body) and dtype == "bigint":
+                df = df.withMetadata(name, {"duckdb_type": "UBIGINT"})
+        return df
 
     _INTROSPECT_RE = re.compile(
         r"\b(duckdb_tables|duckdb_views|duckdb_columns|duckdb_schemas"

@@ -2815,6 +2815,79 @@ def rewrite_branch_expr_types(
     return text
 
 
+def _top_select_items(sql: str) -> "list[tuple[str, str | None]]":
+    """(expression text, output name) for each item of the OUTERMOST
+    select list (after any WITH block); name is the trailing AS alias /
+    bare alias / bare column identifier, None when underivable. Used by
+    the executor's logical-type tagger — intentionally conservative:
+    statements whose select list can't be isolated return []."""
+    from .dialect import _literal_mask
+
+    s = sql.strip().rstrip(";")
+    mask = _literal_mask(s)
+    depth = 0
+    sel_at = None
+    i = 0
+    while i < len(s):
+        if not mask[i]:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = re.match(r"SELECT\b", s[i:], re.IGNORECASE)
+                if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    sel_at = i + m.end()
+                    break
+        i += 1
+    if sel_at is None:
+        return []
+    # top-level FROM (or end of statement for FROM-less selects)
+    j = sel_at
+    depth = 0
+    end = len(s)
+    while j < len(s):
+        if not mask[j]:
+            ch = s[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if re.match(r"FROM\b", s[j:], re.IGNORECASE) and not (
+                    s[j - 1].isalnum() or s[j - 1] == "_"
+                ):
+                    end = j
+                    break
+        j += 1
+    body = s[sel_at:end]
+    if re.match(r"\s*(?:ALL|DISTINCT)\b", body, re.IGNORECASE):
+        body = re.sub(r"^\s*(?:ALL|DISTINCT)\b", "", body, flags=re.IGNORECASE)
+    out: "list[tuple[str, str | None]]" = []
+    for item in _split_args(body):
+        it = item.strip()
+        if not it or it == "*":
+            continue
+        am = re.match(r"^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", it,
+                      re.IGNORECASE | re.DOTALL)
+        if am:
+            out.append((am.group(1), am.group(2)))
+            continue
+        if re.match(rf"^{_IDENT_RE_TEXT}$", it):
+            out.append((it, it.split(".")[-1]))
+            continue
+        bm = re.match(r"^(.*[)\]'\w])\s+([A-Za-z_]\w*)$", it, re.DOTALL)
+        if bm and not re.match(
+            r"^(?:AND|OR|NOT|IN|IS|LIKE|BETWEEN|ESCAPE|END)$",
+            bm.group(2), re.IGNORECASE,
+        ):
+            out.append((bm.group(1), bm.group(2)))
+            continue
+        out.append((it, None))
+    return out
+
+
 _ORDERED_STAT_RE = re.compile(
     r"\b(quantile_cont|median|mad)\s*\(", re.IGNORECASE
 )
