@@ -1232,8 +1232,8 @@ _CAST_OPEN_SCAN_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
 _TYPE_NORM_RE = re.compile(
     r"^(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT|SIGNED|BIGINT|"
     r"INT8|LONG|HUGEINT|DECIMAL|NUMERIC|DOUBLE|FLOAT8|FLOAT4|FLOAT|REAL|"
-    r"BOOLEAN|BOOL|LOGICAL|DATE|TIMESTAMP|DATETIME|VARCHAR|TEXT|STRING|"
-    r"CHAR|BPCHAR)\b",
+    r"BOOLEAN|BOOL|LOGICAL|DATE|TIMESTAMPTZ|TIMESTAMP|DATETIME|VARCHAR|"
+    r"TEXT|STRING|CHAR|BPCHAR)\b",
     re.IGNORECASE,
 )
 _TYPE_CLASS = {
@@ -1248,6 +1248,7 @@ _TYPE_CLASS = {
     "float4": "float", "float": "float", "real": "float",
     "boolean": "boolean", "bool": "boolean", "logical": "boolean",
     "date": "date", "timestamp": "timestamp", "datetime": "timestamp",
+    "timestamptz": "timestamp",
     "varchar": "string", "text": "string", "string": "string",
     "char": "string", "bpchar": "string",
 }

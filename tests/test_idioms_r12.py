@@ -428,6 +428,26 @@ def test_timestamptz_column_roundtrip(eng, con):
     assert res["values"] == [[1, "2020-01-01 08:00:00+00"]]
 
 
+# ---- 13. TIMESTAMPTZ cast contract ------------------------------------------
+
+TSTZ_CASTS = [
+    "SELECT CAST('not a ts' AS TIMESTAMPTZ) AS v",   # conversion error
+    "SELECT TRY_CAST('not a ts' AS TIMESTAMPTZ) AS v",
+    "SELECT CAST(42 AS TIMESTAMPTZ) AS v",           # unimplemented cast
+    "SELECT TRY_CAST(42 AS TIMESTAMPTZ) AS v",
+    "SELECT epoch_ms(CAST('2020-01-01 05:00:00+02' AS TIMESTAMPTZ)) AS v",
+    "SELECT epoch_ms(CAST(TIMESTAMP '2020-01-01 05:00:00' "
+    "AS TIMESTAMPTZ)) AS v",
+    "SELECT CAST(TIMESTAMPTZ '2020-01-01 05:00:00+02' AS TIMESTAMP) AS v",
+    "SELECT CAST(TIMESTAMPTZ '2020-01-01 05:00:00+02' AS DATE) AS v",
+]
+
+
+@pytest.mark.parametrize("q", TSTZ_CASTS)
+def test_timestamptz_cast_contract(eng, con, q):
+    _differential(eng, con, q)
+
+
 # ---- 5. underscore literal edges (unit-level: no silent value) -------------
 
 def test_underscore_edges_pass_through():
