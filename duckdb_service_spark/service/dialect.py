@@ -3410,6 +3410,54 @@ def _rewrite_timestamptz_type(sql: str) -> str:
     )
 
 
+_POSITION_IN_RE = re.compile(r"\bposition\s*\(", re.IGNORECASE)
+
+
+def _rewrite_position_in(sql: str) -> str:
+    """position(needle IN haystack) — BIGINT in DuckDB, INT from Spark's
+    native form — rewritten onto the width-cast instr emission (same
+    lane as strpos, measured r12)."""
+    if not _POSITION_IN_RE.search(sql):
+        return sql
+    while True:
+        mask = _literal_mask(sql)
+        hit = None
+        for m in _POSITION_IN_RE.finditer(sql):
+            if mask[m.start()]:
+                continue
+            close = _scan_balanced(sql, m.end() - 1, "(", ")")
+            if close == -1:
+                continue
+            body = sql[m.end(): close - 1]
+            bmask = _literal_mask(body)
+            im = None
+            for cand in re.finditer(r"\bIN\b", body, re.IGNORECASE):
+                if bmask[cand.start()]:
+                    continue
+                d = 0
+                for ch, msk in zip(body[: cand.start()],
+                                   bmask[: cand.start()]):
+                    if not msk:
+                        d += 1 if ch == "(" else (-1 if ch == ")" else 0)
+                if d == 0:
+                    im = cand
+                    break
+            if im is None:
+                continue
+            needle = body[: im.start()].strip()
+            hay = body[im.end():].strip()
+            hit = (m.start(), close, needle, hay)
+            break
+        if hit is None:
+            return sql
+        start, close, needle, hay = hit
+        sql = (
+            sql[:start]
+            + f"CAST(instr({hay}, {needle}) AS BIGINT)"
+            + sql[close:]
+        )
+
+
 _UNION_VALUE_RE = re.compile(r"\bunion_value\s*\(", re.IGNORECASE)
 
 
@@ -4307,6 +4355,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_numeric_underscores(sql)
     sql = _rewrite_timestamptz_type(sql)
     sql = _rewrite_union_values(sql)
+    sql = _rewrite_position_in(sql)
     sql = _rewrite_extract_datepart(sql)
     sql = _rewrite_interval_strings(sql)
     sql = _rewrite_at_time_zone(sql)

@@ -381,6 +381,8 @@ WIDTH_PARITY = [
     "SELECT levenshtein('ab','cd') AS v",
     "SELECT bit_length('ab') AS v",
     "SELECT strlen('ab') AS v",
+    "SELECT position('b' IN 'abcb') AS v",
+    "SELECT position('IN' IN 'xINy') AS v",
     "SELECT * FROM range(3)",
     "SELECT * FROM generate_series(1, 5, 2)",
     "SELECT n, row_number() OVER (ORDER BY n DESC) AS rn, "
