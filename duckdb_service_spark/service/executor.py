@@ -425,6 +425,7 @@ class Engine:
             rewrite_branch_expr_types,
             rewrite_cast_contract,
             rewrite_list_literal_types,
+            rewrite_in_list_types,
             rewrite_ordered_stat_decimals,
             rewrite_numeric_date_lanes,
             rewrite_setop_branch_types,
@@ -453,6 +454,7 @@ class Engine:
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         stripped = rewrite_list_literal_types(stripped)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
+        stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay

@@ -2889,6 +2889,66 @@ def _top_select_items(sql: str) -> "list[tuple[str, str | None]]":
     return out
 
 
+_IN_LIST_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
+_IN_LHS_RE = re.compile(
+    rf"({_IDENT_RE_TEXT}"
+    r"|(?:(?:DATE|TIMESTAMPTZ|TIMESTAMP)\s*)?'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def rewrite_in_list_types(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """String LITERALS inside an IN list coerce into the left operand's
+    lane in DuckDB with a runtime conversion error on unparsable text
+    (measured r12: 1 IN ('x', 2) raises; Spark's coercion NULLs the
+    comparison and returns false silently). Wrap string-literal items
+    with casts to the LHS type when the LHS resolves to a numeric/date
+    lane — the cast-contract pass downstream adds DuckDB's error
+    semantics. Subquery IN, unknown LHS, and string LHS pass through."""
+    stripped = sql.strip().rstrip(";")
+    if not _IN_LIST_RE.search(_code_only(stripped)):
+        return sql
+    from .dialect import _literal_mask
+
+    classes = _schema_class_map(spark, stripped, translate)
+    text = stripped
+    mask = _literal_mask(text)
+    for m in sorted(_IN_LIST_RE.finditer(text), key=lambda x: -x.start()):
+        if mask[m.start()]:
+            continue
+        close = _scan_list_close(text, m.end() - 1, mask)
+        if close == -1:
+            continue
+        body = text[m.end(): close - 1]
+        if re.match(r"\s*SELECT\b", body, re.IGNORECASE):
+            continue
+        lm = _IN_LHS_RE.search(text[: m.start()])
+        if not lm:
+            continue
+        lk, lt = _src_class(lm.group(1), classes)
+        if lk in (None, "string", "boolean"):
+            continue
+        lt = lt or lk
+        items = _split_args(body)
+        atoms = [_branch_atom(i, classes) for i in items]
+        if any(a is None for a in atoms):
+            continue
+        if not any(a[0] == "string" and a[2] for a in atoms):
+            continue
+        new_items = [
+            f"CAST({i.strip()} AS {lt})"
+            if (a[0] == "string" and a[2]) else i.strip()
+            for i, a in zip(items, atoms)
+        ]
+        text = (
+            text[: m.end()] + ", ".join(new_items) + text[close - 1:]
+        )
+    return text
+
+
 _ORDERED_STAT_RE = re.compile(
     r"\b(quantile_cont|median|mad)\s*\(", re.IGNORECASE
 )

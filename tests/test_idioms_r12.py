@@ -450,6 +450,25 @@ def test_timestamptz_cast_contract(eng, con, q):
     _differential(eng, con, q)
 
 
+# ---- 14. IN-list string-literal coercion ------------------------------------
+
+IN_LIST = [
+    "SELECT 1 IN ('x', 2) AS v",     # DuckDB runtime conversion error
+    "SELECT 1 IN ('1', 2) AS v",
+    "SELECT 1 NOT IN ('3', 2) AS v",
+    "SELECT 2.5 IN ('2.5', 1) AS v",
+    "SELECT DATE '2020-01-01' IN ('junk') AS v",  # conversion error
+    "SELECT DATE '2020-01-01' IN ('2020-01-01', '2021-01-01') AS v",
+    "SELECT 'a' IN ('a', 'b') AS v",
+    "SELECT 1 IN (SELECT 1) AS v",   # subquery IN untouched
+]
+
+
+@pytest.mark.parametrize("q", IN_LIST)
+def test_in_list_string_literals(eng, con, q):
+    _differential(eng, con, q)
+
+
 # ---- 5. underscore literal edges (unit-level: no silent value) -------------
 
 def test_underscore_edges_pass_through():
