@@ -518,6 +518,43 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_DEC_SQL = """
+SELECT grp,
+       quantile_cont(v, 0.25) AS q25,
+       quantile_cont(v, 0.75) AS q75,
+       mad(v) AS mad_v,
+       median(v) AS med
+FROM (VALUES ('pos',  1.1), ('pos',  1.7), ('pos',  3.2), ('pos',  4.5),
+             ('neg', -1.1), ('neg', -1.7), ('neg', -3.2), ('neg', -4.5),
+             ('mad',  1.0), ('mad',  2.1), ('mad',  4.1), ('mad',  9.9)
+     ) s(grp, v)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+@query("agg_quantile_decimal_trunc", oracle=_QUANTILE_DEC_SQL)
+def agg_quantile_decimal_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered statistics over DECIMAL at the scaled-.5 boundaries
+    (VERDICT r12 #2): DuckDB interpolates quantile_cont/mad on the scaled
+    integers and TRUNCATES TOWARD ZERO — the 'pos' group's q25 is
+    trunc(15.5)=1.5 (round-half-even would say 1.6), the 'neg' group
+    pins toward-zero (-35.25 -> -3.5, -15.5 -> -1.5, where floor would
+    give -3.6/-1.6), and the 'mad' group's deviation median is
+    trunc(15.5)=1.5. Same VERBATIM statement through the service
+    executor (rewrite_ordered_stat_decimals emits the truncation as
+    e - e % 1 so the cast-contract's BROUND rewrite can't re-own it)
+    and the DuckDB oracle. Constant relation: the boundary cases are
+    constructed, not data-dependent. Reference reach: db/db.go:70."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_qdec_"))
+    return eng.query_df(_QUANTILE_DEC_SQL)
+
+
+
 @query(
     "agg_median_percentile",
     oracle="""

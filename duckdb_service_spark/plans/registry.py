@@ -47,72 +47,72 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-11 rotation (VERDICT r10 task 3 — keep the cadence): (a) all
-# 32 rows whose latest driver CORRECTNESS check is r06-era (including the
-# five r10-PRIORITY entries that fell past slot 50 last round) — after this
-# round nothing is staler than r07; (b) queries whose code path changed
-# this round: cast_try_cast (the r11 cast-contract closure — decimal
-# tightening, subquery literals, nested-cast recursion, NULL float →
-# VARCHAR — lives on its translate path) and the NEW sql_branch_unification
-# (the multi-branch type-unification passes); (c) 16 of the stalest
-# r07-era rows, preferring the ones whose statements traverse the new
-# branch-type passes (setops, CASE/COALESCE, typed fn batteries).
+# order. Round-13 rotation (VERDICT r12 task 3 — the r12 window never
+# rotated, so this list is rebuilt against CORRECTNESS_r01..r12 staleness):
+# (a) all 31 rows whose latest driver check is r07-era — after this round
+# nothing is staler than r08; (b) rows that are NEW or whose code path
+# changed in round 13: fn_timestamptz (never driver-checked),
+# agg_quantile_decimal_trunc (new — ordered-stat .5 boundaries),
+# agg_median_percentile (quantile-over-DECIMAL columns),
+# sql_branch_unification + case_coalesce_nullif (compositional branch
+# fold), fn_union_type (UNION typeof/union_tag names), values_relation +
+# cast_try_cast (VALUES rows keep plain casts), fn_interval (interval
+# regex overlap); (c) 10 of the stalest r08-era rows, preferring
+# statements that traverse the changed passes.
 PRIORITY: list[str] = [
-    # (a) r06-era rows — all 32
-    "agg_rollup",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_longest",
-    "dedup_incremental_exact",
-    "dedup_incremental_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_lsh",
-    "dedup_simhash",
-    "graph_pagerank",
-    "join_anti_not_exists",
-    "join_cross",
-    "join_range_interval",
-    "join_theta_nonequi",
-    "join_using_natural",
-    "mm_audio_energy",
-    "mm_image_resize",
-    "pipeline_multimodal_curation",
-    "pipeline_training_mix",
-    "q11_important_stock",
-    "q16_parts_supplier_relation",
-    "q20_potential_promotion",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "sql_pivot_multi",
-    "sql_pivot_routing",
-    "text_bigram_lm",
-    "text_gopher_rules",
-    "text_tfidf_top_terms",
-    "text_unigram_fc_buckets",
-    "win_lag_lead",
-    "win_ranks",
-    # (b) new or code-path-changed in round 11
-    "cast_try_cast",
+    # (a) r07-era rows — all 31
+    "agg_approx_count_distinct",
+    "agg_cube",
+    "agg_filter_clause",
+    "agg_stats_native",
+    "cte_nested",
+    "cte_recursive_graph",
+    "cte_recursive_series",
+    "fn_timestamp_ns",
+    "mm_decode_features",
+    "pipeline_quality_funnel",
+    "pivot_status_by_priority",
+    "q18_large_volume_customer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "range_series",
+    "sample_deterministic",
+    "sample_native",
+    "sim_ivf_search",
+    "sim_kmeans",
+    "sim_lsh_topk",
+    "sim_pq_search",
+    "sql_prepare_execute",
+    "stream_neardup_lsh",
+    "unpivot_part_measures",
+    "win_first_last_nth",
+    "win_partition_agg",
+    "win_qualify",
+    "win_range_frame",
+    "win_running_sum",
+    "window_named_sql",
+    # (b) new or code-path-changed in round 13
+    "fn_timestamptz",
+    "agg_quantile_decimal_trunc",
+    "agg_median_percentile",
     "sql_branch_unification",
-    # (c) r07-era fill — branch-type-pass-adjacent statements first
     "case_coalesce_nullif",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_by_name",
-    "setop_union_distinct",
-    "fn_type_fidelity",
-    "fn_variant",
     "fn_union_type",
-    "fn_json_struct",
-    "fn_struct_map",
-    "fn_array",
-    "fn_time",
-    "fn_battery_r9",
-    # r10-era rows whose code paths changed this round (epoch emitter,
-    # EXTRACT/date_part field routing) — re-rotated ahead of two fills
-    "fn_datetime",
-    "fn_timestamp_parts",
+    "values_relation",
+    "cast_try_cast",
+    "fn_interval",
+    # (c) r08-era fill — changed-pass-adjacent statements first
+    "fn_battery_r10",
+    "fn_battery_r11",
+    "fn_battery_r13",
+    "agg_core",
+    "agg_minmax_by",
+    "sql_pattern_operators",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "join_asof_left",
+    "sql_asof_routing",
 ]
 
 

@@ -637,7 +637,11 @@ SELECT o_orderkey AS k,
        ((MAP {'x': 5, 'y': '6'})['y'])[1] AS map_lane,
        CASE WHEN o_orderkey % 2 = 0 THEN small ELSE '2' END AS lit_case,
        CAST(COALESCE('7', small) AS VARCHAR) AS lit_coalesce,
-       GREATEST(1, '2', big) AS lit_gl
+       GREATEST(1, '2', big) AS lit_gl,
+       COALESCE(NULLIF(big, 0), '9') AS comp_nullif,
+       COALESCE(big + 1, '7') AS comp_arith,
+       GREATEST(big + 1, '7') AS comp_gl,
+       COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN big END, '8') AS comp_case
 FROM (SELECT o_orderkey, o_orderstatus,
              o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
@@ -650,7 +654,9 @@ FROM (SELECT o_orderkey, o_orderstatus,
 UNION ALL
 SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f, small, small AS ml,
        CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE '3' END AS lc2,
-       CAST(COALESCE(dc, '7') AS VARCHAR) AS co2, LEAST(NULL, '5') AS gl2
+       CAST(COALESCE(dc, '7') AS VARCHAR) AS co2, LEAST(NULL, '5') AS gl2,
+       COALESCE(NULLIF(big, 3), '4') AS cn2, big + 2 AS ca2,
+       GREATEST(big, '6') AS cg2, COALESCE(big, '1') AS cc2
 FROM (SELECT o_orderkey, o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
              o_orderkey * 3 AS big,
@@ -673,7 +679,10 @@ def sql_branch_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
     a UNION ALL whose second branch puts BOOLEAN under the first branch's
     numeric/varchar columns, and a COLLATE NOCASE comparison (mapped to
     Spark's UTF8_LCASE — measured value-identical down to ORDER BY tie
-    order). The oracle runs the VERBATIM statement in DuckDB."""
+    order). Round 13 adds COMPOSITE branch operands (NULLIF/arithmetic/
+    nested CASE beside a string literal — the LIMIT-0 lane probe in
+    _branch_atom types the subexpression like DuckDB's binder, VERDICT
+    r12 #1). The oracle runs the VERBATIM statement in DuckDB."""
     import tempfile
 
     from ..service.executor import Engine

@@ -3584,6 +3584,16 @@ def _emit_union_extract(args: list[str]) -> str:
 _UNDERSCORE_NUM_RE = re.compile(
     r"(?<![\w.$])(\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?)(?![\w])"
 )
+# number followed by a NON-single underscore run: DuckDB ends the literal
+# there and reads the rest as an implicit alias (measured r12/r13:
+# SELECT 1__0 -> column __0 value 1; 1_000_ -> column _ value 1000;
+# 1.5__x -> __x 1.5; 2e3__y -> __y 2000.0). The alias branch requires
+# '_' not followed by a digit (or a doubled '_'), so valid literals like
+# 1_0 can never backtrack into it.
+_UNDERSCORE_ALIAS_RE = re.compile(
+    r"(?<![\w.$])(\d+(?:_\d+)*(?:\.\d+(?:_\d+)*)?(?:[eE][+-]?\d+)?)"
+    r"((?:_(?![0-9])|__)\w*)(?![\w])"
+)
 
 
 def _rewrite_numeric_underscores(sql: str) -> str:
@@ -3591,13 +3601,18 @@ def _rewrite_numeric_underscores(sql: str) -> str:
     (1_000_000, 1_000.5_0 — measured: the DECIMAL shape counts digits
     only), but only SINGLE underscores between digits: 1__0 parses as
     literal 1 with implicit alias __0 and 1_000_ as 1_000 aliased _
-    (measured r12), so doubled/trailing-underscore shapes pass through
-    untouched. Spark's parser rejects the underscored literals — strip
-    the underscores in code chunks."""
+    (measured r12/r13). Spark's parser rejects both forms — strip the
+    underscores in code chunks and rewrite the literal+alias shape to
+    an explicit ``<num> AS `<alias>``` (contexts where DuckDB's parser
+    would reject the implicit alias reject the AS form too)."""
     if "_" not in sql:
         return sql
 
     def fix(chunk: str) -> str:
+        chunk = _UNDERSCORE_ALIAS_RE.sub(
+            lambda m: f"{m.group(1).replace('_', '')} AS `{m.group(2)}`",
+            chunk,
+        )
         return _UNDERSCORE_NUM_RE.sub(
             lambda m: m.group(1).replace("_", "") if "_" in m.group(1)
             else m.group(1),
@@ -3840,26 +3855,45 @@ def _rewrite_interval_strings(sql: str) -> str:
         close = _scan_balanced(sql, fm.end() - 1, "(", ")")
         if close != -1:
             skip.append((fm.start(), close))
-    matches = [
-        (m, m.group(1)) for m in _IV_STRING_RE.finditer(sql)
+    kw_matches = [
+        (m.start(), m.end(), m.group(1))
+        for m in _IV_STRING_RE.finditer(sql)
         if not mask[m.start()]
         and not any(a < m.start() < b for a, b in skip)
-    ] + [
-        (m, m.group(1)) for m in _IV_CAST_STRING_RE.finditer(sql)
+    ]
+    cast_matches = [
+        (m.start(), m.end(), m.group(1))
+        for m in _IV_CAST_STRING_RE.finditer(sql)
         if not mask[m.end() - 1]
         and not any(a < m.start() < b for a, b in skip)
     ]
-    for m, body in sorted(matches, key=lambda p: -p[0].start()):
+    # INTERVAL '2 days'::INTERVAL (valid DuckDB: literal + no-op cast)
+    # matches BOTH regexes on overlapping spans; splicing both corrupts
+    # the SQL (ADVICE r13). Merge each overlapping pair into one span
+    # covering keyword through cast suffix, replaced once.
+    matches: list[tuple[int, int, str]] = []
+    merged_cast: set = set()
+    for s, e, body in kw_matches:
+        overlap = next(
+            (c for c in cast_matches if c[0] < e and s < c[1]), None
+        )
+        if overlap is not None:
+            merged_cast.add(overlap)
+            matches.append((s, max(e, overlap[1]), body))
+        else:
+            matches.append((s, e, body))
+    matches += [c for c in cast_matches if c not in merged_cast]
+    for m_start, m_end, body in sorted(matches, key=lambda p: -p[0]):
         parsed = _parse_duck_interval(body)
         if parsed is None:
             continue
         ym, dt = _emit_interval_parts(*parsed)
         if ym and dt:
             # mixed classes: distribute into the enclosing ± chain
-            j = m.start() - 1
+            j = m_start - 1
             while j >= 0 and sql[j].isspace():
                 j -= 1
-            k = m.end()
+            k = m_end
             while k < len(sql) and sql[k].isspace():
                 k += 1
             if k < len(sql) and sql[k] in "*/":
@@ -3880,7 +3914,7 @@ def _rewrite_interval_strings(sql: str) -> str:
             repl = f"({one})" if " + " in one else one
         else:
             repl = "INTERVAL '0' SECOND"
-        sql = sql[: m.start()] + repl + sql[m.end():]
+        sql = sql[: m_start] + repl + sql[m_end:]
     return sql
 
 
@@ -5398,11 +5432,93 @@ _TYPEOF_CASES = [
     ("timestamp", "TIMESTAMP WITH TIME ZONE"),
 ]
 
+# DuckDB's canonical spellings for declared UNION variant types (the
+# ::UNION(f T, ...) cast text is user-written: INT -> INTEGER etc.)
+_DUCK_TYPE_CANON = {
+    "int": "INTEGER", "int4": "INTEGER", "integer": "INTEGER",
+    "signed": "INTEGER", "int1": "TINYINT", "tinyint": "TINYINT",
+    "int2": "SMALLINT", "smallint": "SMALLINT", "short": "SMALLINT",
+    "int8": "BIGINT", "bigint": "BIGINT", "long": "BIGINT",
+    "float4": "FLOAT", "float": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE", "double": "DOUBLE",
+    "varchar": "VARCHAR", "text": "VARCHAR", "string": "VARCHAR",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN", "logical": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "datetime": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP WITH TIME ZONE", "blob": "BLOB",
+}
+
+
+def _union_shim_fields(expr: str) -> "list[tuple[str, str]] | None":
+    """[(variant name, DuckDB type text)] when ``expr`` is the union
+    shim constructor named_struct('tag', '<t>', <name>, <value>, ...)
+    emitted by _rewrite_union_values; None otherwise. Variant types come
+    from the CAST targets (the ::UNION(...) form) or the value's literal
+    shape (bare constructors), so typeof() can print DuckDB's
+    ``UNION(num INTEGER)`` instead of leaking the struct shim."""
+    s = expr.strip()
+    while s.startswith("(") and _scan_balanced(s, 0, "(", ")") == len(s):
+        s = s[1:-1].strip()
+    m = re.match(r"^named_struct\s*\(", s, re.IGNORECASE)
+    if not m or _scan_balanced(s, m.end() - 1, "(", ")") != len(s):
+        return None
+    parts = _split_args(s[m.end(): -1])
+    if len(parts) < 4 or len(parts) % 2 or parts[0].strip() != "'tag'":
+        return None
+    out: list[tuple[str, str]] = []
+    for i in range(2, len(parts), 2):
+        nm = re.match(r"^\s*'(\w+)'\s*$", parts[i])
+        if not nm:
+            return None
+        val = parts[i + 1].strip()
+        cm = re.match(
+            r"^CAST\s*\(.*\s+AS\s+([A-Za-z_0-9()\s,]+?)\s*\)$",
+            val, re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            t = cm.group(1).strip()
+            canon = _DUCK_TYPE_CANON.get(t.lower(), t.upper())
+        elif re.match(r"^-?\d+$", val):
+            canon = "INTEGER"
+        elif re.match(r"^-?\d+\.\d+$", val):
+            dm = re.match(r"^-?(\d+)\.(\d+)$", val)
+            units = len(dm.group(1).lstrip("0"))
+            canon = f"DECIMAL({units + len(dm.group(2))},{len(dm.group(2))})"
+        elif re.match(r"^'(?:[^']|'')*'$", val):
+            canon = "VARCHAR"
+        elif re.match(r"^(TRUE|FALSE)$", val, re.IGNORECASE):
+            canon = "BOOLEAN"
+        elif re.match(r"^DATE\s*'", val, re.IGNORECASE):
+            canon = "DATE"
+        elif re.match(r"^TIMESTAMP\s*'", val, re.IGNORECASE):
+            canon = "TIMESTAMP"
+        else:
+            return None
+        out.append((nm.group(1), canon))
+    return out
+
 
 def _emit_typeof(args: list[str]) -> str:
     """Spark type names -> DuckDB names (measured: typeof(1.5::FLOAT) =
     'FLOAT', typeof(1.5) = 'DECIMAL(2,1)'); unmapped names (decimal(p,s),
-    array<...>) ride upper()."""
+    array<...>) ride upper(). Union-shim shapes constant-fold to DuckDB's
+    UNION(...) / ENUM(...) names (measured r13: typeof(union_value(num :=
+    2)) = 'UNION(num INTEGER)', typeof(union_tag(...)) = 'ENUM(''num'')')."""
+    arg = args[0].strip()
+    # union_tag resolves after typeof in the emitter sequence, so both
+    # the marker form and the emitted .tag access can appear here
+    tag_of = re.match(
+        r"^(?:\((.*)\)\s*\.\s*tag|__duck_union_tag\s*\((.*)\))$",
+        arg, re.DOTALL | re.IGNORECASE,
+    )
+    fields = _union_shim_fields(
+        (tag_of.group(1) or tag_of.group(2)) if tag_of else arg
+    )
+    if fields is not None:
+        if tag_of:
+            names = ", ".join(f"''{n}''" for n, _ in fields)
+            return f"'ENUM({names})'"
+        body = ", ".join(f"{n} {t}" for n, t in fields)
+        return f"'UNION({body})'"
     whens = " ".join(f"WHEN '{s}' THEN '{d}'" for s, d in _TYPEOF_CASES)
     return f"(CASE typeof({args[0]}) {whens} ELSE upper(typeof({args[0]})) END)"
 
@@ -5581,7 +5697,11 @@ def _tz_input_aware(expr: str) -> bool:
     if re.match(
         r"^(?:TIMESTAMP_LTZ\s*'|CAST\s*\(.*\s+AS\s+TIMESTAMP_LTZ\s*\)$"
         r"|.*::\s*TIMESTAMP_LTZ$|(?:now|current_timestamp"
-        r"|__duck_make_tstz|make_timestamptz)\s*\()",
+        r"|__duck_make_tstz|make_timestamptz)\s*\("
+        # the bare keyword form (no parens) is TIMESTAMPTZ in DuckDB too:
+        # CAST(current_timestamp AS VARCHAR) renders '+00' (ADVICE r13;
+        # current_localtimestamp() stays naive — measured TIMESTAMP)
+        r"|current_timestamp\s*$)",
         s, re.IGNORECASE | re.DOTALL,
     ):
         return True

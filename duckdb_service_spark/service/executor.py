@@ -495,7 +495,8 @@ class Engine:
     )
 
     def _tag_logical_types(self, df: DataFrame, stripped: str) -> DataFrame:
-        if not re.search(r"json|cardinality|->", stripped, re.IGNORECASE):
+        if not re.search(r"json|cardinality|->|union_tag", stripped,
+                         re.IGNORECASE):
             return df
         from pyspark.sql import types as T
 
@@ -508,16 +509,56 @@ class Engine:
             if name is None or name not in df.columns:
                 continue
             body = expr.strip()
-            # strip one balanced paren shell
-            is_arrow = bool(
-                re.search(r"->(?!>)", body)
-                and not re.search(r"->>", body)
-            )
+            # '->' is the JSON extract operator ONLY outside string
+            # literals, with a quoted-path / index RHS, and not a DuckDB
+            # lambda (list_transform(l, x -> upper(x)) /
+            # (a, b) -> ... param lists) — ADVICE r13: the bare search
+            # mis-tagged lambda results and '->' inside literals as JSON
+            from .dialect import _literal_mask
+
+            bmask = _literal_mask(body)
+            is_arrow = False
+            if not re.search(r"->>", body):
+                for am in re.finditer(r"->(?!>)", body):
+                    if bmask[am.start()]:
+                        continue
+                    rhs = body[am.end():].lstrip()
+                    if not rhs or rhs[0] not in "'0123456789$":
+                        continue  # lambda body / expression RHS
+                    lhs = body[: am.start()].rstrip()
+                    if re.search(r"\(\s*[A-Za-z_]\w*"
+                                 r"(?:\s*,\s*[A-Za-z_]\w*)*\s*\)$", lhs):
+                        continue  # (a, b) -> ... param list
+                    is_arrow = True
+                    break
             dtype = dict(df.dtypes).get(name)
             if (self._JSON_FN_RE.match(body) or is_arrow) and dtype == "string":
                 df = df.withMetadata(name, {"duckdb_type": "JSON"})
             elif self._UBIGINT_FN_RE.match(body) and dtype == "bigint":
                 df = df.withMetadata(name, {"duckdb_type": "UBIGINT"})
+            elif re.match(r"^union_tag\s*\(", body, re.IGNORECASE) and (
+                dtype == "string"
+            ):
+                # DuckDB types union_tag as the variant-name ENUM
+                # (measured r13: ENUM('num')); variants come from the
+                # ::UNION(...) cast or the constructor's own tag
+                um = re.search(r"::\s*UNION\s*\(([^()]*)\)", body,
+                               re.IGNORECASE)
+                if um:
+                    names = [
+                        fm.group(1)
+                        for f in _split_args(um.group(1))
+                        if (fm := re.match(r"^\s*(\w+)\s+", f))
+                    ]
+                else:
+                    vm = re.search(r"union_value\s*\(\s*(\w+)\s*:=",
+                                   body, re.IGNORECASE)
+                    names = [vm.group(1)] if vm else []
+                if names:
+                    enum = ", ".join(f"'{n}'" for n in names)
+                    df = df.withMetadata(
+                        name, {"duckdb_type": f"ENUM({enum})"}
+                    )
         return df
 
     _INTROSPECT_RE = re.compile(

@@ -102,9 +102,12 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
     if limit is not None:
         df = df.limit(limit)
     rows = df.collect()
-    # tz-aware (LTZ) columns render with DuckDB's +00 offset suffix —
-    # the session is pinned UTC, so the collected naive datetime IS the
-    # UTC instant (DuckDB: CAST(tstz AS VARCHAR) = '... 08:00:00+00')
+    # tz-aware (LTZ) columns render with DuckDB's +00 offset suffix.
+    # PySpark's collect converts LTZ through datetime.fromtimestamp —
+    # HOST-local and naive — so the UTC instant must be derived
+    # explicitly or a non-UTC host serializes every tz column shifted
+    # while claiming '+00' (ADVICE r13). Aware values (Arrow paths)
+    # convert directly.
     tz_cols = {
         i for i, f in enumerate(df.schema.fields)
         if isinstance(f.dataType, T.TimestampType)
@@ -112,7 +115,13 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
 
     def cell(i: int, v: Any) -> Any:
         if i in tz_cols and isinstance(v, _dt.datetime):
-            return v.isoformat(sep=" ") + "+00"
+            if v.tzinfo is not None:
+                u = v.astimezone(_dt.timezone.utc)
+            else:
+                u = _dt.datetime.fromtimestamp(
+                    v.timestamp(), tz=_dt.timezone.utc
+                )
+            return u.replace(tzinfo=None).isoformat(sep=" ") + "+00"
         return _json_value(v)
 
     return {

@@ -1401,7 +1401,37 @@ def rewrite_cast_contract(
     return _rewrite_casts_in(stripped, schema_classes)
 
 
-def _rewrite_casts_in(text: str, schema_classes: dict) -> str:
+def _values_row_spans(text: str, mask: list[bool]) -> list[tuple[int, int]]:
+    """(content start, content end) of every row of every VALUES list in
+    ``text`` — regions where Spark's inline-table resolution requires
+    plainly-evaluable expressions, so the cast contract's raise_error
+    guards are illegal (INVALID_INLINE_TABLE) and must stay plain."""
+    spans: list[tuple[int, int]] = []
+    for m in _VALUES_KW_RE.finditer(text):
+        if mask[m.start()]:
+            continue
+        j = text.index("(", m.start())
+        while True:
+            close = _scan_list_close(text, j, mask)
+            if close == -1:
+                break
+            spans.append((j + 1, close - 1))
+            k = close
+            while k < len(text) and text[k].isspace():
+                k += 1
+            if k < len(text) and text[k] == ",":
+                k += 1
+                while k < len(text) and text[k].isspace():
+                    k += 1
+                if k < len(text) and text[k] == "(":
+                    j = k
+                    continue
+            break
+    return spans
+
+
+def _rewrite_casts_in(text: str, schema_classes: dict,
+                      plain: bool = False) -> str:
     """Apply the cast error contract to every CAST/TRY_CAST span in
     ``text``, recursing into cast bodies so an inner failable cast keeps
     the contract even when its outer cast needs no guard (DuckDB raises
@@ -1411,11 +1441,17 @@ def _rewrite_casts_in(text: str, schema_classes: dict) -> str:
     Spans inside parenthesized subqueries resolve their source type
     WITHOUT the outer FROM schema (literal shape / cast suffix / ``::``
     only) — their identifiers bind to their own FROM scope, so only
-    schema-resolved identifier sources need the scope exclusion."""
+    schema-resolved identifier sources need the scope exclusion.
+
+    Spans inside VALUES rows (or a ``plain`` recursion below one) keep
+    the plain cast: Spark inline tables reject raise_error guards
+    outright, and the sources there are literals whose failures DuckDB
+    would surface at bind time anyway."""
     from .dialect import _literal_mask
 
     mask = _literal_mask(text)
     nested = _nested_query_spans(text, mask)
+    values_rows = [] if plain else _values_row_spans(text, mask)
     spans = []
     for m in _CAST_OPEN_SCAN_RE.finditer(text):
         if mask[m.start()]:
@@ -1424,14 +1460,20 @@ def _rewrite_casts_in(text: str, schema_classes: dict) -> str:
         if close == -1:
             continue
         in_nested = any(lo < m.start() < hi for lo, hi in nested)
-        spans.append((m.start(), close, m.group(1).upper(), in_nested))
+        in_values = plain or any(
+            a <= m.start() and close <= b for a, b in values_rows
+        )
+        spans.append((m.start(), close, m.group(1).upper(), in_nested,
+                      in_values))
     # outermost spans only, replaced right-to-left so offsets stay valid;
     # inner spans are handled by the recursion into each body
     outer = []
     for s in spans:
         if not any(o[0] < s[0] and s[1] <= o[1] for o in spans if o is not s):
             outer.append(s)
-    for start, close, form, in_nested in sorted(outer, reverse=True):
+    for start, close, form, in_nested, in_values in sorted(
+        outer, reverse=True
+    ):
         body = text[text.index("(", start) + 1 : close - 1]
         scope = {} if in_nested else schema_classes
         as_at = _top_level_as(body)
@@ -1453,11 +1495,11 @@ def _rewrite_casts_in(text: str, schema_classes: dict) -> str:
         # source class from the ORIGINAL inner text (literal shape /
         # cast suffix), BEFORE the recursion rewrites inner casts away
         src, src_text = _src_class(inner, scope)
-        new_inner = _rewrite_casts_in(inner, scope)
+        new_inner = _rewrite_casts_in(inner, scope, plain=in_values)
         repl = None
         # decimal -> decimal is the one same-class pair that can raise
         # (tightening); every other same-class cast is the identity
-        if src is not None and tgt is not None and (
+        if not in_values and src is not None and tgt is not None and (
             src != tgt or src == "decimal"
         ):
             repl = _cast_contract_repl(
@@ -2393,13 +2435,47 @@ _INT_CLASS_UNITS = {"tinyint": 3, "smallint": 5, "integer": 10, "bigint": 19}
 _UNITS_INT_TYPE = {3: "TINYINT", 5: "SMALLINT", 10: "INTEGER", 19: "BIGINT"}
 
 
+def _strip_outer_parens(s: str) -> str:
+    """Peel parens that wrap the WHOLE expression (quote-aware), so
+    ``('7')`` classifies as the string literal DuckDB's binder sees —
+    parens are transparent to its branch-type accumulator (measured r13:
+    COALESCE(1, ('7')) is INTEGER 1)."""
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_str = 0, False
+        closed_at = -1
+        for i, ch in enumerate(s):
+            if in_str:
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    closed_at = i
+                    break
+        if closed_at != len(s) - 1:
+            return s
+        s = s[1:-1].strip()
+    return s
+
+
 def _branch_atom(
-    expr: str, classes: dict
+    expr: str, classes: dict, probe=None
 ) -> "tuple[str, str | None, bool, str] | None":
     """(type class, type text, is_literal, source text) of a branch
     expression — 'null' for a NULL literal, literal shapes first, then
-    cast suffixes / FROM-schema columns. None = unknowable."""
-    s = expr.strip()
+    cast suffixes / FROM-schema columns; composite expressions (function
+    calls, aggregates, arithmetic, nested CASE) resolve through the
+    LIMIT-0 ``probe`` when given, since DuckDB's binder types the whole
+    subexpression before folding it into the branch lane (measured r13:
+    COALESCE(max(a), '9') / COALESCE(1+1, '7') / COALESCE(NULLIF(1,1),
+    '7') all coerce the string literal into the composite's lane).
+    None = unknowable."""
+    s = _strip_outer_parens(expr.strip())
     if re.match(r"^NULL$", s, re.IGNORECASE):
         return ("null", None, True, s)
     for rx, _cls in _SRC_LITERAL_RES:
@@ -2407,9 +2483,50 @@ def _branch_atom(
             k, t = _src_class(s, {})
             return (k, t, True, s) if k else None
     k, t = _src_class(s, classes)
-    if k is None:
-        return None
-    return (k, t, False, s)
+    if k is not None:
+        return (k, t, False, expr.strip())
+    if probe is not None:
+        k, t = probe(s)
+        if k is not None:
+            return (k, t, False, expr.strip())
+    return None
+
+
+def _make_lane_probe(spark, stripped: str, translate: Translate):
+    """LIMIT-0 type resolver for composite branch operands: analyzes
+    ``SELECT <operand> <top-level FROM> LIMIT 0`` through the dialect and
+    maps the Spark dtype onto the branch type classes. Probes that fail
+    to analyze (correlated operands, subquery-scoped columns, TVFs a
+    later pass routes) return (None, None) so callers keep today's
+    conservative fallback. Analysis-only — no job is launched — and
+    memoized per statement."""
+    from_at = _top_level_kw(stripped, re.compile(r"^FROM\b", re.IGNORECASE))
+    from_clause = ""
+    if from_at is not None:
+        rest = stripped[from_at:]
+        clause_at = _top_level_kw(rest[4:], _CLAUSE_KW_RE)
+        from_clause = rest if clause_at is None else rest[: 4 + clause_at]
+    cache: dict = {}
+
+    def probe(expr: str) -> "tuple[str | None, str | None]":
+        key = expr.strip()
+        got = cache.get(key)
+        if got is not None:
+            return got
+        q = f"SELECT {key} AS __lane_probe {from_clause} LIMIT 0"
+        try:
+            dt = spark.sql(translate(q)).dtypes[0][1]
+            base = dt.split("(")[0]
+            cls = _TYPE_CLASS.get(base)
+            if base.startswith("timestamp"):
+                cls = "timestamp"
+            got = (cls, dt.upper()) if cls else (None, None)
+        except Exception:
+            got = (None, None)
+        cache[key] = got
+        return got
+
+    return probe
 
 
 def _atom_duck_name(atom, literal_strings: bool = False) -> str:
@@ -2547,14 +2664,14 @@ def _branch_union_target(atoms) -> "str | None":
 
 def _apply_branch_casts(
     parts: list[str], classes: dict, family_label: str,
-    acc_index: "int | None",
+    acc_index: "int | None", probe=None,
 ) -> "list[str] | None":
     """Rewrite the branch list (textual order) with DuckDB's unification
     casts. The literal-lane fold handles every string-vs-lane mix
     (coercion casts on string literals, binder raise on VARCHAR
     columns); branch sets it declines (unknown expressions, mixed
     families) fall back to the legacy measured templates."""
-    atoms = [_branch_atom(p, classes) for p in parts]
+    atoms = [_branch_atom(p, classes, probe) for p in parts]
     if all(a is not None for a in atoms):
         # DuckDB narrows an INTEGER_LITERAL into a narrow int COLUMN lane
         # when the value fits (measured r12: COALESCE(i8, 1) is TINYINT,
@@ -2671,9 +2788,10 @@ def rewrite_branch_expr_types(
     from .dialect import _literal_mask
 
     classes = _schema_class_map(spark, stripped, translate)
+    probe = _make_lane_probe(spark, stripped, translate)
     text = stripped
     # 1. function-arg forms, outermost right-to-left (args are spliced in
-    # place; nested calls inside args resolve as unknown and stay put)
+    # place; nested composite args resolve through the LIMIT-0 probe)
     mask = _literal_mask(text)
     nested: list[tuple[int, int, str]] = []
     for m in _BRANCH_FN_RE.finditer(text):
@@ -2697,7 +2815,7 @@ def rewrite_branch_expr_types(
             # numeric too (GREATEST(NULL,'2') -> BIGINT); VARCHAR
             # COLUMNS against a lane and any BOOLEAN argument are
             # DuckDB binder errors ("No function matches").
-            atoms = [_branch_atom(a, classes) for a in args]
+            atoms = [_branch_atom(a, classes, probe) for a in args]
             if any(a is None for a in atoms):
                 continue
             kinds = {a[0] for a in atoms if a[0] != "null"}
@@ -2753,7 +2871,8 @@ def rewrite_branch_expr_types(
         # argument for COALESCE/IFNULL (measured fold order)
         fam = "CASE expression" if fn == "IF" else "COALESCE operator"
         acc_index = 1 if fn == "IF" else 0
-        new_args = _apply_branch_casts(coerce_args, classes, fam, acc_index)
+        new_args = _apply_branch_casts(coerce_args, classes, fam, acc_index,
+                                       probe)
         if new_args is None:
             continue
         rebuilt = args[:1] + new_args if fn == "IF" else new_args
@@ -2806,7 +2925,7 @@ def rewrite_branch_expr_types(
             parts = [body[a:b] for a, b in spans]
             new_parts = _apply_branch_casts(
                 parts, classes, "CASE expression",
-                len(parts) - 1 if saw_else else None,
+                len(parts) - 1 if saw_else else None, probe,
             )
             if new_parts is None:
                 continue
@@ -2914,6 +3033,7 @@ def rewrite_in_list_types(
     from .dialect import _literal_mask
 
     classes = _schema_class_map(spark, stripped, translate)
+    probe = _make_lane_probe(spark, stripped, translate)
     text = stripped
     mask = _literal_mask(text)
     for m in sorted(_IN_LIST_RE.finditer(text), key=lambda x: -x.start()):
@@ -2933,7 +3053,7 @@ def rewrite_in_list_types(
             continue
         lt = lt or lk
         items = _split_args(body)
-        atoms = [_branch_atom(i, classes) for i in items]
+        atoms = [_branch_atom(i, classes, probe) for i in items]
         if any(a is None for a in atoms):
             continue
         if not any(a[0] == "string" and a[2] for a in atoms):
@@ -3007,13 +3127,25 @@ def rewrite_ordered_stat_decimals(
         p, s = ps
         mul = 10 ** s
         x = args[0].strip()
+        # trunc-toward-zero of the interpolated scaled value, written as
+        # e - e % 1 so the value is already integral BEFORE any CAST: the
+        # downstream cast-contract pass rewrites double->BIGINT casts to
+        # DuckDB's round-half-even (BROUND), which is identity on
+        # integral doubles but destroyed the old CAST(e AS BIGINT) form
+        # at every scaled .5 boundary (measured r13: quantile_cont(0.25)
+        # over DECIMAL(2,1) {1.1,1.7,3.2,4.5} is 1.5 — trunc(15.5) — and
+        # the negative-lane probes confirm toward-zero, not floor:
+        # q25 over {-4.5,-3.2,-1.7,-1.1} is -3.5 = trunc(-35.25)).
+        def _trunc(e: str) -> str:
+            return f"CAST(({e}) - (({e}) % 1) AS BIGINT)"
+
         if fn == "median":
             repl = f"quantile_disc({x}, 0.5)"
         elif fn == "mad":
             if len(args) != 1:
                 continue
             repl = (
-                f"CAST(CAST(mad(({x}) * {mul}) AS BIGINT) / {mul}.0 "
+                f"CAST({_trunc(f'mad(({x}) * {mul})')} / {mul}.0 "
                 f"AS DECIMAL({p},{s}))"
             )
         else:  # quantile_cont
@@ -3023,13 +3155,13 @@ def rewrite_ordered_stat_decimals(
             if q.startswith("["):
                 repl = (
                     f"transform(quantile_cont(({x}) * {mul}, {q}), "
-                    f"__q_v -> CAST(CAST(__q_v AS BIGINT) / {mul}.0 "
+                    f"__q_v -> CAST({_trunc('__q_v')} / {mul}.0 "
                     f"AS DECIMAL({p},{s})))"
                 )
             else:
                 repl = (
-                    f"CAST(CAST(quantile_cont(({x}) * {mul}, {q}) "
-                    f"AS BIGINT) / {mul}.0 AS DECIMAL({p},{s}))"
+                    f"CAST({_trunc(f'quantile_cont(({x}) * {mul}, {q})')}"
+                    f" / {mul}.0 AS DECIMAL({p},{s}))"
                 )
         text = text[: m.start()] + repl + text[close:]
     return text

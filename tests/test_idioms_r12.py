@@ -22,10 +22,10 @@ each differentially verified against live DuckDB:
    folds DuckDB's unnormalized component semantics (hour of INTERVAL
    36 HOUR is 36) instead of regressing to a raw Spark error; fields
    DuckDB rejects raise its Not-implemented message.
-5. (ADVICE r12 low) numeric-underscore literals only accept single
-   underscores between digits — 1__0 / 1_000_ pass through untouched
-   (DuckDB parses them as literal + implicit alias; the engine now
-   errs loudly instead of silently emitting 10 / 1000).
+5. (ADVICE r12 low, completed r13) numeric-underscore literals only
+   accept single underscores between digits — 1__0 / 1_000_ rewrite to
+   the literal + explicit alias DuckDB's parser produces (1 AS `__0`,
+   1000 AS `_`) instead of silently emitting 10 / 1000.
 """
 
 from __future__ import annotations
@@ -479,10 +479,13 @@ def test_underscore_edges_pass_through():
     # valid single-underscore shapes strip
     assert _rewrite_numeric_underscores("SELECT 1_000") == "SELECT 1000"
     assert _rewrite_numeric_underscores("SELECT 1_0.5_0") == "SELECT 10.50"
-    # literal-continuation shapes DuckDB parses as literal+alias stay put
-    # (the engine errs loudly instead of silently emitting 10 / 1000)
-    assert _rewrite_numeric_underscores("SELECT 1__0") == "SELECT 1__0"
-    assert _rewrite_numeric_underscores("SELECT 1_000_") == "SELECT 1_000_"
+    # literal-continuation shapes become literal + explicit alias — the
+    # DuckDB parse (measured r13: SELECT 1__0 -> column __0 value 1)
+    assert _rewrite_numeric_underscores("SELECT 1__0") == "SELECT 1 AS `__0`"
+    assert (
+        _rewrite_numeric_underscores("SELECT 1_000_")
+        == "SELECT 1000 AS `_`"
+    )
     # identifiers and strings untouched
     assert (
         _rewrite_numeric_underscores("SELECT a_1, '1_0'")

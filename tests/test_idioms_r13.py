@@ -1,0 +1,271 @@
+"""Round-13 regression tests — VERDICT r12 tasks 1/2/4/6 + ADVICE r13,
+each differentially verified against live DuckDB:
+
+1. (VERDICT #1) The branch-type fold is COMPOSITIONAL: a function call,
+   aggregate, arithmetic expression, or nested CASE beside a numeric /
+   date string literal types like DuckDB's binder (the LIMIT-0 lane
+   probe in sql_routing._branch_atom), so COALESCE(max(a), '9') /
+   COALESCE(NULLIF(1,1), '7') / COALESCE(1+1, '7') coerce the literal
+   into the composite's lane, GREATEST(1+1, '7') computes BIGINT 7, and
+   a VARCHAR-typed composite against a lane reproduces DuckDB's binder
+   error instead of Spark's string-wins coercion.
+2. (VERDICT #2) quantile_cont/mad over DECIMAL truncate TOWARD ZERO on
+   the scaled integers — emitted as e - e % 1 so the cast-contract's
+   BROUND (round-half-even) rewrite cannot re-own the inner cast; the
+   .5-boundary and negative-lane rows pin it.
+3. (VERDICT #4/#5) UNION type-name fidelity: typeof(union_value(...))
+   prints DuckDB's UNION(tag TYPE, ...), typeof(union_tag(...)) prints
+   ENUM('tag', ...), and /db/query tags union_tag columns with the
+   ENUM duckdb_type.
+4. (VERDICT #6) numeric literal + implicit alias (1__0 / 1_000_ /
+   1.5__x) rewrites to the literal + explicit alias DuckDB's parser
+   produces — value AND column name match.
+5. (ADVICE r13) INTERVAL '2 days'::INTERVAL splices ONCE (the two
+   interval regexes no longer double-apply on the overlapping span);
+   bare current_timestamp keyword casts to VARCHAR with the '+00'
+   suffix; '->' only tags JSON when it is the extract operator (not a
+   lambda arrow or inside a string literal); the serializer derives the
+   UTC instant explicitly so a non-UTC driver host cannot shift
+   TIMESTAMPTZ values while claiming '+00'.
+6. (found r13) casts inside VALUES rows stay plain — Spark inline
+   tables reject the cast contract's raise_error guards outright
+   (INVALID_INLINE_TABLE), so FROM (VALUES (CAST(1.0 AS DECIMAL(3,1))),
+   ...) must run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_r13_"))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _differential(eng, con, sql, check_cols=False):
+    try:
+        r = con.execute(sql)
+        want = ("OK", r.fetchall(), [d[0] for d in r.description])
+    except Exception as e:
+        want = ("ERR", str(e).splitlines()[0], None)
+    try:
+        df = eng.query_df(sql)
+        got = ("OK", [tuple(x) for x in df.collect()], df.columns)
+    except Exception as e:
+        got = ("ERR", str(e).splitlines()[0], None)
+    assert got[0] == want[0], f"{sql!r}: spark={got} duck={want}"
+    if got[0] == "OK":
+        assert got[1] == want[1], f"{sql!r}: spark={got[1]} duck={want[1]}"
+        if check_cols:
+            assert got[2] == want[2], f"{sql!r}: cols spark={got[2]} duck={want[2]}"
+
+
+# ---- 1. compositional branch typing ----------------------------------------
+
+COMPOSITE_BRANCHES = [
+    # the five VERDICT r12 "What's wrong #1" probes
+    "SELECT COALESCE(CASE WHEN 1=0 THEN 1 END, '7') AS v",
+    "SELECT COALESCE(NULLIF(1,1), '7') AS v",
+    "SELECT COALESCE(1+1, '7') AS v",
+    "SELECT GREATEST(1+1, '7') AS v",
+    "SELECT CASE WHEN 1=0 THEN (CASE WHEN 1=1 THEN 1 END) ELSE '7' END AS v",
+    # composite lanes: function calls, date arithmetic, width surfaces
+    "SELECT COALESCE(length('ab'), '7') AS v",
+    "SELECT COALESCE(DATE '2020-01-01' + 1, '2021-02-03') AS v",
+    "SELECT COALESCE(1.5+1, '7') AS v",
+    "SELECT GREATEST(length('ab'), '7') AS v",
+    "SELECT LEAST(1+1, '7') AS v",
+    "SELECT IF(1=0, 1+1, '7') AS v",
+    "SELECT IFNULL(NULLIF(1,1), '7') AS v",
+    # VARCHAR composite against a lane: DuckDB binder error
+    "SELECT COALESCE(upper('x'), 1) AS v",
+    # all-string composites stay VARCHAR
+    "SELECT COALESCE(upper('x'), '7') AS v",
+    # parens are transparent to the binder
+    "SELECT COALESCE(1, ('7')) AS v",
+    # aggregates in branches over a real FROM
+    "SELECT COALESCE(max(v), '9') AS v FROM (VALUES (1),(2)) s(v)",
+    "SELECT COALESCE(min(v), '9') AS v FROM (VALUES (1),(2)) s(v)",
+    # r12 shapes must still hold (regression)
+    "SELECT CASE WHEN 1=1 THEN 1 ELSE '2' END AS v",
+    "SELECT COALESCE('2', 1) AS v",
+    "SELECT COALESCE(NULL, '2', 1) AS v",
+    "SELECT GREATEST(1, '2') AS v",
+    "SELECT COALESCE(1, '2', 1.5) AS v",
+]
+
+
+@pytest.mark.parametrize("q", COMPOSITE_BRANCHES)
+def test_composite_branch_lane(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 2. ordered stats over DECIMAL: trunc-toward-zero boundaries -----------
+
+@pytest.fixture(scope="module")
+def ordered_tables(eng, con):
+    ddl = [
+        "CREATE TABLE qd(v DECIMAL(2,1))",
+        "INSERT INTO qd VALUES (1.1),(1.7),(3.2),(4.5)",
+        "CREATE TABLE qn(v DECIMAL(3,1))",
+        "INSERT INTO qn VALUES (-1.1),(-1.7),(-3.2),(-4.5)",
+        "CREATE TABLE qm(v DECIMAL(3,1))",
+        "INSERT INTO qm VALUES (1.0),(2.1),(4.1),(9.9)",
+    ]
+    for s in ddl:
+        eng.execute(s)
+        con.execute(s)
+    return True
+
+
+ORDERED_STATS = [
+    # scaled 15.5 must land 1.5 (trunc), not 1.6 (BROUND half-even)
+    "SELECT quantile_cont(v, 0.25) AS q FROM qd",
+    "SELECT quantile_cont(v, [0.25, 0.75]) AS q FROM qd",
+    # negatives: toward zero, not floor (-35.25 -> -3.5, -15.5 -> -1.5)
+    "SELECT quantile_cont(v, 0.25) AS q FROM qn",
+    "SELECT quantile_cont(v, 0.75) AS q FROM qn",
+    # mad's deviation median hits the same boundary (trunc(15.5) = 1.5)
+    "SELECT mad(v) AS m FROM qm",
+    "SELECT mad(v) AS m FROM qd",
+    "SELECT median(v) AS m FROM qd",
+    "SELECT median(v) AS m FROM qm",
+    # pass composition: ordered stat result through the branch fold
+    "SELECT COALESCE(quantile_disc(v, 0.5), '0.0') AS q FROM qd",
+]
+
+
+@pytest.mark.parametrize("q", ORDERED_STATS)
+def test_ordered_stat_decimal_trunc(eng, con, ordered_tables, q):
+    _differential(eng, con, q)
+
+
+# ---- 3. union type names ----------------------------------------------------
+
+UNION_NAMES = [
+    "SELECT typeof(union_value(num := 2)) AS t",
+    "SELECT typeof(union_value(s := 'x')) AS t",
+    "SELECT typeof(union_value(d := 1.25)) AS t",
+    "SELECT typeof(union_value(num := 2)::UNION(num INTEGER, str VARCHAR)) AS t",
+    "SELECT typeof(union_tag(union_value(num := 2))) AS t",
+    "SELECT union_tag(union_value(num := 2)) AS r",
+]
+
+
+@pytest.mark.parametrize("q", UNION_NAMES)
+def test_union_type_names(eng, con, q):
+    _differential(eng, con, q)
+
+
+def test_union_tag_serializes_enum(eng):
+    from duckdb_service_spark.service.serializer import query_result
+
+    df = eng.query_df("SELECT union_tag(union_value(num := 2)) AS t")
+    out = query_result(df)
+    assert out["types"] == ["ENUM('num')"]
+    assert out["values"] == [["num"]]
+    df2 = eng.query_df(
+        "SELECT union_tag(union_value(num := 2)"
+        "::UNION(num INTEGER, str VARCHAR)) AS t"
+    )
+    assert query_result(df2)["types"] == ["ENUM('num', 'str')"]
+
+
+# ---- 4. numeric literal + implicit alias ------------------------------------
+
+UNDERSCORE_ALIASES = [
+    "SELECT 1__0",
+    "SELECT 1_000_",
+    "SELECT 1.5__x",
+    "SELECT 1_000",   # valid literal: no alias
+    "SELECT 1_0",
+]
+
+
+@pytest.mark.parametrize("q", UNDERSCORE_ALIASES)
+def test_underscore_literal_alias(eng, con, q):
+    _differential(eng, con, q, check_cols=True)
+
+
+# ---- 5. ADVICE r13 ----------------------------------------------------------
+
+ADVICE_PROBES = [
+    # overlapping interval regex spans splice once
+    "SELECT TIMESTAMP '2020-01-01' + INTERVAL '2 days'::INTERVAL AS r",
+    "SELECT TIMESTAMP '2020-01-01' + INTERVAL '2 days' AS r",
+    "SELECT TIMESTAMP '2020-01-01' + '2 days'::INTERVAL AS r",
+    # bare current_timestamp keyword is tz-aware
+    "SELECT CAST(current_timestamp AS VARCHAR) LIKE '%+00' AS r",
+    "SELECT CAST(now() AS VARCHAR) LIKE '%+00' AS r",
+]
+
+
+@pytest.mark.parametrize("q", ADVICE_PROBES)
+def test_advice_r13_probes(eng, con, q):
+    _differential(eng, con, q)
+
+
+def test_arrow_tagging_skips_lambdas_and_literals(eng):
+    from duckdb_service_spark.service.serializer import query_result
+
+    # lambda arrow: result is plain VARCHAR, not JSON
+    df = eng.query_df(
+        "SELECT array_to_string(list_transform([1, 2], x -> x + 1), ',') AS v"
+    )
+    assert query_result(df)["types"] == ["VARCHAR"]
+    # arrow inside a string literal: plain VARCHAR
+    df2 = eng.query_df("SELECT 'a->b' AS v")
+    assert query_result(df2)["types"] == ["VARCHAR"]
+    # the real JSON extract operator still tags JSON
+    df3 = eng.query_df("""SELECT '{"a": 1}'::JSON -> 'a' AS v""")
+    assert query_result(df3)["types"] == ["JSON"]
+
+
+def test_serializer_tz_rendering_ignores_host_timezone(eng):
+    from duckdb_service_spark.service.serializer import query_result
+
+    df = eng.query_df("SELECT TIMESTAMPTZ '2020-01-01 08:00:00' AS t")
+    old = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        out = query_result(df)
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+    assert out["types"] == ["TIMESTAMP WITH TIME ZONE"]
+    assert out["values"] == [["2020-01-01 08:00:00+00"]]
+
+
+# ---- 6. VALUES rows keep plain casts ----------------------------------------
+
+VALUES_CASTS = [
+    "SELECT v FROM (VALUES (CAST(1.0 AS DECIMAL(3,1))),"
+    "(CAST(2.1 AS DECIMAL(3,1)))) s(v)",
+    "SELECT v FROM (VALUES (CAST('7' AS INTEGER)),(8)) s(v)",
+    "SELECT v FROM (VALUES (CAST(1.5 AS FLOAT)),(CAST(2.5 AS FLOAT))) s(v)",
+]
+
+
+@pytest.mark.parametrize("q", VALUES_CASTS)
+def test_values_rows_keep_plain_casts(eng, con, q):
+    _differential(eng, con, q)

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from duckdb_service_spark.service.dialect import UnsupportedDialect, translate
+from duckdb_service_spark.service.dialect import UnsupportedDialect
 from duckdb_service_spark.session import get_spark
 
 # deterministic typed-values relation: every probe runs over this.
@@ -82,6 +82,24 @@ def norm(v):
     return v
 
 
+_ENGINE = None
+
+
+def _engine(spark):
+    """Full service executor — VERDICT r12 task 8: sweeps must run the
+    WHOLE query_df pass pipeline, not the isolated dialect, so
+    cross-pass interference (ordered-stat × cast-contract was the r12
+    silent-wrong-answer) shows up in the sweep itself."""
+    global _ENGINE
+    if _ENGINE is None:
+        import tempfile
+
+        from duckdb_service_spark.service.executor import Engine
+
+        _ENGINE = Engine(spark, tempfile.mkdtemp(prefix="wh_sweep_aw_"))
+    return _ENGINE
+
+
 def classify(spark, con, select_list: str, order: str = "") -> tuple[str, str]:
     sql = f"SELECT {select_list} FROM {REL}{order}"
     try:
@@ -89,13 +107,13 @@ def classify(spark, con, select_list: str, order: str = "") -> tuple[str, str]:
     except Exception as ex:
         return "DUCK-ERR", str(ex).splitlines()[0][:120]
     try:
-        t = translate(sql)
+        df = _engine(spark).query_df(sql)
     except UnsupportedDialect as ex:
         return "RAISE", str(ex)[:120]
     except Exception as ex:
         return "XLATE-CRASH", f"{type(ex).__name__}: {ex}"[:120]
     try:
-        got = [tuple(norm(c) for c in r) for r in spark.sql(t).collect()]
+        got = [tuple(norm(c) for c in r) for r in df.collect()]
     except Exception as ex:
         return "SPARK-ERR", str(ex).splitlines()[0][:160]
     if got == want:

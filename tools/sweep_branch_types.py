@@ -172,6 +172,38 @@ def probes(what: str) -> list[str]:
                     f"SELECT u, GREATEST({col}, {lit}) AS v FROM {REL} "
                     f"ORDER BY u"
                 )
+        # r13: COMPOSITE branch operands (function calls / arithmetic /
+        # nested CASE / aggregates) — DuckDB's binder types the whole
+        # subexpression before folding it into the lane; the r12 sweep's
+        # literal/column atoms could not see the non-compositional-fold
+        # hole (VERDICT r12 #1). i64-based shapes keep Spark and DuckDB
+        # width-identical (TINYINT+1 is TINYINT in DuckDB, INT in Spark).
+        comps = ("NULLIF(i64, 2)", "i64 + 1", "(CASE WHEN u = 1 THEN i64 END)",
+                 "abs(i64)", "upper(vtxt)", "dt + 1")
+        for comp in comps:
+            for lit in ("'7'", "1", "NULL", "'2024-02-02'"):
+                out.append(
+                    f"SELECT u, COALESCE({comp}, {lit}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, CASE WHEN u = 1 THEN {comp} ELSE {lit} END "
+                    f"AS v FROM {REL} ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, GREATEST({comp}, {lit}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
+        out += [
+            f"SELECT COALESCE(max(i64), '9') AS v FROM {REL}",
+            f"SELECT COALESCE(min(dt), '2024-02-02') AS v FROM {REL}",
+            f"SELECT GREATEST(max(i64), '7') AS v FROM {REL}",
+            "SELECT COALESCE(NULLIF(1,1), '7') AS v",
+            "SELECT COALESCE(1+1, '7') AS v",
+            "SELECT COALESCE(1, ('7')) AS v",
+            "SELECT GREATEST(1+1, '7') AS v",
+            "SELECT COALESCE(upper('x'), 1) AS v",
+        ]
     if what in ("all", "in"):
         out += [
             f"SELECT u, {expr} AS v FROM {REL} ORDER BY u"
