@@ -3622,6 +3622,202 @@ def _rewrite_numeric_underscores(sql: str) -> str:
     return _rewrite_code(sql, fix)
 
 
+_RANKING_OVER_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lag|lead)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unordered_ranking_windows(sql: str) -> str:
+    """DuckDB allows ranking/offset window functions over an UNORDERED
+    window — row_number() OVER () numbers rows in scan order, rank()
+    treats every row as a peer (measured r13) — where Spark demands an
+    ORDER BY. Inject the constant ``ORDER BY 1`` (Spark accepts it in a
+    window spec; every row ties, reproducing DuckDB's all-peers rank and
+    its unspecified-order numbering contract). Named ``OVER w`` windows
+    pass through."""
+    if not re.search(r"\bOVER\s*\(", sql, re.IGNORECASE):
+        return sql
+    mask = _literal_mask(sql)
+    edits: list[tuple[int, str]] = []
+    for m in _RANKING_OVER_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        close = _scan_balanced(sql, m.end() - 1, "(", ")")
+        if close == -1:
+            continue
+        om = re.match(
+            r"\s*(?:IGNORE\s+NULLS\s*)?OVER\s*\(", sql[close:], re.IGNORECASE
+        )
+        if not om:
+            continue
+        spec_open = close + om.end() - 1
+        spec_close = _scan_balanced(sql, spec_open, "(", ")")
+        if spec_close == -1:
+            continue
+        spec = sql[spec_open + 1: spec_close - 1]
+        smask = _literal_mask(spec)
+        depth = 0
+        has_order = False
+        frame_at = len(spec)
+        i = 0
+        while i < len(spec):
+            if not smask[i]:
+                ch = spec[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0:
+                    if re.match(r"ORDER\s+BY\b", spec[i:], re.IGNORECASE) and (
+                        i == 0 or not (spec[i - 1].isalnum() or spec[i - 1] == "_")
+                    ):
+                        has_order = True
+                        break
+                    fm = re.match(r"(?:ROWS|RANGE|GROUPS)\b", spec[i:],
+                                  re.IGNORECASE)
+                    if fm and (
+                        i == 0 or not (spec[i - 1].isalnum() or spec[i - 1] == "_")
+                    ) and frame_at == len(spec):
+                        frame_at = i
+            i += 1
+        if has_order:
+            continue
+        edits.append((spec_open + 1 + frame_at, " ORDER BY 1 "))
+    for at, ins in sorted(edits, reverse=True):
+        sql = sql[:at] + ins + sql[at:]
+    return sql
+
+
+# ---- DuckDB datetime-literal grammar (measured r13) ------------------------
+# DuckDB REQUIRES seconds once a time component appears: TIMESTAMP
+# '2020-01-01 01:00' (and bare-hour / HH:MM+offset forms) raise its
+# conversion error where Spark silently parses a value; DATE parses the
+# date prefix and IGNORES any remainder ('2020-01-01 junk' is
+# 2020-01-01); '/' date separators are accepted ('2020/01/01'); TIME
+# also requires seconds. Literal-level shapes are validated/normalized
+# here; BC years, ±HH:MM offsets, hour-24 rollover, and the
+# epoch/infinity specials stay loud documented divergences.
+
+_TS_NOSEC_RE = re.compile(
+    r"^\s*[+-]?\d{1,6}[-/]\d{1,2}[-/]\d{1,2}[ T]+\d{1,2}(?::\d{2})?"
+    r"(?:\s*[+-]\d[\d:]*)?\s*$"
+)
+_TIME_NOSEC_RE = re.compile(r"^\s*\d{1,2}:\d{2}\s*$")
+_DATE_PREFIX_RE = re.compile(
+    r"^(\s*)(\d{1,6})([-/])(\d{1,2})\3(\d{1,2})(.*)$", re.DOTALL
+)
+_DT_CONV_MSG = {
+    "timestamp": (
+        'Conversion Error: timestamp field value out of range: "{v}", '
+        "expected format is (YYYY-MM-DD HH:MM:SS[.US][±HH:MM| ZONE])"
+    ),
+    "date": (
+        'Conversion Error: date field value out of range: "{v}", '
+        "expected format is (YYYY-MM-DD)"
+    ),
+    "time": (
+        'Conversion Error: time field value out of range: "{v}", '
+        "expected format is ([YYYY-MM-DD ]HH:MM:SS[.MS])"
+    ),
+}
+
+
+def _duck_datetime_literal(kind: str, body: str) -> "str | None":
+    """Validate/normalize a datetime literal body per DuckDB's grammar.
+    Returns the (possibly rewritten) body, or raises DuckDB's conversion
+    error; None = leave the span untouched."""
+    k = kind.lower()
+    fam = (
+        "timestamp" if k.startswith("timestamp") or k == "datetime"
+        else "time" if k == "time" else "date"
+    )
+    if fam == "timestamp" and _TS_NOSEC_RE.match(body):
+        raise ValueError(_DT_CONV_MSG["timestamp"].format(v=body))
+    if fam == "time" and _TIME_NOSEC_RE.match(body):
+        raise ValueError(_DT_CONV_MSG["time"].format(v=body))
+    dm = _DATE_PREFIX_RE.match(body)
+    if dm is None:
+        return None
+    if fam == "date":
+        rest = dm.group(6)
+        if rest.strip() and not re.match(r"^\d", rest) and not re.search(
+            r"\b(?:BC|AD)\b", rest, re.IGNORECASE
+        ):
+            # remainder ignored by DuckDB's date cast — truncate it
+            # (BC/AD era markers are semantic, not junk: left alone)
+            return f"{dm.group(2)}-{dm.group(4)}-{dm.group(5)}"
+        if dm.group(3) == "/":
+            return f"{dm.group(2)}-{dm.group(4)}-{dm.group(5)}{dm.group(6)}"
+        return None
+    if fam == "timestamp" and dm.group(3) == "/":
+        return (
+            f"{dm.group(2)}-{dm.group(4)}-{dm.group(5)}{dm.group(6)}"
+        )
+    return None
+
+
+_DT_KW_LIT_RE = re.compile(
+    r"\b(TIMESTAMPTZ|TIMESTAMP|DATETIME|DATE|TIME)\s*'((?:[^']|'')*)'",
+    re.IGNORECASE,
+)
+_DT_SUFFIX_LIT_RE = re.compile(
+    r"'((?:[^']|'')*)'\s*(::\s*)(TIMESTAMPTZ|TIMESTAMP|DATETIME|DATE|TIME)\b",
+    re.IGNORECASE,
+)
+_DT_CAST_LIT_RE = re.compile(
+    r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+"
+    r"(TIMESTAMPTZ|TIMESTAMP|DATETIME|DATE|TIME)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_datetime_literals(sql: str) -> str:
+    """Apply DuckDB's datetime string grammar to literal-typed shapes:
+    TYPE '...' keyword literals, '...'::TYPE suffix casts, and
+    (TRY_)CAST('...' AS TYPE). CAST/keyword/suffix forms raise DuckDB's
+    conversion error on rejected shapes; TRY_CAST forms NULL instead
+    (measured: TRY_CAST('2020-01-01 01:00' AS TIMESTAMP) is NULL)."""
+    if not re.search(
+        r"\b(TIMESTAMPTZ|TIMESTAMP|DATETIME|DATE|TIME)\b", sql, re.IGNORECASE
+    ):
+        return sql
+    mask = _literal_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    for m in _DT_KW_LIT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        new = _duck_datetime_literal(m.group(1), m.group(2))
+        if new is not None and new != m.group(2):
+            edits.append((m.start(2) - 1, m.end(2) + 1, f"'{new}'"))
+    for m in _DT_SUFFIX_LIT_RE.finditer(sql):
+        if mask[m.start(2)]:
+            continue
+        new = _duck_datetime_literal(m.group(3), m.group(1))
+        if new is not None and new != m.group(1):
+            edits.append((m.start(1) - 1, m.end(1) + 1, f"'{new}'"))
+    for m in _DT_CAST_LIT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        try:
+            new = _duck_datetime_literal(m.group(3), m.group(2))
+        except ValueError:
+            if m.group(1).upper() == "TRY_CAST":
+                # DuckDB's TRY_CAST NULLs the rejected shape; Spark would
+                # have parsed a value, so NULL the whole span explicitly
+                edits.append(
+                    (m.start(), m.end(), f"CAST(NULL AS {m.group(3)})")
+                )
+                continue
+            raise
+        if new is not None and new != m.group(2):
+            edits.append((m.start(2) - 1, m.end(2) + 1, f"'{new}'"))
+    for a, b, repl in sorted(edits, reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 _AT_TIME_ZONE_RE = re.compile(
     r"\bAT\s+TIME\s+ZONE\s+('(?:[^']|'')*')", re.IGNORECASE
 )
@@ -4384,9 +4580,13 @@ def translate(sql: str) -> str:
     sql = _rewrite_window_distinct(sql)
     sql = _inline_named_windows_for_exclude(sql)
     sql = _rewrite_frame_exclude(sql)
+    sql = _rewrite_unordered_ranking_windows(sql)
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_numeric_underscores(sql)
+    # datetime literal grammar BEFORE the tz/precision rewrites so the
+    # validation sees the user's original TYPE '...' shapes
+    sql = _rewrite_datetime_literals(sql)
     sql = _rewrite_timestamptz_type(sql)
     sql = _rewrite_union_values(sql)
     sql = _rewrite_position_in(sql)
@@ -6657,10 +6857,12 @@ _TYPE_ANGLE_RE = re.compile(
 
 
 def _split_args(body: str) -> list[str]:
-    """Top-level comma split. Parens nest; so do the ANGLE brackets of
-    Spark composite types (``MAP<STRING, BIGINT>`` — the complex-cast
-    rewrite emits them before emitters parse their args), recognized only
-    when ``<`` directly follows MAP/STRUCT/ARRAY so a less-than operator
+    """Top-level comma split. Parens and SQUARE brackets nest (list
+    literals / subscripts: ``COALESCE([1,2][1], 'x')`` must split into
+    two args, not three — r13); so do the ANGLE brackets of Spark
+    composite types (``MAP<STRING, BIGINT>`` — the complex-cast rewrite
+    emits them before emitters parse their args), recognized only when
+    ``<`` directly follows MAP/STRUCT/ARRAY so a less-than operator
     never opens a phantom depth."""
     parts, depth, angle, cur, in_str = [], 0, 0, [], False
     for ch in body:
@@ -6669,9 +6871,9 @@ def _split_args(body: str) -> list[str]:
                 in_str = False
         elif ch == "'":
             in_str = True
-        elif ch == "(":
+        elif ch in "([{":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]}":
             depth -= 1
         elif ch == "<" and (angle or _TYPE_ANGLE_RE.search("".join(cur))):
             angle += 1

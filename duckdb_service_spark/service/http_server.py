@@ -20,7 +20,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .executor import Engine
-from .serializer import execute_result, query_result
+from .serializer import duck_error_text, execute_result, query_result
 
 
 class EngineHTTPServer:
@@ -99,7 +99,7 @@ class EngineHTTPServer:
                 except Exception as ex:  # noqa: BLE001 — errors go in the envelope
                     self._send(
                         200,
-                        {"error": str(ex), "took": (time.time() - t0) * 1000},
+                        {"error": duck_error_text(ex), "took": (time.time() - t0) * 1000},
                         self._pretty(),
                     )
 

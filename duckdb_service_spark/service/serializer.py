@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import math
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -138,3 +139,19 @@ def query_result(df: DataFrame, limit: int | None = None) -> dict:
 
 def execute_result(rows_affected: int) -> dict:
     return {"rows_affected": rows_affected}
+
+
+_USER_RAISED_RE = re.compile(
+    r"^\[USER_RAISED_EXCEPTION\]\s*(.*?)\s*SQLSTATE:\s*P0001\b", re.DOTALL
+)
+
+
+def duck_error_text(ex: Exception) -> str:
+    """Envelope error string. The cast/branch contracts raise DuckDB's
+    verbatim messages through Spark's raise_error, which wraps them as
+    '[USER_RAISED_EXCEPTION] <msg> SQLSTATE: P0001' — strip the wrapper
+    so /db/query carries the message the reference's DuckDB would
+    (service.go:236 serializes the bare error string)."""
+    s = str(ex).strip()
+    m = _USER_RAISED_RE.match(s)
+    return m.group(1).strip() if m else s

@@ -1228,6 +1228,10 @@ _UNIMPL_SRC_TGT = [
     (_NUMERIC_CLASSES | {"boolean"}, {"date", "timestamp"}),
 ]
 
+_DUCK_INT_NAMES = {
+    "tinyint": "INT8", "smallint": "INT16",
+    "integer": "INT32", "bigint": "INT64",
+}
 _CAST_OPEN_SCAN_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
 _TYPE_NORM_RE = re.compile(
     r"^(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT|SIGNED|BIGINT|"
@@ -1495,6 +1499,29 @@ def _rewrite_casts_in(text: str, schema_classes: dict,
         # source class from the ORIGINAL inner text (literal shape /
         # cast suffix), BEFORE the recursion rewrites inner casts away
         src, src_text = _src_class(inner, scope)
+        # string LITERAL -> datetime: DuckDB's literal grammar decides at
+        # bind time (seconds required with a time part, '/' separators
+        # accepted, DATE ignores the remainder) — the runtime TRY_CAST
+        # guard below can't see these because Spark parses no-seconds
+        # shapes happily and rejects slash shapes DuckDB takes (r13)
+        if src == "string" and tgt in ("timestamp", "date", "time"):
+            lm = re.match(r"^'((?:[^']|'')*)'$", inner.strip())
+            if lm:
+                from .dialect import _duck_datetime_literal
+
+                try:
+                    nb = _duck_datetime_literal(tm.group(1), lm.group(1))
+                except ValueError:
+                    if form == "TRY_CAST":
+                        text = (
+                            text[:start]
+                            + f"CAST(NULL AS {norm_tgt})"
+                            + text[close:]
+                        )
+                        continue
+                    raise
+                if nb is not None and nb != lm.group(1):
+                    inner = f"'{nb}'"
         new_inner = _rewrite_casts_in(inner, scope, plain=in_values)
         repl = None
         # decimal -> decimal is the one same-class pair that can raise
@@ -1557,7 +1584,7 @@ def _cast_contract_repl(
             null_t
             if form == "TRY_CAST"
             else f"CAST(raise_error(concat('Conversion Error: Could not "
-            f"convert string ', {inner}, ' to BOOL')) AS BOOLEAN)"
+            f"convert string ''', {inner}, ''' to BOOL')) AS BOOLEAN)"
         )
         return (
             f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
@@ -1594,8 +1621,9 @@ def _cast_contract_repl(
         return (
             f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
             f"WHEN {probe} IS NULL THEN "
-            f"CAST(raise_error(concat('Conversion Error: Could not cast "
-            f"value ', CAST(({inner}) AS STRING), ' to {tgt_text}')) "
+            f"CAST(raise_error(concat('Conversion Error: Casting value \"',"
+            f" CAST(({inner}) AS STRING), '\" to type "
+            f"{tgt_text.upper()} failed: value is out of range!')) "
             f"AS {tgt_text}) ELSE {probe} END)"
         )
     # FLOAT source -> DECIMAL target: DuckDB rounds HALF-EVEN on the
@@ -1633,11 +1661,14 @@ def _cast_contract_repl(
                 f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
                 f"ELSE {probe} END)"
             )
+        # measured r13: DuckDB prints the ROUNDED scale-0 value
+        # ('Failed to cast decimal value 301 to type INT8')
         return (
             f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
             f"WHEN {probe} IS NULL THEN "
-            f"CAST(raise_error(concat('Conversion Error: Could not cast "
-            f"value ', CAST(({inner}) AS STRING), ' to {tgt_text}')) "
+            f"CAST(raise_error(concat('Conversion Error: Failed to cast "
+            f"decimal value ', CAST(CAST({rounded} AS DECIMAL(38,0)) "
+            f"AS STRING), ' to type {_DUCK_INT_NAMES[tgt]}')) "
             f"AS {tgt_text}) ELSE {probe} END)"
         )
     # DECIMAL source -> FLOAT: DuckDB divides unscaled/10^scale IN
@@ -1686,18 +1717,60 @@ def _cast_contract_repl(
     probe = f"TRY_CAST(({inner}) AS {tgt_text})"
     extra_fail = ""
     if src in ("double", "float", "decimal") and tgt == "float":
+        src_nm = "DOUBLE" if src != "float" else "FLOAT"
+        val = (
+            f"duck_double_str(CAST(({inner}) AS DOUBLE))"
+            if src in ("double", "float") else f"CAST(({inner}) AS STRING)"
+        )
         extra_fail = (
             f"WHEN NOT isnan(CAST(({inner}) AS DOUBLE)) AND "
             f"abs(CAST(({inner}) AS DOUBLE)) > 3.4028234663852886E38 THEN "
-            f"CAST(raise_error('Conversion Error: value out of FLOAT "
-            f"range') AS {tgt_text}) "
+            f"CAST(raise_error(concat('Conversion Error: Type {src_nm} "
+            f"with value ', {val}, ' can''t be cast because the value is "
+            f"out of range for the destination type FLOAT')) "
+            f"AS {tgt_text}) "
+        )
+    # verbatim DuckDB conversion messages per lane (measured r13):
+    # string sources use the convert-string form (double quotes for
+    # DECIMAL targets), numeric narrowing the Type-with-value form
+    if src == "string" and tgt == "decimal":
+        fail = (
+            f"concat('Conversion Error: Could not convert string \"', "
+            f"({inner}), '\" to {tgt_text.upper()}')"
+        )
+    elif src == "string":
+        nm = _DUCK_INT_NAMES.get(tgt) or {
+            "double": "DOUBLE", "float": "FLOAT",
+        }.get(tgt, tgt_text.upper())
+        fail = (
+            f"concat('Conversion Error: Could not convert string ''', "
+            f"({inner}), ''' to {nm}')"
+        )
+    elif src in _INT_RANK and tgt in _INT_RANK:
+        fail = (
+            f"concat('Conversion Error: Type {_DUCK_INT_NAMES[src]} with "
+            f"value ', CAST(({inner}) AS STRING), ' can''t be cast because "
+            f"the value is out of range for the destination type "
+            f"{_DUCK_INT_NAMES[tgt]}')"
+        )
+    elif src in ("double", "float") and tgt in _INT_RANK:
+        src_nm = "DOUBLE" if src == "double" else "FLOAT"
+        render = "duck_double_str" if src == "double" else "duck_float_str"
+        fail = (
+            f"concat('Conversion Error: Type {src_nm} with value ', "
+            f"{render}({inner}), ' can''t be cast because the value is "
+            f"out of range for the destination type {_DUCK_INT_NAMES[tgt]}')"
+        )
+    else:
+        fail = (
+            f"concat('Conversion Error: Could not cast value ', "
+            f"CAST(({inner}) AS STRING), ' to {tgt_text}')"
         )
     return (
         f"(CASE WHEN ({inner}) IS NULL THEN {null_t} "
         f"{extra_fail}"
         f"WHEN {probe} IS NULL THEN "
-        f"CAST(raise_error(concat('Conversion Error: Could not cast value ',"
-        f" CAST(({inner}) AS STRING), ' to {tgt_text}')) AS {tgt_text}) "
+        f"CAST(raise_error({fail}) AS {tgt_text}) "
         f"ELSE {probe} END)"
     )
 
@@ -2439,8 +2512,11 @@ def _strip_outer_parens(s: str) -> str:
     """Peel parens that wrap the WHOLE expression (quote-aware), so
     ``('7')`` classifies as the string literal DuckDB's binder sees —
     parens are transparent to its branch-type accumulator (measured r13:
-    COALESCE(1, ('7')) is INTEGER 1)."""
-    while s.startswith("(") and s.endswith(")"):
+    COALESCE(1, ('7')) is INTEGER 1). Scalar subqueries keep their
+    parens: ``(SELECT 4)`` must reach the LIMIT-0 probe intact."""
+    while s.startswith("(") and s.endswith(")") and not re.match(
+        r"^\(\s*(?:SELECT|WITH|FROM)\b", s, re.IGNORECASE
+    ):
         depth, in_str = 0, False
         closed_at = -1
         for i, ch in enumerate(s):
@@ -3046,9 +3122,36 @@ def rewrite_in_list_types(
         if re.match(r"\s*SELECT\b", body, re.IGNORECASE):
             continue
         lm = _IN_LHS_RE.search(text[: m.start()])
-        if not lm:
-            continue
-        lk, lt = _src_class(lm.group(1), classes)
+        if lm:
+            lk, lt = _src_class(lm.group(1), classes)
+        else:
+            # composite LHS (call / paren form): probe the balanced span
+            # ending just before IN — DuckDB coerces the list's string
+            # literals into ITS lane too (measured r13: length('abc') IN
+            # ('x') raises its INT64 conversion error)
+            lk = lt = None
+            j = m.start() - 1
+            while j >= 0 and text[j].isspace():
+                j -= 1
+            if j >= 0 and text[j] == ")" and not mask[j]:
+                depth, k = 0, j
+                while k >= 0:
+                    if not mask[k]:
+                        if text[k] == ")":
+                            depth += 1
+                        elif text[k] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    k -= 1
+                if k >= 0:
+                    i2 = k - 1
+                    while i2 >= 0 and (text[i2].isalnum() or text[i2] in "_."):
+                        i2 -= 1
+                    lhs_expr = text[i2 + 1: j + 1].strip()
+                    if not re.match(r"^\(\s*(?:SELECT|WITH)\b", lhs_expr,
+                                    re.IGNORECASE):
+                        lk, lt = probe(lhs_expr)
         if lk in (None, "string", "boolean"):
             continue
         lt = lt or lk

@@ -31,6 +31,13 @@ each differentially verified against live DuckDB:
    tables reject the cast contract's raise_error guards outright
    (INVALID_INLINE_TABLE), so FROM (VALUES (CAST(1.0 AS DECIMAL(3,1))),
    ...) must run.
+7. (found r13) DuckDB's datetime LITERAL grammar: seconds are REQUIRED
+   once a time component appears (TIMESTAMP '2020-01-01 01:00' raises
+   its conversion error; TRY_CAST NULLs it; Spark alone parses a value
+   silently), '/' date separators are accepted (normalized for Spark),
+   and DATE ignores any remainder after the date prefix ('2020-01-01
+   junk' is 2020-01-01). BC years, ±HH:MM offsets, hour-24 rollover,
+   and epoch/infinity specials remain loud documented divergences.
 """
 
 from __future__ import annotations
@@ -269,3 +276,79 @@ VALUES_CASTS = [
 @pytest.mark.parametrize("q", VALUES_CASTS)
 def test_values_rows_keep_plain_casts(eng, con, q):
     _differential(eng, con, q)
+
+
+# ---- 7. datetime literal grammar ---------------------------------------------
+
+DATETIME_LITERALS = [
+    # no-seconds forms raise DuckDB's conversion error; TRY_CAST NULLs
+    "SELECT TIMESTAMP '2020-01-01 01:00' AS r",
+    "SELECT TIMESTAMPTZ '2020-01-01 01:00' AS r",
+    "SELECT '2020-01-01 01:00'::TIMESTAMP AS r",
+    "SELECT CAST('2020-01-01 01:00' AS TIMESTAMP) AS r",
+    "SELECT TRY_CAST('2020-01-01 01:00' AS TIMESTAMP) AS r",
+    "SELECT TIMESTAMP '2020-01-01T01:00' AS r",
+    "SELECT TIMESTAMP '2020-01-01 01' AS r",
+    "SELECT TIME '01:00' AS r",
+    # accepted shapes stay working
+    "SELECT TIMESTAMP '2020-01-01 01:00:00' AS r",
+    "SELECT TIMESTAMP '2020-01-01' AS r",
+    "SELECT TIMESTAMP '2020-01-01 1:2:3' AS r",
+    "SELECT TIMESTAMP '2020-01-01 01:00:00.5' AS r",
+    "SELECT TRY_CAST('2020-01-01 01:00:00' AS TIMESTAMP) AS r",
+    # slash separators normalize (DuckDB accepts; Spark alone rejects)
+    "SELECT TIMESTAMP '2020/01/01 01:00:00' AS r",
+    "SELECT DATE '2020/01/01' AS r",
+    "SELECT CAST('2020/01/01' AS DATE) AS r",
+    # DATE ignores the remainder after the date prefix
+    "SELECT DATE '2020-01-01 junk' AS r",
+    "SELECT DATE '2020-01-01T00:00:00' AS r",
+    "SELECT DATE '2020-01-01 01:00' AS r",
+    # regressions around the pass
+    "SELECT DATE '2020-01-01' + 1 AS r",
+    "SELECT TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '2 days' AS r",
+    "SELECT CAST(TIMESTAMP '2020-01-01 01:02:03' AS DATE) AS r",
+]
+
+
+@pytest.mark.parametrize("q", DATETIME_LITERALS)
+def test_datetime_literal_grammar(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 8. conversion-error MESSAGE parity --------------------------------------
+# The /db/query envelope carries the bare DuckDB message (duck_error_text
+# strips Spark's USER_RAISED_EXCEPTION wrapper); the templates themselves
+# are measured-verbatim per lane.
+
+ERROR_MESSAGES = [
+    "SELECT CAST('x' AS TINYINT) AS v",
+    "SELECT CAST('x' AS SMALLINT) AS v",
+    "SELECT CAST('x' AS INTEGER) AS v",
+    "SELECT CAST('x' AS BIGINT) AS v",
+    "SELECT CAST('x' AS DOUBLE) AS v",
+    "SELECT CAST('x' AS FLOAT) AS v",
+    "SELECT CAST('x' AS DECIMAL(4,1)) AS v",
+    "SELECT CAST('nope' AS BOOLEAN) AS v",
+    "SELECT CAST(CAST(300 AS BIGINT) AS TINYINT) AS v",
+    "SELECT CAST(CAST(300.5 AS DECIMAL(5,1)) AS TINYINT) AS v",
+    "SELECT CAST(12.345 AS DECIMAL(3,2)) AS v",
+    "SELECT CAST(CAST('1e40' AS DOUBLE) AS FLOAT) AS v",
+]
+
+
+@pytest.mark.parametrize("q", ERROR_MESSAGES)
+def test_conversion_error_messages_verbatim(eng, con, q):
+    from duckdb_service_spark.service.serializer import duck_error_text
+
+    with pytest.raises(Exception) as want:
+        con.execute(q)
+    duck_msg = str(want.value).splitlines()[0].strip()
+    try:
+        eng.query_df(q).collect()
+        raised = None
+    except Exception as ex:
+        raised = ex
+    assert raised is not None, f"{q!r}: engine returned a value"
+    got = duck_error_text(raised).splitlines()[0].strip()
+    assert got == duck_msg, f"{q!r}:\n  engine {got!r}\n  duckdb {duck_msg!r}"
