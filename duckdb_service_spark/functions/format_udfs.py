@@ -57,6 +57,68 @@ def _float_str_batch(s: pd.Series) -> pd.Series:
     )
 
 
+_SCALAR_DUCK_NAMES = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "integer": "INTEGER", "bigint": "BIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "string": "VARCHAR", "boolean": "BOOLEAN",
+    "date": "DATE", "binary": "BLOB", "timestamp_ntz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP WITH TIME ZONE", "void": '"NULL"',
+    "variant": "JSON", "time(6)": "TIME", "time": "TIME",
+}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def duck_type_text(s: str) -> "str | None":
+    """Spark simpleString (typeof() output) -> DuckDB type name, for the
+    composite shapes the SQL-level typeof CASE can't express (measured:
+    typeof([1,2]) = 'INTEGER[]', typeof(MAP {'x': 1}) =
+    'MAP(VARCHAR, INTEGER)', typeof({'a': 5}) = 'STRUCT(a INTEGER)')."""
+    if s is None:
+        return None
+    t = s.strip()
+    low = t.lower()
+    if low in _SCALAR_DUCK_NAMES:
+        return _SCALAR_DUCK_NAMES[low]
+    if low.startswith("decimal(") or low.startswith("interval"):
+        return "INTERVAL" if low.startswith("interval") else t.upper()
+    if low.startswith("array<") and low.endswith(">"):
+        return f"{duck_type_text(t[6:-1])}[]"
+    if low.startswith("map<") and low.endswith(">"):
+        kv = _split_top(t[4:-1])
+        if len(kv) == 2:
+            return (
+                f"MAP({duck_type_text(kv[0])}, {duck_type_text(kv[1])})"
+            )
+    if low.startswith("struct<") and low.endswith(">"):
+        fields = []
+        for f in _split_top(t[7:-1]):
+            name, _, ft = f.partition(":")
+            if not ft:
+                return t.upper()
+            fields.append(f"{name.strip()} {duck_type_text(ft)}")
+        return f"STRUCT({', '.join(fields)})"
+    return t.upper()
+
+
+def _type_name_batch(s: pd.Series) -> pd.Series:
+    return s.map(duck_type_text)
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -68,4 +130,5 @@ def ensure_format_udfs(spark) -> None:
         return
     spark.udf.register("duck_double_str", pandas_udf(_double_str_batch, "string"))
     spark.udf.register("duck_float_str", pandas_udf(_float_str_batch, "string"))
+    spark.udf.register("duck_type_name", pandas_udf(_type_name_batch, "string"))
     _REGISTERED.add(key)

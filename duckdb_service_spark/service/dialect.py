@@ -1112,21 +1112,21 @@ def _unify_literal_cells(cells: list[str]) -> "list[str] | None":
         _src_class,
     )
 
-    lanes = []
+    atoms = []
     for c in cells:
         if re.match(r"^NULL$", c, re.IGNORECASE):
-            lanes.append(("null", None))
+            atoms.append(("null", None, True, c))
             continue
         cls, txt = _src_class(c, {})
         if cls is None or "(" in c:
             return None
-        lanes.append((cls, txt))
-    tgt = _literal_union_target(lanes, list(cells))
+        atoms.append((cls, txt, True, c))
+    tgt = _literal_union_target(atoms)
     if not tgt:
         return None
     return [
-        f"CAST({c} AS {tgt})" if _literal_cell_needs_cast(k, tgt) else c
-        for c, (k, _) in zip(cells, lanes)
+        f"CAST({c} AS {tgt})" if _literal_cell_needs_cast(a, tgt) else c
+        for c, a in zip(cells, atoms)
     ]
 
 
@@ -3622,6 +3622,66 @@ def _rewrite_numeric_underscores(sql: str) -> str:
     return _rewrite_code(sql, fix)
 
 
+# ---- string-literal overload rejections (measured r13) ---------------------
+# DuckDB's +/- have date overloads, so string-literal ± integer-literal
+# is AMBIGUOUS and binder-errors ('2' + 1, 1 + '2', '2' - 1) while */%
+# coerce ('2' * 3 = 6 INTEGER) and a DECIMAL partner computes DOUBLE
+# ('2' + 1.5 = 3.5). abs/round/floor/ceil/sign over a string literal
+# binder-error the same way; sqrt/ln coerce. Spark computes all of these
+# silently. Only the textually-safe literal-adjacent shapes are
+# rejected; column partners and compound chains keep Spark's lane
+# (documented divergence).
+_STRLIT_TXT = r"'(?:[^']|'')*'"
+_STR_PLUSMINUS_RE = re.compile(
+    rf"(?<![\w'])({_STRLIT_TXT})\s*([+-])\s*\d+(?![\w.])"
+    rf"|(?<![\w.'])(\d+)\s*([+-])\s*{_STRLIT_TXT}",
+)
+_STRFN_REJECT_RE = re.compile(
+    rf"\b(abs|round|floor|ceil|sign)\s*\(\s*{_STRLIT_TXT}\s*\)",
+    re.IGNORECASE,
+)
+_TYPED_LIT_PREFIX_RE = re.compile(
+    r"(?<![\w])(?:DATE|TIMESTAMPTZ|TIMESTAMP|TIME|INTERVAL|E)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _reject_string_literal_overloads(sql: str) -> str:
+    if not re.search(r"['']", sql):
+        return sql
+    mask = _literal_mask(sql)
+    for m in _STR_PLUSMINUS_RE.finditer(sql):
+        op = m.group(2) or m.group(4)
+        op_at = sql.index(op, m.end(1) if m.group(1) else m.end(3))
+        if mask[op_at]:
+            continue
+        before = sql[: m.start()]
+        # typed literals (DATE '...' + 1 is valid) and compound chains
+        # (3 * '2' - 1 reduces left-to-right) stay untouched
+        if _TYPED_LIT_PREFIX_RE.search(before):
+            continue
+        if re.search(r"[*/%|+\-]\s*$", before):
+            continue
+        a, b = (
+            ("STRING_LITERAL", "INTEGER_LITERAL")
+            if m.group(1) else ("INTEGER_LITERAL", "STRING_LITERAL")
+        )
+        raise ValueError(
+            f'Binder Error: Could not choose a best candidate function '
+            f'for the function call "{op}({a}, {b})". In order to select '
+            f'one, please add explicit type casts.'
+        )
+    for m in _STRFN_REJECT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        raise ValueError(
+            f'Binder Error: Could not choose a best candidate function '
+            f'for the function call "{m.group(1).lower()}(STRING_LITERAL)". '
+            f'In order to select one, please add explicit type casts.'
+        )
+    return sql
+
+
 _RANKING_OVER_RE = re.compile(
     r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lag|lead)"
     r"\s*\(",
@@ -4584,6 +4644,7 @@ def translate(sql: str) -> str:
     # statement-level bracket/brace passes first (their spans may straddle
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_numeric_underscores(sql)
+    sql = _reject_string_literal_overloads(sql)
     # datetime literal grammar BEFORE the tz/precision rewrites so the
     # validation sees the user's original TYPE '...' shapes
     sql = _rewrite_datetime_literals(sql)
@@ -5720,7 +5781,13 @@ def _emit_typeof(args: list[str]) -> str:
         body = ", ".join(f"{n} {t}" for n, t in fields)
         return f"'UNION({body})'"
     whens = " ".join(f"WHEN '{s}' THEN '{d}'" for s, d in _TYPEOF_CASES)
-    return f"(CASE typeof({args[0]}) {whens} ELSE upper(typeof({args[0]})) END)"
+    # composite shapes (array/map/struct) translate through the Arrow
+    # duck_type_name UDF (typeof([1,2]) = 'INTEGER[]', measured r13);
+    # a bare upper() printed Spark's ARRAY<INT> spelling
+    return (
+        f"(CASE typeof({args[0]}) {whens} "
+        f"ELSE duck_type_name(typeof({args[0]})) END)"
+    )
 
 
 def _emit_pg_typeof(args: list[str]) -> str:

@@ -452,14 +452,14 @@ class Engine:
         stripped = rewrite_bool_compare(self.spark, stripped, translate)
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
-        stripped = rewrite_list_literal_types(stripped)
+        stripped = rewrite_list_literal_types(self.spark, stripped, translate)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay
         # plain (Spark can't evaluate raise_error guards in VALUES rows)
-        stripped = rewrite_values_typing(stripped)
+        stripped = rewrite_values_typing(self.spark, stripped, translate)
         stripped = rewrite_setop_branch_types(self.spark, stripped, translate)
         routed = route_pivot_statement(self.spark, stripped, self._resolve_view, translate)
         if routed is None:

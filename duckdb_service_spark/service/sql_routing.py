@@ -3273,11 +3273,24 @@ def rewrite_ordered_stat_decimals(
 _VALUES_KW_RE = re.compile(r"\bVALUES\s*\(", re.IGNORECASE)
 
 
-def _literal_union_target(
-    lanes: "list[tuple[str, str | None]]", cell_texts: list[str]
-) -> "str | None":
+def _atom_int_units(a) -> int:
+    """Integer-digit capacity an integer-class cell contributes to a
+    DECIMAL union (measured: literal ints contribute 10/19 by VALUE;
+    composite cells contribute their CLASS width — [1.5, CAST(1 AS
+    TINYINT)] is DECIMAL(4,1), [1.5, CAST(1 AS BIGINT)] DECIMAL(20,1))."""
+    k, _t, lit, s = a
+    if lit:
+        try:
+            return 19 if abs(int(s)) > 2147483647 else 10
+        except ValueError:
+            return 10
+    return _INT_CLASS_UNITS.get(k, 10)
+
+
+def _literal_union_target(atoms) -> "str | None":
     """DuckDB's literal-lane union type for a VALUES column or list
-    literal whose cells are PLAIN literals (measured r11):
+    literal (measured r11, composite cells r13). Cells are branch atoms
+    (class, type text, is_literal, source text):
 
     - strings coerce INTO the lane the non-string cells choose
       ((1),('42') -> INTEGER; ['7', 1.25] -> DECIMAL(3,2); strings never
@@ -3286,14 +3299,16 @@ def _literal_union_target(
       bool+decimal is a DuckDB binder error — left to error in Spark too)
       and with strings as BOOLEAN ((true),('false') -> BOOLEAN);
     - the decimal width is the exact union of the numeric cells
-      ([123.456, 1] -> DECIMAL(13,3): max units 10 for an int cell +
-      max scale 3);
+      ([123.456, 1] -> DECIMAL(13,3): max units 10 for an int literal +
+      max scale 3; composite cells contribute class widths);
     - any float-shaped (scientific) literal pushes the lane to DOUBLE;
     - DATE/TIMESTAMP literals pull date-shaped strings into their lane,
       and a date+timestamp mix unifies to TIMESTAMP.
 
     None = no coercion needed / not safely decidable (pass through)."""
-    kinds = {k for k, _ in lanes if k != "null"}
+    ints = set(_INT_RANK)
+    raw_kinds = {a[0] for a in atoms if a[0] != "null"}
+    kinds = {("integer" if k in ints else k) for k in raw_kinds}
     if len(kinds) < 2:
         return None
     non_str = kinds - {"string"}
@@ -3304,22 +3319,19 @@ def _literal_union_target(
     if "boolean" in non_str and not non_str <= {"boolean", "integer"}:
         return None  # DuckDB rejects bool+fractional too
     if non_str <= {"boolean", "integer"}:
-        big = any(
-            k == "integer" and abs(int(txt)) > 2147483647
-            for (k, _), txt in zip(lanes, cell_texts)
-        )
+        big = any(a[0] in ints and _atom_int_units(a) == 19 for a in atoms)
         return "BIGINT" if big else "INTEGER"
     if non_str <= {"integer", "decimal"}:
         units, scale = 1, 0
-        for (k, _), txt in zip(lanes, cell_texts):
-            if k == "integer":
-                units = max(units, 19 if abs(int(txt)) > 2147483647 else 10)
-            elif k == "decimal":
-                dm = re.match(r"^-?(\d+)\.(\d+)$", txt)
-                if not dm:
+        for a in atoms:
+            if a[0] in ints:
+                units = max(units, _atom_int_units(a))
+            elif a[0] == "decimal":
+                ps = _decimal_prec_scale(a[1] or "")
+                if ps is None:
                     return None
-                units = max(units, len(dm.group(1).lstrip("0")) or 1)
-                scale = max(scale, len(dm.group(2)))
+                units = max(units, max(ps[0] - ps[1], 1))
+                scale = max(scale, ps[1])
         return f"DECIMAL({min(units + scale, 38)},{scale})"
     if non_str <= {"integer", "decimal", "double", "float"}:
         return "DOUBLE"
@@ -3330,12 +3342,39 @@ def _literal_union_target(
     return None
 
 
-def _literal_cell_needs_cast(kind: str, tgt: str) -> bool:
+def _varchar_mix_atoms(atoms) -> "tuple[str, str] | None":
+    """(name A, name B) when the cell set mixes a non-literal VARCHAR
+    cell with a non-string lane — a DuckDB binder/bind error (measured
+    r13: [upper('x'), 1] and VALUES (upper('x')), (1) both reject) —
+    names in cell order for the message. None otherwise."""
+    vc = [a for a in atoms if a[0] == "string" and not a[2]]
+    other = [a for a in atoms if a[0] not in ("null", "string")]
+    if not vc or not other:
+        return None
+    first_vc, first_other = vc[0], other[0]
+    a, b = (
+        (first_vc, first_other)
+        if atoms.index(first_vc) < atoms.index(first_other)
+        else (first_other, first_vc)
+    )
+    return _atom_duck_name(a), _atom_duck_name(b)
+
+
+def _literal_cell_needs_cast(a, tgt: str) -> bool:
+    kind = a[0] if isinstance(a, tuple) else a
     if kind == "string":
         return True
     if kind == "boolean" and tgt != "BOOLEAN":
         return True
     if kind == "date" and tgt == "TIMESTAMP":
+        return True
+    # 19-digit int cells in a DECIMAL union: DuckDB's BIGINT lane is 19
+    # units but Spark's is 20, so [1.5, CAST(1 AS BIGINT)] unifies to
+    # DECIMAL(21,1) there vs DuckDB's DECIMAL(20,1) — cast the cell to
+    # the exact union type (measured r13)
+    if isinstance(a, tuple) and kind in _INT_RANK and tgt.startswith(
+        "DECIMAL"
+    ) and _atom_int_units(a) == 19:
         return True
     return False
 
@@ -3343,22 +3382,29 @@ def _literal_cell_needs_cast(kind: str, tgt: str) -> bool:
 _LIST_OPEN_RE = re.compile(r"\[")
 
 
-def rewrite_list_literal_types(sql: str) -> str:
+def rewrite_list_literal_types(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
     """DuckDB unifies LIST-literal element types across the same lanes as
     VALUES columns (measured r11: [1, '2'] -> INTEGER[] = [1, 2];
     ['1.5', 2] -> INTEGER[] = [2, 2] — string->int rounds; [true, 1] ->
     INTEGER[]; [DATE ..., '2024-02-02'] -> DATE[]), where Spark's array()
     either rejects the mix (bool+int) or unifies to STRING (keeping '2'
     as text — a silent divergence). String/bool/date cells of mixed
-    PLAIN-literal lists get explicit CASTs to the unified lane; the
-    emitted casts ride the dialect's measured string->int rounding and
-    the service cast error contract (bad strings raise like DuckDB's
-    binder). Lists with any non-literal element pass through untouched
-    (column elements already resolve identically in both engines)."""
+    lists get explicit CASTs to the unified lane; the emitted casts ride
+    the dialect's measured string->int rounding and the service cast
+    error contract (bad strings raise like DuckDB's binder). Composite
+    cells (arithmetic, calls, columns) resolve through the branch-atom
+    lane probe (r13: [1+1, '7'] is INTEGER[] in DuckDB) and a
+    non-literal VARCHAR cell against a lane raises DuckDB's
+    cannot-create-a-list binder error."""
     stripped = sql.strip().rstrip(";")
     if "[" not in _code_only(stripped):
         return sql
     from .dialect import _literal_mask
+
+    classes = _schema_class_map(spark, stripped, translate)
+    probe = _make_lane_probe(spark, stripped, translate)
 
     text = stripped
     mask = _literal_mask(text)
@@ -3399,25 +3445,32 @@ def rewrite_list_literal_types(sql: str) -> str:
         if not body.strip():
             continue
         cells = [c.strip() for c in _split_args(body)]
-        lanes: "list[tuple[str, str | None]]" = []
+        atoms = []
         ok = True
         for cell in cells:
-            if re.match(r"^NULL$", cell, re.IGNORECASE):
-                lanes.append(("null", None))
-                continue
-            k, t = _src_class(cell, {})
-            if k is None or "[" in cell:
+            if "[" in cell:
+                ok = False  # nested list / subscript cell: stay opaque
+                break
+            a = _branch_atom(cell, classes, probe)
+            if a is None:
                 ok = False
                 break
-            lanes.append((k, t))
+            atoms.append(a)
         if not ok:
             continue
-        tgt = _literal_union_target(lanes, cells)
+        mix = _varchar_mix_atoms(atoms)
+        if mix is not None:
+            raise ValueError(
+                f"Binder Error: Cannot create a list of types {mix[0]} "
+                f"and {mix[1]} - an explicit cast is required"
+            )
+        tgt = _literal_union_target(atoms)
         if tgt is None:
             continue
         new_cells = [
-            f"CAST({c} AS {tgt})" if _literal_cell_needs_cast(k, tgt) else c
-            for c, (k, _) in zip(cells, lanes)
+            f"CAST({c} AS {tgt})"
+            if _literal_cell_needs_cast(a, tgt) else c
+            for c, a in zip(cells, atoms)
         ]
         if new_cells == cells:
             continue
@@ -3425,18 +3478,28 @@ def rewrite_list_literal_types(sql: str) -> str:
     return text
 
 
-def rewrite_values_typing(sql: str) -> str:
+def rewrite_values_typing(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
     """DuckDB types a VALUES list by unifying ALL rows' cells per column —
     string literals coerce INTO a numeric/date lane and booleans into a
     numeric lane (measured: (1),('42') -> INTEGER; (1),(true) -> INTEGER;
     (1),(2.5),('7') -> DECIMAL; (DATE ...),('2024-02-02') -> DATE). Spark's
     inline-table resolution rejects those mixes, so the string/bool cells
-    get explicit CASTs to the unified lane. Rows whose cells aren't plain
-    literals pass through untouched."""
+    get explicit CASTs to the unified lane. Composite cells resolve
+    through the branch-atom lane probe (r13: (1+1),('7') -> INTEGER) and
+    a non-literal VARCHAR cell against a lane raises DuckDB's
+    cannot-combine-types error."""
     stripped = sql.strip().rstrip(";")
     if not _VALUES_KW_RE.search(_code_only(stripped)):
         return sql
     from .dialect import _literal_mask
+
+    # BARE probe (no FROM): VALUES cells are constant expressions, and
+    # the statement's own FROM may BE the not-yet-coerced inline table —
+    # attaching it would make every probe fail on exactly the statements
+    # this pass exists to fix
+    probe = _make_lane_probe(spark, "", translate)
 
     text = stripped
     mask = _literal_mask(text)
@@ -3475,27 +3538,28 @@ def rewrite_values_typing(sql: str) -> str:
         new_cells = [list(row) for row in cells]
         changed = False
         for col in range(ncols):
-            lanes: list[tuple[str, "str | None"]] = []
+            atoms = []
             ok = True
             for r in range(len(cells)):
                 cell = cells[r][col].strip()
-                if re.match(r"^NULL$", cell, re.IGNORECASE):
-                    lanes.append(("null", None))
-                    continue
-                k, t = _src_class(cell, {})
-                if k is None:
-                    ok = False  # non-literal cell: leave the column alone
+                a = _branch_atom(cell, {}, probe)
+                if a is None:
+                    ok = False  # unknowable cell: leave the column alone
                     break
-                lanes.append((k, t))
+                atoms.append(a)
             if not ok:
                 continue
-            tgt = _literal_union_target(
-                lanes, [cells[r][col].strip() for r in range(len(cells))]
-            )
+            mix = _varchar_mix_atoms(atoms)
+            if mix is not None:
+                raise ValueError(
+                    f"Not implemented Error: Cannot combine types {mix[0]} "
+                    f"and {mix[1]} - an explicit cast is required"
+                )
+            tgt = _literal_union_target(atoms)
             if tgt is None:
                 continue
             for r in range(len(cells)):
-                if _literal_cell_needs_cast(lanes[r][0], tgt):
+                if _literal_cell_needs_cast(atoms[r], tgt):
                     new_cells[r][col] = (
                         f"CAST({cells[r][col].strip()} AS {tgt})"
                     )

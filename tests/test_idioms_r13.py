@@ -337,6 +337,90 @@ ERROR_MESSAGES = [
 ]
 
 
+# ---- 9. composite cells in list literals / VALUES; typeof composite names ----
+
+COMPOSITE_CELLS = [
+    # composite cells join the literal-lane union (probe-typed)
+    "SELECT [1+1, '7'] AS v",
+    "SELECT [length('abc'), '7'] AS v",
+    "SELECT v FROM (VALUES (1+1), ('7')) s(v)",
+    "SELECT v FROM (VALUES (1+1), ('7'), (2.5)) s(v)",
+    "SELECT [1=1, 1+0] AS v",
+    # width: composite int cells contribute CLASS units (BIGINT = 19,
+    # where Spark's native union would reserve 20)
+    "SELECT typeof([1.5, CAST(1 AS BIGINT)]) AS v",
+    "SELECT typeof([1.5, CAST(1 AS TINYINT)]) AS v",
+    "SELECT typeof([123.456, 1+1]) AS v",
+    "SELECT typeof([1.5, 4000000000]) AS v",
+    # non-literal VARCHAR against a lane: DuckDB's bind errors
+    "SELECT [upper('x'), 1] AS v",
+    "SELECT v FROM (VALUES (upper('x')), (1)) s(v)",
+    # typeof prints DuckDB's composite type names, not Spark's
+    "SELECT typeof([1, 2]) AS v",
+    "SELECT typeof(MAP {'x': 1}) AS v",
+    "SELECT typeof({'a': 5, 'b': [1.5]}) AS v",
+    "SELECT typeof([[1], [2, 3]]) AS v",
+    "SELECT pg_typeof([1, 2]) AS v",
+    "SELECT typeof(INTERVAL 1 DAY) AS v",
+    "SELECT typeof([DATE '2020-01-01']) AS v",
+]
+
+
+@pytest.mark.parametrize("q", COMPOSITE_CELLS)
+def test_composite_cells_and_typeof_names(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 10. string-literal overload rejections ----------------------------------
+# DuckDB's +/- are ambiguous over (string literal, integer literal) —
+# date overloads — and abs/round/floor/ceil/sign reject STRING_LITERAL
+# args; */% coerce and DECIMAL partners compute DOUBLE (measured r13).
+
+STRING_OVERLOADS = [
+    "SELECT '2' + 1 AS v",       # binder error
+    "SELECT 'x' + 1 AS v",       # binder error
+    "SELECT 1 + '2' AS v",       # binder error
+    "SELECT '2' - 1 AS v",       # binder error
+    "SELECT abs('-2') AS v",     # binder error
+    "SELECT round('2.5') AS v",  # binder error
+    "SELECT floor('2.5') AS v",  # binder error
+    "SELECT sign('-2') AS v",    # binder error
+    # the coercing overloads keep working
+    "SELECT '2' * 3 AS v",
+    "SELECT '2' + 1.5 AS v",
+    "SELECT sqrt('4') AS v",
+    "SELECT DATE '2020-01-01' + 1 AS v",
+    "SELECT 'a' || 'b' AS v",
+    "SELECT '2'::INT + 1 AS v",
+    "SELECT 3 * '2' - 1 AS v",
+    "SELECT abs(-2) AS v",
+    "SELECT round(2.5, 0) AS v",
+]
+
+
+@pytest.mark.parametrize("q", STRING_OVERLOADS)
+def test_string_literal_overload_rejects(eng, con, q):
+    _differential(eng, con, q)
+
+
+def test_string_arith_binder_message_verbatim(eng, con):
+    q = "SELECT '2' + 1 AS v"
+    with pytest.raises(Exception) as want:
+        con.execute(q)
+    with pytest.raises(Exception) as got:
+        eng.query_df(q).collect()
+    assert str(got.value).splitlines()[0] == str(want.value).splitlines()[0]
+
+
+def test_list_varchar_mix_error_message(eng, con):
+    q = "SELECT [upper('x'), 1] AS v"
+    with pytest.raises(Exception) as want:
+        con.execute(q)
+    with pytest.raises(Exception) as got:
+        eng.query_df(q).collect()
+    assert str(got.value).splitlines()[0] == str(want.value).splitlines()[0]
+
+
 @pytest.mark.parametrize("q", ERROR_MESSAGES)
 def test_conversion_error_messages_verbatim(eng, con, q):
     from duckdb_service_spark.service.serializer import duck_error_text
