@@ -3622,6 +3622,65 @@ def _rewrite_numeric_underscores(sql: str) -> str:
     return _rewrite_code(sql, fix)
 
 
+# DuckDB coerces string literals in boolean contexts through its BOOL
+# token set (WHERE '1' keeps rows, CASE WHEN 'T' THEN fires, WHERE 'x'
+# raises its conversion error — measured r13) and accepts string-literal
+# LIMIT/OFFSET counts. Spark rejects both at analysis. Only the
+# literal-adjacent shapes are rewritten: CASE WHEN '<lit>' (searched
+# CASE, directly adjacent so simple-CASE comparisons stay untouched),
+# WHERE '<lit>' / NOT '<lit>' at a clause boundary, and
+# LIMIT/OFFSET '<lit>'.
+_BOOL_CTX_STR_RE = re.compile(
+    r"\b(CASE\s+WHEN|WHERE|HAVING|QUALIFY|NOT)\s+('(?:[^']|'')*')"
+    r"(?=\s*(?:\)|$|;|,|THEN\b|ELSE\b|END\b|AS\b|FROM\b|AND\b|OR\b"
+    r"|LIMIT\b|ORDER\b|GROUP\b|HAVING\b|UNION\b|INTERSECT\b|EXCEPT\b"
+    r"|WINDOW\b|QUALIFY\b))",
+    re.IGNORECASE,
+)
+_LIMIT_STR_RE = re.compile(
+    r"\b(LIMIT|OFFSET)\s+'((?:[^']|'')*)'", re.IGNORECASE
+)
+
+
+def _rewrite_bool_context_strings(sql: str) -> str:
+    if "'" not in sql:
+        return sql
+    mask = _literal_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    for m in _BOOL_CTX_STR_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        # constant literal: fold DuckDB's BOOL token set here (exactly
+        # t/f/true/false/1/0 case-insensitive, NO trimming — the cast
+        # contract's measured lane) so the miss raises DuckDB's error
+        # instead of Spark's silent NULL-filter
+        body = m.group(2)[1:-1].replace("''", "'")
+        low = body.lower()
+        if low in ("t", "true", "1"):
+            edits.append((m.start(2), m.end(2), "TRUE"))
+        elif low in ("f", "false", "0"):
+            edits.append((m.start(2), m.end(2), "FALSE"))
+        else:
+            raise ValueError(
+                f"Conversion Error: Could not convert string '{body}' "
+                f"to BOOL"
+            )
+    for m in _LIMIT_STR_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        body = m.group(2).strip()
+        if re.match(r"^\d+$", body):
+            edits.append((m.start(2) - 1, m.end(2) + 1, body))
+        else:
+            raise ValueError(
+                f"Conversion Error: Could not convert string '{m.group(2)}'"
+                f" to INT64"
+            )
+    for a, b, repl in sorted(edits, reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 # ---- string-literal overload rejections (measured r13) ---------------------
 # DuckDB's +/- have date overloads, so string-literal ± integer-literal
 # is AMBIGUOUS and binder-errors ('2' + 1, 1 + '2', '2' - 1) while */%
@@ -3638,6 +3697,16 @@ _STR_PLUSMINUS_RE = re.compile(
 )
 _STRFN_REJECT_RE = re.compile(
     rf"\b(abs|round|floor|ceil|sign)\s*\(\s*{_STRLIT_TXT}\s*\)",
+    re.IGNORECASE,
+)
+# numeric aggregates reject VARCHAR args too (measured: sum('2') /
+# avg / stddev / var_samp / product / bit_and / bool_and / skewness
+# binder-error; median/mode/min/max/count take VARCHAR) — Spark's
+# sum('2') silently computes 2.0
+_STRAGG_REJECT_RE = re.compile(
+    rf"\b(sum|avg|mean|stddev|stddev_samp|stddev_pop|var_samp|var_pop"
+    rf"|variance|product|bit_and|bit_or|bit_xor|bool_and|bool_or"
+    rf"|skewness|kurtosis)\s*\(\s*{_STRLIT_TXT}\s*\)",
     re.IGNORECASE,
 )
 _TYPED_LIT_PREFIX_RE = re.compile(
@@ -3679,6 +3748,30 @@ def _reject_string_literal_overloads(sql: str) -> str:
             f'for the function call "{m.group(1).lower()}(STRING_LITERAL)". '
             f'In order to select one, please add explicit type casts.'
         )
+    for m in _STRAGG_REJECT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        raise ValueError(
+            f"Binder Error: No function matches the given name and "
+            f"argument types '{m.group(1).lower()}(VARCHAR)'. You might "
+            f"need to add explicit type casts."
+        )
+    # median over VARCHAR is ORDINAL in DuckDB (returns the middle
+    # string); Spark's median coerces to DOUBLE. A constant string arg
+    # makes min() the exact same aggregate (every row ties).
+    out = []
+    last = 0
+    for m in re.finditer(
+        rf"\bmedian(\s*\(\s*{_STRLIT_TXT}\s*\))", sql, re.IGNORECASE
+    ):
+        if mask[m.start()]:
+            continue
+        out.append(sql[last: m.start()])
+        out.append(f"min{m.group(1)}")
+        last = m.end()
+    if out:
+        out.append(sql[last:])
+        sql = "".join(out)
     return sql
 
 
@@ -4645,6 +4738,7 @@ def translate(sql: str) -> str:
     # string literals, so per-chunk rewriting would lose the bracket stack)
     sql = _rewrite_numeric_underscores(sql)
     sql = _reject_string_literal_overloads(sql)
+    sql = _rewrite_bool_context_strings(sql)
     # datetime literal grammar BEFORE the tz/precision rewrites so the
     # validation sees the user's original TYPE '...' shapes
     sql = _rewrite_datetime_literals(sql)

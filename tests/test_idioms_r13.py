@@ -403,6 +403,56 @@ def test_string_literal_overload_rejects(eng, con, q):
     _differential(eng, con, q)
 
 
+# ---- 11. string literals in boolean / LIMIT contexts -------------------------
+# DuckDB's implicit VARCHAR->BOOL cast fires in condition positions
+# (WHERE '1' keeps rows, CASE WHEN 'T' THEN, NOT 'true'; 'x' raises its
+# conversion error) and LIMIT/OFFSET accept quoted digit counts.
+
+BOOL_CONTEXTS = [
+    "SELECT CASE WHEN '1' THEN 'y' ELSE 'n' END AS v",
+    "SELECT CASE WHEN 'T' THEN 1 ELSE 0 END AS v",
+    "SELECT CASE WHEN 'yes' THEN 1 ELSE 0 END AS v",  # conversion error
+    "SELECT 1 AS a WHERE '1'",
+    "SELECT 1 AS a WHERE '0'",
+    "SELECT 1 AS a WHERE 'x'",                        # conversion error
+    "SELECT NOT 'true' AS v",
+    "SELECT 1 AS a WHERE NOT '0'",
+    "SELECT 1 AS a LIMIT '2'",
+    "SELECT 1 AS a LIMIT '2x'",                       # conversion error
+    "SELECT 1 AS a OFFSET '1'",
+    # guards: comparison operands / simple CASE / BETWEEN / LIKE stay put
+    "SELECT CASE 'A' WHEN 'A' THEN 1 ELSE 0 END AS v",
+    "SELECT 2 BETWEEN '1' AND '3' AS v",
+    "SELECT 'abc' LIKE 'a%' AS v",
+    "SELECT 1 AS a WHERE 'a' = 'a'",
+]
+
+
+@pytest.mark.parametrize("q", BOOL_CONTEXTS)
+def test_string_literals_in_bool_contexts(eng, con, q):
+    _differential(eng, con, q)
+
+
+# numeric aggregates reject VARCHAR args where Spark silently coerces
+# (sum('2') computed 2.0); median over VARCHAR is ordinal in DuckDB.
+AGG_STRING_ARGS = [
+    "SELECT sum('2') AS v",      # binder error
+    "SELECT avg('2') AS v",      # binder error
+    "SELECT stddev('2') AS v",   # binder error
+    "SELECT max('2') AS v",      # VARCHAR max works
+    "SELECT count('x') AS v",
+    "SELECT string_agg('a', ',') AS v",
+    "SELECT median('2') AS v",   # ordinal: the string itself
+    "SELECT mode('2') AS v",
+    "SELECT median(2.5) AS v",
+]
+
+
+@pytest.mark.parametrize("q", AGG_STRING_ARGS)
+def test_aggregate_string_args(eng, con, q):
+    _differential(eng, con, q)
+
+
 def test_string_arith_binder_message_verbatim(eng, con):
     q = "SELECT '2' + 1 AS v"
     with pytest.raises(Exception) as want:
