@@ -3642,6 +3642,38 @@ _LIMIT_STR_RE = re.compile(
 )
 
 
+_POSTFIX_FACT_RE = re.compile(
+    r"(?<![\w.])(\d+)\s*!"
+    r"(?=\s*(?:$|,|\)|\]|;|AS\b|FROM\b|UNION\b|INTERSECT\b|EXCEPT\b"
+    r"|ORDER\b|LIMIT\b|WHERE\b|GROUP\b|HAVING\b|THEN\b|ELSE\b|END\b))"
+)
+
+
+def _rewrite_postfix_factorial(sql: str) -> str:
+    """DuckDB's postfix factorial (5! = 120) onto factorial() — but the
+    operator binds LOOSER than arithmetic (measured: 1 + 3! = 24 is
+    factorial(1+3), and 3! + 1 is a DuckDB catalog error), so only
+    ISOLATED literal terms rewrite: preceded by an expression start and
+    followed by an expression end. != stays the inequality operator."""
+    if "!" not in sql:
+        return sql
+    mask = _literal_mask(sql)
+    edits: list[tuple[int, int, str]] = []
+    for m in _POSTFIX_FACT_RE.finditer(sql):
+        if mask[m.start()]:
+            continue
+        before = sql[: m.start()].rstrip()
+        if before and before[-1] not in "(,[" and not re.search(
+            r"\b(?:SELECT|WHEN|THEN|ELSE|BY|RETURN|VALUES)\s*$",
+            before, re.IGNORECASE,
+        ):
+            continue
+        edits.append((m.start(), m.end(), f"factorial({m.group(1)})"))
+    for a, b, repl in sorted(edits, reverse=True):
+        sql = sql[:a] + repl + sql[b:]
+    return sql
+
+
 def _rewrite_bool_context_strings(sql: str) -> str:
     if "'" not in sql:
         return sql
@@ -4739,6 +4771,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_numeric_underscores(sql)
     sql = _reject_string_literal_overloads(sql)
     sql = _rewrite_bool_context_strings(sql)
+    sql = _rewrite_postfix_factorial(sql)
     # datetime literal grammar BEFORE the tz/precision rewrites so the
     # validation sees the user's original TYPE '...' shapes
     sql = _rewrite_datetime_literals(sql)

@@ -433,6 +433,37 @@ def test_string_literals_in_bool_contexts(eng, con, q):
     _differential(eng, con, q)
 
 
+# structured comparisons, slicing, division edges, postfix factorial
+SURFACE_EDGES = [
+    "SELECT {'a':1} = {'a':1} AS v",
+    "SELECT [1,2] = [1,2] AS v",
+    "SELECT [1,2] < [1,3] AS v",
+    "SELECT {'a':1} < {'a':2} AS v",
+    "SELECT 'abc'[2] AS v",
+    "SELECT 'abc'[2:3] AS v",
+    "SELECT [1,2,3][-1] AS v",
+    "SELECT [1,2,3][2:] AS v",
+    "SELECT [1,2,3][:2] AS v",
+    "SELECT 'hello'[-3:] AS v",
+    "SELECT 1 // 0 AS v",
+    "SELECT 1 % 0 AS v",
+    "SELECT 1.0 / 0 AS v",
+    "SELECT 0.0 / 0.0 AS v",
+    # postfix factorial: only the isolated-term shape computes (DuckDB's
+    # ! binds looser than arithmetic — 3! + 1 is a catalog error there)
+    "SELECT 5! AS v",
+    "SELECT 3!, 4 AS w",
+    "SELECT [3!] AS v",
+    "SELECT 1 != 2 AS v",
+    "SELECT factorial(5) AS v",
+]
+
+
+@pytest.mark.parametrize("q", SURFACE_EDGES)
+def test_surface_edges(eng, con, q):
+    _differential(eng, con, q)
+
+
 # numeric aggregates reject VARCHAR args where Spark silently coerces
 # (sum('2') computed 2.0); median over VARCHAR is ordinal in DuckDB.
 AGG_STRING_ARGS = [
