@@ -427,6 +427,7 @@ class Engine:
             rewrite_list_literal_types,
             rewrite_in_list_types,
             rewrite_ordered_stat_decimals,
+            rewrite_string_list_casts,
             rewrite_numeric_date_lanes,
             rewrite_setop_branch_types,
             rewrite_values_typing,
@@ -456,6 +457,7 @@ class Engine:
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)
+        stripped = rewrite_string_list_casts(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay
         # plain (Spark can't evaluate raise_error guards in VALUES rows)

@@ -3172,6 +3172,161 @@ def rewrite_in_list_types(
     return text
 
 
+_STR_LIST_CAST_RE = re.compile(
+    r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+"
+    r"([A-Za-z_]\w*)\s*((?:\[\s*\])+)\s*\)"
+    r"|'((?:[^']|'')*)'\s*::\s*([A-Za-z_]\w*)\s*((?:\[\s*\])+)",
+    re.IGNORECASE,
+)
+# list LITERAL -> list cast: element conversions follow the scalar cast
+# contract (measured: CAST([1.7] AS INTEGER[]) = [2] — DuckDB rounds
+# where Spark's array cast truncates), so distribute the cast per cell
+_LIT_LIST_CAST_RE = re.compile(
+    r"\b(TRY_CAST|CAST)\s*\(\s*(\[[^()]*?\])\s+AS\s+"
+    r"([A-Za-z_]\w*)\s*(\[\s*\])\s*\)",
+    re.IGNORECASE,
+)
+_STRING_BASES = {"varchar", "text", "string", "char", "bpchar"}
+
+
+def _split_list_body(body: str) -> "list[str] | None":
+    """Top-level comma split of a DuckDB list-string body (quote- and
+    bracket-aware; quotes protect commas but stay PART of the element —
+    measured: CAST('[''a'', ''b,c'']' AS VARCHAR[]) keeps the quotes)."""
+    parts, depth, in_q, cur = [], 0, False, []
+    for ch in body:
+        if in_q:
+            if ch == "'":
+                in_q = False
+            cur.append(ch)
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth or in_q:
+        return None
+    parts.append("".join(cur))
+    return parts
+
+
+def _fold_string_list(form: str, value: str, base: str, depth: int):
+    """DuckDB SQL for CAST('<list string>' AS base[]*depth) — parsed per
+    its measured grammar: outer whitespace trimmed, brackets required
+    (else CAST raises / TRY_CAST NULLs the whole value), elements
+    trimmed and cast ELEMENT-WISE (TRY_CAST('[1, x]') is [1, NULL]),
+    NULL elements pass, nesting recurses. Raises ValueError with
+    DuckDB's message on the unbracketed CAST form."""
+    tgt = base + "[]" * depth
+    v = value.strip()
+    if not (v.startswith("[") and v.endswith("]")):
+        if form == "TRY_CAST":
+            return f"CAST(NULL AS {tgt})"
+        raise ValueError(
+            f"Conversion Error: Type VARCHAR with value '{value}' can't "
+            f"be cast to the destination type LIST"
+        )
+    body = v[1:-1]
+    if not body.strip():
+        return f"CAST([] AS {tgt})"
+    elems = _split_list_body(body)
+    if elems is None:
+        if form == "TRY_CAST":
+            return f"CAST(NULL AS {tgt})"
+        raise ValueError(
+            f"Conversion Error: Type VARCHAR with value '{value}' can't "
+            f"be cast to the destination type LIST"
+        )
+    out = []
+    for e in elems:
+        el = e.strip()
+        if re.match(r"^NULL$", el, re.IGNORECASE):
+            out.append(f"CAST(NULL AS {base + '[]' * (depth - 1)})")
+        elif depth > 1:
+            out.append(_fold_string_list(form, el, base, depth - 1))
+        elif base.lower() in _STRING_BASES:
+            out.append("'" + el.replace("'", "''") + "'")
+        else:
+            lit = "'" + el.replace("'", "''") + "'"
+            out.append(f"{form}({lit} AS {base})")
+    return "[" + ", ".join(out) + "]"
+
+
+def rewrite_string_list_casts(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """(TRY_)CAST of a STRING LITERAL to a list type — Spark has no
+    STRING->ARRAY cast, DuckDB parses the bracket grammar (measured
+    r13). Folded here, BEFORE the cast contract, so the emitted
+    per-element casts pick up the measured string->T conversion
+    semantics (rounding, element-wise errors)."""
+    if "[" not in sql:
+        return sql
+    from .dialect import _literal_mask
+
+    stripped = sql.strip().rstrip(";")
+    text = stripped
+    mask = _literal_mask(text)
+    edits: list[tuple[int, int, str]] = []
+    for m in _STR_LIST_CAST_RE.finditer(text):
+        if m.group(1):
+            anchor, form = m.start(), m.group(1).upper()
+            val = m.group(2).replace("''", "'")
+            base, brackets = m.group(3), m.group(4)
+        else:
+            anchor = text.index("::", m.end(5))
+            form = "CAST"
+            val = m.group(5).replace("''", "'")
+            base, brackets = m.group(6), m.group(7)
+        if mask[anchor]:
+            continue
+        if base.lower() not in _TYPE_CLASS and base.lower() not in (
+            "int", "integer",
+        ):
+            continue
+        depth = brackets.count("[")
+        edits.append(
+            (m.start(), m.end(), _fold_string_list(form, val, base, depth))
+        )
+    for m in _LIT_LIST_CAST_RE.finditer(text):
+        if mask[m.start()]:
+            continue
+        form, body, base = m.group(1).upper(), m.group(2), m.group(3)
+        if base.lower() not in _TYPE_CLASS:
+            continue
+        cells = _split_list_body(body[1:-1])
+        if cells is None:
+            continue
+        out = []
+        ok = True
+        for c in cells:
+            cl = c.strip()
+            if not cl:
+                ok = False
+                break
+            if re.match(r"^NULL$", cl, re.IGNORECASE):
+                out.append(f"CAST(NULL AS {base})")
+            elif _src_class(cl, {})[0] is not None:
+                out.append(f"{form}({cl} AS {base})")
+            else:
+                ok = False  # non-literal cell: keep Spark's array cast
+                break
+        if ok and out:
+            edits.append((m.start(), m.end(), "[" + ", ".join(out) + "]"))
+    for a, b, repl in sorted(edits, reverse=True):
+        text = text[:a] + repl + text[b:]
+    return text if edits else sql
+
+
 _ORDERED_STAT_RE = re.compile(
     r"\b(quantile_cont|median|mad)\s*\(", re.IGNORECASE
 )

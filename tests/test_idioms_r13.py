@@ -464,6 +464,39 @@ def test_surface_edges(eng, con, q):
     _differential(eng, con, q)
 
 
+# string -> LIST casts parse DuckDB's bracket grammar (element-wise TRY,
+# quotes protect commas but stay in the value); list-literal -> list
+# casts distribute the scalar cast contract per cell (rounding)
+LIST_CASTS = [
+    "SELECT CAST('[1, 2]' AS INTEGER[]) AS v",
+    "SELECT '[1,2]'::INT[] AS v",
+    "SELECT CAST('[a, b]' AS VARCHAR[]) AS v",
+    "SELECT CAST('[''a'', ''b,c'']' AS VARCHAR[]) AS v",
+    "SELECT CAST('[1, NULL]' AS INTEGER[]) AS v",
+    "SELECT CAST('[[1],[2]]' AS INTEGER[][]) AS v",
+    "SELECT CAST('[]' AS INTEGER[]) AS v",
+    "SELECT CAST('[1, x]' AS INTEGER[]) AS v",     # element conversion error
+    "SELECT TRY_CAST('[1, x]' AS INTEGER[]) AS v",  # [1, NULL]
+    "SELECT CAST('1,2' AS INTEGER[]) AS v",         # unbracketed: raises
+    "SELECT TRY_CAST('1,2' AS INTEGER[]) AS v",     # NULL
+    "SELECT CAST('[1.5, 2]' AS INTEGER[]) AS v",    # rounds half-away
+    "SELECT CAST(' [1,2] ' AS INTEGER[]) AS v",
+    "SELECT CAST('[1, 2' AS INTEGER[]) AS v",       # unclosed: raises
+    "SELECT CAST([1.7] AS INTEGER[]) AS v",         # [2], not Spark's [1]
+    "SELECT CAST([1.5, 2.5] AS INTEGER[]) AS v",
+    "SELECT CAST(['1', '2'] AS INTEGER[]) AS v",
+    "SELECT CAST([1, NULL] AS VARCHAR[]) AS v",
+    "SELECT TRY_CAST(['x'] AS INTEGER[]) AS v",
+    "SELECT CAST([] AS INTEGER[]) AS v",
+    "SELECT CAST([1,2] AS VARCHAR) AS v",
+]
+
+
+@pytest.mark.parametrize("q", LIST_CASTS)
+def test_string_and_literal_list_casts(eng, con, q):
+    _differential(eng, con, q)
+
+
 # numeric aggregates reject VARCHAR args where Spark silently coerces
 # (sum('2') computed 2.0); median over VARCHAR is ordinal in DuckDB.
 AGG_STRING_ARGS = [
