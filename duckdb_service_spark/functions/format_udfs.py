@@ -119,6 +119,56 @@ def _type_name_batch(s: pd.Series) -> pd.Series:
     return s.map(duck_type_text)
 
 
+def _list_split_one(s) -> "list | None":
+    """DuckDB's string->LIST bracket grammar, element-split only (r14):
+    trim; require [ ]; split on top-level commas (quotes protect commas
+    and stay part of the element — measured, the literal-cast fold in
+    sql_routing._fold_string_list is the compile-time twin); elements
+    trimmed, bare NULL tokens become NULL entries. Returns None on
+    grammar failure (the SQL wrapper distinguishes it from NULL input,
+    which it checks first)."""
+    if s is None:
+        return None
+    v = s.strip()
+    if not (v.startswith("[") and v.endswith("]")):
+        return None
+    body = v[1:-1]
+    if not body.strip():
+        return []
+    parts, depth, in_q, cur = [], 0, False, []
+    for ch in body:
+        if in_q:
+            if ch == "'":
+                in_q = False
+            cur.append(ch)
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth or in_q:
+        return None
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        el = p.strip()
+        out.append(None if el.upper() == "NULL" else el)
+    return out
+
+
+def _list_split_batch(s: pd.Series) -> pd.Series:
+    return s.map(_list_split_one)
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -131,4 +181,7 @@ def ensure_format_udfs(spark) -> None:
     spark.udf.register("duck_double_str", pandas_udf(_double_str_batch, "string"))
     spark.udf.register("duck_float_str", pandas_udf(_float_str_batch, "string"))
     spark.udf.register("duck_type_name", pandas_udf(_type_name_batch, "string"))
+    spark.udf.register(
+        "duck_list_split", pandas_udf(_list_split_batch, "array<string>")
+    )
     _REGISTERED.add(key)

@@ -47,72 +47,71 @@ def query(name: str, oracle: Optional[str] = None, bench: bool = False):
 
 
 # The driver's correctness run covers the FIRST 50 queries in registration
-# order. Round-13 rotation (VERDICT r12 task 3 — the r12 window never
-# rotated, so this list is rebuilt against CORRECTNESS_r01..r12 staleness):
-# (a) all 31 rows whose latest driver check is r07-era — after this round
-# nothing is staler than r08; (b) rows that are NEW or whose code path
-# changed in round 13: fn_timestamptz (never driver-checked),
-# agg_quantile_decimal_trunc (new — ordered-stat .5 boundaries),
-# agg_median_percentile (quantile-over-DECIMAL columns),
-# sql_branch_unification + case_coalesce_nullif (compositional branch
-# fold), fn_union_type (UNION typeof/union_tag names), values_relation +
-# cast_try_cast (VALUES rows keep plain casts), fn_interval (interval
-# regex overlap); (c) 10 of the stalest r08-era rows, preferring
-# statements that traverse the changed passes.
+# order. Round-14 rotation (VERDICT r13 task 4 — recomputed from
+# CORRECTNESS_r01..r13 staleness): (a) all 34 rows whose latest driver
+# check is r08 — after this round nothing is staler than r09; (b) rows
+# NEW or code-path-changed in round 14: sql_composite_cast (new —
+# string->composite casts incl. the column-source runtime parse),
+# sql_branch_unification (gains composite-TYPE lane columns),
+# case_coalesce_nullif + cast_try_cast (the branch fold and cast
+# grammar both grew composite lanes); (c) 12 of the stalest r09-era
+# rows, preferring statements that traverse the changed passes
+# (projection/filter/literal typing, scalar fn batteries, joins/setops
+# whose SQL runs through the full rewrite chain).
 PRIORITY: list[str] = [
-    # (a) r07-era rows — all 31
-    "agg_approx_count_distinct",
-    "agg_cube",
-    "agg_filter_clause",
-    "agg_stats_native",
-    "cte_nested",
-    "cte_recursive_graph",
-    "cte_recursive_series",
-    "fn_timestamp_ns",
-    "mm_decode_features",
-    "pipeline_quality_funnel",
-    "pivot_status_by_priority",
-    "q18_large_volume_customer",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "range_series",
-    "sample_deterministic",
-    "sample_native",
-    "sim_ivf_search",
-    "sim_kmeans",
-    "sim_lsh_topk",
-    "sim_pq_search",
-    "sql_prepare_execute",
-    "stream_neardup_lsh",
-    "unpivot_part_measures",
-    "win_first_last_nth",
-    "win_partition_agg",
-    "win_qualify",
-    "win_range_frame",
-    "win_running_sum",
-    "window_named_sql",
-    # (b) new or code-path-changed in round 13
-    "fn_timestamptz",
-    "agg_quantile_decimal_trunc",
-    "agg_median_percentile",
+    # (a) r08-era rows — all 34
+    "agg_corr_exact",
+    "agg_count_distinct",
+    "agg_stats_exact",
+    "events_funnel_conversion",
+    "events_gapfill_locf",
+    "fn_bit_type",
+    "graph_connected_components",
+    "join_lateral_correlated",
+    "join_positional",
+    "mm_binary_meta",
+    "pipeline_domain_reweighting",
+    "pipeline_sequence_packing",
+    "pipeline_shard_assignment",
+    "pipeline_source_mix",
+    "sim_centroid_per_label",
+    "sql_recursive_routing",
+    "stream_dsir_scoring",
+    "stream_sessionization",
+    "stream_user_activity_windows",
+    "text_contamination",
+    "text_dsir_selection",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition_filter",
+    "text_stratified_sample",
+    "text_substring_dedup",
+    "text_token_count",
+    "text_weighted_sample",
+    "win_distinct_agg",
+    "win_exclude_frame",
+    "win_exclude_named",
+    # (b) new or code-path-changed in round 14
+    "sql_composite_cast",
     "sql_branch_unification",
     "case_coalesce_nullif",
-    "fn_union_type",
-    "values_relation",
     "cast_try_cast",
-    "fn_interval",
-    # (c) r08-era fill — changed-pass-adjacent statements first
-    "fn_battery_r10",
-    "fn_battery_r11",
-    "fn_battery_r13",
-    "agg_core",
-    "agg_minmax_by",
-    "sql_pattern_operators",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "join_asof_left",
-    "sql_asof_routing",
+    # (c) r09-era fill — changed-pass-adjacent statements first
+    "proj_expressions",
+    "filter_predicates",
+    "fn_string",
+    "fn_regex",
+    "fn_json_ops",
+    "agg_bool_bit",
+    "agg_grouping_sets",
+    "join_inner_equi",
+    "join_left_outer",
+    "setop_except_all",
+    "setop_intersect_all",
+    "distinct_basic",
 ]
 
 

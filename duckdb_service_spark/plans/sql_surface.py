@@ -641,7 +641,12 @@ SELECT o_orderkey AS k,
        COALESCE(NULLIF(big, 0), '9') AS comp_nullif,
        COALESCE(big + 1, '7') AS comp_arith,
        GREATEST(big + 1, '7') AS comp_gl,
-       COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN big END, '8') AS comp_case
+       COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN big END, '8') AS comp_case,
+       (COALESCE([small], '[2, 3]'))[1] AS complane_list,
+       (CASE WHEN o_orderkey % 2 = 0 THEN CAST(NULL AS INTEGER[])
+             ELSE '[4]' END)[1] AS complane_parse,
+       (COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN {'a': small} END,
+                 '{''a'': 9}')).a AS complane_struct
 FROM (SELECT o_orderkey, o_orderstatus,
              o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
@@ -656,7 +661,8 @@ SELECT -o_orderkey, is_f, fl, big, dc, NOT is_f, small, small AS ml,
        CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE '3' END AS lc2,
        CAST(COALESCE(dc, '7') AS VARCHAR) AS co2, LEAST(NULL, '5') AS gl2,
        COALESCE(NULLIF(big, 3), '4') AS cn2, big + 2 AS ca2,
-       GREATEST(big, '6') AS cg2, COALESCE(big, '1') AS cc2
+       GREATEST(big, '6') AS cg2, COALESCE(big, '1') AS cc2,
+       small AS cl2, CAST(small AS INTEGER) AS cp2, small AS cs2
 FROM (SELECT o_orderkey, o_orderstatus = 'F' AS is_f,
              CAST(o_orderkey % 5 AS TINYINT) AS small,
              o_orderkey * 3 AS big,
@@ -682,7 +688,11 @@ def sql_branch_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). Round 13 adds COMPOSITE branch operands (NULLIF/arithmetic/
     nested CASE beside a string literal — the LIMIT-0 lane probe in
     _branch_atom types the subexpression like DuckDB's binder, VERDICT
-    r12 #1). The oracle runs the VERBATIM statement in DuckDB."""
+    r12 #1). Round 14 adds COMPOSITE-TYPE lanes (VERDICT r13 #1): a
+    LIST lane beside a string literal parses the literal through the
+    bracket grammar, a NULL-typed INTEGER[] CASE lane parses the ELSE
+    literal, and a STRUCT lane coerces '{''a'': 9}' into its field
+    type. The oracle runs the VERBATIM statement in DuckDB."""
     import tempfile
 
     from ..service.executor import Engine
@@ -690,3 +700,40 @@ def sql_branch_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir).view("orders")
     eng = Engine(spark, tempfile.mkdtemp(prefix="wh_branch_"))
     return eng.query_df(_BRANCH_UNIFY_SQL)
+
+
+_COMPOSITE_CAST_SQL = """
+SELECT k,
+       (CAST(s AS INTEGER[]))[1] AS elem1,
+       (CAST(s AS INTEGER[]))[2] AS elem2,
+       (CAST(s AS DOUBLE[]))[2] AS elem2_dbl,
+       (TRY_CAST(bad AS INTEGER[]))[1] AS try_elem,
+       TRY_CAST(bad AS INTEGER[]) IS NULL AS bad_is_null,
+       CAST('{''a'': 7}' AS STRUCT(a INTEGER)).a AS struct_lit,
+       CAST('{''a'': 2.9}' AS STRUCT(a INTEGER)).a AS struct_round,
+       (COALESCE(CAST(NULL AS INTEGER[]), '[5, 6]'))[2] AS lane_parse
+FROM (SELECT o_orderkey AS k,
+             '[' || (o_orderkey % 5) || ', ' || (o_orderkey % 3) || ']' AS s,
+             CASE WHEN o_orderkey % 2 = 0 THEN '[1, 2]' ELSE 'junk' END AS bad
+      FROM orders WHERE o_orderkey % 101 = 0) t
+ORDER BY k
+"""
+
+
+@query("sql_composite_cast", oracle=_COMPOSITE_CAST_SQL)
+def sql_composite_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String -> composite casts (VERDICT r13 task 2; reference reach:
+    db/db.go:70 passthrough). A string COLUMN cast to INTEGER[]/DOUBLE[]
+    parses DuckDB's bracket grammar at runtime (duck_list_split Arrow
+    UDF + the measured element cast contract), TRY_CAST NULLs
+    grammar-failing rows ('junk'), string LITERALS fold to STRUCT
+    targets at rewrite time ({'a': 2.9} rounds into the INTEGER field),
+    and a composite-lane COALESCE parses its string literal. The oracle
+    runs the VERBATIM statement in DuckDB."""
+    import tempfile
+
+    from ..service.executor import Engine
+
+    load_tables(spark, sf_dir).view("orders")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="wh_compcast_"))
+    return eng.query_df(_COMPOSITE_CAST_SQL)

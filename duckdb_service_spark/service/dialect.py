@@ -919,7 +919,14 @@ def _rewrite_list_literals(code: str) -> str:
                 # brackets for parens → the array(...) function call
                 stack.append(True)
                 out.append("(")
-            elif w in _KEYWORDS or not (prev.isalnum() or prev in ("_", ")", "]", '"')):
+            elif (
+                # keyword directly before the bracket (THEN [1]) opens a
+                # constructor — but only when the keyword itself is the
+                # preceding token: after ')'/']'/'"' the bracket is a
+                # subscript even when the last WORD was END/ELSE
+                # ((CASE ... END)[1] — r14)
+                w in _KEYWORDS and (prev.isalnum() or prev == "_")
+            ) or not (prev.isalnum() or prev in ("_", ")", "]", '"')):
                 stack.append(True)
                 out.append("array(")
             else:

@@ -2503,6 +2503,7 @@ _BRANCH_FAMILY = {
     "double": "numeric",
     "date": "datetime", "timestamp": "datetime",
     "boolean": "boolean",
+    "list": "list", "struct": "struct", "map": "map",
 }
 _INT_CLASS_UNITS = {"tinyint": 3, "smallint": 5, "integer": 10, "bigint": 19}
 _UNITS_INT_TYPE = {3: "TINYINT", 5: "SMALLINT", 10: "INTEGER", 19: "BIGINT"}
@@ -2592,11 +2593,21 @@ def _make_lane_probe(spark, stripped: str, translate: Translate):
         q = f"SELECT {key} AS __lane_probe {from_clause} LIMIT 0"
         try:
             dt = spark.sql(translate(q)).dtypes[0][1]
-            base = dt.split("(")[0]
-            cls = _TYPE_CLASS.get(base)
-            if base.startswith("timestamp"):
-                cls = "timestamp"
-            got = (cls, dt.upper()) if cls else (None, None)
+            low = dt.lower()
+            if low.startswith(("array<", "struct<", "map<")):
+                # composite lanes carry their DuckDB type text (r14:
+                # COALESCE([1], '[2]') coerces the string literal into
+                # the INTEGER[] lane)
+                from ..functions.format_udfs import duck_type_text
+
+                kind = {"a": "list", "s": "struct", "m": "map"}[low[0]]
+                got = (kind, duck_type_text(dt))
+            else:
+                base = dt.split("(")[0]
+                cls = _TYPE_CLASS.get(base)
+                if base.startswith("timestamp"):
+                    cls = "timestamp"
+                got = (cls, dt.upper()) if cls else (None, None)
         except Exception:
             got = (None, None)
         cache[key] = got
@@ -2615,6 +2626,10 @@ def _atom_duck_name(atom, literal_strings: bool = False) -> str:
         return "NULL"
     if k == "string":
         return "STRING_LITERAL" if (lit and literal_strings) else "VARCHAR"
+    if k in _COMPOSITE_KINDS:
+        # probe atoms carry DuckDB text already (INTEGER[], STRUCT(a
+        # INTEGER), MAP(VARCHAR, INTEGER)) — binder messages print it
+        return t or k.upper()
     if lit:
         if k == "integer":
             return "INTEGER_LITERAL"
@@ -2738,6 +2753,76 @@ def _branch_union_target(atoms) -> "str | None":
     return _UNITS_INT_TYPE.get(units, "BIGINT")
 
 
+def _apply_composite_branch(
+    parts: list[str], atoms, family_label: str, acc_index: "int | None",
+) -> "list[str] | None":
+    """Branch fold when a LIST/STRUCT/MAP lane is present (measured r14):
+    string LITERALS cast into the composite lane through DuckDB's
+    string->composite grammar (lazily — the conversion error only fires
+    when the branch is reached); VARCHAR columns and any different-family
+    operand raise DuckDB's Cannot-mix binder error with the composite
+    type name; same-kind composite lanes with different element types
+    bail to Spark's own unification. Fold order matches the scalar
+    accumulator: COALESCE folds onto its first argument, CASE THEN
+    results fold onto the ELSE type."""
+    order = list(range(len(atoms)))
+    if acc_index is not None:
+        order = [acc_index] + [i for i in order if i != acc_index]
+    state = "N"
+    lane = None  # the first lane atom
+    pending: list[int] = []  # string literals seen before any lane
+    coerce: list[int] = []
+    for i in order:
+        a = atoms[i]
+        k = a[0]
+        if k == "null":
+            if state == "SL":
+                state, pending = "V", []
+            continue
+        if k == "string":
+            if a[2]:
+                if state == "LANE":
+                    coerce.append(i)
+                elif state == "N":
+                    state = "SL"
+                    pending.append(i)
+                elif state == "SL":
+                    state, pending = "V", []
+            else:
+                if state == "LANE":
+                    raise _binder_mix_error(
+                        _atom_duck_name(lane), "VARCHAR", family_label
+                    )
+                state, pending = "V", []
+            continue
+        # non-string lane operand
+        if state == "V":
+            raise _binder_mix_error("VARCHAR", _atom_duck_name(a), family_label)
+        if state == "LANE":
+            if _BRANCH_FAMILY.get(lane[0]) != _BRANCH_FAMILY.get(k):
+                raise _binder_mix_error(
+                    _atom_duck_name(lane), _atom_duck_name(a), family_label
+                )
+            if k in _COMPOSITE_KINDS and (lane[1] or "") != (a[1] or ""):
+                return None  # same kind, different element types: Spark's call
+        else:
+            if state == "SL":
+                coerce.extend(pending)
+                pending = []
+            lane, state = a, "LANE"
+    if not coerce or lane is None or lane[0] not in _COMPOSITE_KINDS:
+        return None
+    tree = _parse_duck_type(lane[1] or "")
+    if tree is None:
+        return None
+    out = list(parts)
+    for i in coerce:
+        lit = _strip_outer_parens(atoms[i][3].strip())
+        value = lit[1:-1].replace("''", "'")
+        out[i] = _fold_string_to_tree("CAST", value, tree, lazy=True)
+    return out
+
+
 def _apply_branch_casts(
     parts: list[str], classes: dict, family_label: str,
     acc_index: "int | None", probe=None,
@@ -2748,6 +2833,10 @@ def _apply_branch_casts(
     columns); branch sets it declines (unknown expressions, mixed
     families) fall back to the legacy measured templates."""
     atoms = [_branch_atom(p, classes, probe) for p in parts]
+    if all(a is not None for a in atoms) and any(
+        a[0] in _COMPOSITE_KINDS for a in atoms
+    ):
+        return _apply_composite_branch(parts, atoms, family_label, acc_index)
     if all(a is not None for a in atoms):
         # DuckDB narrows an INTEGER_LITERAL into a narrow int COLUMN lane
         # when the value fits (measured r12: COALESCE(i8, 1) is TINYINT,
@@ -2895,6 +2984,17 @@ def rewrite_branch_expr_types(
             if any(a is None for a in atoms):
                 continue
             kinds = {a[0] for a in atoms if a[0] != "null"}
+            if kinds & _COMPOSITE_KINDS:
+                # no list/struct/map overloads exist at all (measured:
+                # even greatest([1,2],[1,3]) is a DuckDB binder error)
+                names = ", ".join(
+                    _atom_duck_name(a, literal_strings=True) for a in atoms
+                )
+                raise ValueError(
+                    f"Binder Error: No function matches the given name "
+                    f"and argument types '{fn.lower()}({names})'. You "
+                    f"might need to add explicit type casts."
+                )
             if "boolean" in kinds:
                 names = ", ".join(
                     _atom_duck_name(a, literal_strings=True) for a in atoms
@@ -3261,6 +3361,337 @@ def _fold_string_list(form: str, value: str, base: str, depth: int):
     return "[" + ", ".join(out) + "]"
 
 
+# ---------------------------------------------------------------------------
+# Composite-type trees: string -> LIST/STRUCT/MAP cast grammar (r14)
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_KINDS = {"list", "struct", "map"}
+_COMPOSITE_FAIL_NAME = {"list": "LIST", "struct": "STRUCT", "map": "MAP"}
+
+
+def _parse_duck_type(text: str):
+    """DuckDB type text -> nested tree: ('scalar', canon text, class) |
+    ('list', elem) | ('struct', [(name, tree), ...]) | ('map', k, v).
+    None = unparseable / unsupported base (caller bails, no rewrite)."""
+    t = text.strip()
+    m = re.match(r"^(.*?)((?:\s*\[\s*\])+)$", t, re.DOTALL)
+    if m:
+        tree = _parse_duck_type(m.group(1))
+        if tree is None:
+            return None
+        for _ in range(m.group(2).count("[")):
+            tree = ("list", tree)
+        return tree
+    low = t.lower()
+    if low.startswith("struct"):
+        sm = re.match(r"^struct\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+        if not sm:
+            return None
+        fields = []
+        for f in _split_args(sm.group(1)):
+            f = f.strip()
+            nm = re.match(r'^"((?:[^"]|"")*)"\s+(.+)$', f, re.DOTALL) or re.match(
+                r"^([A-Za-z_]\w*)\s+(.+)$", f, re.DOTALL
+            )
+            if not nm:
+                return None
+            sub = _parse_duck_type(nm.group(2))
+            if sub is None:
+                return None
+            fields.append((nm.group(1).replace('""', '"'), sub))
+        return ("struct", fields) if fields else None
+    if low.startswith("map"):
+        mm = re.match(r"^map\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+        if not mm:
+            return None
+        kv = _split_args(mm.group(1))
+        if len(kv) != 2:
+            return None
+        kt, vt = _parse_duck_type(kv[0]), _parse_duck_type(kv[1])
+        if kt is None or vt is None:
+            return None
+        return ("map", kt, vt)
+    base = low.split("(")[0].strip()
+    cls = _TYPE_CLASS.get(base)
+    if cls is None:
+        return None
+    return ("scalar", t, cls)
+
+
+def _duck_tree_text(tree) -> str:
+    """Tree -> DuckDB type text (CAST-target spelling)."""
+    kind = tree[0]
+    if kind == "scalar":
+        return tree[1]
+    if kind == "list":
+        return _duck_tree_text(tree[1]) + "[]"
+    if kind == "struct":
+        fields = ", ".join(
+            (f'"{n}"' if not re.match(r"^[A-Za-z_]\w*$", n) else n)
+            + f" {_duck_tree_text(t)}"
+            for n, t in tree[1]
+        )
+        return f"STRUCT({fields})"
+    return f"MAP({_duck_tree_text(tree[1])}, {_duck_tree_text(tree[2])})"
+
+
+def _composite_cast_fail(form: str, value: str, kind: str, tgt_text: str,
+                         lazy: bool) -> str:
+    """Whole-value string->composite failure: TRY_CAST NULLs, CAST raises
+    DuckDB's Conversion Error — eagerly for standalone casts (always
+    evaluated), as a runtime raise_error guard inside branch folds where
+    DuckDB only errors when the branch is actually reached (measured:
+    COALESCE(MAP{'k':1}, 'nope') returns the map, the NULL-lane twin
+    raises)."""
+    if form == "TRY_CAST":
+        return f"TRY_CAST(NULL AS {tgt_text})"
+    msg = (
+        f"Conversion Error: Type VARCHAR with value '{value}' can't be "
+        f"cast to the destination type {_COMPOSITE_FAIL_NAME[kind]}"
+    )
+    if not lazy:
+        raise ValueError(msg)
+    lit = msg.replace("'", "''")
+    return f"CAST(raise_error('{lit}') AS {tgt_text})"
+
+
+def _split_composite_body(body: str) -> "list[str] | None":
+    """Top-level comma split of a struct/map string body (quote-, brace-
+    and bracket-aware)."""
+    parts, depth, in_q, cur = [], 0, False, []
+    for ch in body:
+        if in_q:
+            if ch == "'":
+                in_q = False
+            cur.append(ch)
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth or in_q:
+        return None
+    parts.append("".join(cur))
+    return parts
+
+
+def _entry_split(entry: str, sep: str) -> "tuple[str, str] | None":
+    """Split one struct/map entry at the FIRST top-level separator
+    (':' for structs, '=' for maps — measured: '{k=2=3}' keeps '2=3' as
+    the value text)."""
+    depth, in_q = 0, False
+    for i, ch in enumerate(entry):
+        if in_q:
+            if ch == "'":
+                in_q = False
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            return entry[:i], entry[i + 1:]
+    return None
+
+
+def _unquote_token(tok: str) -> "tuple[str, bool]":
+    """(content, was_quoted) of a struct/map key or value token —
+    measured: quoted tokens strip their outer quotes ({'a': 'x,y'} ->
+    x,y) while list ELEMENTS keep theirs (existing _fold_string_list
+    rule)."""
+    s = tok.strip()
+    if len(s) >= 2 and s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'"), True
+    return s, False
+
+
+def _scalar_content_conv(form: str, content: str, stree) -> str:
+    """Element conversion of a parsed string cell into a scalar target:
+    string targets take the content verbatim, everything else routes the
+    quoted literal through the measured cast contract (the emitted CAST
+    is folded by the later cast-contract pass — string->int rounds,
+    errors carry DuckDB's templates)."""
+    _kind, stext, scls = stree
+    lit = "'" + content.replace("'", "''") + "'"
+    if scls == "string":
+        return lit
+    return f"{form}({lit} AS {stext})"
+
+
+def _fold_string_to_tree(form: str, value: str, tree, lazy: bool = False) -> str:
+    """DuckDB SQL reproducing CAST('<value>' AS <composite tree>) per the
+    measured string->composite grammars (struct: {'key': v} with quoted
+    or bare keys, unknown keys fail whole-value, missing fields NULL;
+    map: {k=v}; list: bracket grammar via _fold_string_list semantics).
+    ``lazy`` turns whole-value CAST failures into runtime raise_error
+    guards for branch-fold call sites."""
+    kind = tree[0]
+    tgt_text = _duck_tree_text(tree)
+    v = value.strip()
+    if kind == "scalar":
+        return _scalar_content_conv(form, v, tree)
+    if not (v.startswith("{") if kind in ("struct", "map") else v.startswith("[")):
+        return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+    if not v.endswith("}" if kind in ("struct", "map") else "]"):
+        return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+    body = v[1:-1]
+
+    def cell_expr(content: str, was_quoted: bool, sub) -> "str | None":
+        if not was_quoted and re.match(r"^NULL$", content, re.IGNORECASE):
+            return f"CAST(NULL AS {_duck_tree_text(sub)})"
+        if sub[0] == "scalar":
+            return _scalar_content_conv(form, content, sub)
+        return _fold_string_to_tree(form, content, sub, lazy)
+
+    if kind == "list":
+        if not body.strip():
+            return f"CAST([] AS {tgt_text})"
+        elems = _split_list_body(body)
+        if elems is None:
+            return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+        sub = tree[1]
+        out = []
+        for e in elems:
+            el = e.strip()
+            if re.match(r"^NULL$", el, re.IGNORECASE):
+                out.append(f"CAST(NULL AS {_duck_tree_text(sub)})")
+            elif sub[0] == "scalar":
+                # list elements KEEP their quotes (measured — unlike
+                # struct/map cells); feed the raw element text through
+                out.append(_scalar_content_conv(form, el, sub))
+            else:
+                out.append(_fold_string_to_tree(form, el, sub, lazy))
+        return "[" + ", ".join(out) + "]"
+
+    entries = [] if not body.strip() else _split_composite_body(body)
+    if entries is None:
+        return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+
+    if kind == "struct":
+        fields = tree[1]
+        by_name = {n: t for n, t in fields}
+        got: dict = {}
+        for entry in entries:
+            sp = _entry_split(entry, ":")
+            if sp is None:
+                return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+            key, _kq = _unquote_token(sp[0])
+            if key not in by_name:
+                # unknown / case-mismatched key fails the WHOLE value
+                # (measured: {'A': 1} -> STRUCT(a INTEGER) raises)
+                return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+            content, was_q = _unquote_token(sp[1])
+            expr = cell_expr(content, was_q, by_name[key])
+            if expr is None:
+                return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+            got[key] = expr  # duplicate keys: last wins (measured)
+        cells = ", ".join(
+            f"'{n}': " + got.get(n, f"CAST(NULL AS {_duck_tree_text(t)})")
+            for n, t in fields
+        )
+        return "{" + cells + "}"
+
+    # map
+    ktree, vtree = tree[1], tree[2]
+    if not entries:
+        return f"CAST(MAP {{}} AS {tgt_text})"
+    cells = []
+    for entry in entries:
+        sp = _entry_split(entry, "=")
+        if sp is None:
+            return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+        kc, kq = _unquote_token(sp[0])
+        vc, vq = _unquote_token(sp[1])
+        kexpr = cell_expr(kc, kq, ktree)
+        vexpr = cell_expr(vc, vq, vtree)
+        if kexpr is None or vexpr is None:
+            return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+        cells.append(f"{kexpr}: {vexpr}")
+    return "MAP {" + ", ".join(cells) + "}"
+
+
+_STR_COMPOSITE_CAST_RE = re.compile(
+    r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+(?=(?:STRUCT|MAP)\s*\()"
+    r"|'((?:[^']|'')*)'\s*::\s*(?=(?:STRUCT|MAP)\s*\()",
+    re.IGNORECASE,
+)
+_STR_COL_LIST_CAST_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_LIST_TGT_RE = re.compile(
+    r"^([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*((?:\[\s*\])+)$"
+)
+
+
+def _runtime_string_list_cast(
+    form: str, expr: str, base_cls: str, base_text: str, tgt_text: str
+) -> str:
+    """CAST of a string COLUMN/expression to a list type (r14): the
+    bracket grammar is parsed at runtime by the duck_list_split Arrow
+    UDF (NULL = grammar failure, distinct from the input-NULL lane
+    checked first), elements convert through the measured scalar cast
+    contract, and whole-value failures reproduce DuckDB's Conversion
+    Error with the offending value spliced in (TRY_CAST NULLs)."""
+    var = "__lse"
+    parsed = f"duck_list_split({expr})"
+    if base_cls == "string":
+        conv = var  # list elements keep their quotes verbatim (measured)
+    else:
+        conv = _cast_contract_repl(
+            form, var, "string", base_cls, base_text, None
+        ) or f"{form}({var} AS {base_text})"
+    body = f"list_transform({parsed}, {var} -> {conv})"
+    if form == "TRY_CAST":
+        fail = f"TRY_CAST(NULL AS {tgt_text})"
+    else:
+        fail = (
+            f"CAST(raise_error(concat('Conversion Error: Type VARCHAR "
+            f"with value ''', {expr}, ''' can''t be cast to the "
+            f"destination type LIST')) AS {tgt_text})"
+        )
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS {tgt_text}) "
+        f"WHEN {parsed} IS NULL THEN {fail} ELSE {body} END)"
+    )
+
+
+def _cast_as_split(inner: str) -> "tuple[str, str] | None":
+    """(source expr, type text) of a CAST body — split at the LAST
+    top-level AS keyword (quote/paren/bracket aware)."""
+    depth, in_q = 0, False
+    last = None
+    for i, ch in enumerate(inner):
+        if in_q:
+            if ch == "'":
+                in_q = False
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and ch in "Aa" and inner[i : i + 2].upper() == "AS":
+            before = inner[i - 1] if i else " "
+            after = inner[i + 2] if i + 2 < len(inner) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                last = i
+    if last is None:
+        return None
+    return inner[:last], inner[last + 2 :]
+
+
 def rewrite_string_list_casts(
     spark: SparkSession, sql: str, translate: Translate
 ) -> str:
@@ -3268,8 +3699,13 @@ def rewrite_string_list_casts(
     STRING->ARRAY cast, DuckDB parses the bracket grammar (measured
     r13). Folded here, BEFORE the cast contract, so the emitted
     per-element casts pick up the measured string->T conversion
-    semantics (rounding, element-wise errors)."""
-    if "[" not in sql:
+    semantics (rounding, element-wise errors). r14 extends the same
+    fold to STRUCT/MAP targets ({'key': v} / {k=v} grammars, measured)
+    and to string COLUMN sources of list casts (runtime parse via the
+    duck_list_split UDF)."""
+    if "[" not in sql and not re.search(
+        r"\b(?:STRUCT|MAP)\s*\(", sql, re.IGNORECASE
+    ):
         return sql
     from .dialect import _literal_mask
 
@@ -3277,6 +3713,41 @@ def rewrite_string_list_casts(
     text = stripped
     mask = _literal_mask(text)
     edits: list[tuple[int, int, str]] = []
+    # string literal -> STRUCT/MAP (and composite-element list) targets
+    for m in _STR_COMPOSITE_CAST_RE.finditer(text):
+        if m.group(1):
+            anchor, form = m.start(), m.group(1).upper()
+            val = m.group(2).replace("''", "'")
+        else:
+            anchor = text.index("::", m.end(3))
+            form = "CAST"
+            val = m.group(3).replace("''", "'")
+        if mask[anchor]:
+            continue
+        # type text: balanced parens from the STRUCT/MAP head, plus any
+        # [] suffixes
+        topen = text.index("(", m.end())
+        tclose = _scan_list_close(text, topen, mask)
+        if tclose == -1:
+            continue
+        j = tclose
+        while True:
+            sfx = re.match(r"\s*\[\s*\]", text[j:])
+            if not sfx:
+                break
+            j += sfx.end()
+        type_text = text[m.end() : j]
+        tree = _parse_duck_type(type_text)
+        if tree is None or tree[0] not in _COMPOSITE_KINDS:
+            continue
+        if m.group(1):
+            after = re.match(r"\s*\)", text[j:])
+            if not after:
+                continue
+            end = j + after.end()
+        else:
+            end = j
+        edits.append((m.start(), end, _fold_string_to_tree(form, val, tree)))
     for m in _STR_LIST_CAST_RE.finditer(text):
         if m.group(1):
             anchor, form = m.start(), m.group(1).upper()
@@ -3322,6 +3793,52 @@ def rewrite_string_list_casts(
                 break
         if ok and out:
             edits.append((m.start(), m.end(), "[" + ", ".join(out) + "]"))
+    # string COLUMN/expression -> list casts (r14): runtime parse
+    classes = None
+    probe = None
+    taken = [(a, b) for a, b, _ in edits]
+    for m in _STR_COL_LIST_CAST_RE.finditer(text):
+        if mask[m.start()] or any(a <= m.start() < b for a, b in taken):
+            continue
+        close = _scan_list_close(text, m.end() - 1, mask)
+        if close == -1:
+            continue
+        got = _cast_as_split(text[m.end() : close - 1])
+        if got is None:
+            continue
+        expr, type_text = got[0].strip(), got[1].strip()
+        tm = _LIST_TGT_RE.match(type_text)
+        if not tm or tm.group(2).count("[") != 1:
+            continue
+        base = tm.group(1).strip()
+        base_cls = _TYPE_CLASS.get(base.lower().split("(")[0].strip())
+        if base_cls is None:
+            continue
+        if (
+            not expr
+            or re.match(r"^'(?:[^']|'')*'$", expr)
+            or expr.startswith("[")
+            or re.match(r"^(NULL|\[)", expr, re.IGNORECASE)
+        ):
+            continue  # literal sources: handled by the folds above
+        if classes is None:
+            classes = _schema_class_map(spark, stripped, translate)
+            probe = _make_lane_probe(spark, stripped, translate)
+        k, _t = _src_class(expr, classes)
+        if k is None:
+            k, _t = probe(expr)
+        if k != "string":
+            continue
+        edits.append(
+            (
+                m.start(),
+                close,
+                _runtime_string_list_cast(
+                    m.group(1).upper(), expr, base_cls, base, type_text
+                ),
+            )
+        )
+        taken.append((m.start(), close))  # nested CASTs ride the outer edit
     for a, b, repl in sorted(edits, reverse=True):
         text = text[:a] + repl + text[b:]
     return text if edits else sql

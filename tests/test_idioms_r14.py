@@ -1,0 +1,193 @@
+"""Round-14 regression tests — VERDICT r13 tasks 1/2/6, each
+differentially verified against live DuckDB:
+
+1. (VERDICT #1) Composite-TYPE lanes in branch/variadic folds: a
+   LIST/STRUCT/MAP lane beside a string LITERAL coerces the literal
+   through DuckDB's string->composite cast grammar (COALESCE([1],
+   '[2]') is [1]; the NULL-lane twin returns the parsed [2]; the CASE
+   ELSE form parses the ELSE literal), non-castable combinations raise
+   DuckDB's verbatim Conversion/Binder errors lazily (only when the
+   branch is reached — COALESCE(MAP{'k':1}, 'nope') returns the map),
+   different-family operands raise Cannot-mix with the composite type
+   name, and GREATEST/LEAST reject any composite argument with the
+   no-function-matches binder error (no list overloads exist at all).
+2. (VERDICT #2) String->composite casts: STRUCT ({'key': v}, quoted or
+   bare keys, case-sensitive key match, unknown keys fail whole-value,
+   missing fields NULL, duplicate keys last-wins) and MAP ({k=v})
+   literal grammars fold at rewrite time; string COLUMN sources of
+   list casts parse at runtime through the duck_list_split Arrow UDF
+   with the same element cast contract (CAST raises DuckDB's template
+   errors, TRY_CAST NULLs per element, grammar failures NULL the whole
+   value).
+
+All shapes measured against DuckDB 2026-08 (tools/probe_r14*.py);
+reference reach: db/db.go:70 passthrough.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from duckdb_service_spark.service.executor import Engine
+
+    return Engine(spark, tempfile.mkdtemp(prefix="warehouse_r14_"))
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _canon(v):
+    """Structural normalization: Spark Rows -> dicts, DuckDB map reprs
+    ({'key': [...], 'value': [...]}) -> plain dicts, tuples/lists
+    unified — so composite values compare by CONTENT."""
+    try:
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+            return _canon(v.asDict())
+    except Exception:
+        pass
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(v.get("key"), list):
+            return _canon(dict(zip(v["key"], v["value"])))
+        return {k: _canon(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _differential(eng, con, sql):
+    from duckdb_service_spark.service.serializer import duck_error_text
+
+    try:
+        r = con.execute(sql)
+        want = ("OK", [_canon(t) for t in r.fetchall()])
+    except Exception as e:
+        want = ("ERR", str(e).splitlines()[0])
+    try:
+        df = eng.query_df(sql)
+        got = ("OK", [_canon(tuple(x)) for x in df.collect()])
+    except Exception as e:
+        got = ("ERR", duck_error_text(e).splitlines()[0])
+    assert got == want, f"{sql!r}: spark={got} duck={want}"
+
+
+# ---- 1. composite-type lanes in branch folds -------------------------------
+
+COMPOSITE_LANES = [
+    # the six VERDICT r13 "What's wrong #1" probes
+    "SELECT COALESCE([1], '[2]') AS v",
+    "SELECT COALESCE(CAST(NULL AS INTEGER[]), '[2]') AS v",
+    "SELECT CASE WHEN 1=0 THEN [1] ELSE '[2]' END AS v",
+    "SELECT COALESCE(CASE WHEN 1=0 THEN {'a':1} END, '{''a'': 2}') AS v",
+    "SELECT COALESCE(CAST(NULL AS MAP(VARCHAR,INTEGER)), 'nope') AS v",
+    "SELECT GREATEST([1,2],'[1,3]') AS v",
+    # literal-first fold order / lazy conversion errors
+    "SELECT COALESCE('[2]', [1]) AS v",
+    "SELECT CASE WHEN 1=1 THEN '[2]' ELSE [1] END AS v",
+    "SELECT COALESCE(NULL, [1], '[2, 3]') AS v",
+    "SELECT COALESCE([1], 'zzz') AS v",
+    "SELECT COALESCE(CAST(NULL AS INTEGER[]), 'zzz') AS v",
+    "SELECT COALESCE(CAST(NULL AS STRUCT(a INTEGER)), 'junk') AS v",
+    "SELECT COALESCE(CAST(NULL AS STRUCT(a INTEGER)), '{''a'': 2}') AS v",
+    "SELECT COALESCE(CAST(NULL AS MAP(VARCHAR,INTEGER)), '{k=2}') AS v",
+    "SELECT COALESCE(MAP{'k':1}, 'nope') AS v",
+    "SELECT CASE WHEN 1=0 THEN MAP{'k':1} ELSE 'x' END AS v",
+    "SELECT COALESCE([1.5], '[2]') AS v",
+    "SELECT typeof(COALESCE([1],'[2]')) AS v",
+    # GREATEST/LEAST: no composite overloads at all
+    "SELECT LEAST([1,2],'[0,3]') AS v",
+    "SELECT GREATEST([1,2],[1,3]) AS v",
+    # different-family mixes: Cannot-mix binder errors, operand order
+    "SELECT COALESCE([1], 4) AS v",
+    "SELECT COALESCE({'a':1}, 4) AS v",
+    "SELECT COALESCE([1], DATE '2020-01-01') AS v",
+    "SELECT CASE WHEN 1=0 THEN [1] ELSE 4 END AS v",
+]
+
+
+@pytest.mark.parametrize("q", COMPOSITE_LANES)
+def test_composite_type_lane(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 2a. string literal -> STRUCT/MAP casts --------------------------------
+
+STRING_COMPOSITE_CASTS = [
+    "SELECT CAST('{''a'': 2}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{a: 2}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{''b'': 3}' AS STRUCT(a INTEGER, b INTEGER)) AS v",
+    "SELECT CAST('{''b'': 3, ''a'': 2}' AS STRUCT(a INTEGER, b INTEGER)) AS v",
+    "SELECT CAST('{''a'': 2.9}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{''a'': z}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT TRY_CAST('{''a'': z}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{''a'': 2, ''b'': 3}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{''A'': 1}' AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST('{''a'': ''x,y''}' AS STRUCT(a VARCHAR)) AS v",
+    "SELECT CAST('{''a'': {''b'': 1}}' AS STRUCT(a STRUCT(b INTEGER))) AS v",
+    "SELECT CAST('{''a'': [1,2]}' AS STRUCT(a INTEGER[])) AS v",
+    "SELECT CAST('{k=2}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{k=2, j=3}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{k=z}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT TRY_CAST('{k=z}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{1=2}' AS MAP(INTEGER,INTEGER)) AS v",
+    "SELECT CAST('{k=2.9}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT TRY_CAST('nope' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{''k''=2}' AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT CAST('{x=''v,w''}' AS MAP(VARCHAR,VARCHAR)) AS v",
+    "SELECT CAST('{k= 2 , j =3}' AS MAP(VARCHAR,INTEGER)) AS v",
+]
+
+
+@pytest.mark.parametrize("q", STRING_COMPOSITE_CASTS)
+def test_string_composite_cast(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 2b. string COLUMN -> list casts ---------------------------------------
+
+@pytest.fixture(scope="module")
+def list_tables(eng, con):
+    ddl = [
+        "CREATE TABLE strlists(id INTEGER, s VARCHAR)",
+        "INSERT INTO strlists VALUES (1, '[1, 2]'), (2, '[]'), (3, NULL), "
+        "(4, '[7]'), (5, '[1, 2, 3]')",
+        "CREATE TABLE strbad(id INTEGER, s VARCHAR)",
+        "INSERT INTO strbad VALUES (1, '[1, x]'), (2, 'zzz'), (3, '[2.9]')",
+    ]
+    for s in ddl:
+        eng.execute(s)
+        con.execute(s)
+    return True
+
+
+COLUMN_LIST_CASTS = [
+    "SELECT id, CAST(s AS INTEGER[]) AS v FROM strlists ORDER BY id",
+    "SELECT id, TRY_CAST(s AS INTEGER[]) AS v FROM strlists ORDER BY id",
+    "SELECT id, CAST(s AS VARCHAR[]) AS v FROM strlists ORDER BY id",
+    "SELECT id, CAST(s AS DOUBLE[]) AS v FROM strlists ORDER BY id",
+    "SELECT TRY_CAST(s AS INTEGER[]) AS v FROM strbad ORDER BY id",
+    "SELECT CAST(s AS INTEGER[]) AS v FROM strbad WHERE id = 1",
+    "SELECT CAST(s AS INTEGER[]) AS v FROM strbad WHERE id = 2",
+    "SELECT CAST(s AS INTEGER[]) AS v FROM strbad WHERE id = 3",
+    "SELECT CAST(upper(s) AS VARCHAR[]) AS v FROM strbad WHERE id = 1",
+]
+
+
+@pytest.mark.parametrize("q", COLUMN_LIST_CASTS)
+def test_column_string_list_cast(eng, con, list_tables, q):
+    _differential(eng, con, q)

@@ -23,16 +23,36 @@ eng = Engine(spark, tempfile.mkdtemp(prefix="probe_r13_"))
 con = duckdb.connect()
 
 
+def canon(v):
+    """Structural normalization so Spark Rows / dicts compare against
+    DuckDB's composite reprs ({'key': [...], 'value': [...]} maps)."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return canon(v.asDict())
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(
+            v.get("key"), list
+        ):
+            return canon(dict(zip(v["key"], v["value"])))
+        return {k: canon(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
 def d(sql, show_types=False):
     try:
-        want = ("OK", con.execute(sql).fetchall())
+        want = ("OK", [canon(r) for r in con.execute(sql).fetchall()])
     except Exception as e:
         want = ("ERR", str(e).splitlines()[0])
     try:
         df = eng.query_df(sql)
-        got = ("OK", [tuple(r) for r in df.collect()])
+        got = ("OK", [canon(tuple(r)) for r in df.collect()])
     except Exception as e:
-        got = ("ERR", str(e).splitlines()[0])
+        from duckdb_service_spark.service.serializer import duck_error_text
+
+        got = ("ERR", duck_error_text(e).splitlines()[0])
     tag = "MATCH" if got == want else "DIFF "
     print(f"{tag} {sql}")
     if got != want:

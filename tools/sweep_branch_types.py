@@ -15,7 +15,8 @@ Classification (sweep_coercion.py's buckets plus a TYPE-DIFF tier):
 
 Survivors get frozen into tests/test_idioms_r11.py.
 
-Usage: python tools/sweep_branch_types.py [setop|case|coalesce|gl|in|values|all]
+Usage: python tools/sweep_branch_types.py
+       [setop|case|coalesce|gl|litbranch|complane|in|list|values|all]
 """
 
 from __future__ import annotations
@@ -44,17 +45,37 @@ LITS = ["1", "2.5", "1.23456789", "'42'", "'apple'", "true",
         "[1,2]", "NULL"]
 
 
+def _canon(v):
+    """Structural normalization for composite cells (r14): Spark Rows ->
+    dicts, DuckDB map reprs ({'key': [...], 'value': [...]}) -> dicts,
+    sequence types unified, norm() applied at the leaves."""
+    try:
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+            return _canon(v.asDict())
+    except Exception:  # noqa: BLE001
+        pass
+    if isinstance(v, dict):
+        if set(v.keys()) == {"key", "value"} and isinstance(v.get("key"), list):
+            return _canon(dict(zip(v["key"], v["value"])))
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return norm(v)
+
+
 def classify(engine, con, sql: str) -> tuple[str, str]:
     try:
         rel = con.sql(sql)
         want_types = [str(t) for t in rel.types]
-        want = sorted(tuple(norm(c) for c in r) for r in rel.fetchall())
+        want = sorted(tuple(_canon(c) for c in r) for r in rel.fetchall())
     except Exception as ex:  # noqa: BLE001
         return "DUCK-ERR", str(ex).splitlines()[0][:120]
     try:
         df = engine.query_df(sql)
         got_types = [duckdb_type_name(f.dataType) for f in df.schema.fields]
-        got = sorted(tuple(norm(c) for c in r) for r in df.collect())
+        got = sorted(tuple(_canon(c) for c in r) for r in df.collect())
     except UnsupportedDialect as ex:
         return "RAISE", str(ex)[:120]
     except Exception as ex:  # noqa: BLE001
@@ -204,6 +225,34 @@ def probes(what: str) -> list[str]:
             "SELECT GREATEST(1+1, '7') AS v",
             "SELECT COALESCE(upper('x'), 1) AS v",
         ]
+    if what in ("all", "complane"):
+        # r14: composite-TYPE lanes (VERDICT r13 #1) — LIST/STRUCT/MAP
+        # lane operands beside string literals (coerce through the
+        # string->composite grammar), scalar literals (Cannot-mix binder
+        # errors, classified DUCK-ERR/SPARK-ERR pairs here, error TEXT
+        # frozen in tests/test_idioms_r14.py), VARCHAR columns, and NULL.
+        lanes14 = (
+            "li", "[1,2]", "CAST(NULL AS INTEGER[])",
+            "{'a': 1}", "MAP {'k': 1}",
+            "CAST(NULL AS STRUCT(a INTEGER))",
+            "CAST(NULL AS MAP(VARCHAR, INTEGER))",
+        )
+        strs14 = ("'[7]'", "'[7, 8]'", "'zzz'", "'{''a'': 2}'", "'{k=2}'",
+                  "NULL", "1", "vtxt")
+        for lane in lanes14:
+            for s in strs14:
+                out.append(
+                    f"SELECT u, COALESCE({lane}, {s}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, CASE WHEN u = 1 THEN {lane} ELSE {s} END "
+                    f"AS v FROM {REL} ORDER BY u"
+                )
+                out.append(
+                    f"SELECT u, GREATEST({lane}, {s}) AS v FROM {REL} "
+                    f"ORDER BY u"
+                )
     if what in ("all", "in"):
         out += [
             f"SELECT u, {expr} AS v FROM {REL} ORDER BY u"
