@@ -169,6 +169,33 @@ def _list_split_batch(s: pd.Series) -> pd.Series:
     return s.map(_list_split_one)
 
 
+def _double_arr_batch(s: pd.Series) -> pd.Series:
+    """Element-wise DuckDB double repr over a double[] column (r14:
+    Spark rejects Python UDFs inside higher-order lambdas, so the
+    composite->VARCHAR render converts flat double lists in one shot)."""
+    return s.map(
+        lambda arr: None
+        if arr is None
+        else [
+            ("nan" if _is_nan(v) else _repr_double(v)) if v is not None
+            else None
+            for v in arr
+        ]
+    )
+
+
+def _float_arr_batch(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda arr: None
+        if arr is None
+        else [
+            ("nan" if _is_nan(v) else _repr_float32(v)) if v is not None
+            else None
+            for v in arr
+        ]
+    )
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -183,5 +210,11 @@ def ensure_format_udfs(spark) -> None:
     spark.udf.register("duck_type_name", pandas_udf(_type_name_batch, "string"))
     spark.udf.register(
         "duck_list_split", pandas_udf(_list_split_batch, "array<string>")
+    )
+    spark.udf.register(
+        "duck_double_arr_str", pandas_udf(_double_arr_batch, "array<string>")
+    )
+    spark.udf.register(
+        "duck_float_arr_str", pandas_udf(_float_arr_batch, "array<string>")
     )
     _REGISTERED.add(key)

@@ -427,6 +427,7 @@ class Engine:
             rewrite_list_literal_types,
             rewrite_in_list_types,
             rewrite_ordered_stat_decimals,
+            rewrite_postfix_factorial_terms,
             rewrite_string_list_casts,
             rewrite_numeric_date_lanes,
             rewrite_setop_branch_types,
@@ -454,6 +455,7 @@ class Engine:
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         stripped = rewrite_list_literal_types(self.spark, stripped, translate)
+        stripped = rewrite_postfix_factorial_terms(self.spark, stripped, translate)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)

@@ -3412,6 +3412,10 @@ def _parse_duck_type(text: str):
             return None
         return ("map", kt, vt)
     base = low.split("(")[0].strip()
+    if base in ('"null"', "null", "void"):
+        # void leaves (typeof NULL literals inside composites) render as
+        # the bare NULL token; the string lane's bare-value emit does that
+        return ("scalar", "VARCHAR", "string")
     cls = _TYPE_CLASS.get(base)
     if cls is None:
         return None
@@ -3621,6 +3625,211 @@ def _fold_string_to_tree(form: str, value: str, tree, lazy: bool = False) -> str
     return "MAP {" + ", ".join(cells) + "}"
 
 
+# ---------------------------------------------------------------------------
+# Postfix factorial over EXPRESSION terms (r14)
+# ---------------------------------------------------------------------------
+
+_FACT_END_RE = re.compile(
+    r"^\s*(?:$|,|\)|\]|;|AS\b|FROM\b|UNION\b|INTERSECT\b|EXCEPT\b|ORDER\b"
+    r"|LIMIT\b|WHERE\b|GROUP\b|HAVING\b|THEN\b|ELSE\b|END\b|WHEN\b|AND\b"
+    r"|OR\b|IS\b|IN\b|BETWEEN\b|NOT\b|=|<|>|::)",
+    re.IGNORECASE,
+)
+_FACT_ARITH_RE = re.compile(r"^\s*(?:[+\-/%^]|\|\|)")
+_FACT_KEYWORDS = {
+    "SELECT", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "IN", "IS",
+    "BETWEEN", "LIKE", "ILIKE", "WHERE", "BY", "FROM", "ON", "CASE",
+    "RETURN", "RETURNS", "VALUES", "DISTINCT", "ALL", "AS", "UNION",
+    "INTERSECT", "EXCEPT", "LIMIT", "OFFSET", "HAVING", "GROUP", "ORDER",
+    "JOIN", "SET", "USING", "EXISTS", "ANY", "SOME", "INTERVAL",
+}
+_FACT_TYPE_NAME = {
+    "bigint": "BIGINT", "double": "DOUBLE", "float": "FLOAT",
+    "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+    "string": "VARCHAR",
+}
+
+
+def _fact_operand_start(text: str, mask: list, bang: int) -> "int | None":
+    """Start index of the arithmetic expression a postfix ``!`` applies
+    to — DuckDB's operator binds LOOSER than + - * / % (measured:
+    1 + 3! = factorial(4), 10 - 7! = factorial(3), x + 1! over x=4 is
+    120) but tighter than comparisons (3! = 7 is false) — so scan back
+    over terms joined by arithmetic operators, stopping at keywords,
+    commas, or enclosing brackets."""
+
+    def skipws(i: int) -> int:
+        while i >= 0 and text[i].isspace():
+            i -= 1
+        return i
+
+    i = bang - 1
+    start = None
+    while True:
+        i = skipws(i)
+        if i < 0:
+            break
+        ch = text[i]
+        if mask[i] and ch == "'":
+            # string literal term: walk to its opening quote
+            j = i - 1
+            while j >= 0 and mask[j]:
+                j -= 1
+            start = j + 1
+            i = j
+        elif ch in ")]":
+            op, cl = ("(", ")") if ch == ")" else ("[", "]")
+            depth, j = 0, i
+            while j >= 0:
+                if not mask[j]:
+                    if text[j] == cl:
+                        depth += 1
+                    elif text[j] == op:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                j -= 1
+            if j < 0:
+                return None
+            start = j
+            # a function/array name directly before the group is part of
+            # the term (abs(-3)! = 6, measured)
+            k = skipws(j - 1)
+            k2 = k
+            while k2 >= 0 and (text[k2].isalnum() or text[k2] in "_$"):
+                k2 -= 1
+            if k2 < k:
+                word = text[k2 + 1 : k + 1].upper()
+                if word not in _FACT_KEYWORDS and not word[0].isdigit():
+                    start = k2 + 1
+                    k = k2
+            i = start - 1
+        elif ch.isalnum() or ch in "_$.":
+            j = i
+            while j >= 0 and (text[j].isalnum() or text[j] in "_$."):
+                j -= 1
+            word = text[j + 1 : i + 1]
+            if word.upper() in _FACT_KEYWORDS:
+                break
+            start = j + 1
+            i = j
+        else:
+            break
+        # another term joined by an arithmetic operator?
+        i = skipws(i)
+        if i >= 0 and text[i] in "+-*/%^" and not mask[i]:
+            start = i  # unary sign stays included when no term precedes
+            i -= 1
+            continue
+        break
+    return start
+
+
+def _fact_guarded(form_expr: str) -> str:
+    """DuckDB's !/factorial value semantics (measured): NULL -> NULL,
+    n <= 1 (negatives included) -> 1, 2..33 -> the exact HUGEINT
+    product (engine convention: HUGEINT rides DECIMAL(38,0)), >= 34 ->
+    'Out of Range Error: Value out of range' at runtime."""
+    n = f"({form_expr})"
+    return (
+        f"(CASE WHEN {n} IS NULL THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"WHEN {n} >= 34 THEN CAST(raise_error('Out of Range Error: "
+        f"Value out of range') AS DECIMAL(38,0)) "
+        f"WHEN {n} <= 1 THEN CAST(1 AS DECIMAL(38,0)) "
+        f"ELSE aggregate(sequence(2, CAST({n} AS INT)), "
+        f"CAST(1 AS DECIMAL(38,0)), "
+        f"(__facc, __fx) -> CAST(__facc * __fx AS DECIMAL(38,0))) END)"
+    )
+
+
+def rewrite_postfix_factorial_terms(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """DuckDB's postfix ``!`` over full EXPRESSION terms (r14 — the
+    dialect's literal-only twin handles bare translate() callers).
+    Grammar measured: '!=' with no space lexes as inequality; '! ='
+    with space is factorial-then-compare; followers may be expression
+    ends, comparisons, IS/IN/BETWEEN/AND/OR or '::'; an arithmetic
+    operator AFTER the '!' is DuckDB's catalog error. Operands must
+    type INTEGER or narrower — BIGINT/DOUBLE/DECIMAL/BOOLEAN raise the
+    '!__postfix(TYPE)' binder error; string LITERALS cast through the
+    measured string->int contract first ('3.5'! = 24)."""
+    code = _code_only(sql.strip())
+    if not re.search(r"!(?![=~!])", code):
+        return sql
+    from .dialect import _literal_mask
+
+    stripped = sql.strip().rstrip(";")
+    text = stripped
+    mask = _literal_mask(text)
+    classes = None
+    probe = None
+    edits: list[tuple[int, int, str]] = []
+    for m in re.finditer(r"!", text):
+        i = m.start()
+        if mask[i]:
+            continue
+        if i + 1 < len(text) and text[i + 1] in "=~!":
+            continue  # != / !~~ / !! stay operators (or documented raises)
+        if i > 0 and text[i - 1] in "=<>!":
+            continue
+        after = text[i + 1 :]
+        if not _FACT_END_RE.match(after):
+            if _FACT_ARITH_RE.match(after):
+                raise ValueError(
+                    "Catalog Error: Scalar Function with name ! does not "
+                    'exist!\nDid you mean "!~~"?'
+                )
+            continue
+        start = _fact_operand_start(text, mask, i)
+        if start is None:
+            continue
+        operand = text[start:i].strip()
+        if not operand:
+            continue
+        if re.match(r"^NULL$", operand, re.IGNORECASE):
+            edits.append((start, i + 1, "CAST(NULL AS DECIMAL(38,0))"))
+            continue
+        if re.match(r"^'(?:[^']|'')*'$", operand):
+            edits.append(
+                (start, i + 1,
+                 _fact_guarded(f"CAST({operand} AS INTEGER)"))
+            )
+            continue
+        if re.match(r"^-?\d+$", operand):
+            if abs(int(operand)) > 2147483647:
+                raise ValueError(
+                    "Binder Error: No function matches the given name and "
+                    "argument types '!__postfix(BIGINT)'. You might need "
+                    "to add explicit type casts."
+                )
+            edits.append((start, i + 1, _fact_guarded(operand)))
+            continue
+        if classes is None:
+            classes = _schema_class_map(spark, stripped, translate)
+            probe = _make_lane_probe(spark, stripped, translate)
+        k, t = _src_class(operand, classes)
+        if k is None:
+            k, t = probe(operand)
+        if k is None:
+            continue  # untypeable: leave for Spark's loud parse error
+        if k in ("tinyint", "smallint", "integer"):
+            edits.append((start, i + 1, _fact_guarded(operand)))
+            continue
+        if k == "decimal":
+            name = (t or "DECIMAL").upper()
+        else:
+            name = _FACT_TYPE_NAME.get(k, k.upper())
+        raise ValueError(
+            f"Binder Error: No function matches the given name and "
+            f"argument types '!__postfix({name})'. You might need to "
+            f"add explicit type casts."
+        )
+    for a, b, repl in sorted(edits, reverse=True):
+        text = text[:a] + repl + text[b:]
+    return text if edits else sql
+
+
 _STR_COMPOSITE_CAST_RE = re.compile(
     r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+(?=(?:STRUCT|MAP)\s*\()"
     r"|'((?:[^']|'')*)'\s*::\s*(?=(?:STRUCT|MAP)\s*\()",
@@ -3664,6 +3873,82 @@ def _runtime_string_list_cast(
     )
 
 
+def _render_composite_varchar(
+    expr: str, tree, depth: int = 0, in_lambda: bool = False
+) -> str:
+    """DuckDB's composite -> VARCHAR render (measured r14): lists
+    '[1, 2]', structs '{''key'': value}' with QUOTED keys, maps '{k=v}';
+    string leaves print BARE (no quotes, even empty or comma-bearing),
+    NULL leaves print 'NULL', doubles/floats use DuckDB's shortest
+    round-trip repr, a NULL container at any level renders as NULL
+    (COALESCE at the use site turns nested ones into the 'NULL' token).
+    Spark rejects Python UDFs inside higher-order lambdas, so a FLAT
+    double/float list routes through the duck_double_arr_str Arrow UDF
+    before its join; double leaves nested deeper under a lambda fall
+    back to Spark's cast (exponent-form repr divergence, documented)."""
+    kind = tree[0]
+    if kind == "scalar":
+        scls = tree[2]
+        if scls == "string":
+            return f"({expr})"
+        if scls in ("double", "float") and not in_lambda:
+            fn = "duck_double_str" if scls == "double" else "duck_float_str"
+            return f"{fn}({expr})"
+        return f"CAST(({expr}) AS VARCHAR)"
+    v = f"__rcv{depth}"
+    if kind == "list":
+        sub = tree[1]
+        if (
+            sub[0] == "scalar"
+            and sub[2] in ("double", "float")
+            and not in_lambda
+        ):
+            fn = (
+                "duck_double_arr_str"
+                if sub[2] == "double"
+                else "duck_float_arr_str"
+            )
+            body = (
+                f"concat('[', array_join({fn}(({expr})), ', ', 'NULL'), ']')"
+            )
+        else:
+            inner = _render_composite_varchar(v, sub, depth + 1, True)
+            body = (
+                f"concat('[', array_join(transform(({expr}), {v} -> "
+                f"COALESCE({inner}, 'NULL')), ', '), ']')"
+            )
+    elif kind == "struct":
+        pieces = []
+        for n, sub in tree[1]:
+            acc = (
+                f"({expr}).{n}"
+                if re.match(r"^[A-Za-z_]\w*$", n)
+                else f"({expr}).`{n}`"
+            )
+            key = n.replace("'", "''")
+            pieces.append(
+                f"concat('''{key}'': ', COALESCE("
+                f"{_render_composite_varchar(acc, sub, depth + 1, in_lambda)}"
+                f", 'NULL'))"
+            )
+        body = (
+            "concat('{', concat_ws(', ', " + ", ".join(pieces) + "), '}')"
+            if pieces
+            else "'{}'"
+        )
+    else:  # map
+        krender = _render_composite_varchar(f"{v}.key", tree[1], depth + 1, True)
+        vrender = _render_composite_varchar(
+            f"{v}.value", tree[2], depth + 1, True
+        )
+        body = (
+            f"concat('{{', array_join(transform(map_entries(({expr})), "
+            f"{v} -> concat(COALESCE({krender}, 'NULL'), '=', "
+            f"COALESCE({vrender}, 'NULL'))), ', '), '}}')"
+        )
+    return f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE {body} END)"
+
+
 def _cast_as_split(inner: str) -> "tuple[str, str] | None":
     """(source expr, type text) of a CAST body — split at the LAST
     top-level AS keyword (quote/paren/bracket aware)."""
@@ -3703,8 +3988,11 @@ def rewrite_string_list_casts(
     fold to STRUCT/MAP targets ({'key': v} / {k=v} grammars, measured)
     and to string COLUMN sources of list casts (runtime parse via the
     duck_list_split UDF)."""
-    if "[" not in sql and not re.search(
-        r"\b(?:STRUCT|MAP)\s*\(", sql, re.IGNORECASE
+    if not re.search(
+        r"\[|\b(?:STRUCT|MAP)\s*\("
+        r"|\bAS\s+(?:VARCHAR|TEXT|STRING|CHAR|BPCHAR)\b",
+        sql,
+        re.IGNORECASE,
     ):
         return sql
     from .dialect import _literal_mask
@@ -3808,26 +4096,40 @@ def rewrite_string_list_casts(
             continue
         expr, type_text = got[0].strip(), got[1].strip()
         tm = _LIST_TGT_RE.match(type_text)
-        if not tm or tm.group(2).count("[") != 1:
+        str_tgt = (
+            type_text.lower().split("(")[0].strip() in _STRING_BASES
+        )
+        if not (tm and tm.group(2).count("[") == 1) and not str_tgt:
+            continue
+        if not expr or re.match(r"^'(?:[^']|'')*'$", expr) or re.match(
+            r"^NULL$", expr, re.IGNORECASE
+        ):
+            continue  # string-literal sources fold above; NULL stays NULL
+        if not str_tgt and expr.startswith("["):
+            continue  # list-literal -> list casts distribute above
+        if classes is None:
+            classes = _schema_class_map(spark, stripped, translate)
+            probe = _make_lane_probe(spark, stripped, translate)
+        k, t = _src_class(expr, classes)
+        if k is None:
+            k, t = probe(expr)
+        if str_tgt:
+            # composite -> VARCHAR: DuckDB's render shape (measured)
+            if k not in _COMPOSITE_KINDS:
+                continue
+            tree = _parse_duck_type(t or "")
+            if tree is None:
+                continue
+            edits.append(
+                (m.start(), close, _render_composite_varchar(expr, tree))
+            )
+            taken.append((m.start(), close))
+            continue
+        if k != "string":
             continue
         base = tm.group(1).strip()
         base_cls = _TYPE_CLASS.get(base.lower().split("(")[0].strip())
         if base_cls is None:
-            continue
-        if (
-            not expr
-            or re.match(r"^'(?:[^']|'')*'$", expr)
-            or expr.startswith("[")
-            or re.match(r"^(NULL|\[)", expr, re.IGNORECASE)
-        ):
-            continue  # literal sources: handled by the folds above
-        if classes is None:
-            classes = _schema_class_map(spark, stripped, translate)
-            probe = _make_lane_probe(spark, stripped, translate)
-        k, _t = _src_class(expr, classes)
-        if k is None:
-            k, _t = probe(expr)
-        if k != "string":
             continue
         edits.append(
             (

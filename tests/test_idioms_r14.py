@@ -20,6 +20,22 @@ differentially verified against live DuckDB:
    errors, TRY_CAST NULLs per element, grammar failures NULL the whole
    value).
 
+3. (VERDICT #7 stretch) Postfix factorial over EXPRESSION terms: the
+   operator binds looser than arithmetic (1 + 3! = factorial(4) = 24,
+   x + 1! over x=4 is 120) and tighter than comparisons (3! = 7 is
+   false while 3!=7 lexes as inequality); operands must type INTEGER
+   or narrower (BIGINT/DOUBLE/DECIMAL/BOOLEAN raise the
+   '!__postfix(TYPE)' binder error), values follow DuckDB's HUGEINT
+   lane (negatives -> 1, 21!..33! exact via a DECIMAL(38,0) product,
+   34! raises Out of Range at runtime), and an arithmetic operator
+   AFTER the '!' reproduces the catalog error.
+4. (VERDICT #7 stretch) Composite -> VARCHAR render: lists '[1, 2]',
+   structs '{''key'': value}' with quoted keys, maps '{k=v}'; string
+   leaves BARE, NULL leaves 'NULL', doubles via DuckDB's shortest
+   round-trip repr (flat double lists through the duck_double_arr_str
+   Arrow UDF — Spark rejects Python UDFs inside lambdas), NULL
+   containers render as SQL NULL.
+
 All shapes measured against DuckDB 2026-08 (tools/probe_r14*.py);
 reference reach: db/db.go:70 passthrough.
 """
@@ -190,4 +206,98 @@ COLUMN_LIST_CASTS = [
 
 @pytest.mark.parametrize("q", COLUMN_LIST_CASTS)
 def test_column_string_list_cast(eng, con, list_tables, q):
+    _differential(eng, con, q)
+
+
+# ---- 3. postfix factorial over expression terms ----------------------------
+
+FACTORIAL_TERMS = [
+    "SELECT 1 + 3! AS v",
+    "SELECT 2 * 3! AS v",
+    "SELECT 10 - 7! AS v",
+    "SELECT 7 % 4! AS v",
+    "SELECT -3! AS v",
+    "SELECT (3)! AS v",
+    "SELECT 3 ! AS v",
+    "SELECT abs(-3)! AS v",
+    "SELECT 5! AS v",
+    "SELECT 20! AS v",
+    "SELECT 21! AS v",
+    "SELECT 33! AS v",
+    "SELECT 34! AS v",
+    "SELECT NULL! AS v",
+    "SELECT '3'! AS v",
+    "SELECT '3.5'! AS v",
+    "SELECT 3! = 7 AS v",
+    "SELECT 3!=7 AS v",
+    "SELECT 3! < 7 AS v",
+    "SELECT 3! IN (6) AS v",
+    "SELECT 2 + 3! = 120 AS v",
+    "SELECT 3! BETWEEN 5 AND 7 AS v",
+    "SELECT NOT 3! = 7 AS v",
+    "SELECT CASE 3! WHEN 6 THEN 'y' END AS v",
+    "SELECT abs(3!) AS v",
+    "SELECT [3!] AS v",
+    "SELECT CASE WHEN 1=1 THEN 1+2! END AS v",
+    "SELECT 3! IS NULL AS v",
+    # error contracts
+    "SELECT 3! + 1 AS v",
+    "SELECT 5! - 3! AS v",
+    "SELECT 3.0! AS v",
+    "SELECT (1=1)! AS v",
+    "SELECT sqrt(4)! AS v",
+    "SELECT 6 / 3! AS v",
+    # columns
+    "SELECT x! AS v FROM (SELECT 4 AS x) t",
+    "SELECT x + 1! AS v FROM (SELECT 4 AS x) t",
+    "SELECT x! AS v FROM (SELECT CAST(3 AS BIGINT) AS x) t",
+    # regression: inequality lexing unchanged
+    "SELECT 1 AS v WHERE 3 != 4",
+]
+
+
+@pytest.mark.parametrize("q", FACTORIAL_TERMS)
+def test_postfix_factorial_terms(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 4. composite -> VARCHAR render ----------------------------------------
+
+COMPOSITE_VARCHAR_RENDERS = [
+    "SELECT CAST([1, 2] AS VARCHAR) AS v",
+    "SELECT CAST(['a', 'b c'] AS VARCHAR) AS v",
+    "SELECT CAST(['a,b', NULL] AS VARCHAR) AS v",
+    "SELECT CAST([1.5, NULL] AS VARCHAR) AS v",
+    "SELECT CAST([CAST(1e16 AS DOUBLE)] AS VARCHAR) AS v",
+    "SELECT CAST([true, false] AS VARCHAR) AS v",
+    "SELECT CAST([TIMESTAMP '2020-01-01 01:02:03'] AS VARCHAR) AS v",
+    "SELECT CAST([DATE '2020-01-02'] AS VARCHAR) AS v",
+    "SELECT CAST({'a': 1} AS VARCHAR) AS v",
+    "SELECT CAST({'a': 1, 'b': 'x'} AS VARCHAR) AS v",
+    "SELECT CAST({'a': 'x y'} AS VARCHAR) AS v",
+    "SELECT CAST({'a': ['p', 'q']} AS VARCHAR) AS v",
+    "SELECT CAST({'a': NULL} AS VARCHAR) AS v",
+    "SELECT CAST({'a': MAP {'x': 1}} AS VARCHAR) AS v",
+    "SELECT CAST(MAP {'k': 1} AS VARCHAR) AS v",
+    "SELECT CAST(MAP {'k 1': 'v 2'} AS VARCHAR) AS v",
+    "SELECT CAST(MAP {'k': NULL} AS VARCHAR) AS v",
+    "SELECT CAST(MAP {1: 2.5} AS VARCHAR) AS v",
+    "SELECT CAST(CAST(NULL AS STRUCT(a INTEGER)) AS VARCHAR) AS v",
+    "SELECT CAST(CAST(NULL AS INTEGER[]) AS VARCHAR) AS v",
+    "SELECT CAST([''] AS VARCHAR) AS v",
+    "SELECT CAST(['it''s'] AS VARCHAR) AS v",
+    "SELECT CAST({'a': ''} AS VARCHAR) AS v",
+    "SELECT CAST([[1], [2, 3]] AS VARCHAR) AS v",
+    "SELECT TRY_CAST([1, 2] AS VARCHAR) AS v",
+    "SELECT CAST(li AS VARCHAR) AS v FROM (SELECT [1, 2] AS li) t",
+    "SELECT CAST(st AS VARCHAR) AS v FROM (SELECT {'a': 5, 'b': 'x'} AS st) t",
+    "SELECT CAST(mp AS VARCHAR) AS v FROM (SELECT MAP {'k': 7} AS mp) t",
+    # scalar casts stay untouched
+    "SELECT CAST(1.5 AS VARCHAR) AS v",
+    "SELECT CAST('x' AS VARCHAR) AS v",
+]
+
+
+@pytest.mark.parametrize("q", COMPOSITE_VARCHAR_RENDERS)
+def test_composite_varchar_render(eng, con, q):
     _differential(eng, con, q)
