@@ -3889,8 +3889,11 @@ def _rewrite_unordered_ranking_windows(sql: str) -> str:
 # date prefix and IGNORES any remainder ('2020-01-01 junk' is
 # 2020-01-01); '/' date separators are accepted ('2020/01/01'); TIME
 # also requires seconds. Literal-level shapes are validated/normalized
-# here; BC years, ±HH:MM offsets, hour-24 rollover, and the
-# epoch/infinity specials stay loud documented divergences.
+# here; r14 folds the epoch/±infinity specials, hour-24 rollover, and
+# ±HH[:MM] offsets on naive timestamps to their measured instants. BC
+# years stay a loud documented divergence (Spark has no year <= 0), and
+# 'infinity' keeps its clamped VALUE but not DuckDB's 'infinity' VARCHAR
+# render.
 
 _TS_NOSEC_RE = re.compile(
     r"^\s*[+-]?\d{1,6}[-/]\d{1,2}[-/]\d{1,2}[ T]+\d{1,2}(?::\d{2})?"
@@ -3925,6 +3928,69 @@ def _duck_datetime_literal(kind: str, body: str) -> "str | None":
         "timestamp" if k.startswith("timestamp") or k == "datetime"
         else "time" if k == "time" else "date"
     )
+    s = body.strip()
+    low = s.lower()
+    if low in ("epoch", "infinity", "-infinity"):
+        # measured r14: epoch = 1970-01-01, ±infinity clamp to the
+        # datetime range at the VALUE level (duckdb's python fetch and
+        # the oracle compare see the clamped instants; the 'infinity'
+        # VARCHAR render remains a documented divergence)
+        if fam == "time":
+            return "00:00:00" if low == "epoch" else None
+        specials = {
+            "epoch": ("1970-01-01 00:00:00", "1970-01-01"),
+            "infinity": ("9999-12-31 23:59:59.999999", "9999-12-31"),
+            "-infinity": ("0001-01-01 00:00:00", "0001-01-01"),
+        }
+        ts, dt = specials[low]
+        return ts if fam == "timestamp" else dt
+    if fam == "timestamp" and k != "timestamptz":
+        # hour-24 rollover and ±HH[:MM] offsets fold to the naive UTC
+        # instant (measured: '2020-01-01 24:00:00' = next midnight,
+        # '... 01:02:03+05:30' = 2019-12-31 19:32:03; TIMESTAMPTZ keeps
+        # its own zone machinery)
+        m24 = re.match(
+            r"^([+-]?\d{1,6})-(\d{1,2})-(\d{1,2})[ T]+"
+            r"(\d{1,2}):(\d{2}):(\d{2})(\.\d+)?"
+            r"(\s*[+-]\d{1,2}(?::\d{2})?)?$",
+            s,
+        )
+        if m24 and (m24.group(4) == "24" or m24.group(8)):
+            import datetime as _dt
+
+            try:
+                h = int(m24.group(4))
+                roll = h == 24
+                if roll and (
+                    m24.group(5) != "00"
+                    or m24.group(6) != "00"
+                    or (m24.group(7) and set(m24.group(7)[1:]) != {"0"})
+                ):
+                    raise ValueError(
+                        _DT_CONV_MSG["timestamp"].format(v=body)
+                    )
+                val = _dt.datetime(
+                    int(m24.group(1)), int(m24.group(2)), int(m24.group(3)),
+                    0 if roll else h, int(m24.group(5)), int(m24.group(6)),
+                )
+                frac = m24.group(7) or ""
+                if roll:
+                    val += _dt.timedelta(days=1)
+                    frac = ""
+                off = (m24.group(8) or "").strip()
+                if off:
+                    om = re.match(r"^([+-])(\d{1,2})(?::(\d{2}))?$", off)
+                    delta = _dt.timedelta(
+                        hours=int(om.group(2)), minutes=int(om.group(3) or 0)
+                    )
+                    val = val - delta if om.group(1) == "+" else val + delta
+                return val.strftime("%Y-%m-%d %H:%M:%S") + frac
+            except ValueError as e:
+                if "Conversion Error" in str(e):
+                    raise
+                return None  # out-of-range fold: leave untouched
+            except OverflowError:
+                return None
     if fam == "timestamp" and _TS_NOSEC_RE.match(body):
         raise ValueError(_DT_CONV_MSG["timestamp"].format(v=body))
     if fam == "time" and _TIME_NOSEC_RE.match(body):
