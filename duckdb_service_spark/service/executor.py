@@ -426,6 +426,7 @@ class Engine:
             rewrite_cast_contract,
             rewrite_list_literal_types,
             rewrite_in_list_types,
+            rewrite_map_comparisons,
             rewrite_ordered_stat_decimals,
             rewrite_postfix_factorial_terms,
             rewrite_string_list_casts,
@@ -456,6 +457,7 @@ class Engine:
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         stripped = rewrite_list_literal_types(self.spark, stripped, translate)
         stripped = rewrite_postfix_factorial_terms(self.spark, stripped, translate)
+        stripped = rewrite_map_comparisons(self.spark, stripped, translate)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)

@@ -2125,6 +2125,23 @@ def _rewrite_map_literal_subscripts(text: str, mask: list[bool]) -> str:
                 r"\(\s*MAP\s*\{", text[p : m.start() + 1], re.IGNORECASE
             ):
                 continue
+            q = p - 1
+            while q >= 0 and text[q].isspace():
+                q -= 1
+            if q >= 0 and (text[q].isalnum() or text[q] in "_$)]"):
+                # an identifier directly before the paren makes it a
+                # CALL's argument list, not a parenthesized base —
+                # map_values(MAP {...})[1] subscripts the call result
+                # (a LIST), r14 — unless the word is a keyword
+                # (SELECT (MAP ...)['x'] stays a map subscript)
+                q2 = q
+                while q2 >= 0 and (text[q2].isalnum() or text[q2] in "_$"):
+                    q2 -= 1
+                word = text[q2 + 1 : q + 1].upper()
+                if text[q] in ")]" or (
+                    word and word not in _FACT_KEYWORDS
+                ):
+                    continue
             base = text[p : m.start() + 1]
             base_start = p
         else:
@@ -3824,6 +3841,199 @@ def rewrite_postfix_factorial_terms(
             f"Binder Error: No function matches the given name and "
             f"argument types '!__postfix({name})'. You might need to "
             f"add explicit type casts."
+        )
+    for a, b, repl in sorted(edits, reverse=True):
+        text = text[:a] + repl + text[b:]
+    return text if edits else sql
+
+
+# ---------------------------------------------------------------------------
+# Map equality (r14)
+# ---------------------------------------------------------------------------
+
+_MAP_CMP_OP_RE = re.compile(r"<>|!=|=")
+
+
+def _scan_cmp_term_back(text: str, mask: list, at: int) -> "int | None":
+    """Start index of the single term ending at ``at`` (inclusive):
+    a MAP {...} literal, a function call / parenthesized expression
+    (with its name), or a dotted identifier chain."""
+
+    def skipws(i: int) -> int:
+        while i >= 0 and text[i].isspace():
+            i -= 1
+        return i
+
+    i = skipws(at)
+    if i < 0:
+        return None
+    ch = text[i]
+    pairs = {")": "(", "]": "[", "}": "{"}
+    if ch in pairs:
+        op, cl = pairs[ch], ch
+        depth, j = 0, i
+        while j >= 0:
+            if not mask[j]:
+                if text[j] == cl:
+                    depth += 1
+                elif text[j] == op:
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j -= 1
+        if j < 0:
+            return None
+        start = j
+        k = skipws(j - 1)
+        k2 = k
+        while k2 >= 0 and (text[k2].isalnum() or text[k2] in "_$."):
+            k2 -= 1
+        if k2 < k:
+            word = text[k2 + 1 : k + 1]
+            if word.upper() not in _FACT_KEYWORDS and not word[0].isdigit():
+                return k2 + 1
+        return start
+    if ch.isalnum() or ch in "_$.":
+        j = i
+        while j >= 0 and (text[j].isalnum() or text[j] in "_$."):
+            j -= 1
+        word = text[j + 1 : i + 1]
+        if word.upper() in _FACT_KEYWORDS:
+            return None
+        return j + 1
+    return None
+
+
+def _scan_cmp_term_fwd(text: str, mask: list, at: int) -> "int | None":
+    """End index (exclusive) of the single term starting at ``at``."""
+
+    def skipws(i: int) -> int:
+        while i < len(text) and text[i].isspace():
+            i += 1
+        return i
+
+    i = skipws(at)
+    if i >= len(text):
+        return None
+    pairs = {"(": ")", "[": "]", "{": "}"}
+
+    def balanced_fwd(j: int) -> int:
+        op = text[j]
+        cl = pairs[op]
+        depth = 0
+        while j < len(text):
+            if not mask[j]:
+                if text[j] == op:
+                    depth += 1
+                elif text[j] == cl:
+                    depth -= 1
+                    if depth == 0:
+                        return j + 1
+            j += 1
+        return -1
+
+    ch = text[i]
+    if ch == "'":
+        j = i + 1
+        while j < len(text):
+            if text[j] == "'":
+                if j + 1 < len(text) and text[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return None
+    if ch in pairs:
+        e = balanced_fwd(i)
+        return None if e == -1 else e
+    if ch.isalnum() or ch in "_$":
+        j = i
+        while j < len(text) and (text[j].isalnum() or text[j] in "_$."):
+            j += 1
+        word = text[i:j]
+        if word.upper() in _FACT_KEYWORDS:
+            return None
+        k = skipws(j)
+        if k < len(text) and text[k] in "({" and not mask[k]:
+            e = balanced_fwd(k)
+            return None if e == -1 else e
+        return j
+    return None
+
+
+def _map_eq_expr(left: str, right: str) -> str:
+    """DuckDB map equality (measured r14): entry-order-sensitive, a
+    definite non-null mismatch (keys, order, or values) is FALSE, an
+    otherwise-equal compare with any NULL value is NULL."""
+    ka, kb = f"map_keys({left})", f"map_keys({right})"
+    nn = (
+        f"forall(zip_with(map_values({left}), map_values({right}), "
+        f"(__mx, __my) -> __mx IS NULL OR __my IS NULL OR __mx = __my), "
+        f"__mp -> __mp)"
+    )
+    anynull = (
+        f"(exists(map_values({left}), __mv -> __mv IS NULL) OR "
+        f"exists(map_values({right}), __mv -> __mv IS NULL))"
+    )
+    return (
+        f"(CASE WHEN ({left}) IS NULL OR ({right}) IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN NOT ({ka} = {kb}) THEN FALSE "
+        f"WHEN NOT {nn} THEN FALSE "
+        f"WHEN {anynull} THEN CAST(NULL AS BOOLEAN) "
+        f"ELSE TRUE END)"
+    )
+
+
+def rewrite_map_comparisons(
+    spark: SparkSession, sql: str, translate: Translate
+) -> str:
+    """MAP equality (r14): DuckDB compares maps ENTRY-ORDER-SENSITIVELY
+    (MAP{'a':1,'b':2} = MAP{'b':2,'a':1} is false) with SQL null
+    propagation per VALUE (a null value makes an otherwise-equal
+    compare NULL, a definite mismatch stays false) — Spark rejects map
+    operands in = outright, so the comparison lowers onto
+    keys/zip_with/exists per _map_eq_expr. = and <>/!= only; ordered
+    map comparisons stay loud."""
+    code = _code_only(sql.strip())
+    if not re.search(r"\bmap\b", code, re.IGNORECASE):
+        return sql
+    from .dialect import _literal_mask
+
+    stripped = sql.strip().rstrip(";")
+    text = stripped
+    mask = _literal_mask(text)
+    probe = None
+    edits: list[tuple[int, int, str]] = []
+    for m in _MAP_CMP_OP_RE.finditer(text):
+        if mask[m.start()]:
+            continue
+        op = m.group(0)
+        if op == "=" and (
+            (m.start() > 0 and text[m.start() - 1] in "<>!:=")
+            or (m.end() < len(text) and text[m.end()] == "=")
+        ):
+            continue  # <=, >=, !=, :=, == handled elsewhere / later
+        ls = _scan_cmp_term_back(text, mask, m.start() - 1)
+        re_ = _scan_cmp_term_fwd(text, mask, m.end())
+        if ls is None or re_ is None:
+            continue
+        left = text[ls : m.start()].strip()
+        right = text[m.end() : re_].strip()
+        if not left or not right:
+            continue
+        if "map" not in left.lower() and "map" not in right.lower():
+            continue  # cheap pre-filter before any analysis probe
+        if probe is None:
+            probe = _make_lane_probe(spark, stripped, translate)
+        k, _t = probe(left)
+        if k is None:
+            k, _t = probe(right)
+        if k != "map":
+            continue
+        eq = _map_eq_expr(left, right)
+        edits.append(
+            (ls, re_, f"(NOT {eq})" if op in ("<>", "!=") else eq)
         )
     for a, b, repl in sorted(edits, reverse=True):
         text = text[:a] + repl + text[b:]

@@ -29,6 +29,12 @@ differentially verified against live DuckDB:
    lane (negatives -> 1, 21!..33! exact via a DECIMAL(38,0) product,
    34! raises Out of Range at runtime), and an arithmetic operator
    AFTER the '!' reproduces the catalog error.
+6. (VERDICT #7 stretch) Map equality: DuckDB compares maps
+   entry-order-sensitively with per-value null propagation (definite
+   mismatch false, otherwise-equal-with-a-null NULL); =/<>/!= lower
+   onto map_keys + zip_with + exists. Also fixes a pre-existing
+   map-literal-subscript bug: map_values(MAP {...})[1] subscripts the
+   CALL result, not the parenthesized arg.
 5. (VERDICT missing #4) Datetime literal specials: 'epoch' = the 1970
    instant, ±'infinity' clamp to the datetime range at the VALUE level,
    hour-24 rolls to next midnight (24:00:01 raises / TRY_CAST NULLs),
@@ -345,4 +351,34 @@ DATETIME_SPECIALS = [
 
 @pytest.mark.parametrize("q", DATETIME_SPECIALS)
 def test_datetime_literal_specials(eng, con, q):
+    _differential(eng, con, q)
+
+
+# ---- 6. map equality -------------------------------------------------------
+
+MAP_EQUALITY = [
+    "SELECT MAP{'k':1} = MAP{'k':1} AS v",
+    "SELECT MAP{'a':1,'b':2} = MAP{'b':2,'a':1} AS v",
+    "SELECT MAP{'k':1} <> MAP{'k':2} AS v",
+    "SELECT CAST(NULL AS MAP(VARCHAR,INTEGER)) = MAP{'k':1} AS v",
+    "SELECT MAP{'k':1} = MAP{'k':NULL} AS v",
+    "SELECT MAP{'k':NULL} = MAP{'k':NULL} AS v",
+    "SELECT MAP{'a':1,'b':2} = MAP{'a':9,'b':NULL} AS v",
+    "SELECT MAP{'a':1} = MAP{'b':NULL} AS v",
+    "SELECT MAP{'a':1,'b':NULL} = MAP{'a':1,'b':NULL} AS v",
+    "SELECT MAP{'a':1} = MAP{'a':1,'b':2} AS v",
+    "SELECT MAP{'a':NULL} = MAP{'a':1} AS v",
+    "SELECT m = MAP{'k':1} AS v FROM (SELECT MAP{'k':1} AS m) t",
+    "SELECT CASE WHEN MAP{'k':1} = MAP{'k':1} THEN 'y' END AS v",
+    "SELECT map_from_entries([('a', 1)]) = MAP{'a':1} AS v",
+    # scalar comparisons in map-bearing statements stay untouched
+    "SELECT u = 1 AS v FROM (SELECT 1 AS u, MAP{'k':1} AS m) t",
+    # the r14 subscript fix: a call's arg list is not a subscript base
+    "SELECT map_values(MAP{'k':5})[1] = 5 AS v",
+    "SELECT (MAP {'x': 5})['x'] AS v",
+]
+
+
+@pytest.mark.parametrize("q", MAP_EQUALITY)
+def test_map_equality(eng, con, q):
     _differential(eng, con, q)
