@@ -169,6 +169,81 @@ def _list_split_batch(s: pd.Series) -> pd.Series:
     return s.map(_list_split_one)
 
 
+def _struct_split_one(s) -> "dict | None":
+    """DuckDB's string->STRUCT entry grammar, split only (r14): keys
+    quoted or bare, values unquoted, duplicates last-wins, bare NULL
+    tokens -> None. None = grammar failure (the SQL wrapper checks
+    input-NULL first and validates keys against the target fields)."""
+    if s is None:
+        return None
+    from duckdb_service_spark.service.sql_routing import (
+        _entry_split,
+        _split_composite_body,
+        _unquote_token,
+    )
+
+    v = s.strip()
+    if not (v.startswith("{") and v.endswith("}")):
+        return None
+    body = v[1:-1]
+    if not body.strip():
+        return {}
+    parts = _split_composite_body(body)
+    if parts is None:
+        return None
+    out: dict = {}
+    for p in parts:
+        sp = _entry_split(p, ":")
+        if sp is None:
+            return None
+        k, _kq = _unquote_token(sp[0])
+        val, was_q = _unquote_token(sp[1])
+        out[k] = None if (not was_q and val.strip().upper() == "NULL") else val
+    return out
+
+
+def _struct_split_batch(s: pd.Series) -> pd.Series:
+    return s.map(_struct_split_one)
+
+
+def _map_split_one(s) -> "list | None":
+    """DuckDB's string->MAP {k=v} grammar, split only (r14): entry order
+    and duplicate keys preserved (the SQL wrapper raises DuckDB's
+    unique-keys error on duplicates)."""
+    if s is None:
+        return None
+    from duckdb_service_spark.service.sql_routing import (
+        _entry_split,
+        _split_composite_body,
+        _unquote_token,
+    )
+
+    v = s.strip()
+    if not (v.startswith("{") and v.endswith("}")):
+        return None
+    body = v[1:-1]
+    if not body.strip():
+        return []
+    parts = _split_composite_body(body)
+    if parts is None:
+        return None
+    out = []
+    for p in parts:
+        sp = _entry_split(p, "=")
+        if sp is None:
+            return None
+        k, _kq = _unquote_token(sp[0])
+        val, was_q = _unquote_token(sp[1])
+        out.append(
+            (k, None if (not was_q and val.strip().upper() == "NULL") else val)
+        )
+    return out
+
+
+def _map_split_batch(s: pd.Series) -> pd.Series:
+    return s.map(_map_split_one)
+
+
 def _double_arr_batch(s: pd.Series) -> pd.Series:
     """Element-wise DuckDB double repr over a double[] column (r14:
     Spark rejects Python UDFs inside higher-order lambdas, so the
@@ -216,5 +291,13 @@ def ensure_format_udfs(spark) -> None:
     )
     spark.udf.register(
         "duck_float_arr_str", pandas_udf(_float_arr_batch, "array<string>")
+    )
+    spark.udf.register(
+        "duck_struct_split",
+        pandas_udf(_struct_split_batch, "map<string,string>"),
+    )
+    spark.udf.register(
+        "duck_map_split",
+        pandas_udf(_map_split_batch, "array<struct<k:string,v:string>>"),
     )
     _REGISTERED.add(key)

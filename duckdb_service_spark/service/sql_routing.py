@@ -4159,6 +4159,105 @@ def _render_composite_varchar(
     return f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE {body} END)"
 
 
+def _runtime_scalar_conv(form: str, expr: str, stree) -> str:
+    """Measured string->scalar conversion of a split cell expression
+    (the cell text is already unquoted by the split UDFs)."""
+    _k, stext, scls = stree
+    if scls == "string":
+        return expr
+    return _cast_contract_repl(
+        form, expr, "string", scls, stext, None
+    ) or f"{form}({expr} AS {stext})"
+
+
+def _composite_runtime_fail(form: str, expr: str, kind: str,
+                            tgt_text: str) -> str:
+    if form == "TRY_CAST":
+        return f"TRY_CAST(NULL AS {tgt_text})"
+    return (
+        f"CAST(raise_error(concat('Conversion Error: Type VARCHAR with "
+        f"value ''', ({expr}), ''' can''t be cast to the destination "
+        f"type {_COMPOSITE_FAIL_NAME[kind]}')) AS {tgt_text})"
+    )
+
+
+def _runtime_string_composite_cast(form: str, expr: str, tree) -> "str | None":
+    """CAST of a string COLUMN/expression to STRUCT/MAP (r14): the
+    duck_struct_split / duck_map_split Arrow UDFs parse the measured
+    entry grammars at runtime; unknown struct keys fail whole-value,
+    duplicate map keys raise DuckDB's unique-keys error, cell values
+    convert through the scalar cast contract. None = a shape this
+    lowering can't express (e.g. list-of-list fields), caller leaves
+    Spark's loud error."""
+    tgt_text = _duck_tree_text(tree)
+
+    def cell_conv(src: str, sub, in_lambda: bool) -> "str | None":
+        if sub[0] == "scalar":
+            return _runtime_scalar_conv(form, src, sub)
+        if in_lambda:
+            return None  # split UDFs can't run inside lambdas
+        if sub[0] == "list" and sub[1][0] == "scalar":
+            base_text = sub[1][1]
+            return _runtime_string_list_cast(
+                form, src, sub[1][2], base_text, _duck_tree_text(sub)
+            )
+        if sub[0] in ("struct", "map"):
+            return _runtime_string_composite_cast(form, src, sub)
+        return None
+
+    if tree[0] == "struct":
+        split = f"duck_struct_split({expr})"
+        names = ", ".join(
+            "'" + n.replace("'", "''") + "'" for n, _ in tree[1]
+        )
+        keys_ok = f"forall(map_keys({split}), __sk -> __sk IN ({names}))"
+        cells = []
+        for n, sub in tree[1]:
+            # __spark_element_at: the dialect's passthrough marker —
+            # user-spelled element_at gets DuckDB's map-LIST semantics
+            src = f"__spark_element_at({split}, '" + n.replace("'", "''") + "')"
+            conv = cell_conv(src, sub, False)
+            if conv is None:
+                return None
+            cells.append("'" + n.replace("'", "''") + f"', {conv}")
+        fail = _composite_runtime_fail(form, expr, "struct", tgt_text)
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS {tgt_text}) "
+            f"WHEN {split} IS NULL THEN {fail} "
+            f"WHEN NOT {keys_ok} THEN {fail} "
+            f"ELSE named_struct({', '.join(cells)}) END)"
+        )
+    if tree[0] == "map":
+        ktree, vtree = tree[1], tree[2]
+        kconv = cell_conv("__me.k", ktree, True)
+        vconv = cell_conv("__me.v", vtree, True)
+        if kconv is None or vconv is None:
+            return None
+        ents = f"duck_map_split({expr})"
+        dup = (
+            f"size({ents}) <> "
+            f"size(array_distinct(transform({ents}, __me -> __me.k)))"
+        )
+        fail = _composite_runtime_fail(form, expr, "map", tgt_text)
+        # measured: duplicate keys raise even under TRY_CAST (invalid
+        # input, not a conversion failure)
+        dupfail = (
+            f"CAST(raise_error('Invalid Input Error: Map keys must "
+            f"be unique.') AS {tgt_text})"
+        )
+        body = (
+            f"map_from_entries(transform({ents}, "
+            f"__me -> struct({kconv}, {vconv})))"
+        )
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN CAST(NULL AS {tgt_text}) "
+            f"WHEN {ents} IS NULL THEN {fail} "
+            f"WHEN {dup} THEN {dupfail} "
+            f"ELSE {body} END)"
+        )
+    return None
+
+
 def _cast_as_split(inner: str) -> "tuple[str, str] | None":
     """(source expr, type text) of a CAST body — split at the LAST
     top-level AS keyword (quote/paren/bracket aware)."""
@@ -4309,7 +4408,12 @@ def rewrite_string_list_casts(
         str_tgt = (
             type_text.lower().split("(")[0].strip() in _STRING_BASES
         )
-        if not (tm and tm.group(2).count("[") == 1) and not str_tgt:
+        comp_tgt = re.match(r"^(?:STRUCT|MAP)\s*\(", type_text, re.IGNORECASE)
+        if (
+            not (tm and tm.group(2).count("[") == 1)
+            and not str_tgt
+            and not comp_tgt
+        ):
             continue
         if not expr or re.match(r"^'(?:[^']|'')*'$", expr) or re.match(
             r"^NULL$", expr, re.IGNORECASE
@@ -4336,6 +4440,19 @@ def rewrite_string_list_casts(
             taken.append((m.start(), close))
             continue
         if k != "string":
+            continue
+        if comp_tgt:
+            # string COLUMN -> STRUCT/MAP: runtime split UDFs (r14)
+            tree = _parse_duck_type(type_text)
+            if tree is None or tree[0] not in ("struct", "map"):
+                continue
+            repl = _runtime_string_composite_cast(
+                m.group(1).upper(), expr, tree
+            )
+            if repl is None:
+                continue
+            edits.append((m.start(), close, repl))
+            taken.append((m.start(), close))
             continue
         base = tm.group(1).strip()
         base_cls = _TYPE_CLASS.get(base.lower().split("(")[0].strip())

@@ -202,6 +202,48 @@ def list_tables(eng, con):
     return True
 
 
+COLUMN_COMPOSITE_CASTS = [
+    "SELECT id, TRY_CAST(s AS STRUCT(a INTEGER, b VARCHAR)) AS v "
+    "FROM strstructs ORDER BY id",
+    "SELECT CAST(s AS STRUCT(a INTEGER, b VARCHAR)) AS v "
+    "FROM strstructs WHERE id = 1",
+    "SELECT CAST(s AS STRUCT(a INTEGER, b VARCHAR)) AS v "
+    "FROM strstructs WHERE id = 5",
+    "SELECT CAST(s AS STRUCT(a INTEGER, b VARCHAR)) AS v "
+    "FROM strstructs WHERE id = 7",
+    "SELECT id, TRY_CAST(s AS MAP(VARCHAR, INTEGER)) AS v "
+    "FROM strmaps ORDER BY id",
+    "SELECT CAST(s AS MAP(VARCHAR, INTEGER)) AS v FROM strmaps WHERE id = 1",
+    "SELECT CAST(s AS MAP(VARCHAR, INTEGER)) AS v FROM strmaps WHERE id = 4",
+    "SELECT CAST(s AS MAP(VARCHAR, INTEGER)) AS v FROM strmaps WHERE id = 5",
+    "SELECT CAST(s AS MAP(VARCHAR, INTEGER)) AS v FROM strmaps WHERE id = 6",
+    "SELECT CAST(upper(s) AS MAP(VARCHAR, INTEGER)) AS v "
+    "FROM strmaps WHERE id = 1",
+]
+
+
+@pytest.fixture(scope="module")
+def composite_tables(eng, con):
+    ddl = [
+        "CREATE TABLE strstructs (id INTEGER, s VARCHAR)",
+        "INSERT INTO strstructs VALUES (1, '{''a'': 2, ''b'': x}'), "
+        "(2, '{a: 3}'), (3, NULL), (4, '{}'), (5, 'junk'), "
+        "(6, '{''a'': 4, ''a'': 5}'), (7, '{''z'': 1}')",
+        "CREATE TABLE strmaps (id INTEGER, s VARCHAR)",
+        "INSERT INTO strmaps VALUES (1, '{k=1, j=2}'), (2, '{}'), "
+        "(3, NULL), (4, 'junk'), (5, '{k=1, k=2}'), (6, '{k=z}')",
+    ]
+    for s in ddl:
+        eng.execute(s)
+        con.execute(s)
+    return True
+
+
+@pytest.mark.parametrize("q", COLUMN_COMPOSITE_CASTS)
+def test_column_string_composite_cast(eng, con, composite_tables, q):
+    _differential(eng, con, q)
+
+
 COLUMN_LIST_CASTS = [
     "SELECT id, CAST(s AS INTEGER[]) AS v FROM strlists ORDER BY id",
     "SELECT id, TRY_CAST(s AS INTEGER[]) AS v FROM strlists ORDER BY id",
