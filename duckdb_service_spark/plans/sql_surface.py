@@ -711,9 +711,17 @@ SELECT k,
        TRY_CAST(bad AS INTEGER[]) IS NULL AS bad_is_null,
        CAST('{''a'': 7}' AS STRUCT(a INTEGER)).a AS struct_lit,
        CAST('{''a'': 2.9}' AS STRUCT(a INTEGER)).a AS struct_round,
-       (COALESCE(CAST(NULL AS INTEGER[]), '[5, 6]'))[2] AS lane_parse
+       (COALESCE(CAST(NULL AS INTEGER[]), '[5, 6]'))[2] AS lane_parse,
+       CAST(st AS STRUCT(a INTEGER)).a AS struct_col_parse,
+       CAST(CAST(s AS INTEGER[]) AS VARCHAR) AS list_render,
+       CAST(MAP {'x': k % 3} AS VARCHAR) AS map_render,
+       MAP {'x': k % 3} = MAP {'x': 1} AS map_eq,
+       CAST((CAST(k % 5 AS INTEGER) + 2)! AS BIGINT) AS fact_term,
+       CAST('2020-01-01 01:02:03+05:30' AS TIMESTAMP) AS offset_ts,
+       TIMESTAMP 'epoch' AS epoch_ts
 FROM (SELECT o_orderkey AS k,
              '[' || (o_orderkey % 5) || ', ' || (o_orderkey % 3) || ']' AS s,
+             '{''a'': ' || (o_orderkey % 9) || '}' AS st,
              CASE WHEN o_orderkey % 2 = 0 THEN '[1, 2]' ELSE 'junk' END AS bad
       FROM orders WHERE o_orderkey % 101 = 0) t
 ORDER BY k
@@ -728,8 +736,13 @@ def sql_composite_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF + the measured element cast contract), TRY_CAST NULLs
     grammar-failing rows ('junk'), string LITERALS fold to STRUCT
     targets at rewrite time ({'a': 2.9} rounds into the INTEGER field),
-    and a composite-lane COALESCE parses its string literal. The oracle
-    runs the VERBATIM statement in DuckDB."""
+    and a composite-lane COALESCE parses its string literal. The r14
+    stretch columns ride along: string-COLUMN STRUCT parse
+    (duck_struct_split), composite -> VARCHAR renders, entry-order
+    map equality, postfix factorial over a parenthesized term
+    (HUGEINT lane on DECIMAL(38,0)), and the epoch/offset datetime
+    literal specials. The oracle runs the VERBATIM statement in
+    DuckDB."""
     import tempfile
 
     from ..service.executor import Engine

@@ -4287,7 +4287,7 @@ def _cast_as_split(inner: str) -> "tuple[str, str] | None":
 
 
 def rewrite_string_list_casts(
-    spark: SparkSession, sql: str, translate: Translate
+    spark: SparkSession, sql: str, translate: Translate, _depth: int = 0
 ) -> str:
     """(TRY_)CAST of a STRING LITERAL to a list type — Spark has no
     STRING->ARRAY cast, DuckDB parses the bracket grammar (measured
@@ -4470,6 +4470,13 @@ def rewrite_string_list_casts(
         taken.append((m.start(), close))  # nested CASTs ride the outer edit
     for a, b, repl in sorted(edits, reverse=True):
         text = text[:a] + repl + text[b:]
+    if edits and _depth < 3:
+        # replacements can EMBED casts that still need this pass
+        # (CAST(CAST(s AS INTEGER[]) AS VARCHAR) splices the inner cast
+        # into the render body verbatim) — iterate to fixpoint; emitted
+        # forms never re-match (raise_error/NULL sources skip), so this
+        # terminates
+        return rewrite_string_list_casts(spark, text, translate, _depth + 1)
     return text if edits else sql
 
 
