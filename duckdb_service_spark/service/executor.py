@@ -456,11 +456,19 @@ class Engine:
         stripped = rewrite_list_concat_cols(self.spark, stripped, translate)
         stripped = rewrite_numeric_date_lanes(self.spark, stripped, translate)
         stripped = rewrite_list_literal_types(self.spark, stripped, translate)
+        # string-composite folds FIRST so factorial/branch operands like
+        # (CAST('[3]' AS INTEGER[]))[1] LIMIT-0-probe on folded text;
+        # factorial BEFORE the branch fold so COALESCE(3!, '7') sees a
+        # typed lane (r14)
+        stripped = rewrite_string_list_casts(self.spark, stripped, translate)
         stripped = rewrite_postfix_factorial_terms(self.spark, stripped, translate)
         stripped = rewrite_map_comparisons(self.spark, stripped, translate)
         stripped = rewrite_branch_expr_types(self.spark, stripped, translate)
         stripped = rewrite_in_list_types(self.spark, stripped, translate)
         stripped = rewrite_ordered_stat_decimals(self.spark, stripped, translate)
+        # a second fold pass: the branch/factorial rewrites above can
+        # emit fresh string-composite casts (r14 — the pass is
+        # idempotent on already-folded text)
         stripped = rewrite_string_list_casts(self.spark, stripped, translate)
         stripped = rewrite_cast_contract(self.spark, stripped, translate)
         # after the cast contract: the emitted inline-table CASTs must stay

@@ -3694,8 +3694,8 @@ def _fact_operand_start(text: str, mask: list, bang: int) -> "int | None":
                 j -= 1
             start = j + 1
             i = j
-        elif ch in ")]":
-            op, cl = ("(", ")") if ch == ")" else ("[", "]")
+        elif ch in ")]}":
+            op, cl = {")": ("(", ")"), "]": ("[", "]"), "}": ("{", "}")}[ch]
             depth, j = 0, i
             while j >= 0:
                 if not mask[j]:
@@ -3732,6 +3732,25 @@ def _fact_operand_start(text: str, mask: list, bang: int) -> "int | None":
             i = j
         else:
             break
+        # subscript / field-access suffix chains extend the same term
+        # (CAST(...)[1]!, {'a':3}.a! — measured: factorial applies to
+        # the chained expression)
+        j = skipws(i)
+        if ch == "]" and j >= 0 and not mask[j] and (
+            text[j].isalnum() or text[j] in "_$)]}"
+        ):
+            i = j
+            continue
+        if (
+            start is not None
+            and text[start] == "."
+            and j >= 0
+            and not mask[j]
+            and text[j] in ")]}"
+        ):
+            # a '.field' word binds to the preceding group
+            i = j
+            continue
         # another term joined by an arithmetic operator?
         i = skipws(i)
         if i >= 0 and text[i] in "+-*/%^" and not mask[i]:
@@ -3835,6 +3854,8 @@ def rewrite_postfix_factorial_terms(
             continue
         if k == "decimal":
             name = (t or "DECIMAL").upper()
+        elif k in _COMPOSITE_KINDS:
+            name = t or k.upper()  # DuckDB prints INTEGER[] etc.
         else:
             name = _FACT_TYPE_NAME.get(k, k.upper())
         raise ValueError(

@@ -424,3 +424,33 @@ MAP_EQUALITY = [
 @pytest.mark.parametrize("q", MAP_EQUALITY)
 def test_map_equality(eng, con, q):
     _differential(eng, con, q)
+
+
+# ---- 7. cross-feature compositions -----------------------------------------
+
+COMPOSITIONS = [
+    "SELECT COALESCE(3!, '7') AS v",
+    "SELECT GREATEST(3!, '7') AS v",
+    "SELECT COALESCE(CAST(NULL AS TIMESTAMP), 'epoch') AS v",
+    "SELECT (COALESCE([1], '[2]'))[1] AS v",
+    "SELECT CAST(COALESCE([1], '[2]') AS VARCHAR) AS v",
+    "SELECT CAST(CAST({'a': 2} AS VARCHAR) AS STRUCT(a INTEGER)) AS v",
+    "SELECT CAST(CAST('[1.5]' AS DOUBLE[]) AS VARCHAR) AS v",
+    "SELECT (CAST('[3]' AS INTEGER[]))[1]! AS v",
+    "SELECT 3! = 6 AND MAP{'a':1} = MAP{'a':1} AS v",
+    "SELECT CASE WHEN MAP{'a':1} = MAP{'a':1} THEN 5! END AS v",
+    "SELECT typeof(CAST('{k=2}' AS MAP(VARCHAR,INTEGER))) AS v",
+    "SELECT CAST(CAST(MAP{'k':7} AS VARCHAR) AS MAP(VARCHAR,INTEGER)) AS v",
+    "SELECT 1 AS v WHERE MAP{'k':1} = MAP{'k':1}",
+    "SELECT CAST('epoch' AS TIMESTAMP) = TIMESTAMP 'epoch' AS v",
+    # factorial term chaining (subscripts / field access)
+    "SELECT [1]! AS v",
+    "SELECT [1,2][1]! AS v",
+    "SELECT {'a':3}.a! AS v",
+    "SELECT t.x! AS v FROM (SELECT 4 AS x) t",
+]
+
+
+@pytest.mark.parametrize("q", COMPOSITIONS)
+def test_cross_feature_composition(eng, con, q):
+    _differential(eng, con, q)
