@@ -121,43 +121,24 @@ def _type_name_batch(s: pd.Series) -> pd.Series:
 
 def _list_split_one(s) -> "list | None":
     """DuckDB's string->LIST bracket grammar, element-split only (r14):
-    trim; require [ ]; split on top-level commas (quotes protect commas
-    and stay part of the element — measured, the literal-cast fold in
-    sql_routing._fold_string_list is the compile-time twin); elements
-    trimmed, bare NULL tokens become NULL entries. Returns None on
-    grammar failure (the SQL wrapper distinguishes it from NULL input,
-    which it checks first)."""
+    trim; require [ ]; split on top-level commas via the shared
+    sql_routing._split_list_body (element-start quotes protect commas,
+    brackets/braces nest); elements trimmed, bare NULL tokens become
+    NULL entries. Returns None on grammar failure (the SQL wrapper
+    distinguishes it from NULL input, which it checks first)."""
     if s is None:
         return None
+    from duckdb_service_spark.service.sql_routing import _split_list_body
+
     v = s.strip()
     if not (v.startswith("[") and v.endswith("]")):
         return None
     body = v[1:-1]
     if not body.strip():
         return []
-    parts, depth, in_q, cur = [], 0, False, []
-    for ch in body:
-        if in_q:
-            if ch == "'":
-                in_q = False
-            cur.append(ch)
-            continue
-        if ch == "'":
-            in_q = True
-        elif ch == "[":
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth < 0:
-                return None
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if depth or in_q:
+    parts = _split_list_body(body)
+    if parts is None:
         return None
-    parts.append("".join(cur))
     out = []
     for p in parts:
         el = p.strip()
@@ -214,6 +195,7 @@ def _map_split_one(s) -> "list | None":
         return None
     from duckdb_service_spark.service.sql_routing import (
         _entry_split,
+        _merge_map_pieces,
         _split_composite_body,
         _unquote_token,
     )
@@ -225,6 +207,9 @@ def _map_split_one(s) -> "list | None":
     if not body.strip():
         return []
     parts = _split_composite_body(body)
+    if parts is None:
+        return None
+    parts = _merge_map_pieces(parts)
     if parts is None:
         return None
     out = []

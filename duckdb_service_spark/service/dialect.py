@@ -2929,14 +2929,59 @@ def _spark_type_word(t: str) -> str:
     return out
 
 
+def _spark_type_text(t: str) -> "str | None":
+    """DuckDB type text -> Spark type text, RECURSIVE (r14: nested
+    composites like STRUCT(a STRUCT(b DOUBLE)) / MAP(INTEGER,
+    MAP(VARCHAR, DATE)) must convert all the way down — a half-converted
+    type is a Spark parse error). None = unsupported shape (caller
+    leaves the span verbatim for a loud reject)."""
+    from .dml import split_top_level
+
+    t = t.strip()
+    m = re.match(r"^(.*?)((?:\s*\[\s*\])+)$", t, re.DOTALL)
+    if m:
+        inner = _spark_type_text(m.group(1))
+        if inner is None:
+            return None
+        for _ in range(m.group(2).count("[")):
+            inner = f"ARRAY<{inner}>"
+        return inner
+    um = re.match(r"^(MAP|STRUCT)\s*\((.*)\)$", t, re.IGNORECASE | re.DOTALL)
+    if um:
+        kind = um.group(1).upper()
+        parts = [p.strip() for p in split_top_level(um.group(2))]
+        if kind == "MAP":
+            if len(parts) != 2:
+                return None
+            kv = [_spark_type_text(p) for p in parts]
+            if None in kv:
+                return None
+            return f"MAP<{kv[0]}, {kv[1]}>"
+        fields = []
+        for p in parts:
+            fm = re.match(r'^("(?:[^"]|"")*"|\w+)\s+(.+)$', p, re.DOTALL)
+            if not fm:
+                return None
+            ft = _spark_type_text(fm.group(2))
+            if ft is None:
+                return None
+            fields.append(f"{fm.group(1)}: {ft}")
+        return f"STRUCT<{', '.join(fields)}>" if fields else None
+    word = t.upper().split("(")[0].strip()
+    if word == "TIMESTAMPTZ":
+        return "TIMESTAMP_LTZ"  # engine-wide LTZ convention (r12)
+    mapped = _TYPE_WORD_MAP.get(word)
+    if mapped is not None:
+        return mapped
+    return t
+
+
 def _rewrite_complex_type_casts(sql: str) -> str:
     """DuckDB composite cast types — ``CAST(x AS MAP(VARCHAR, INTEGER))``,
     ``x::STRUCT(a BIGINT, b VARCHAR)`` — become Spark's angle-bracket forms
-    (``MAP<STRING, INT>``, ``STRUCT<a: BIGINT, b: STRING>``). Word element
-    types with optional ``[]`` suffixes; deeper nesting stays untouched
-    (Spark then rejects it loudly rather than silently mistyping)."""
-    from .dml import split_top_level
-
+    (``MAP<STRING, INT>``, ``STRUCT<a: BIGINT, b: STRING>``), recursing
+    through nested composites (r14). Unsupported shapes stay verbatim so
+    Spark rejects them loudly rather than silently mistyping."""
     i = 0
     while True:
         mask = _literal_mask(sql)
@@ -2951,29 +2996,20 @@ def _rewrite_complex_type_casts(sql: str) -> str:
         close = _scan_balanced(sql, open_at, "(", ")")
         if close == -1:
             return sql
-        body = sql[m.end() : close - 1]
         kind = m.group(2).upper()
-        parts = [p.strip() for p in split_top_level(body)]
-        try:
-            if kind == "MAP":
-                if len(parts) != 2:
-                    raise ValueError
-                inner = ", ".join(_spark_type_word(p) for p in parts)
-            else:
-                fields = []
-                for p in parts:
-                    fm = re.fullmatch(r'("?[\w ]+"?)\s+(\w+(?:\s*\[\s*\])*)', p)
-                    if not fm:
-                        raise ValueError
-                    fields.append(
-                        f"{fm.group(1)}: {_spark_type_word(fm.group(2))}"
-                    )
-                inner = ", ".join(fields)
-        except ValueError:
+        # trailing [] suffixes belong to the same type text
+        j = close
+        while True:
+            sfx = re.match(r"\s*\[\s*\]", sql[j:])
+            if not sfx:
+                break
+            j += sfx.end()
+        converted = _spark_type_text(sql[m.start(2) : j])
+        if converted is None:
             i = close  # unsupported shape: leave verbatim, scan past it
             continue
-        repl = f"{m.group(1)}{kind}<{inner}>"
-        sql = sql[: m.start()] + repl + sql[close:]
+        repl = f"{m.group(1)}{converted}"
+        sql = sql[: m.start()] + repl + sql[j:]
         i = m.start() + len(repl)
 
 

@@ -1738,6 +1738,17 @@ def _cast_contract_repl(
             f"concat('Conversion Error: Could not convert string \"', "
             f"({inner}), '\" to {tgt_text.upper()}')"
         )
+    elif src == "string" and tgt in ("date", "timestamp"):
+        # measured r14: bad date/timestamp strings raise the
+        # field-value-out-of-range form, not Could-not-convert
+        fmt = (
+            "YYYY-MM-DD" if tgt == "date"
+            else "YYYY-MM-DD HH:MM:SS[.US][±HH:MM| ZONE]"
+        )
+        fail = (
+            f"concat('Conversion Error: {tgt} field value out of range: "
+            f"\"', ({inner}), '\", expected format is ({fmt})')"
+        )
     elif src == "string":
         nm = _DUCK_INT_NAMES.get(tgt) or {
             "double": "DOUBLE", "float": "FLOAT",
@@ -3291,8 +3302,9 @@ def rewrite_in_list_types(
 
 _STR_LIST_CAST_RE = re.compile(
     r"\b(TRY_CAST|CAST)\s*\(\s*'((?:[^']|'')*)'\s+AS\s+"
-    r"([A-Za-z_]\w*)\s*((?:\[\s*\])+)\s*\)"
-    r"|'((?:[^']|'')*)'\s*::\s*([A-Za-z_]\w*)\s*((?:\[\s*\])+)",
+    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*((?:\[\s*\])+)\s*\)"
+    r"|'((?:[^']|'')*)'\s*::\s*"
+    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*((?:\[\s*\])+)",
     re.IGNORECASE,
 )
 # list LITERAL -> list cast: element conversions follow the scalar cast
@@ -3307,30 +3319,56 @@ _STRING_BASES = {"varchar", "text", "string", "char", "bpchar"}
 
 
 def _split_list_body(body: str) -> "list[str] | None":
-    """Top-level comma split of a DuckDB list-string body (quote- and
-    bracket-aware; quotes protect commas but stay PART of the element —
-    measured: CAST('[''a'', ''b,c'']' AS VARCHAR[]) keeps the quotes)."""
-    parts, depth, in_q, cur = [], 0, False, []
-    for ch in body:
-        if in_q:
-            if ch == "'":
-                in_q = False
+    """Top-level comma split of a DuckDB list-string body (bracket- and
+    brace-aware — struct/map elements like '[{k0=1, k1=2}, {k0=3}]'
+    keep their inner commas, r14). Quotes protect commas ONLY when they
+    open at the ELEMENT START and stay PART of the element (measured:
+    CAST('[''a'', ''b,c'']' AS VARCHAR[]) keeps the quotes, while
+    '[it''s,it''s]' splits at the comma — a mid-element quote is a
+    plain character)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    at_start = True
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if at_start and ch == "'":
             cur.append(ch)
+            i += 1
+            closed = False
+            while i < n:
+                if body[i] == "'":
+                    if i + 1 < n and body[i + 1] == "'":
+                        cur.append("''")
+                        i += 2
+                        continue
+                    cur.append("'")
+                    i += 1
+                    closed = True
+                    break
+                cur.append(body[i])
+                i += 1
+            if not closed:
+                return None
+            at_start = False
             continue
-        if ch == "'":
-            in_q = True
-        elif ch == "[":
+        if ch in "[{":
             depth += 1
-        elif ch == "]":
+        elif ch in "]}":
             depth -= 1
             if depth < 0:
                 return None
         if ch == "," and depth == 0:
             parts.append("".join(cur))
             cur = []
+            at_start = True
         else:
             cur.append(ch)
-    if depth or in_q:
+            if not ch.isspace():
+                at_start = False
+        i += 1
+    if depth:
         return None
     parts.append("".join(cur))
     return parts
@@ -3526,6 +3564,24 @@ def _entry_split(entry: str, sep: str) -> "tuple[str, str] | None":
     return None
 
 
+def _merge_map_pieces(pieces: "list[str]") -> "list[str] | None":
+    """DuckDB's map-body entry rule (measured r14): a comma piece with
+    no top-level '=' merges into the FOLLOWING piece's key
+    ('{k0=x,y, k1=abc}' reads keys ['k0', 'y, k1']); a TRAILING
+    '='-less piece fails the whole value ('{k=1, z}' raises)."""
+    out: list[str] = []
+    pending = ""
+    for p in pieces:
+        if _entry_split(p, "=") is not None:
+            out.append(pending + p)
+            pending = ""
+        else:
+            pending += p + ","
+    if pending:
+        return None
+    return out
+
+
 def _unquote_token(tok: str) -> "tuple[str, bool]":
     """(content, was_quoted) of a struct/map key or value token —
     measured: quoted tokens strip their outer quotes ({'a': 'x,y'} ->
@@ -3627,6 +3683,9 @@ def _fold_string_to_tree(form: str, value: str, tree, lazy: bool = False) -> str
     ktree, vtree = tree[1], tree[2]
     if not entries:
         return f"CAST(MAP {{}} AS {tgt_text})"
+    entries = _merge_map_pieces(entries)
+    if entries is None:
+        return _composite_cast_fail(form, value, kind, tgt_text, lazy)
     cells = []
     for entry in entries:
         sp = _entry_split(entry, "=")
@@ -4378,9 +4437,7 @@ def rewrite_string_list_casts(
             base, brackets = m.group(6), m.group(7)
         if mask[anchor]:
             continue
-        if base.lower() not in _TYPE_CLASS and base.lower() not in (
-            "int", "integer",
-        ):
+        if base.lower().split("(")[0].strip() not in _TYPE_CLASS:
             continue
         depth = brackets.count("[")
         edits.append(

@@ -454,3 +454,43 @@ COMPOSITIONS = [
 @pytest.mark.parametrize("q", COMPOSITIONS)
 def test_cross_feature_composition(eng, con, q):
     _differential(eng, con, q)
+
+
+# ---- 8. fuzz-found grammar refinements (tools/fuzz_composite_casts.py) -----
+
+FUZZ_REGRESSIONS = [
+    # quotes protect commas only at ELEMENT START; mid-element quotes
+    # are plain characters
+    "SELECT CAST('[it''s,it''s,NULL]' AS VARCHAR[]) AS v",
+    "SELECT CAST('[ab''cd, x]' AS VARCHAR[]) AS v",
+    "SELECT CAST('[''a''x, y]' AS VARCHAR[]) AS v",
+    "SELECT CAST('[''a'',''b,c'']' AS VARCHAR[]) AS v",
+    # parenthesized scalar bases in literal list casts
+    "SELECT CAST('[99.99, -7.5]' AS DECIMAL(5,2)[]) AS v",
+    # struct/map elements inside list strings keep their inner commas
+    "SELECT TRY_CAST('[{k0=1, k1=2}, {k0=3}]' AS MAP(VARCHAR,INTEGER)[]) AS v",
+    "SELECT CAST('[{''f0'': false, ''f1'': 1e16, ''f2'': 0}, {}]' "
+    "AS STRUCT(f0 BOOLEAN, f1 DOUBLE, f2 BOOLEAN)[]) AS v",
+    # map entries without '=' merge into the FOLLOWING key; trailing fails
+    "SELECT CAST('{k0=x,y, k1=abc}' AS MAP(VARCHAR,VARCHAR)) AS v",
+    "SELECT CAST('{k=1, z}' AS MAP(VARCHAR,INTEGER)) AS v",
+    # mid-token quotes in struct/map entries fail the whole value
+    "SELECT CAST('{a: it''s}' AS STRUCT(a VARCHAR)) AS v",
+    "SELECT CAST('{k0=it''s, k1=x}' AS MAP(VARCHAR,VARCHAR)) AS v",
+    "SELECT CAST('{a: ''x, y'', b: z}' AS STRUCT(a VARCHAR, b VARCHAR)) AS v",
+    # nested composite TYPE texts convert recursively
+    "SELECT TRY_CAST('{}' AS MAP(INTEGER, MAP(VARCHAR, DATE))) AS v",
+    "SELECT TRY_CAST('{''f1'': {''f0'': 1.25}}' AS STRUCT("
+    "f0 DECIMAL(5,2)[], f1 STRUCT(f0 DECIMAL(5,2), f1 INTEGER, f2 DATE), "
+    "f2 STRUCT(f0 DECIMAL(5,2), f1 VARCHAR))) AS v",
+    "SELECT CAST(NULL AS STRUCT(a STRUCT(b DOUBLE))) AS v",
+    "SELECT CAST('{a: [1,2], b: 3}' AS STRUCT(a INTEGER[], b INTEGER)) AS v",
+    # bad date/timestamp strings raise the field-value-out-of-range form
+    "SELECT CAST('[junk]' AS DATE[]) AS v",
+    "SELECT CAST('{a: junk}' AS STRUCT(a DATE)) AS v",
+]
+
+
+@pytest.mark.parametrize("q", FUZZ_REGRESSIONS)
+def test_fuzz_grammar_regressions(eng, con, q):
+    _differential(eng, con, q)
