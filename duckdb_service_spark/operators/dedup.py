@@ -48,6 +48,37 @@ def tokens_expr(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+# --- SQL-text twins of the expression builders (r15 plan-build cost) -------
+#
+# Building the MinHash topology out of pyspark Column objects costs the
+# DRIVER seconds before a single task runs: every functions.* call is a py4j
+# round trip and every higher-order-function lambda constructs a JVM lambda
+# via several more (measured: minhash_sig_cols alone 2.2s warm, the whole
+# dedup_minhash_lsh plan build 2.8s at 64 perms). The SQL-text twins below
+# produce the IDENTICAL resolved expressions (asserted via
+# DataFrame.sameSemantics in tests/test_dedup_expr_sql.py) through ONE
+# F.expr parse each — the parse runs in the JVM's SQL parser, so the py4j
+# chatter collapses to one call per column. At 100 TB this is pure driver
+# planning latency (guide §7.3), the same lesson as huge expression trees.
+
+def _tokens_sql(col: str) -> str:
+    return f"split(trim(lower({col})), '\\\\s+')"
+
+
+def _shingles_sql(col: str, n: int = 3) -> str:
+    toks = _tokens_sql(col)
+    return (
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def _hash64_sql(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def ngrams_expr(col: Column, n: int) -> Column:
     """ALL word n-grams in order, multiplicity preserved (repetition stats
     need counts; shingles_expr dedups for set semantics). Guarded for docs
@@ -123,7 +154,11 @@ def minhash_signatures(
     aggs = []
     for i in range(num_perms):
         a, b = perm_coeffs(i)
-        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}"))
+        # F.expr, not Column arithmetic: one parse per slot instead of ~6
+        # py4j round trips (same resolved expression)
+        aggs.append(
+            F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME})").alias(f"mh{i}")
+        )
     if with_size:
         aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy(id_col).agg(*aggs)
@@ -135,12 +170,15 @@ def lsh_bands(sig: DataFrame, id_col: str, num_perms: int = 64, bands: int = 16)
     rows_per_band = num_perms // bands
     band_structs = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        cols = ", ".join(f"mh{b * rows_per_band + j}" for j in range(rows_per_band))
         band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *cols)).alias("band_hash"))
+            f"named_struct('band_id', {b}, 'band_hash', md5(concat_ws(',', {cols})))"
         )
+    # one F.expr parse for the whole explode(array(struct...)) tree — the 16
+    # Column-built structs cost ~0.5s of py4j round trips per plan build
+    bands_expr = F.expr(f"explode(array({', '.join(band_structs)}))")
     return sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("band")
+        id_col, bands_expr.alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
 
 
@@ -172,14 +210,12 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size("ids") - i - F.lit(1)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # one F.expr parse (identical resolved tree to the nested-lambda Column
+    # form it replaces — r15 plan-build cost; see test_sqltext_builders_r15)
+    pair_arr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
     )
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
@@ -246,8 +282,8 @@ def doc_shingle_arrays(
     hash-collision trade as explode_shingles (distinct is taken on the
     n-gram STRINGS, then hashed — identical to the exploded path and the
     DuckDB oracle formula)."""
-    arr = F.transform(
-        shingles_expr(F.col(text_col), shingle_n), lambda s: hash64(s)
+    arr = F.expr(
+        f"transform({_shingles_sql(text_col, shingle_n)}, s -> {_hash64_sql('s')})"
     )
     # Two-step select so CollapseProject doesn't duplicate the (expensive)
     # shingle transform into the size() expression.
@@ -256,7 +292,7 @@ def doc_shingle_arrays(
     )
 
 
-def minhash_sig_cols(arr: Column, num_perms: int = 64) -> list[Column]:
+def minhash_sig_cols(arr: "Column | str", num_perms: int = 64) -> list[Column]:
     """mh0..mh{k-1} as PER-ROW expressions over a shingle-hash array: each
     signature slot is ``array_min(transform(arr, s -> (a*(s mod p)+b) mod
     p))``. Bit-identical to minhash_signatures' aggregate form (min over the
@@ -266,7 +302,21 @@ def minhash_sig_cols(arr: Column, num_perms: int = 64) -> list[Column]:
     cost stays zero). (r10 probed an allocation-free ``aggregate`` fold
     per slot; interleaved A/B at sf0.1 showed no win — codegen already
     keeps the transform's scratch array cheap — so the simpler form
-    stays.)"""
+    stays.)
+
+    Pass ``arr`` as a column NAME (str) to build each slot through one
+    F.expr parse — the Column/lambda form costs ~2.2s of py4j round trips
+    per plan build at 64 perms (r15; resolved expressions identical,
+    asserted by sameSemantics in tests)."""
+    if isinstance(arr, str):
+        return [
+            F.expr(
+                f"array_min(transform({arr}, s -> "
+                f"({a} * (s % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in ((i, perm_coeffs(i)) for i in range(num_perms))
+        ]
+
     def _perm(a: int, b: int):
         # closure factory, NOT lambda-with-default-args: PySpark counts a
         # Python lambda's parameters (defaults included) to pick the HOF

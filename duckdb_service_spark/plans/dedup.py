@@ -165,7 +165,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Docs with zero shingles (<3 tokens) produced no aggregate row in the
     # exploded form; filter them for identical semantics.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")
@@ -487,10 +487,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.repartition(F.col("doc_id")), "doc_id", "text"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_b = pd_b.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     sig_n = pd_n.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     bands_b = lsh_bands(sig_b, "doc_id")
     bands_n = lsh_bands(sig_n, "doc_id")

@@ -195,7 +195,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = (
         per_doc.filter(F.col("n_sh") > 0)
-        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
+        .select("doc_id", *minhash_sig_cols("sh_arr", num_perms=64))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")

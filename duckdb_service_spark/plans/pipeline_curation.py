@@ -175,7 +175,7 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
     # No sig persist (r10): the bucket pre-aggregation leaves the signature
     # with exactly one consumer — see plans/dedup.py dedup_minhash_lsh.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     dup_ids = (

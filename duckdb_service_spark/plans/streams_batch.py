@@ -341,7 +341,7 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_pd = doc_shingle_arrays(d.select("doc_id", "text"), "doc_id", "text")
     corpus_sig = corpus_pd.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     corpus_bands = lsh_bands(corpus_sig, "doc_id", num_perms=64, bands=16)
     return neardup_band_matches(incoming, corpus_bands).select(

@@ -3711,7 +3711,9 @@ _FACT_END_RE = re.compile(
     r"|OR\b|IS\b|IN\b|BETWEEN\b|NOT\b|=|<|>|::)",
     re.IGNORECASE,
 )
-_FACT_ARITH_RE = re.compile(r"^\s*(?:[+\-/%^]|\|\|)")
+# '*' included (ADVICE r14): it only applies to text FOLLOWING a '!', so it
+# cannot collide with 'SELECT t.*' projections
+_FACT_ARITH_RE = re.compile(r"^(\s*)(\|\||[+\-*/%^])")
 _FACT_KEYWORDS = {
     "SELECT", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "IN", "IS",
     "BETWEEN", "LIKE", "ILIKE", "WHERE", "BY", "FROM", "ON", "CASE",
@@ -3870,7 +3872,29 @@ def rewrite_postfix_factorial_terms(
             continue
         after = text[i + 1 :]
         if not _FACT_END_RE.match(after):
-            if _FACT_ARITH_RE.match(after):
+            am = _FACT_ARITH_RE.match(after)
+            if am:
+                ws, op = am.group(1), am.group(2)
+                # measured (r15): UNSPACED '!<op>' lexes as the multi-char
+                # operator token, so DuckDB's catalog error names '!<op>';
+                # spaced '+'/'-'/'||' parse '!' as a binary operator
+                # (catalog error names '!'); spaced '*' is a parser error
+                # at the token after the '*'. Spaced '/', '%', '^' EVALUATE
+                # in DuckDB (factorial binds first) — that lane still
+                # raises here, a documented loud divergence (HUGEINT
+                # result typing, OPTIMIZATION_r15.md).
+                if not ws and op != "||":
+                    raise ValueError(
+                        f"Catalog Error: Scalar Function with name !{op} "
+                        'does not exist!\nDid you mean "!~~"?'
+                    )
+                if op == "*":
+                    rest = after[am.end():].lstrip()
+                    tokm = re.match(r"[A-Za-z_0-9$.]+|\S", rest)
+                    tok = tokm.group(0) if tokm else ""
+                    raise ValueError(
+                        f'Parser Error: syntax error at or near "{tok}"'
+                    )
                 raise ValueError(
                     "Catalog Error: Scalar Function with name ! does not "
                     'exist!\nDid you mean "!~~"?'
@@ -4477,6 +4501,13 @@ def rewrite_string_list_casts(
             continue
         close = _scan_list_close(text, m.end() - 1, mask)
         if close == -1:
+            continue
+        # skip when the FULL span (m.start(), close) overlaps ANY prior
+        # edit — an outer CAST(... AS VARCHAR) containing a list-literal
+        # fold from the earlier loops would otherwise splice with stale
+        # offsets and emit corrupted SQL (ADVICE r14); the contained cast
+        # is picked up by the fixpoint re-run below instead
+        if any(not (b <= m.start() or close <= a) for a, b in taken):
             continue
         got = _cast_as_split(text[m.end() : close - 1])
         if got is None:

@@ -154,7 +154,7 @@ def neardup_band_matches(docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
 
     pd = doc_shingle_arrays(docs, "doc_id", "text")
     sig = pd.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64)
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
     cb = corpus_bands.select(

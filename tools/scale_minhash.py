@@ -70,7 +70,7 @@ def run(spark, sf_dir: str, copies: int):
     )
     sig = (
         per_doc.filter(F.col("n_sh") > 0)
-        .select("doc_id", *minhash_sig_cols(F.col("sh_arr"), num_perms=64))
+        .select("doc_id", *minhash_sig_cols("sh_arr", num_perms=64))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id", 64, 16), "doc_id")
