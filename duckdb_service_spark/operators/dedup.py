@@ -282,13 +282,19 @@ def doc_shingle_arrays(
     hash-collision trade as explode_shingles (distinct is taken on the
     n-gram STRINGS, then hashed — identical to the exploded path and the
     DuckDB oracle formula)."""
-    arr = F.expr(
-        f"transform({_shingles_sql(text_col, shingle_n)}, s -> {_hash64_sql('s')})"
-    )
     # Two-step select so CollapseProject doesn't duplicate the (expensive)
     # shingle transform into the size() expression.
-    return df.select(F.col(id_col), arr.alias("sh_arr")).select(
+    return df.select(F.col(id_col), shingle_hash_arr(text_col, shingle_n).alias("sh_arr")).select(
         id_col, "sh_arr", F.size("sh_arr").alias("n_sh")
+    )
+
+
+def shingle_hash_arr(text_col: str, shingle_n: int = 3) -> Column:
+    """Array of distinct-shingle 60-bit hashes of ``text_col`` (by name) —
+    the map-side core of doc_shingle_arrays, exposed for plans that ride
+    extra columns on the same cached projection. One F.expr parse."""
+    return F.expr(
+        f"transform({_shingles_sql(text_col, shingle_n)}, s -> {_hash64_sql('s')})"
     )
 
 

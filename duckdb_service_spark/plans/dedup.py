@@ -157,6 +157,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = doc_shingle_arrays(corpus, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # EAGER materialization (r15, measured from the event log): AQE
+    # submits the three consumer stages (bands map-side, both jaccard
+    # join sides) CONCURRENTLY, and a lazily persisted relation is then
+    # computed once per racing stage (3x the shingle+hash CPU; three
+    # ~680ms stages at sf0.1 where one suffices). One count() populates
+    # the cache before the consumers launch — at 1000 executors the race
+    # is 3x cluster CPU, not just wall noise.
+    per_doc.count()
     # No signature persist (r10): since the bucket pre-aggregation replaced
     # the band SELF-join (r06), the signature has exactly ONE consumer —
     # the old "would re-run the 64 transforms per side" rationale is
@@ -486,6 +494,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_n = doc_shingle_arrays(
         batch.repartition(F.col("doc_id")), "doc_id", "text"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager: each persist has 2+ consumer stages AQE launches concurrently
+    # (signature map + the pd_all verification union) — populate the cache
+    # first so the shingle pipeline runs once, not once per racing stage
+    pd_b.count()
+    pd_n.count()
     sig_b = pd_b.filter(F.col("n_sh") > 0).select(
         "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     MINHASH_PRIME,
     doc_shingle_arrays,
+    shingle_hash_arr,
     jaccard_pairs_from_arrays,
     lsh_bands,
     lsh_candidate_pairs,
@@ -150,14 +151,11 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
             ).alias("__row")
         )
         .select("__row.*")
-        # AQE coalesces the window exchange to ~2 partitions (docs are few
+        # AQE coalesces the dedup exchange to ~2 partitions (docs are few
         # BYTES) — but the next stage is CPU-heavy shingling, so force the
         # spread back out with an explicit repartition (user repartitions
-        # with a partition count are exempt from AQE coalescing), and
-        # persist: exact_kept feeds both the shingle explode and the
-        # final survivor join.
+        # with a partition count are exempt from AQE coalescing).
         .repartition(default_parallelism(), F.col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # stage 3: near-dup removal (drop higher id of each verified pair).
@@ -165,13 +163,30 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
     # one array row per doc, the 64-slot signature is a zero-shuffle
     # projection (array_min over permuted transforms), verification is an
     # array_intersect over candidate pairs — removes the signature groupBy
-    # Exchange and both exploded-shingle verification joins. persist, not
-    # eager localCheckpoint: cached relations are computed once per action
-    # even with multiple consumers, keep outputPartitioning, and add no
-    # extra jobs — the whole pipeline runs as ONE action.
-    per_doc = doc_shingle_arrays(exact_kept, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Exchange and both exploded-shingle verification joins.
+    #
+    # ONE persisted relation (r15): shingling folds into the same cached
+    # projection as the accounting columns and TEXT IS DROPPED before the
+    # cache — the old shape persisted exact_kept (with full text) AND
+    # per_doc separately, paying two materializations and caching the
+    # document bytes twice. Every downstream consumer (signature, both
+    # verification sides, the survivor anti-join, the accounting groupBy)
+    # needs only (doc_id, lang, n_tokens, sh_arr, n_sh).
+    per_doc = (
+        exact_kept.select(
+            "doc_id", "lang", "n_tokens", shingle_hash_arr("text").alias("sh_arr")
+        )
+        # two-step select (as in doc_shingle_arrays) so CollapseProject
+        # doesn't duplicate the shingle transform into size()
+        .select("doc_id", "lang", "n_tokens", "sh_arr", F.size("sh_arr").alias("n_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # EAGER materialization (r15, measured from the event log): AQE
+    # launches the persisted relation's consumer stages concurrently, and
+    # a lazy persist is then computed once per racing stage (the sf0.1
+    # event log showed two trios of ~600-1200ms duplicate stages). One
+    # count() populates the cache before any consumer runs.
+    per_doc.count()
     # No sig persist (r10): the bucket pre-aggregation leaves the signature
     # with exactly one consumer — see plans/dedup.py dedup_minhash_lsh.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
@@ -184,8 +199,8 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
         .select(F.col("id_b").alias("drop_id"))
         .distinct()
     )
-    survivors = exact_kept.join(
-        dup_ids, exact_kept.doc_id == dup_ids.drop_id, "left_anti"
+    survivors = per_doc.join(
+        dup_ids, per_doc.doc_id == dup_ids.drop_id, "left_anti"
     )
 
     # stage 4: accounting

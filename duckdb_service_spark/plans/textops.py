@@ -834,9 +834,19 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
                 f" i -> array_join(slice(t, i*{cs}+1, {cs}), ' '))"
             ).alias("chunks"),
         )
-        .withColumn("h_arr", F.transform("chunks", lambda c: hash64(c)))
+        .withColumn(
+            "h_arr",
+            F.expr(
+                "transform(chunks, c -> "
+                "CAST(conv(substring(md5(c), 1, 15), 16, 10) AS BIGINT))"
+            ),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # eager (r15): three consumer stages (boiler count, posexplode side,
+    # final reassembly join) — populate the cache before AQE launches them
+    # concurrently, else each racing stage recomputes the chunk+hash arrays
+    chunked.count()
     # count(*) over per-doc-distinct hashes == count(DISTINCT doc_id) over
     # all chunk instances, but gets map-side partial aggregation
     boiler = (

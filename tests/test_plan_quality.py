@@ -204,11 +204,16 @@ def test_q10_topk_take_ordered(spark, sf_dir):
 
 
 def test_q2_shared_partkey_exchange_and_topk(spark, sf_dir):
-    # the min-per-partkey aggregate and its probe join both hash on
-    # ps_partkey: the EU partsupp slice must be exchanged ONCE (exchange
-    # reuse), and the ORDER BY+LIMIT must be a top-k, not a global sort
+    # r15: the correlated MIN is a window over ps_partkey + equality
+    # filter, so the EU-partsupp subtree is planned ONCE (the earlier
+    # group-and-probe-back shape duplicated it — two pair-distinct fact
+    # shuffles per query) and exchanged once; ORDER BY+LIMIT must be a
+    # top-k, not a global sort
     plan = _plan_no_auto_broadcast(spark, sf_dir, "q2_min_cost_supplier")
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+    # one lineitem scan (the detail section names the path once per scan)
+    assert plan.count("lineitem.parquet") == 1, plan
     # nation/region hints exist; part and supplier are sf-proportional and
     # must not sit under a hint-driven BroadcastExchange
     for section in plan.split("BroadcastExchange")[1:]:
