@@ -186,17 +186,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus3(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
     # ARRAY topology (round 6, operators/dedup.py): per-doc shingle-hash
     # arrays, zero-shuffle per-row signatures, array_intersect verify.
-    # persist (not eager checkpoint) — computed once per action, keeps
-    # partitioning, adds no jobs; see plans/dedup.py for the measured delta.
     # The component loop itself still localCheckpoints per round (lineage
     # cutting across iterations is checkpoint's legitimate job).
     per_doc = doc_shingle_arrays(corpus, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = (
-        per_doc.filter(F.col("n_sh") > 0)
-        .select("doc_id", *minhash_sig_cols("sh_arr", num_perms=64))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # eager (r15): AQE launches the three consumer stages (signature map,
+    # both verification join sides) concurrently — populate the cache
+    # first or each racing stage recomputes the shingle pipeline.
+    per_doc.count()
+    # no sig persist (r15): the bucket pre-aggregation leaves the
+    # signature exactly one consumer (lsh_bands) — the persist was a pure
+    # extra materialization, same finding as minhash r10.
+    sig = per_doc.filter(F.col("n_sh") > 0).select(
+        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
     )
     pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
     edges = (

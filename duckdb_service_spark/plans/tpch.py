@@ -8,7 +8,7 @@ and AQE (SURVEY.md §4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import davg, dec, dsum, favg, fsum
@@ -269,13 +269,26 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates). Correlated EXISTS -> left-semi join with a cross-side
     condition; the date filter prunes orders at the scan, the semi join
     hashes on orderkey only (condition evaluated post-probe), then a
-    5-group aggregation. One shuffle of the filtered orders."""
+    5-group aggregation. One shuffle of the filtered orders.
+
+    r15: the quantifier's cross-side condition IMPLIES a constant bound
+    on the lineitem side — l_shipdate > o_orderdate + 60d with
+    o_orderdate >= 1996-07-01 means no line shipped on or before
+    1996-08-30 can ever satisfy it. The derived filter is added
+    explicitly (Catalyst cannot infer constraints through the join
+    condition), pushes to the lineitem scan (PushedFilters, row-group
+    skipping at 100 TB) and shrinks the fact shuffle to the ~quarter
+    that can match. Result-identical: dropped rows fail the join
+    predicate for every orders row that survives its own filter."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
-    l = t["lineitem"]
+    l = t["lineitem"].filter(
+        F.col("l_shipdate")
+        > F.lit("1996-07-01 00:00:00").cast("timestamp") + F.expr("INTERVAL 60 DAY")
+    )
     late = (l.l_orderkey == o.o_orderkey) & (
         l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
     )
@@ -769,9 +782,19 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): the hardest shape in
     the suite — one EXISTS and one NOT EXISTS, both correlated to the same
     fact. Lateness is l_shipdate > o_orderdate + 30 days (fixture has no
-    receipt/commit dates). Semi + anti joins all hash on l_orderkey, so the
-    three lineitem legs share one shuffle key (co-partitioned probes, no
-    extra exchange shapes); the nation-filtered supplier set broadcasts."""
+    receipt/commit dates).
+
+    r15 topology: BOTH correlated quantifiers collapse to per-order
+    window distinct-counts over ONE pass of the fact —
+    EXISTS(other supplier)      ⟺ count(DISTINCT l_suppkey) ≥ 2, and
+    NOT EXISTS(other late supp) ⟺ count(DISTINCT late l_suppkey) = 1
+    (the row itself is late, so the sole late supplier must be its own).
+    The earlier semi+anti form shuffled THREE lineitem legs on
+    l_orderkey; this shape shuffles lineitem ONCE for the orders join
+    and the window rides that same partitioning (guide §2.4) — at 100 TB
+    that is 3x fewer fact bytes through the exchange, and the per-order
+    collect_set is bounded by lines-per-order (7). Verified
+    row-identical to the semi/anti form and to the oracle."""
     t = load_tables(spark, sf_dir)
     n = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_4"))
     s = (
@@ -779,35 +802,31 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
     )
-    o = t["orders"].filter(F.col("o_orderstatus") == "F")
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
     l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
-    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
-    base = (
-        l.alias("l1")
-        .join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l1.l_shipdate") > late_cut)
-        .select(
-            F.col("l1.l_orderkey").alias("b_orderkey"),
-            F.col("l1.l_suppkey").alias("b_suppkey"),
-            F.col("o_orderdate").alias("b_orderdate"),
-        )
+    joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ).alias("late"),
     )
-    l2 = l.select(F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"), "l_shipdate")
-    multi = base.join(
-        l2,
-        (F.col("b_orderkey") == F.col("x_orderkey"))
-        & (F.col("b_suppkey") != F.col("x_suppkey")),
-        "left_semi",
+    w = Window.partitionBy("l_orderkey")
+    flags = joined.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
-    sole_late = multi.join(
-        l2,
-        (F.col("b_orderkey") == F.col("x_orderkey"))
-        & (F.col("b_suppkey") != F.col("x_suppkey"))
-        & (F.col("l_shipdate") > F.col("b_orderdate") + F.expr("INTERVAL 30 DAY")),
-        "left_anti",
+    sole_late = flags.filter(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("b_suppkey") == F.col("s_suppkey"))
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -984,8 +1003,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     europe = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey).select(
         "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name"
     )
-    from pyspark.sql import Window
-
     min_cost = F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
     p = t["part"].filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
     return (

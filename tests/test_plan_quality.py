@@ -183,13 +183,17 @@ def test_q19_envelope_filters_push_to_both_scans(spark, sf_dir):
 
 
 def test_q21_no_hinted_broadcast_of_facts(spark, sf_dir):
-    """q21's three lineitem legs and orders are sf-proportional: with
-    size-based broadcast off, only the nation-filtered supplier (and the
-    nation dim itself) may appear as a broadcast side."""
+    """q21 (r15 window form): lineitem and orders are sf-proportional —
+    with size-based broadcast off, only the nation-filtered supplier (and
+    the nation dim itself) may appear as a broadcast side; the two
+    correlated quantifiers are per-order window distinct-counts riding
+    the single l_orderkey exchange (one lineitem scan, no semi/anti
+    legs)."""
     plan = _plan_no_auto_broadcast(spark, sf_dir, "q21_suppliers_waiting")
     # tree nodes only ("formatted" repeats each node in the detail section)
     assert plan.count("BroadcastHashJoin Inner") <= 2, plan
-    assert "SortMergeJoin LeftSemi" in plan and "SortMergeJoin LeftAnti" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_q10_topk_take_ordered(spark, sf_dir):
