@@ -336,6 +336,69 @@ def minhash_sig_cols(arr: "Column | str", num_perms: int = 64) -> list[Column]:
     return cols
 
 
+def minhash_sig_arr(arr_col: str, num_perms: int = 64) -> Column:
+    """The whole MinHash signature as ONE ARRAY<BIGINT> column:
+    ``transform(<literal (a,b) array>, p -> array_min(transform(arr, ...)))``.
+
+    Slot values are identical to minhash_sig_cols' mh0..mh{k-1} (same
+    per-slot arithmetic, asserted in tests), but the expression tree is
+    ~64x smaller — which cuts DRIVER cost everywhere the tree travels:
+    plan build, analysis, every AQE re-optimization between stages, and
+    whole-stage codegen size. Measured r15 at sf0.1: the 64-column form
+    spent 500-660ms of driver time in inter-stage gaps re-optimizing the
+    wide signature projection; the array form runs the same pipeline
+    ~12-19% faster end to end. At 100 TB driver planning latency is per
+    QUERY, not per task — it never amortizes, so tree size matters."""
+    coeffs = ", ".join(
+        f"named_struct('a', {a}, 'b', {b})"
+        for a, b in (perm_coeffs(i) for i in range(num_perms))
+    )
+    # LET-BINDING, load-bearing: ``transform(array(X), v -> body)[0]``
+    # evaluates X once per row and binds it. Referencing {arr_col}
+    # directly inside the permutation lambda re-evaluates whatever
+    # expression Catalyst collapsed into it ONCE PER PERMUTATION —
+    # CollapseProject counts textual references, not per-element lambda
+    # evaluations, so an un-materialized shingle pipeline (e.g. the
+    # streaming twin, which cannot persist) was recomputed 64x per row:
+    # measured 7.2s -> 42.9s on stream_neardup_lsh at sf0.001 before the
+    # binding, back to ~6s with it.
+    return F.expr(
+        f"transform(array({arr_col}), __sh -> "
+        f"transform(array({coeffs}), p -> "
+        f"array_min(transform(__sh, s -> "
+        f"(p.a * (s % {MINHASH_PRIME}) + p.b) % {MINHASH_PRIME}))))[0]"
+    )
+
+
+def lsh_bands_arr(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_id, band_hash) from an array-form signature column —
+    band_hash = md5 of the comma-joined band slots, byte-identical to
+    lsh_bands' concat_ws form (bigint->string cast is the same text)."""
+    rows_per_band = num_perms // bands
+    # same let-binding as minhash_sig_arr: bind the signature once per
+    # row, or a collapsed sig expression re-evaluates once per band
+    bands_expr = (
+        f"explode(transform(array({sig_col}), __sig -> "
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"named_struct('band_id', b, 'band_hash', "
+        f"md5(array_join(transform(slice(__sig, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> cast(x as string)), ',')))))[0])"
+    )
+    return sig_df.select(
+        id_col, F.expr(bands_expr).alias("band")
+    ).select(
+        id_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
 def jaccard_pairs_from_arrays(
     pairs: DataFrame, per_doc: DataFrame, id_col: str
 ) -> DataFrame:

@@ -19,9 +19,9 @@ from ..operators.dedup import (
     doc_shingle_arrays,
     exact_dedup,
     jaccard_pairs_from_arrays,
-    lsh_bands,
+    lsh_bands_arr,
     lsh_candidate_pairs,
-    minhash_sig_cols,
+    minhash_sig_arr,
     perm_coeffs,
     shingles_expr,
     simhash,
@@ -173,9 +173,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Docs with zero shingles (<3 tokens) produced no aggregate row in the
     # exploded form; filter them for identical semantics.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
+    bands = lsh_bands_arr(sig, "doc_id", num_perms=64, bands=16)
     pairs = lsh_candidate_pairs(bands, "doc_id")
     verified = jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
     return (
@@ -500,13 +500,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_b.count()
     pd_n.count()
     sig_b = pd_b.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
     sig_n = pd_n.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    bands_b = lsh_bands(sig_b, "doc_id")
-    bands_n = lsh_bands(sig_n, "doc_id")
+    bands_b = lsh_bands_arr(sig_b, "doc_id")
+    bands_n = lsh_bands_arr(sig_n, "doc_id")
     cand = (
         bands_n.select(F.col("doc_id").alias("new_id"), "band_id", "band_hash")
         .join(

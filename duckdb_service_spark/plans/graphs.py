@@ -27,9 +27,9 @@ from ..operators.dedup import (
     MINHASH_PRIME,
     doc_shingle_arrays,
     jaccard_pairs_from_arrays,
-    lsh_bands,
+    lsh_bands_arr,
     lsh_candidate_pairs,
-    minhash_sig_cols,
+    minhash_sig_arr,
 )
 from ..session import default_parallelism
 from ..sources import load_tables
@@ -199,9 +199,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature exactly one consumer (lsh_bands) — the persist was a pure
     # extra materialization, same finding as minhash r10.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    pairs = lsh_candidate_pairs(lsh_bands_arr(sig, "doc_id"), "doc_id")
     edges = (
         jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
         .filter(F.col("jaccard") >= 0.3)

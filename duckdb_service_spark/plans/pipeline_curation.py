@@ -20,9 +20,9 @@ from ..operators.dedup import (
     doc_shingle_arrays,
     shingle_hash_arr,
     jaccard_pairs_from_arrays,
-    lsh_bands,
+    lsh_bands_arr,
     lsh_candidate_pairs,
-    minhash_sig_cols,
+    minhash_sig_arr,
     normalize_text,
     tokens_expr,
 )
@@ -190,9 +190,9 @@ def curate_corpus(corpus: DataFrame) -> DataFrame:
     # No sig persist (r10): the bucket pre-aggregation leaves the signature
     # with exactly one consumer — see plans/dedup.py dedup_minhash_lsh.
     sig = per_doc.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    pairs = lsh_candidate_pairs(lsh_bands(sig, "doc_id"), "doc_id")
+    pairs = lsh_candidate_pairs(lsh_bands_arr(sig, "doc_id"), "doc_id")
     dup_ids = (
         jaccard_pairs_from_arrays(pairs, per_doc, "doc_id")
         .filter(F.col("jaccard") >= JACCARD_CUT)

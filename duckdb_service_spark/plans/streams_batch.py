@@ -327,7 +327,7 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving micro-batch pays shingle+signature cost proportional to its
     own size, probes the artifact with a stream-static join, and the only
     stateful step is the per-pair band count."""
-    from ..operators.dedup import doc_shingle_arrays, lsh_bands, minhash_sig_cols
+    from ..operators.dedup import doc_shingle_arrays, lsh_bands_arr, minhash_sig_arr
     from ..streaming.pipeline import neardup_band_matches
     from .dedup import TWIN_OFFSET, TWIN_SUFFIX
 
@@ -341,9 +341,9 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_pd = doc_shingle_arrays(d.select("doc_id", "text"), "doc_id", "text")
     corpus_sig = corpus_pd.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    corpus_bands = lsh_bands(corpus_sig, "doc_id", num_perms=64, bands=16)
+    corpus_bands = lsh_bands_arr(corpus_sig, "doc_id", num_perms=64, bands=16)
     return neardup_band_matches(incoming, corpus_bands).select(
         "doc_id", "corpus_id", "n_shared_bands"
     )

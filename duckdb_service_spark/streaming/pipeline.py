@@ -150,13 +150,13 @@ def neardup_band_matches(docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
     bands are a precomputed bucketed table and each arriving micro-batch
     pays cost proportional to ITS size — the same topology as the batch
     dedup_incremental_lsh, swapped source."""
-    from ..operators.dedup import doc_shingle_arrays, lsh_bands, minhash_sig_cols
+    from ..operators.dedup import doc_shingle_arrays, lsh_bands_arr, minhash_sig_arr
 
     pd = doc_shingle_arrays(docs, "doc_id", "text")
     sig = pd.filter(F.col("n_sh") > 0).select(
-        "doc_id", *minhash_sig_cols("sh_arr", num_perms=64)
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
     )
-    bands = lsh_bands(sig, "doc_id", num_perms=64, bands=16)
+    bands = lsh_bands_arr(sig, "doc_id", num_perms=64, bands=16)
     cb = corpus_bands.select(
         F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
     )

@@ -128,6 +128,54 @@ def test_candidate_pairs_same_semantics(spark):
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
 
 
+def test_sig_arr_matches_sig_cols(spark):
+    """The array-form signature (ONE ARRAY<BIGINT> column, r15) must carry
+    exactly the 64 per-slot values of the column form, and the array-form
+    bands must hash to the same band_hash values."""
+    from duckdb_service_spark.operators.dedup import lsh_bands_arr, minhash_sig_arr
+
+    per_doc = doc_shingle_arrays(_corpus(spark), "doc_id", "text").filter(
+        F.col("n_sh") > 0
+    )
+    cols = per_doc.select("doc_id", *minhash_sig_cols("sh_arr", num_perms=64))
+    arr = per_doc.select(
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
+    )
+    got = {r["doc_id"]: list(r["sig"]) for r in arr.collect()}
+    want = {r["doc_id"]: [r[f"mh{i}"] for i in range(64)] for r in cols.collect()}
+    assert got == want
+
+    old_bands = sorted(map(tuple, lsh_bands(cols, "doc_id").collect()))
+    new_bands = sorted(map(tuple, lsh_bands_arr(arr, "doc_id").collect()))
+    assert old_bands == new_bands
+
+
+def test_sig_arr_no_lambda_reevaluation_blowup(spark):
+    """Regression for the HOF re-evaluation pathology: WITHOUT a
+    materialization barrier (no persist), the full shingle pipeline
+    collapsed into the signature lambda was re-evaluated once per
+    permutation (64x per row; stream_neardup_lsh went 7s -> 43s at
+    sf0.001). The let-binding in minhash_sig_arr/lsh_bands_arr pins one
+    evaluation per row — this test runs the unpersisted chain end-to-end
+    and must complete quickly (values checked; the timing guard is the
+    1000-row corpus finishing at all within the test budget)."""
+    from duckdb_service_spark.operators.dedup import lsh_bands_arr, minhash_sig_arr
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa doc "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    per_doc = doc_shingle_arrays(docs, "doc_id", "text")  # NOT persisted
+    sig = per_doc.filter(F.col("n_sh") > 0).select(
+        "doc_id", minhash_sig_arr("sh_arr", num_perms=64).alias("sig")
+    )
+    bands = lsh_bands_arr(sig, "doc_id")
+    assert bands.count() == 16000
+
+
 def test_minhash_signatures_agg_expr_values(spark):
     # the aggregate form's F.expr slots: same values as the array form's
     # per-row slots for every doc with shingles
