@@ -159,18 +159,35 @@ def brute_force_topk_np(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             S = np.round(Vn @ Qn.T, 4)  # n×q
-            n = len(pdf)
             ids = pdf[id_col].to_numpy()
+            # partial top-k PER BATCH (r15): only k candidates per query
+            # can survive the global ranking, so emitting the full n×q
+            # score matrix ships the whole corpus through the window
+            # exchange for nothing — at 100 TB that is THE shuffle. The
+            # per-batch cut uses the same total order as the final window
+            # (cos desc, neighbor_id asc — lexsort), and the self-match
+            # is excluded here so it cannot displace a real candidate;
+            # global top-k over unioned per-batch top-k's is exact.
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(qids)):
+                col = S[:, qi]
+                keep = ids != qids[qi]
+                cand_ids, cand_cos = ids[keep], col[keep]
+                if len(cand_ids) > k:
+                    sel = np.lexsort((cand_ids, -cand_cos))[:k]
+                    cand_ids, cand_cos = cand_ids[sel], cand_cos[sel]
+                out_q.append(np.full(len(cand_ids), qids[qi], dtype=np.int64))
+                out_n.append(cand_ids)
+                out_c.append(cand_cos)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, n),
-                    "neighbor_id": np.tile(ids, len(qids)),
-                    "cos_sim": S.T.ravel(),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_c),
                 }
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
-    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
