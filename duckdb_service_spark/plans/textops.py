@@ -843,10 +843,13 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # eager (r15): three consumer stages (boiler count, posexplode side,
-    # final reassembly join) — populate the cache before AQE launches them
-    # concurrently, else each racing stage recomputes the chunk+hash arrays
-    chunked.count()
+    # LAZY persist here, unlike the minhash/curation caches (r15, A/B'd):
+    # the three consumer stages do race-recompute the chunk+hash arrays
+    # under AQE, but this cache holds the CHUNK STRINGS (text-sized), so an
+    # eager count() serializes a text-sized cache write before any consumer
+    # starts — measured 1.18s -> 1.54s at sf0.1. Eager materialization only
+    # pays when the racing subtree's CPU (minhash: 3x680ms) dwarfs the
+    # cache write; here the subtree is ~140ms and the write dominates.
     # count(*) over per-doc-distinct hashes == count(DISTINCT doc_id) over
     # all chunk instances, but gets map-side partial aggregation
     boiler = (
