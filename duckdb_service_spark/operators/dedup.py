@@ -434,16 +434,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
     h = hash64(F.col("tok"))
     toks = toks.select(id_col, h.alias("h"))
+    # F.expr per aggregate/recompose term (r15): the Column-built forms
+    # cost ~7 py4j round trips each x 32 bits per plan build; the parsed
+    # expressions resolve identically
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(
-            f"b{j}"
-        )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"b{j}")
         for j in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    recompose = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    out = F.expr(f"CAST(0 AS BIGINT) + {recompose}")
     return agg.select(id_col, out.alias("simhash"))
 
 

@@ -61,16 +61,28 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _dot_sql(plane_idx: int, vec_col: str) -> str:
+    """SQL twin of dot(PLANES[idx], vec) — identical fold, identical IEEE
+    ops (plane weights are exact integers so the literals are lossless)."""
+    arr = ", ".join(f"{float(w)!r}D" for w in PLANES[plane_idx])
+    return (
+        f"aggregate(zip_with(array({arr}), {vec_col}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def lsh_bucket(vec_col: str, n_planes: int = N_PLANES) -> Column:
     """n-bit bucket id: bit j = sign of <plane_j, v>. Fewer planes → bigger
-    buckets (recall/cost dial)."""
-    out = F.lit(0).cast("bigint")
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(w)) for w in PLANES[j]])
-        out = out + F.when(dot(plane, F.col(vec_col)) > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            0
-        )
-    return out
+    buckets (recall/cost dial). Built as ONE F.expr parse — the Column form
+    cost ~1.2s of py4j round trips per plan build (16 planes x 64 literal
+    weights + fold lambdas); resolved expressions identical (r15)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(j, vec_col)} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_planes)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def brute_force_topk(
@@ -106,15 +118,18 @@ def lsh_table_buckets(vec_col: str) -> "Column":
     ~N_TABLES * corpus/2^planes_per_table per query."""
     entries = []
     for t in range(N_TABLES):
-        bucket = F.lit(0).cast("bigint")
-        for j in range(PLANES_PER_TABLE):
-            plane_idx = t * PLANES_PER_TABLE + j
-            plane = F.array(*[F.lit(float(w)) for w in PLANES[plane_idx]])
-            bucket = bucket + F.when(
-                dot(plane, F.col(vec_col)) > 0, F.lit(1 << j).cast("bigint")
-            ).otherwise(0)
-        entries.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    return F.array(*entries)
+        bucket = " + ".join(
+            f"(CASE WHEN {_dot_sql(t * PLANES_PER_TABLE + j, vec_col)} > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for j in range(PLANES_PER_TABLE)
+        )
+        entries.append(
+            f"named_struct('table_id', {t}, 'bucket', "
+            f"CAST(0 AS BIGINT) + {bucket})"
+        )
+    # one parse for all 8 tables (32 plane folds) — same rationale as
+    # lsh_bucket
+    return F.expr(f"array({', '.join(entries)})")
 
 
 def _np_queries(queries_rows, dim: int):
