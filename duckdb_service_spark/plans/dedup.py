@@ -269,7 +269,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import default_parallelism
 
     corpus = _corpus(spark, sf_dir).repartition(default_parallelism(), F.col("doc_id"))
-    sh = simhash(corpus, "doc_id", "text", bits=32)
+    # EAGER persist of the (doc_id, simhash) result (r16): the orig/twin
+    # self-join references the simhash subtree TWICE, and without a cache
+    # the whole tokenize+hash+32-bit-sum pipeline was planned and executed
+    # once PER SIDE (4 documents scans in the before-plan,
+    # plans/r16/dedup_simhash_before.txt) — 2x the pipeline CPU at any
+    # scale. The cached relation is two BIGINTs per doc, so the eager
+    # count()'s cache write is trivial (the minhash recipe, r15 finding 2).
+    sh = simhash(corpus, "doc_id", "text", bits=32).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
     orig = sh.filter(F.col("doc_id") < TWIN_OFFSET)
     twin = sh.filter(F.col("doc_id") >= TWIN_OFFSET).select(
         (F.col("doc_id") - TWIN_OFFSET).alias("doc_id"), F.col("simhash").alias("twin_sim")

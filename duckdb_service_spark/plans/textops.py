@@ -843,13 +843,23 @@ def line_dedup_corpus(docs: DataFrame) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # LAZY persist here, unlike the minhash/curation caches (r15, A/B'd):
-    # the three consumer stages do race-recompute the chunk+hash arrays
-    # under AQE, but this cache holds the CHUNK STRINGS (text-sized), so an
-    # eager count() serializes a text-sized cache write before any consumer
-    # starts — measured 1.18s -> 1.54s at sf0.1. Eager materialization only
-    # pays when the racing subtree's CPU (minhash: 3x680ms) dwarfs the
-    # cache write; here the subtree is ~140ms and the write dominates.
+    # LAZY wide persist, KEPT after the r16 split-persist A/B (VERDICT r15
+    # task 3 measured and REJECTED — tools/ab_r16.py, interleaved mins):
+    #   r15 wide-lazy (this form)      1.17-1.59s sf0.1   2.37s sf1
+    #   eager narrow split + count()   1.51s              2.90s
+    #   lazy narrow split              1.43s              2.73s
+    # Mechanism: only the FIRST-wave consumers (boiler + slim legs, below)
+    # race-compute this subtree under AQE — the reassembly join runs after
+    # kept_idx completes, by which point the race's winner has FILLED the
+    # cache, so the text-bearing final consumer reads it instead of
+    # recomputing. Splitting the cache to narrow (doc_id, h_arr) forces
+    # the final leg to recompute tokenize+chunk (slower at sf1); an eager
+    # count() adds a serial full-pass barrier that costs more than the
+    # overlapped 2-way race it removes (the racing subtree is expression
+    # CPU only — the _docs_parallel repartition exchange output is reused
+    # across the racing stages, no re-scan). The remaining waste is
+    # 1x~140ms of concurrent CPU at sf0.1 — below every materialization
+    # alternative measured.
     # count(*) over per-doc-distinct hashes == count(DISTINCT doc_id) over
     # all chunk instances, but gets map-side partial aggregation
     boiler = (

@@ -901,6 +901,7 @@ def _partsupp(
     t: dict,
     part_keys: DataFrame | None = None,
     supp_keys: DataFrame | None = None,
+    pairs_src: DataFrame | None = None,
 ) -> DataFrame:
     """Derived partsupp — Spark twin of _PARTSUPP_CTE (same formula).
 
@@ -911,8 +912,15 @@ def _partsupp(
     pruning first makes the distinct's shuffle proportional to the
     SURVIVING pairs, which is exactly the partition/DPP pruning a real
     partsupp table would get from the same filter. Results are identical:
-    rows outside the key set cannot survive the query's later join."""
-    src = t["lineitem"].select("l_partkey", "l_suppkey")
+    rows outside the key set cannot survive the query's later join.
+
+    ``pairs_src`` (r16): a relation carrying (l_partkey, l_suppkey) to use
+    INSTEAD of a fresh lineitem scan — q9 passes its already-pruned cached
+    fact projection so both its legs share one scan. Any additional
+    pruning the caller needs must already be applied to pairs_src."""
+    src = (pairs_src if pairs_src is not None else t["lineitem"]).select(
+        "l_partkey", "l_suppkey"
+    )
     if part_keys is not None:
         src = src.join(
             part_keys.select(F.col(part_keys.columns[0]).alias("__prune_pk")),
@@ -1057,13 +1065,40 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-pruned fact, no second fact-wide shuffle of unfiltered rows;
     orders joins on orderkey (the one unavoidable big-side shuffle);
     nation broadcasts. Decimal-stable profit sum (order-independent
-    across 1000 executors)."""
+    across 1000 executors).
+
+    r16: ONE lineitem scan instead of two. The part-pruned fact is
+    projected to the six needed columns and eagerly cached; the SAME
+    cached relation feeds the revenue leg and the partsupp pair-distinct
+    (pairs_src) — before, the _partsupp derivation re-scanned lineitem
+    from parquet (2 full fact scans per query; the dual-scan plan is
+    plans/r16/q9_product_type_profit_before.txt). The semi join against
+    p is multiplicity-identical to the old inner join because p_partkey
+    is part's primary key (unique), and the pair set feeding the distinct
+    is identical because the old form applied the same part prune via
+    part_keys. Eager count() populates the cache before AQE launches the
+    racing consumers (r15 finding 2)."""
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
     p = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
-    # promoted-part semi prune before the pair-distinct (~1/25 survives)
-    ps = _partsupp(t, part_keys=p)
-    l = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey"))
-    l = l.join(
+    # ONE narrow part-pruned fact projection shared by both legs
+    lp = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lp.count()
+    ps = _partsupp(t, pairs_src=lp)
+    l = lp.join(
         ps,
         (F.col("l_partkey") == ps.ps_partkey)
         & (F.col("l_suppkey") == ps.ps_suppkey),

@@ -3687,6 +3687,7 @@ def _fold_string_to_tree(form: str, value: str, tree, lazy: bool = False) -> str
     if entries is None:
         return _composite_cast_fail(form, value, kind, tgt_text, lazy)
     cells = []
+    kexprs = []
     for entry in entries:
         sp = _entry_split(entry, "=")
         if sp is None:
@@ -3697,8 +3698,30 @@ def _fold_string_to_tree(form: str, value: str, tree, lazy: bool = False) -> str
         vexpr = cell_expr(vc, vq, vtree)
         if kexpr is None or vexpr is None:
             return _composite_cast_fail(form, value, kind, tgt_text, lazy)
+        kexprs.append(kexpr)
         cells.append(f"{kexpr}: {vexpr}")
-    return "MAP {" + ", ".join(cells) + "}"
+    lit = "MAP {" + ", ".join(cells) + "}"
+    # Statically safe (no guard needed): a single entry, or textually
+    # distinct VARCHAR-family keys (distinct text == distinct value; for
+    # numeric/temporal keys distinct TEXT can still cast to equal VALUES,
+    # e.g. '1' vs '01' as INTEGER keys — those need the runtime check)
+    key_is_text = ktree[0] == "scalar" and ktree[2] == "string"
+    if len(kexprs) <= 1 or (key_is_text and len(set(kexprs)) == len(kexprs)):
+        return lit
+    # Duplicate keys must raise DuckDB's unique-keys error (VERDICT r15
+    # task 8 / ADVICE r14 #3): DuckDB checks the CAST key VALUES (measured:
+    # '{1=x, 01=y}' -> MAP(INTEGER, ...) raises; TRY_CAST raises too), so a
+    # static text comparison is not enough — guard the fold output with the
+    # same runtime check the string-COLUMN path uses (raise_error carries
+    # the verbatim message through the service envelope). Spark's own map()
+    # would raise DUPLICATED_MAP_KEY with a different message.
+    dup = (
+        f"len(list_distinct([{', '.join(kexprs)}])) <> {len(kexprs)}"
+    )
+    return (
+        f"(CASE WHEN {dup} THEN CAST(raise_error('Invalid Input Error: "
+        f"Map keys must be unique.') AS {tgt_text}) ELSE {lit} END)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3871,49 +3894,61 @@ def rewrite_postfix_factorial_terms(
         if i > 0 and text[i - 1] in "=<>!":
             continue
         after = text[i + 1 :]
+        div_follows = False
         if not _FACT_END_RE.match(after):
             am = _FACT_ARITH_RE.match(after)
-            if am:
-                ws, op = am.group(1), am.group(2)
-                # measured (r15): UNSPACED '!<op>' lexes as the multi-char
-                # operator token, so DuckDB's catalog error names '!<op>';
-                # spaced '+'/'-'/'||' parse '!' as a binary operator
-                # (catalog error names '!'); spaced '*' is a parser error
-                # at the token after the '*'. Spaced '/', '%', '^' EVALUATE
-                # in DuckDB (factorial binds first) — that lane still
-                # raises here, a documented loud divergence (HUGEINT
-                # result typing, OPTIMIZATION_r15.md).
-                if not ws and op != "||":
-                    raise ValueError(
-                        f"Catalog Error: Scalar Function with name !{op} "
-                        'does not exist!\nDid you mean "!~~"?'
-                    )
-                if op == "*":
-                    rest = after[am.end():].lstrip()
-                    tokm = re.match(r"[A-Za-z_0-9$.]+|\S", rest)
-                    tok = tokm.group(0) if tokm else ""
-                    raise ValueError(
-                        f'Parser Error: syntax error at or near "{tok}"'
-                    )
+            if am is None:
+                continue
+            ws, op = am.group(1), am.group(2)
+            # measured (r15/r16): UNSPACED '!<op>' lexes as the multi-char
+            # operator token, so DuckDB's catalog error names '!<op>' —
+            # INCLUDING '!||' (ADVICE r15: `3!||2` raises over the '!||'
+            # token; the old lane excluded '||' and mis-raised bare '!').
+            # Spaced '+'/'-'/'||' parse '!' as a binary operator (catalog
+            # error names '!'); spaced '*' is a parser error at the token
+            # after the '*'. Spaced '/', '%', '^' EVALUATE in DuckDB
+            # (factorial binds first: 3! / 2 is 3.0, 3! % 2 is 0,
+            # 3! ^ 2 is 36.0) — fall through to the operand rewrite; '/'
+            # marks the HUGEINT operand for DOUBLE division (DuckDB's
+            # HUGEINT / INTEGER returns DOUBLE, while the engine's
+            # DECIMAL(38,0) HUGEINT convention would hit Spark's decimal
+            # division lane).
+            if not ws:
+                raise ValueError(
+                    f"Catalog Error: Scalar Function with name !{op} "
+                    'does not exist!\nDid you mean "!~~"?'
+                )
+            if op == "*":
+                rest = after[am.end():].lstrip()
+                tokm = re.match(r"[A-Za-z_0-9$.]+|\S", rest)
+                tok = tokm.group(0) if tokm else ""
+                raise ValueError(
+                    f'Parser Error: syntax error at or near "{tok}"'
+                )
+            if op not in ("/", "%", "^"):
                 raise ValueError(
                     "Catalog Error: Scalar Function with name ! does not "
                     'exist!\nDid you mean "!~~"?'
                 )
-            continue
+            div_follows = op == "/"
         start = _fact_operand_start(text, mask, i)
         if start is None:
             continue
         operand = text[start:i].strip()
         if not operand:
             continue
+
+        def _emit(repl: str, start=start, i=i, div=div_follows) -> None:
+            # '/' follower: HUGEINT / INTEGER is DOUBLE division in DuckDB
+            edits.append(
+                (start, i + 1, f"CAST({repl} AS DOUBLE)" if div else repl)
+            )
+
         if re.match(r"^NULL$", operand, re.IGNORECASE):
-            edits.append((start, i + 1, "CAST(NULL AS DECIMAL(38,0))"))
+            _emit("CAST(NULL AS DECIMAL(38,0))")
             continue
         if re.match(r"^'(?:[^']|'')*'$", operand):
-            edits.append(
-                (start, i + 1,
-                 _fact_guarded(f"CAST({operand} AS INTEGER)"))
-            )
+            _emit(_fact_guarded(f"CAST({operand} AS INTEGER)"))
             continue
         if re.match(r"^-?\d+$", operand):
             if abs(int(operand)) > 2147483647:
@@ -3922,7 +3957,7 @@ def rewrite_postfix_factorial_terms(
                     "argument types '!__postfix(BIGINT)'. You might need "
                     "to add explicit type casts."
                 )
-            edits.append((start, i + 1, _fact_guarded(operand)))
+            _emit(_fact_guarded(operand))
             continue
         if classes is None:
             classes = _schema_class_map(spark, stripped, translate)
@@ -3933,7 +3968,7 @@ def rewrite_postfix_factorial_terms(
         if k is None:
             continue  # untypeable: leave for Spark's loud parse error
         if k in ("tinyint", "smallint", "integer"):
-            edits.append((start, i + 1, _fact_guarded(operand)))
+            _emit(_fact_guarded(operand))
             continue
         if k == "decimal":
             name = (t or "DECIMAL").upper()

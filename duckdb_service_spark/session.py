@@ -28,7 +28,19 @@ def tune(spark: SparkSession) -> SparkSession:
     The correctness driver constructs its own SparkSession and passes it to
     ``queries()`` callables, so anything semantics-critical must be a runtime
     conf applied here (not only a builder conf).
+
+    Memoized per SESSION via a conf flag (r16): load_tables calls tune() on
+    every query build, so the ~10 conf.set py4j round trips plus four UDF
+    re-registrations ran per query (measured 8-14 ms/call warm — part of
+    the per-query driver floor, VERDICT r15 task 2). The flag lives in the
+    session's own conf, so a fresh driver-provided session still gets the
+    full treatment and nothing is cached across sessions or processes.
     """
+    if getattr(spark, "_ddbs_tuned", False):  # same python object: free
+        return spark
+    if spark.conf.get("spark.duckdb_service_spark.tuned", None) == "1":
+        spark._ddbs_tuned = True  # noqa: SLF001 — our own marker
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # DuckDB's TIMESTAMP is timezone-naive: SQL TIMESTAMP literals/casts
     # must resolve to TIMESTAMP_NTZ so the LTZ type is reserved for
@@ -49,6 +61,9 @@ def tune(spark: SparkSession) -> SparkSession:
     ensure_format_udfs(spark)
     # TIME type (SURVEY §1.3 edge): feature-flagged in Spark 4.1
     spark.conf.set("spark.sql.timeType.enabled", "true")
+    # nanos-as-long parquet read (events.ts in early fixture drops) — was a
+    # separate per-call conf.set in load_tables; folded under this memo (r16)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Scan-split size. The local fixtures are SINGLE parquet files (10 MB
     # lineitem), so Spark's 128 MB default plans a ONE-task scan — scan-
     # bound queries then run serial while 31 cores idle (measured: agg_core
@@ -67,6 +82,8 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # may be non-modifiable if set at startup; fine either way
+    spark.conf.set("spark.duckdb_service_spark.tuned", "1")
+    spark._ddbs_tuned = True  # noqa: SLF001
     return spark
 
 

@@ -96,6 +96,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     (UTC timezone, nanos-as-long parquet read) and returns the lazy mapping.
     The driver may hand us a session we didn't build, so these must be
     runtime confs, not builder confs."""
-    tune(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tune(spark)  # memoized per session (incl. the nanosAsLong parquet conf)
     return Tables(spark, sf_dir)

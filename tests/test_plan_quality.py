@@ -237,6 +237,11 @@ def test_q9_part_filter_prunes_before_fact_joins(spark, sf_dir):
         assert "orders" not in subtree_head
         assert "part.parquet" not in subtree_head
     assert "partial_sum" in plan, "profit sum must have map-side partials"
+    # r16: ONE lineitem scan — the narrow part-pruned projection is cached
+    # and shared by the revenue leg and the partsupp pair-distinct
+    # (pairs_src); the dual-scan shape would print the path twice
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "InMemoryRelation" in plan, plan
 
 
 def test_q20_semi_join_chain_shape(spark, sf_dir):

@@ -1,7 +1,8 @@
-"""Capture .explain('formatted') for bench queries into plans/r15/.
+"""Capture .explain('formatted') for bench queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py before|after [name ...]
-Writes plans/r15/<query>_<tag>.txt. CPU-light (no execution).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (round defaults to
+r16). CPU-light (no execution).
 """
 
 from __future__ import annotations
@@ -18,7 +19,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
