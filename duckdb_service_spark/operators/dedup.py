@@ -428,28 +428,33 @@ def jaccard_pairs_from_arrays(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): classic sign-of-weighted-bit-sums fingerprint over
-    token hashes. Expressed as `bits` conditional-sum aggregates over one
-    token explode — map-side combinable, no UDF. 32 bits keeps the result an
-    exact int in both engines (the oracle mirrors the formula)."""
-    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
-    h = hash64(F.col("tok"))
-    toks = toks.select(id_col, h.alias("h"))
-    # F.expr per aggregate/recompose term (r15): the Column-built forms
-    # cost ~7 py4j round trips each x 32 bits per plan build; the parsed
-    # expressions resolve identically
-    bit_sums = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    recompose = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(bits)
+    token hashes. 32 bits keeps the result an exact int in both engines
+    (the oracle mirrors the formula).
+
+    PER-ROW fold form (r16, VERDICT r15 task 6 — the minhash_sig_arr
+    recipe): the token-hash array is bound once per row (let-binding,
+    r15 finding 3) and the ``bits`` sign-sums fold over it inside one
+    projection — zero explode, zero groupBy, zero Exchange, and the
+    expression tree the driver re-optimizes is one compact HOF instead of
+    32 aggregate columns + a 32-term recompose. The old exploded
+    aggregate form produced one row per TOKEN through a hash aggregate;
+    values are identical (same hash, same sums, same sign recompose —
+    asserted against the legacy form in tests/test_simhash_fold_r16.py)
+    and the noop-sink A/B reads 0.38s->0.22s at sf0.01, 0.30s->0.23s at
+    sf0.1. Docs with NULL text produced no aggregate row via explode;
+    the isNotNull filter keeps that contract."""
+    toks = _tokens_sql(text_col)
+    h_arr = f"transform({toks}, __t -> {_hash64_sql('__t')})"
+    expr = (
+        f"transform(array({h_arr}), __h -> "
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        f"(sacc, j) -> sacc + IF(aggregate(__h, CAST(0 AS BIGINT), "
+        f"(acc, h) -> acc + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0, "
+        f"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))[0]"
     )
-    out = F.expr(f"CAST(0 AS BIGINT) + {recompose}")
-    return agg.select(id_col, out.alias("simhash"))
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.expr(expr).alias("simhash")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -20,16 +20,51 @@ STOPWORDS = {
 }
 
 
-def stopword_ratio(toks: Column, lang: str) -> Column:
-    """Share of tokens that are lang function-words."""
+def _sw_ratio_sql(toks: str, lang: str) -> str:
+    """SQL-text twin of the stopword_ratio Column form (r16 plan-build
+    diet, the r15 recipe): resolved expressions identical, one parse."""
+    lst = ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+    return (
+        f"(size(filter({toks}, __swt -> array_contains(array({lst}), __swt)))"
+        f" / greatest(size({toks}), 1))"
+    )
+
+
+def _sw_best_sql(toks: str) -> str:
+    return f"greatest({', '.join(_sw_ratio_sql(toks, lang) for lang in STOPWORDS)})"
+
+
+def stopword_ratio(toks: "Column | str", lang: str) -> Column:
+    """Share of tokens that are lang function-words.
+
+    Pass ``toks`` as SQL TEXT (str) to build through one F.expr parse —
+    the Column form costs ~20 py4j round trips per (lang) call (10 word
+    literals + array + filter lambda + sizes); resolved expressions are
+    identical (asserted by sameSemantics in tests/test_text_sqltext_r16)."""
+    if isinstance(toks, str):
+        return F.expr(_sw_ratio_sql(toks, lang))
     lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n = F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
     return n / F.greatest(F.size(toks), F.lit(1))
 
 
-def predict_lang(toks: Column) -> Column:
+def predict_lang(toks: "Column | str") -> Column:
     """argmax of per-language stopword ratios; 'und' (undetermined) when
-    every score is zero. Ties break by the fixed language order."""
+    every score is zero. Ties break by the fixed language order.
+
+    str input = SQL-text fast path (one parse instead of ~100 py4j round
+    trips for 4 langs x ratio + greatest + the CASE chain); the generated
+    text mirrors the Column form exactly — including re-stating the
+    ratio/best subtrees per CASE arm, which the Column form also does
+    (shared Column objects splice the same subtree, and codegen's
+    subexpression elimination dedupes them at runtime either way)."""
+    if isinstance(toks, str):
+        r = {lang: _sw_ratio_sql(toks, lang) for lang in STOPWORDS}
+        best = _sw_best_sql(toks)
+        out = "'und'"
+        for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+            out = f"(CASE WHEN {r[lang]} = {best} THEN '{lang}' ELSE {out} END)"
+        return F.expr(f"(CASE WHEN {best} > 0 THEN {out} ELSE 'und' END)")
     scores = {lang: stopword_ratio(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*scores.values())
     out = F.lit("und")
@@ -45,7 +80,37 @@ def char_class_ratio(text: Column, keep_regex: str) -> Column:
     return kept / F.greatest(F.length(text), F.lit(1))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: "Column | str") -> dict[str, Column]:
+    """str input = SQL-text fast path (8 F.expr parses instead of ~70
+    py4j round trips; resolved expressions identical, sameSemantics
+    asserted in tests/test_text_sqltext_r16.py)."""
+    if isinstance(text, str):
+        from .dedup import _tokens_sql
+
+        toks = _tokens_sql(text)
+        n_chars = f"length({text})"
+        n_tokens = f"size({toks})"
+
+        def ccr(regex: str) -> str:
+            return (
+                f"(length(regexp_replace({text}, '{regex}', ''))"
+                f" / greatest({n_chars}, 1))"
+            )
+
+        return {
+            "n_chars": F.expr(f"CAST({n_chars} AS BIGINT)"),
+            "n_tokens": F.expr(f"CAST({n_tokens} AS BIGINT)"),
+            "mean_token_len": F.expr(
+                f"round(({n_chars} - ({n_tokens} - 1))"
+                f" / greatest({n_tokens}, 1), 4)"
+            ),
+            "digit_ratio": F.expr(f"round({ccr('[^0-9]')}, 6)"),
+            "punct_ratio": F.expr(f"round({ccr('[^.,;:!?]')}, 6)"),
+            "space_ratio": F.expr(f"round({ccr('[^ ]')}, 6)"),
+            "en_stopword_ratio": F.expr(
+                f"round({_sw_ratio_sql(toks, 'en')}, 6)"
+            ),
+        }
     toks = tokens_expr(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)

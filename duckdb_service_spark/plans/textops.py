@@ -64,15 +64,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical arithmetic in the oracle."""
     t = load_tables(spark, sf_dir)
     d = _docs_parallel(t)
-    toks = tokens_expr(F.col("text"))
-    from ..operators.text import stopword_ratio
+    # SQL-text path (r16): the Column builders cost ~0.2s of py4j round
+    # trips per plan build (measured via tools/profile_breakdown.py on a
+    # 0.44s total wall); resolved expressions identical — sameSemantics
+    # asserted in tests/test_text_sqltext_r16.py
+    from ..operators.dedup import _tokens_sql
+    from ..operators.text import _sw_best_sql
 
-    best = F.greatest(*[stopword_ratio(toks, lang) for lang in STOPWORDS])
+    toks = _tokens_sql("text")
     return d.select(
         "doc_id",
         "lang",
         predict_lang(toks).alias("pred_lang"),
-        F.round(best, 6).alias("best_score"),
+        F.expr(f"round({_sw_best_sql(toks)}, 6)").alias("best_score"),
     )
 
 
@@ -114,7 +118,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + composite score (operators.text.quality_*)."""
     t = load_tables(spark, sf_dir)
     d = _docs_parallel(t)
-    feats = quality_features(F.col("text"))
+    # SQL-text feature builders (r16 plan-build diet; sameSemantics
+    # asserted in tests/test_text_sqltext_r16.py)
+    feats = quality_features("text")
     out = d.select("doc_id", *[c.alias(k) for k, c in feats.items()])
     feats_cols = {k: F.col(k) for k in feats}
     return out.withColumn("quality", quality_score(feats_cols))
